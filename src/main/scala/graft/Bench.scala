@@ -1,23 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bench harness (BASELINE.md kernels): runs the headline kernels on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Protocol: per kernel, 1 warm-up run then median of 3 timed runs.
+  * Results are forced with a noop-sink write (count() would let Catalyst
+  * drop sorts/projections; noop executes the full physical plan).
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  private def timeMedian(df: => DataFrame, warmups: Int = 1, runs: Int = 3): Double = {
+    (0 until warmups).foreach(_ => force(df))
+    val ts = (0 until runs).map { _ =>
+      val t0 = System.nanoTime()
+      force(df)
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(runs / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val Q = queries.Queries
+    // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
+    // + tiny-job latency probe (MRBench analog).
+    val kernels: Seq[(String, () => DataFrame)] = Seq(
+      "bench_sort" -> (() => Q.o3_terasort(spark, sfDir)),
+      "bench_agg" -> (() => Q.a1_wordcount(spark, sfDir)),
+      "bench_grep" -> (() => Q.g1_grep(spark, sfDir)),
+      "bench_join" -> (() => Q.j1_join(spark, sfDir)),
+      "bench_2sort" -> (() => Q.o2_secsort(spark, sfDir)),
+      "bench_latency" -> (() => spark.range(1).toDF("id")))
+
+    val results = kernels.map { case (name, mk) =>
+      val t = try timeMedian(mk()) catch { case _: Throwable => -1.0 }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

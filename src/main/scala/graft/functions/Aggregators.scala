@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed aggregators mirroring the reference's aggregate framework
+  * (reference: hadoop-mapreduce-client-core `mapreduce/lib/aggregate/` —
+  * `UniqValueCount.java:35-108`, `ValueHistogram.java:55-163`).
+  *
+  * Both follow the 3-phase `Aggregator[IN,BUF,OUT]` contract
+  * (init / update+merge / finish), which is exactly the reference's
+  * `addNextValue` / `getCombinerOutput` / `getReport` shape — Spark runs
+  * the update phase map-side (partial aggregation) and merge after the
+  * shuffle, so the combiner behavior is preserved.
+  */
+object Aggregators {
+
+  /** Distinct-value count with an insertion cap.
+    *
+    * Reference semantics (`UniqValueCount.java:88-93`): values past the cap
+    * are dropped, so the result is min(true distinct, ~cap) and
+    * order-dependent. For the oracle gate we declare the *uncapped*
+    * semantics (cap = Int.MaxValue ⇒ exact `count(distinct)`); the cap is
+    * kept as the reference-parity / memory-bound option. At 100 TB scale
+    * prefer `approx_count_distinct` (HLL) — this operator exists for
+    * API parity and small-cardinality dimensions.
+    */
+  final case class CappedDistinct(cap: Int)
+      extends Aggregator[String, Set[String], Long] {
+    override def zero: Set[String] = Set.empty
+    override def reduce(b: Set[String], v: String): Set[String] =
+      if (v == null || b.size >= cap || b.contains(v)) b else b + v
+    override def merge(x: Set[String], y: Set[String]): Set[String] = {
+      var b = x
+      val it = y.iterator
+      while (it.hasNext && b.size < cap) b += it.next()
+      b
+    }
+    override def finish(b: Set[String]): Long = b.size.toLong
+    override def bufferEncoder: Encoder[Set[String]] = ExpressionEncoder[Set[String]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** ValueHistogram report: per group key, the distribution of per-value
+    * frequencies. Matches the reference's report exactly
+    * (`ValueHistogram.java:109-163`): count of distinct values, min / max
+    * frequency, the *upper median* frequency (sorted counts, 0-based index
+    * len/2), mean frequency, and population stddev of frequencies.
+    */
+  final case class HistReport(
+      n_distinct: Long, min_cnt: Long, med_cnt: Long, max_cnt: Long,
+      avg_cnt: Double, std_cnt: Double)
+
+  final class ValueHistogram
+      extends Aggregator[String, Map[String, Long], HistReport] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] = {
+      val k = if (v == null) "" else v
+      b.updated(k, b.getOrElse(k, 0L) + 1L)
+    }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    override def finish(b: Map[String, Long]): HistReport = {
+      if (b.isEmpty) return HistReport(0L, 0L, 0L, 0L, 0.0, 0.0)
+      val counts = b.values.toArray.sorted
+      val n = counts.length
+      // exact integer sums, then ONE fixed double expression — keeps the
+      // result bit-identical across merge orders and vs the SQL oracle
+      var s = 0L; var sq = 0L
+      counts.foreach { c => s += c; sq += c * c }
+      val mean = s.toDouble / n
+      val varPop = math.max((sq.toDouble - s.toDouble * s.toDouble / n) / n, 0.0)
+      HistReport(n.toLong, counts.head, counts(n / 2), counts.last,
+        mean, math.sqrt(varPop))
+    }
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[HistReport] = Encoders.product[HistReport]
+  }
+
+  /** Column-ready UDAFs. */
+  def cappedDistinct(cap: Int) = udaf(CappedDistinct(cap))
+  val valueHistogram = udaf(new ValueHistogram)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. All shuffle only on
+  * compact keys (digests / band hashes), never on document text, so they
+  * scale to 100 TB: the candidate-pair space is bounded by bucket
+  * collisions, not n².
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id.
+    * One shuffle on a 16-byte key; partial aggregation combines map-side.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles as a distinct array column (basis for Jaccard /
+    * MinHash).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+    * Inverted-index join: explode shingles → self-join per shingle →
+    * count intersections → Jaccard from set sizes. The per-shingle join
+    * means only documents sharing ≥1 shingle ever meet — no n² pair
+    * enumeration. Hot shingles are the skew risk at scale; cap their
+    * fan-out with `maxShingleFreq` (drop shingles more frequent than the
+    * cap — standard stopword-shingle suppression).
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, threshold: Double = 0.8,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    val capped =
+      if (maxShingleFreq == Int.MaxValue) sh
+      else sh
+        .withColumn("freq", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("freq") <= maxShingleFreq).drop("freq")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutation hashes, each
+    * min over the shingle set of `xxhash64(seed_j, shingle)`. Pure column
+    * expressions — signature computation is map-only.
+    */
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(array_min(transform(shingles(text, k),
+        s => xxhash64(j, s))), lit(Long.MaxValue)))
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `rowsPerBand`; documents sharing any band hash become candidates;
+    * candidates are verified by full-signature agreement (estimated
+    * Jaccard). Shuffles only (bandId, bandHash, id) triples.
+    *
+    * Returns (ida, idb, est_jaccard) with ida < idb, est ≥ threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    // Band rows carry only (id, band, bandhash) — signatures are re-joined
+    // by id AFTER candidate dedup, so the banding shuffle moves 24-byte
+    // rows, not 64-long signatures.
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPer + 1, lit(rowsPer))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandhash") === col("b.bandhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .dropDuplicates("ida", "idb")
+    cand
+      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("ida"), col("idb"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by token hash
+    * bit, sign → bit. Near-dups = signatures within `maxHamming`.
+    * Banding on 4 × 16-bit chunks gives the LSH blocking (pigeonhole: any
+    * pair within hamming 3 shares at least one exact 16-bit chunk).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
+    val bits = (0 until 64).map { b =>
+      // count of tokens with bit b set, minus half the total → sign
+      size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L)) * 2 -
+        size(hashes)
+    }
+    val folded = bits.zipWithIndex.map { case (c, i) =>
+      when(c > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    folded.reduce[Column](_ bitwiseOR _)
+  }
+
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        graft.functions.GraftFunctions.hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("ida", "idb")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

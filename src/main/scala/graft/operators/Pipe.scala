@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-process UDFs over line streams — the reference's Streaming tool
+  * surface (reference: hadoop-tools/hadoop-streaming `PipeMapper.java:38-107`,
+  * `PipeReducer.java:40-77`, `PipeMapRed.java`): any executable consumes
+  * `key<sep>value` lines on stdin and emits lines on stdout.
+  *
+  * Spark-first carrier: `RDD.pipe` per partition (the direct analog of one
+  * PipeMapper per map task). `pipeReduce` reproduces the reducer-side
+  * contract: records routed by the first `numKeyFields` fields and sorted
+  * by full key before reaching the subprocess
+  * (`stream.num.map.output.key.fields` semantics, `PipeMapper.java:79-81`).
+  *
+  * Scale: the subprocess runs once per partition, streaming — no
+  * materialization; partition count controls process parallelism.
+  */
+object Pipe {
+
+  /** Map-side pipe: each partition's lines through `cmd` stdin/stdout. */
+  def pipeMap(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.rdd.pipe(cmd).toDS()
+  }
+
+  def pipeMap(lines: Dataset[String], cmd: String): Dataset[String] =
+    pipeMap(lines, cmd.split("\\s+").toSeq)
+
+  /** Reduce-side pipe: repartition by the first `numKeyFields`
+    * separator-delimited fields, sort each partition by the full line
+    * (MR shuffle-sort contract), then pipe. Each subprocess therefore sees
+    * every record of a key group contiguously and in sorted order.
+    */
+  def pipeReduce(df: DataFrame, lineCol: String, cmd: Seq[String],
+                 sep: String = "\t", numKeyFields: Int = 1,
+                 numPartitions: Int = 0): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = java.util.regex.Pattern.quote(sep)
+    val keyed = df.select(
+      concat_ws(sep, slice(split(col(lineCol), q), 1, numKeyFields)).as("k"),
+      col(lineCol).as("line"))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    keyed
+      .repartition(parts, col("k"))
+      .sortWithinPartitions(col("k"), col("line"))
+      .select("line").as[String]
+      .rdd.pipe(cmd).toDS()
+  }
+
+  /** Skip-bad-records analog (reference: `mapred/Task.java` skip ranges,
+    * `TestBadRecords.java`): apply `f` per record, drop failures, count
+    * them in an accumulator instead of failing the job.
+    */
+  def safeMap[T, U: org.apache.spark.sql.Encoder](ds: Dataset[T], name: String)(
+      f: T => U): Dataset[U] = {
+    val acc = ds.sparkSession.sparkContext.longAccumulator(name)
+    ds.flatMap { t =>
+      try Some(f(t))
+      catch { case scala.util.control.NonFatal(_) => acc.add(1L); None }
+    }
+  }
+}

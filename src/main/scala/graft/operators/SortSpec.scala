@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** GNU-sort-style key spec translator (reference:
+  * hadoop-mapreduce-client-core `mapreduce/lib/partition/
+  * KeyFieldBasedComparator.java:36-60`, `KeyFieldHelper.java`): specs like
+  * `-k2,2nr -k1,1` mean "sort by field 2 numerically descending, then
+  * field 1 lexicographically" over separator-delimited lines (1-based
+  * field numbers).
+  *
+  * Compiles to `Column` sort expressions so `orderBy`/`sortWithinPartitions`
+  * stay declarative (RangePartitioner handles the global order; nothing to
+  * hand-partition).
+  */
+object SortSpec {
+  final case class Key(from: Int, to: Int, numeric: Boolean, reverse: Boolean)
+
+  private val KeyRe = """-k(\d+)(?:,(\d+))?([nr]*)""".r
+
+  def parse(spec: String): Seq[Key] =
+    spec.trim.split("\\s+").toSeq.filter(_.nonEmpty).map {
+      case KeyRe(f, t, flags) =>
+        val from = f.toInt
+        val to = Option(t).map(_.toInt).getOrElse(from)
+        Key(from, to, flags.contains("n"), flags.contains("r"))
+      case other => throw new IllegalArgumentException(s"bad sort key: $other")
+    }
+
+  /** Sort columns for `orderBy` over a line column split on `sep`. */
+  def sortCols(line: Column, sep: String, spec: String): Seq[Column] = {
+    val fields = split(line, java.util.regex.Pattern.quote(sep))
+    parse(spec).flatMap { k =>
+      (k.from to k.to).map { i =>
+        val f = element_at(fields, i)
+        val c = if (k.numeric) f.cast("double") else f
+        if (k.reverse) c.desc else c.asc
+      }
+    }
+  }
+}

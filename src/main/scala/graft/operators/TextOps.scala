@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are pure `Column` expressions (whole-stage codegen,
+  * no UDFs) except language ID, which is a tiny scoring expression over
+  * per-language stopword hit counts.
+  *
+  * Scale: every operator is per-row (map-only, no shuffle); fingerprints
+  * and token stats feed the dedup operators (see Dedup.scala).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (WordCount tokenizer semantics —
+    * reference: hadoop-mapreduce-examples `WordCount.java:36-50`,
+    * StringTokenizer = split on whitespace runs).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: tokens split further on letter/digit/other
+    * boundaries (a cheap proxy for tokenizer-cost estimation).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|[^a-zA-Z0-9]+"),
+      w => length(w) > 0)).cast("long")
+
+  /** Quality metrics per document: token count, mean token length,
+    * punctuation ratio, uppercase ratio, stopword ratio — the standard
+    * length/punct/stopword heuristics.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text),
+      w => array_contains(array(stopwords.map(lit): _*), lower(w)))).cast("long")
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  /** Quality feature frame: doc rows → metrics columns.
+    *
+    * All ratios are a SINGLE IEEE division of exact integer counts, so the
+    * doubles are bitwise-reproducible in any engine computing the same
+    * formula (DuckDB oracle parity — no decimal rounding involved).
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      when(nTok > 0,
+        aggregate(tokens(t), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nTok).otherwise(0.0).as("mean_tok_len"),
+      when(length(t) > 0,
+        punctCount(t).cast("double") / length(t)).otherwise(0.0)
+        .as("punct_ratio"),
+      when(length(t) > 0,
+        upperCount(t).cast("double") / length(t)).otherwise(0.0)
+        .as("upper_ratio"),
+      when(nTok > 0,
+        stopwordCount(t).cast("double") / nTok).otherwise(0.0)
+        .as("stopword_ratio"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized, lowercased text —
+    * engine-independent (DuckDB-checkable), stable under formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, 16)
+
+  /** Rolling-hash shingle fingerprint (Rabin-Karp style): min of 64-bit
+    * hashes over word 3-shingles — a 1-value MinHash, useful as a cheap
+    * near-dup blocking key.
+    */
+  def shingleFingerprint(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val shingles = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    array_min(transform(shingles, s => xxhash64(s)))
+  }
+
+  /** Language ID: n-gram/stopword heuristic. Scores each candidate
+    * language by stopword hits and picks the max (deterministic
+    * tie-break: language order). Real pipelines plug in fastText-style
+    * models via the same column contract.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "para", "que", "con"))
+
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), w => lower(w))
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, w => array_contains(array(sw.map(lit): _*), w))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // max by (hits, lang-reversed) → highest hits, first lang on tie
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("hits").as("hits"),
+        lit(0).minus(ascii(s.getField("lang"))).as("tie"),
+        s.getField("lang").as("lang"))): _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

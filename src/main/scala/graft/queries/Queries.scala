@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Aggregators, Det, GraftFunctions}
+import graft.operators._
+import graft.sources.TeraSort
+import graft.streaming.Windows
+
+/** The declared query corpus (SURVEY.md §2 ids) + training-data pipeline
+  * queries, each as a (SparkSession, sfDir) => DataFrame, with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules (oracle hash gate):
+  *  - every query ends in a total-order `orderBy`;
+  *  - integer results stay integers end-to-end (DuckDB side casts
+  *    HUGEINT sums back to BIGINT);
+  *  - doubles are produced by op-for-op identical IEEE expressions in
+  *    both engines (see Det.scala) — no engine `round()` on doubles.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** Whitespace words of the documents corpus, empties dropped. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(explode(TextOps.tokens(col("text"))).as("word"))
+
+  private val wordsSql =
+    """WITH w0 AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+      |wf AS (SELECT word FROM w0 WHERE length(word) > 0)""".stripMargin
+
+  // ---------------------------------------------------------------- A: aggregation
+
+  val a1_wordcount: Q = (s, d) =>
+    words(s, d).groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
+
+  val a1Sql: String =
+    s"""$wordsSql
+       |SELECT word, count(*) AS cnt FROM wf GROUP BY word ORDER BY word""".stripMargin
+
+  val a2_uniq: Q = (s, d) =>
+    Tables.part(s, d)
+      .groupBy("p_type")
+      .agg(Aggregators.cappedDistinct(Int.MaxValue)(col("p_brand")).as("uniq_brands"))
+      .orderBy("p_type")
+
+  val a3_histogram: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(Aggregators.valueHistogram(col("c_nationkey").cast("string")).as("r"))
+      .select(col("seg"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_cnt").as("min_cnt"), col("r.med_cnt").as("med_cnt"),
+        col("r.max_cnt").as("max_cnt"), col("r.avg_cnt").as("avg_cnt"),
+        col("r.std_cnt").as("std_cnt"))
+      .orderBy("seg")
+
+  val a4_aggstats: Q = (s, d) =>
+    docs(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_rec"),
+      sum("n_chars").as("sum_chars"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"),
+      min("lang").as("min_lang"),
+      max("lang").as("max_lang"))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------- S: word stats
+
+  val s1_wordmean: Q = (s, d) =>
+    words(s, d)
+      .agg(count(lit(1)).as("n_words"), sum(length(col("word"))).as("sum_len"))
+      .select(col("n_words"), col("sum_len"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_len"))
+
+  val s2_wordmedian: Q = (s, d) => {
+    val h = words(s, d).groupBy(length(col("word")).as("len"))
+      .agg(count(lit(1)).as("cnt"))
+    // histogram is tiny (distinct word lengths) — single-partition window OK
+    val cum = h.withColumn("cum", sum("cnt").over(Window.orderBy("len")))
+    val tot = h.agg(sum("cnt").as("n"))
+    cum.crossJoin(tot)
+      .filter(col("cum") >= floor(col("n") / 2) + 1)
+      .agg(min(col("len")).cast("long").as("median_len"))
+  }
+
+  val s3_wordstddev: Q = (s, d) => {
+    val l = length(col("word"))
+    words(s, d)
+      .agg(sum(l).as("sl"), sum(l * l).as("sq"), count(lit(1)).as("n"))
+      .select(sqrt(
+        (col("sq").cast("double") -
+          col("sl").cast("double") * col("sl").cast("double") / col("n")) /
+          col("n")).as("std_len"))
+  }
+
+  // ---------------------------------------------------------------- G: grep
+
+  val grepPattern = "s[a-z]+"
+
+  val g1_grep: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit(grepPattern), lit(0))).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("m"))
+
+  // ---------------------------------------------------------------- F: fieldsel / sampled scans
+
+  val f1_fieldsel: Q = (s, d) => {
+    val line = concat_ws("\t",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+      col("l_returnflag"), col("l_linestatus"))
+    val (k, v) = FieldSel.keyValue(line, "\t", "2,0:1,3-")
+    li(s, d).select(k.as("k"), v.as("v")).orderBy("k", "v")
+  }
+
+  val f2_md5sample: Q = (s, d) =>
+    li(s, d).filter(SampleFilters.md5Filter(col("l_orderkey")))
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val f3_regexscan: Q = (s, d) =>
+    docs(s, d).filter(SampleFilters.regexFilter(col("text"), "the [a-z]+"))
+      .select("doc_id", "n_chars").orderBy("doc_id")
+
+  // ---------------------------------------------------------------- O: sorts
+
+  val o1_sort: Q = (s, d) =>
+    li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+      .orderBy("ship", "l_orderkey", "l_linenumber")
+
+  val o2_secsort: Q = (s, d) =>
+    li(s, d).groupBy("l_orderkey")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("l_shipdate"), col("l_linenumber")))),
+          x => x.getField("l_linenumber").cast("string")),
+        ",").as("lines"))
+      .orderBy("l_orderkey")
+
+  val o3_terasort: Q = (s, _) => TeraSort.kernel(s, 200000L)
+
+  // ---------------------------------------------------------------- J: joins
+
+  val j1_join: Q = (s, d) =>
+    li(s, d).join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+
+  val j2_outer: Q = (s, d) => {
+    val oc = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  val j3_override: Q = (s, d) => {
+    val n = Tables.nation(s, d).select(col("n_nationkey").as("k"), col("n_name").as("v"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("k"), col("s_name").as("v"))
+    OverrideJoin.overrideJoin(Seq(n, su), "k").orderBy("k", "v")
+  }
+
+  // ---------------------------------------------------------------- D / M / U
+
+  val d1_pageview: Q = (s, d) =>
+    docs(s, d).groupBy(col("source").as("url"))
+      .agg(count(lit(1)).as("pageview")).orderBy("url")
+
+  val m1_pi: Q = (s, _) => MonteCarlo.piEstimate(s, 100000L)
+
+  val u1_pipe: Q = (s, d) => {
+    import s.implicits._
+    val lines = docs(s, d).select("text").as[String]
+    val piped = Pipe.pipeMap(lines, Seq("cat"))
+    piped.select(explode(TextOps.tokens(col("value"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
+  }
+
+  // ---------------------------------------------------------------- DD: dedup
+
+  val dd1_exact: Q = (s, d) =>
+    Dedup.exact(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  val dd2_minhash: Q = (s, d) =>
+    Dedup.minhashLshPairs(docs(s, d), "text", "doc_id").orderBy("ida", "idb")
+
+  val dd3_simhash: Q = (s, d) =>
+    Dedup.simhashPairs(docs(s, d), "text", "doc_id").orderBy("ida", "idb")
+
+  val dd4_ngram: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .orderBy("ida", "idb")
+
+  // ---------------------------------------------------------------- T: text analysis
+
+  val t1_tokens: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val t2_quality: Q = (s, d) =>
+    TextOps.qualityMetrics(docs(s, d), "text", "doc_id").orderBy("doc_id")
+
+  val t3_langid: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val t4_fingerprint: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- SIM: similarity search
+
+  val sim1_knn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val sim2_lsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------- MM: multimodal plumbing
+
+  val mm1_decode: Q = (s, d) => {
+    val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "image")
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("id"), col("media_type"), col("n_bytes"), col("width"), col("height"))
+      .orderBy("id")
+  }
+
+  // ---------------------------------------------------------------- W: windows (streaming extension)
+
+  val w1_tumbling: Q = (s, d) =>
+    Windows.tumbling(Tables.events(s, d), "ts", "1 hour")
+      .orderBy("ws", "event_type")
+
+  val w2_sessions: Q = (s, d) =>
+    Windows.sessions(Tables.events(s, d), "ts", "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  // ================================================================ registry
+
+  val all: Map[String, Q] = Map(
+    "a1_wordcount" -> a1_wordcount, "a2_uniq" -> a2_uniq,
+    "a3_histogram" -> a3_histogram, "a4_aggstats" -> a4_aggstats,
+    "s1_wordmean" -> s1_wordmean, "s2_wordmedian" -> s2_wordmedian,
+    "s3_wordstddev" -> s3_wordstddev, "g1_grep" -> g1_grep,
+    "f1_fieldsel" -> f1_fieldsel, "f2_md5sample" -> f2_md5sample,
+    "f3_regexscan" -> f3_regexscan, "o1_sort" -> o1_sort,
+    "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
+    "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
+    "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "u1_pipe" -> u1_pipe,
+    "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
+    "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
+    "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
+    "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
+    "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh,
+    "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
+    "w2_sessions" -> w2_sessions)
+
+  private val stopwordsSqlList =
+    TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "a1_wordcount" -> a1Sql,
+
+    "a2_uniq" ->
+      """SELECT p_type, CAST(count(DISTINCT p_brand) AS BIGINT) AS uniq_brands
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "a3_histogram" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS v, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |g AS (SELECT seg, count(*) AS nd, min(cnt) AS mn, max(cnt) AS mx,
+        |  CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS sq FROM c GROUP BY seg),
+        |m AS (SELECT seg, cnt, row_number() OVER (PARTITION BY seg ORDER BY cnt) AS rn,
+        |  count(*) OVER (PARTITION BY seg) AS n FROM c),
+        |md AS (SELECT seg, max(CASE WHEN rn = n // 2 + 1 THEN cnt END) AS med FROM m GROUP BY seg)
+        |SELECT g.seg AS seg, CAST(g.nd AS BIGINT) AS n_distinct, g.mn AS min_cnt,
+        |  CAST(md.med AS BIGINT) AS med_cnt, g.mx AS max_cnt,
+        |  CAST(g.s AS DOUBLE) / g.nd AS avg_cnt,
+        |  sqrt(greatest((CAST(g.sq AS DOUBLE) - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.nd) / g.nd, 0)) AS std_cnt
+        |FROM g JOIN md ON g.seg = md.seg ORDER BY seg""".stripMargin,
+
+    "a4_aggstats" ->
+      """SELECT source, count(*) AS n_rec, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  min(lang) AS min_lang, max(lang) AS max_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "s1_wordmean" ->
+      s"""$wordsSql
+         |SELECT count(*) AS n_words, CAST(sum(length(word)) AS BIGINT) AS sum_len,
+         |  CAST(sum(length(word)) AS DOUBLE) / count(*) AS mean_len FROM wf""".stripMargin,
+
+    "s2_wordmedian" ->
+      s"""$wordsSql,
+         |h AS (SELECT length(word) AS len, count(*) AS cnt FROM wf GROUP BY 1),
+         |c AS (SELECT len, sum(cnt) OVER (ORDER BY len) AS cum FROM h),
+         |t AS (SELECT sum(cnt) AS n FROM h)
+         |SELECT CAST(min(len) AS BIGINT) AS median_len FROM c, t WHERE cum >= n // 2 + 1""".stripMargin,
+
+    "s3_wordstddev" ->
+      s"""$wordsSql,
+         |l AS (SELECT length(word) AS l FROM wf)
+         |SELECT sqrt((CAST(sum(l*l) AS DOUBLE) - CAST(sum(l) AS DOUBLE) * CAST(sum(l) AS DOUBLE) / count(*)) / count(*)) AS std_len FROM l""".stripMargin,
+
+    "g1_grep" ->
+      s"""WITH m0 AS (SELECT unnest(regexp_extract_all(text, '$grepPattern')) AS m FROM documents)
+         |SELECT m, count(*) AS cnt FROM m0 GROUP BY m ORDER BY cnt DESC, m""".stripMargin,
+
+    "f1_fieldsel" ->
+      """SELECT l_returnflag || chr(9) || CAST(l_orderkey AS VARCHAR) AS k,
+        |  CAST(l_linenumber AS VARCHAR) || chr(9) || l_linestatus AS v
+        |FROM lineitem ORDER BY k, v""".stripMargin,
+
+    "f2_md5sample" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '1'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f3_regexscan" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(text, 'the [a-z]+') ORDER BY doc_id""".stripMargin,
+
+    "o1_sort" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship
+        |FROM lineitem ORDER BY ship, l_orderkey, l_linenumber""".stripMargin,
+
+    "o2_secsort" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_shipdate, l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "j1_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j2_outer" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
+        |FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "j3_override" ->
+      """SELECT k, v FROM (
+        |  SELECT s_nationkey AS k, s_name AS v FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey AS k, n_name AS v FROM nation
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |) ORDER BY k, v""".stripMargin,
+
+    "d1_pageview" ->
+      """SELECT source AS url, count(*) AS pageview FROM documents
+        |GROUP BY source ORDER BY url""".stripMargin,
+
+    "u1_pipe" -> a1Sql,
+
+    "dd1_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "dd4_ngram" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
+        |SELECT ida, idb, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY ida, idb""".stripMargin,
+
+    "t1_tokens" ->
+      """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS w FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_tok_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS upper_ratio,
+         |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> list_contains($stopwordsSqlList, lower(x)))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim1_knn" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |  list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+        |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+        |r AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM s),
+        |t AS (SELECT qid, nid, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM r)
+        |SELECT qid, nid, cos, rank FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "mm1_decode" ->
+      """SELECT doc_id AS id, 'image' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "w1_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "w2_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |  THEN 1 ELSE 0 END AS brk FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_val
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+}
