@@ -23,9 +23,12 @@ object Dedup {
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // guard: sequence(1, n) DESCENDS when n < 1, so short texts must
+    // short-circuit to an empty array, not sequence(1, 0) = [1, 0]
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).

@@ -44,7 +44,8 @@ object FieldSel {
     * skipped / empty).
     */
   private def partCol(fields: Column, sep: String, p: Part): Column = p match {
-    case Single(i)    => coalesce(element_at(fields, i + 1), lit(""))
+    // try_element_at: out-of-range must yield null→"" (ANSI element_at throws)
+    case Single(i)    => coalesce(try_element_at(fields, lit(i + 1)), lit(""))
     case Closed(a, b) => concat_ws(sep, slice(fields, a + 1, math.max(b - a + 1, 0)))
     case Open(a)      => concat_ws(sep, slice(fields, lit(a + 1), greatest(size(fields) - a, lit(0))))
   }

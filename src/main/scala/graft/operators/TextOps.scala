@@ -87,9 +87,12 @@ object TextOps {
   def shingleFingerprint(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    val shingles = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
+    // sequence(1, n) descends for n < 1 — short texts fall back to a
+    // whole-text hash instead of producing a bogus [1, 0] index range
+    val shingles = transform(sequence(lit(1), n - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-    array_min(transform(shingles, s => xxhash64(s)))
+    when(n < k, xxhash64(text))
+      .otherwise(array_min(transform(shingles, s => xxhash64(s))))
   }
 
   /** Language ID: n-gram/stopword heuristic. Scores each candidate

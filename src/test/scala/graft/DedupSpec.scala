@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),      // near dup of 1
+    (4L, "completely different text about spark query engines today"),
+    (5L, "completely different text about spark query engines today now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 2L)            // docs 1+2 collapse
+    assert(r.keySet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles produce distinct k-grams, short text yields empty") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val empty = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("ngram jaccard finds near-dup pair with exact score") {
+    // doc1/doc3: 9 words → 7 shingles each; the word-8 swap changes the
+    // last 2 shingles → intersection 5, union 9, jaccard 5/9
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 3, threshold = 0.3, maxShingleFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val p13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(p13.isDefined && math.abs(p13.get._3 - 5.0 / 9) < 1e-12)
+    // exact dups 1,2 have jaccard 1.0
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 1.0)
+  }
+
+  test("minhash LSH: identical docs always pair with est 1.0; near dups surface") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 1.0)
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs don't pair") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 0)
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("hot-shingle cap drops high-frequency shingles from candidates") {
+    // 3 docs sharing one hot shingle; cap=2 suppresses it entirely
+    val hot = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(hot, "text", "doc_id",
+        k = 3, threshold = 0.01, maxShingleFreq = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.isEmpty)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{MonteCarlo, Multimodal, SampleFilters}
+import graft.streaming.Windows
+import java.sql.Timestamp
+
+class MiscOpsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("radicalInverse: Halton base-2 sequence prefix") {
+    val got = (1L to 4L).map(MonteCarlo.radicalInverse(_, 2))
+    assert(got == Seq(0.5, 0.25, 0.75, 0.125))
+  }
+
+  test("pi estimate lands near pi") {
+    val pi = MonteCarlo.piEstimate(spark, 50000)
+      .select("pi_est").as[Double].head()
+    assert(math.abs(pi - math.Pi) < 0.01)
+  }
+
+  test("percentFilter keeps a deterministic ~1/f subset") {
+    val df = spark.range(10000).toDF("k")
+    val n = df.filter(SampleFilters.percentFilter(col("k"), 10)).count()
+    assert(n > 700 && n < 1300)
+    val n2 = df.filter(SampleFilters.percentFilter(col("k"), 10)).count()
+    assert(n == n2)
+  }
+
+  test("md5Filter matches DuckDB-style first-hex-digit semantics") {
+    val df = spark.range(1000).toDF("k")
+    val kept = df.filter(SampleFilters.md5Filter(col("k"))).count()
+    assert(kept > 20 && kept < 130) // ~1/16 of 1000
+  }
+
+  test("multimodal decode: deterministic fake features, partition-batched") {
+    val docs = Seq((1L, "hello"), (2L, "a much longer payload here"))
+      .toDF("id", "payload")
+    val media = Multimodal.asMedia(docs, "id", "payload", "image")
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.id)
+    assert(feats.map(_.n_bytes).toSeq == Seq(5L, 26L))
+    assert(feats.forall(f => f.width == (f.n_bytes % 640) + 1))
+    // determinism: same input → same feature hash
+    val again = Multimodal.decodeFeatures(media).collect().sortBy(_.id)
+    assert(feats.map(_.feature_hash).toSeq == again.map(_.feature_hash).toSeq)
+  }
+
+  test("sampleFrames chunks binary payloads at 1KiB boundaries") {
+    val bytes = Array.fill[Byte](2500)(7)
+    val media = Seq(Multimodal.MediaRow(1L, bytes, "video")).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .select("frame_offset").as[Int].collect().toSeq.sorted
+    assert(frames == Seq(0, 1024, 2048))
+  }
+
+  test("tumbling windows bucket events hourly") {
+    val events = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0, 1L),
+      (Timestamp.valueOf("2026-01-01 10:55:00"), "click", 2.0, 1L),
+      (Timestamp.valueOf("2026-01-01 11:05:00"), "click", 4.0, 1L))
+      .toDF("ts", "event_type", "value", "user_id")
+    val r = Windows.tumbling(events, "ts", "1 hour")
+      .select("ws", "n", "sum_val").as[(String, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(r == Seq(("2026-01-01 10:00:00", 2L, 3.0),
+                    ("2026-01-01 11:00:00", 1L, 4.0)))
+  }
+
+  test("session windows split on gap") {
+    val events = Seq(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "e", 1.0, 1L),
+      (Timestamp.valueOf("2026-01-01 10:10:00"), "e", 1.0, 1L),
+      (Timestamp.valueOf("2026-01-01 11:30:00"), "e", 1.0, 1L))
+      .toDF("ts", "event_type", "value", "user_id")
+    val r = Windows.sessions(events, "ts", "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(r == Seq((1L, 1L), (1L, 2L)))
+  }
+
+  test("streaming form: windowed agg over a memory stream with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val agg = Windows.streamingAgg(ms.toDF().toDF("ts", "event_type"),
+      "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("w_test")
+      .outputMode("complete").start()
+    try {
+      ms.addData((Timestamp.valueOf("2026-01-01 10:01:00"), "a"),
+                 (Timestamp.valueOf("2026-01-01 10:04:00"), "a"),
+                 (Timestamp.valueOf("2026-01-01 10:11:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("w_test").select("event_type", "n")
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(rows == Seq(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+}

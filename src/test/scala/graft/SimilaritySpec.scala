@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim native expression computes exact cosine") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)),
+                 (Array(1.0, 1.0), Array(1.0, 1.0)),
+                 (Array(1.0, 2.0), Array(2.0, 4.0)),
+                 (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val r = df.select(GraftFunctions.cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(r(0) == 0.0)
+    assert(math.abs(r(1) - 1.0) < 1e-15)
+    assert(math.abs(r(2) - 1.0) < 1e-15)
+    assert(r(3) == 0.0) // zero-norm guard
+  }
+
+  test("hamming_dist popcounts the xor") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq((0L, -1L), (5L, 1L), (7L, 7L)).toDF("a", "b")
+      .select(GraftFunctions.hamming(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(r == Seq(64, 1, 0))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, respects k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))).toDF("id", "v")
+    val q = vecs.filter(col("id") === 0L)
+    val r = Similarity.bruteForceTopK(vecs, q, "id", "v", 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(r.map(_._2) == Seq(3L, 1L)) // 3 closer than 1; 2 orthogonal; self excluded
+  }
+
+  test("lshTopK returns only true-cosine-ranked candidates from buckets") {
+    val n = 50
+    val vecs = (0 until n).map { i =>
+      val ang = i * math.Pi / n
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.1f, 0.2f))
+    }.toDF("id", "v")
+    val q = vecs.filter(col("id") === 0L)
+    val r = Similarity.lshTopK(vecs, q, "id", "v", 5, dim = 4)
+      .select("qid", "nid", "cos", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(r.nonEmpty && r.forall(_._1 == 0L))
+    // ranks are contiguous from 1 and cosines non-increasing
+    val sorted = r.sortBy(_._4)
+    assert(sorted.map(_._4) == (1 to sorted.size))
+    assert(sorted.map(_._3).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("cosineNearDupPairs finds colinear vectors") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+                   (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
+    val r = Similarity.cosineNearDupPairs(vecs, "id", "v", 0.999)
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SortSpec
+import graft.operators.SortSpec.Key
+
+/** GNU-sort key specs (`-k2,2nr` style) — reference
+  * `mapreduce/lib/partition/KeyFieldBasedComparator.java:36-60`.
+  */
+class SortSpecSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("parse flags and ranges") {
+    assert(SortSpec.parse("-k2,2nr -k1,1") ==
+      Seq(Key(2, 2, numeric = true, reverse = true),
+          Key(1, 1, numeric = false, reverse = false)))
+    assert(SortSpec.parse("-k3") == Seq(Key(3, 3, numeric = false, reverse = false)))
+    assertThrows[IllegalArgumentException](SortSpec.parse("k2"))
+  }
+
+  test("numeric descending then lexicographic ascending") {
+    val df = Seq("b\t2", "a\t10", "c\t2", "a\t1").toDF("line")
+    val sorted = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2,2nr -k1,1"): _*)
+      .as[String].collect().toSeq
+    assert(sorted == Seq("a\t10", "b\t2", "c\t2", "a\t1"))
+  }
+}
