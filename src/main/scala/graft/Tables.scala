@@ -26,14 +26,16 @@ object Tables {
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond TimestampType (truncation — sub-µs never appears in
-    * the generated data).
+    * microsecond TimestampType. The division MUST be exact integer
+    * division (`div`): `/` promotes to double, and epoch nanos (~1.7e18)
+    * exceed double's 2^53 exact range, so the truncated quotient can be
+    * off by 1 µs near boundaries.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

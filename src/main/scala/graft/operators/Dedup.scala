@@ -46,11 +46,20 @@ object Dedup {
       .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
     val capped =
       if (maxShingleFreq == Int.MaxValue) sh
-      else sh
-        .withColumn("freq", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("freq") <= maxShingleFreq).drop("freq")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      else {
+        // Hot-shingle suppression: one aggregate pass finds the (few)
+        // shingles above the cap; a broadcast anti-join drops them. The
+        // hot set is bounded by totalShingles/cap rows, so it broadcasts —
+        // no full-table window shuffle+sort like a Window.partitionBy(sh)
+        // cap would cost.
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > maxShingleFreq).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    // Set sizes from the CAPPED table: suppressed shingles are excluded
+    // from both the intersection and the denominator, i.e. Jaccard over
+    // the post-cap shingle universe (the documented cap semantics).
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))

@@ -28,14 +28,21 @@ object SortSpec {
       case other => throw new IllegalArgumentException(s"bad sort key: $other")
     }
 
-  /** Sort columns for `orderBy` over a line column split on `sep`. */
+  /** Sort columns for `orderBy` over a line column split on `sep`.
+    *
+    * ANSI-safe on ragged/non-numeric input: a field index past the end of
+    * a short line or a non-numeric field under `n` sorts as null instead
+    * of raising (GNU sort treats missing/non-numeric as empty/0), via
+    * try_element_at/try_cast. Null placement is pinned explicitly
+    * (asc → nulls first, desc → nulls last) so plans and oracles agree.
+    */
   def sortCols(line: Column, sep: String, spec: String): Seq[Column] = {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
     parse(spec).flatMap { k =>
       (k.from to k.to).map { i =>
-        val f = element_at(fields, i)
-        val c = if (k.numeric) f.cast("double") else f
-        if (k.reverse) c.desc else c.asc
+        val f = try_element_at(fields, lit(i))
+        val c = if (k.numeric) f.try_cast("double") else f
+        if (k.reverse) c.desc_nulls_last else c.asc_nulls_first
       }
     }
   }

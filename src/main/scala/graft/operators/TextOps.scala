@@ -108,16 +108,18 @@ object TextOps {
 
   def langId(text: Column): Column = {
     val toks = transform(tokens(text), w => lower(w))
-    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(
-        size(filter(toks, w => array_contains(array(sw.map(lit): _*), w))).as("hits"),
-        lit(lang).as("lang"))
+    // max by (hits, -rank) → highest hits; on a tie the language earliest
+    // in sorted order wins. The tie field must distinguish whole codes
+    // (a first-character tie like 'en'/'es' would otherwise fall through
+    // to the lexicographically larger lang string).
+    val scored = langStopwords.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, sw), idx) =>
+        struct(
+          size(filter(toks, w => array_contains(array(sw.map(lit): _*), w))).as("hits"),
+          lit(-idx).as("tie"),
+          lit(lang).as("lang"))
     }
-    // max by (hits, lang-reversed) → highest hits, first lang on tie
-    val best = array_max(array(scored.map(s =>
-      struct(s.getField("hits").as("hits"),
-        lit(0).minus(ascii(s.getField("lang"))).as("tie"),
-        s.getField("lang").as("lang"))): _*))
+    val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 }

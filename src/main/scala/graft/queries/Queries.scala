@@ -153,7 +153,9 @@ object Queries {
     li(s, d).join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+        // cents via the shared Det expression (floor(x*100+0.5)) — engine
+        // round() on doubles diverges between Spark and DuckDB
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
       .orderBy("o_orderpriority")
 
   val j2_outer: Q = (s, d) => {
@@ -199,9 +201,13 @@ object Queries {
   val dd3_simhash: Q = (s, d) =>
     Dedup.simhashPairs(docs(s, d), "text", "doc_id").orderBy("ida", "idb")
 
+  /** Gated WITH the hot-shingle cap active (maxShingleFreq=5 suppresses
+    * real shingles at sf0.01 — max observed freq there is 7), so the
+    * oracle exercises the skew guard, not just the happy path.
+    */
   val dd4_ngram: Q = (s, d) =>
     Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
-      k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      k = 3, threshold = 0.8, maxShingleFreq = 5)
       .orderBy("ida", "idb")
 
   // ---------------------------------------------------------------- T: text analysis
@@ -282,6 +288,30 @@ object Queries {
   private val stopwordsSqlList =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private def langListSql(lang: String): String =
+    TextOps.langStopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replication of TextOps.langId: per-language stopword hits over
+    * lowered tokens; argmax with earliest-language-wins tie-break (the
+    * cascade of >= over the sorted language order de,en,es,fr); 0 hits →
+    * 'und'. Columns es→esp to dodge keyword ambiguity.
+    */
+  private val t3Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0), x -> lower(x)) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(w, x -> list_contains(${langListSql("de")}, x))) AS de,
+       |  len(list_filter(w, x -> list_contains(${langListSql("en")}, x))) AS en,
+       |  len(list_filter(w, x -> list_contains(${langListSql("es")}, x))) AS esp,
+       |  len(list_filter(w, x -> list_contains(${langListSql("fr")}, x))) AS fr
+       |  FROM t)
+       |SELECT doc_id, CASE WHEN greatest(de, en, esp, fr) = 0 THEN 'und'
+       |  WHEN de >= en AND de >= esp AND de >= fr THEN 'de'
+       |  WHEN en >= esp AND en >= fr THEN 'en'
+       |  WHEN esp >= fr THEN 'es' ELSE 'fr' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "a1_wordcount" -> a1Sql,
 
@@ -355,7 +385,7 @@ object Queries {
 
     "j1_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -388,9 +418,11 @@ object Queries {
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
         |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
         |SELECT ida, idb, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY ida, idb""".stripMargin,
@@ -408,6 +440,8 @@ object Queries {
          |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS upper_ratio,
          |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> list_contains($stopwordsSqlList, lower(x)))) AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" -> t3Sql,
 
     "t4_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp

@@ -55,6 +55,23 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(frames == Seq(0, 1024, 2048))
   }
 
+  test("nanos→micros conversion is exact integer division at epoch scale") {
+    // Epoch nanos ~1.7e18 exceed double's 2^53 exact range (ulp ≈ 256 ns
+    // there): `col/1000` routes through double and truncates to a µs that
+    // can be off by one. The loader uses `ts div 1000`; prove it exact on
+    // boundary-adjacent values.
+    val base = 1700000000000000000L
+    val nanos = (0L to 2000L).map(base + _) ++ Seq(base - 1, base + 999999L)
+    val df = nanos.toDF("ns")
+    val got = df.select(expr("ns div 1000").as("us"), col("ns"))
+      .as[(Long, Long)].collect()
+    assert(got.forall { case (us, ns) => us == ns / 1000 })
+    // and the double path really is wrong somewhere in this range
+    val viaDouble = df.select((col("ns") / 1000L).cast("long").as("us"), col("ns"))
+      .as[(Long, Long)].collect()
+    assert(viaDouble.exists { case (us, ns) => us != ns / 1000 })
+  }
+
   test("tumbling windows bucket events hourly") {
     val events = Seq(
       (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0, 1L),

@@ -26,4 +26,13 @@ class SortSpecSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(sorted == Seq("a\t10", "b\t2", "c\t2", "a\t1"))
   }
+
+  test("ragged and non-numeric fields sort as null, not ANSI errors") {
+    // "x" has no field 2; "y\tabc" has a non-numeric field 2. GNU sort
+    // treats both as empty/0 — here they sort as null (desc → last).
+    val df = Seq("b\t2", "x", "y\tabc", "a\t10").toDF("line")
+    val sorted = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2,2nr -k1,1"): _*)
+      .as[String].collect().toSeq
+    assert(sorted == Seq("a\t10", "b\t2", "x", "y\tabc"))
+  }
 }
