@@ -18,10 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Queries.all
 
-  /** DuckDB-runnable oracle SQL per query (omissions ⇒ rows-only check:
-    * o3_terasort / m1_pi are self-validating compute kernels;
-    * dd2/dd3/sim2/t3 are hash-seeded approximate operators verified in
-    * ScalaTest against exact baselines instead).
+  /** DuckDB-runnable oracle SQL per query (omissions ⇒ rows-only check).
+    * Only the two self-validating compute kernels (o3_terasort, m1_pi)
+    * omit an oracle; the approximate operators (dd2/dd3/sim2) are gated
+    * through recall queries whose expected output IS SQL-expressible
+    * (see the per-query comments in Queries.scala).
     */
   def oracleSql: Map[String, String] = graft.queries.Queries.oracles
 }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions (with `doGenCode`) for the hot paths the
@@ -73,21 +73,107 @@ object GraftFunctions {
     override def prettyName: String = "cosine_sim"
   }
 
-  @volatile private var registered: Set[SparkSession] = Set.empty
+  /** Random-hyperplane LSH signatures in ONE expression: emits
+    * `array<long>` of `nTables` sign-bit signatures (`nBits` bits each)
+    * for an `array<double>` vector. The hyperplane matrix is derived
+    * deterministically from (table, bit, dim, seed) via a splitmix-style
+    * mix, materialized lazily per task on first row (so the vector
+    * dimension is discovered from the data — no driver action, no model
+    * shipping) and cached for the remaining rows.
+    *
+    * This replaces a dim×nBits×nTables column-expression unrolling
+    * (≈37k Catalyst nodes at dim=768) with a single codegen'd kernel
+    * call per row.
+    */
+  case class LshSignatures(child: Expression, nBits: Int, nTables: Int,
+                           seed: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  /** Register both functions in the session's FunctionRegistry (idempotent). */
-  def ensureRegistered(spark: SparkSession): Unit =
-    if (!registered.contains(spark)) synchronized {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "hamming_dist", es => HammingDistance(es.head, es(1)), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
-      registered += spark
+    @transient @volatile private var planes: Array[Array[Double]] = _
+    @transient @volatile private var planesDim: Int = -1
+
+    private def hyperplane(table: Int, bit: Int, d: Int): Double = {
+      var z = seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d.toLong
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z ^= (z >>> 33)
+      z.toDouble / Long.MaxValue.toDouble // (-1, 1)
     }
+
+    /** Benign-race lazy build: concurrent tasks compute identical
+      * matrices; the volatile write is atomic either way.
+      */
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      if (planesDim != dim) {
+        val m = Array.tabulate(nTables * nBits, dim) { (r, d) =>
+          hyperplane(r / nBits, r % nBits, d)
+        }
+        planes = m
+        planesDim = dim
+      }
+      planes
+    }
+
+    /** Public so generated code can call back into this instance. */
+    def sigs(vec: ArrayData): Array[Long] = {
+      val dim = vec.numElements()
+      val m = planesFor(dim)
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var sig = 0L
+        var b = 0
+        while (b < nBits) {
+          val p = m(t * nBits + b)
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += vec.getDouble(d) * p(d); d += 1 }
+          if (dot > 0) sig |= 1L << b
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(sigs(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[LshSignatures].getName
+      val ref = ctx.addReferenceObj("lshSig", this, cls)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = new ${classOf[GenericArrayData].getName}($ref.sigs($a));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_sigs"
+  }
+
+  /** Register the graft functions in the session's FunctionRegistry.
+    * Unconditional createOrReplace (a map put) — no session cache, so no
+    * strong references pinning long-lived multi-session deployments.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "hamming_dist", es => HammingDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_sigs", es => LshSignatures(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].longValue()), "built-in")
+  }
 
   /** Column wrappers (session must be registered — queries call
     * `ensureRegistered` on entry).
     */
   def hamming(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =
+    call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
 }

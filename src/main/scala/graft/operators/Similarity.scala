@@ -43,39 +43,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane signatures: `nBits` sign bits per table,
-    * `nTables` independent tables. Hyperplanes are deterministic
-    * (seeded per (table, bit, dim) via a hash-based pseudo-random value)
-    * so signatures are reproducible without shipping a model.
+  /** Random-hyperplane LSH: signatures come from ONE native expression
+    * (`GraftFunctions.lshSigs` — a codegen'd kernel that derives its
+    * hyperplane matrix deterministically from the seed and the observed
+    * vector dimension). No driver action anywhere in the plan, no
+    * per-dimension expression unrolling: the plan is
+    * map(sigs) → posexplode → bucket-join → exact cosine on candidates,
+    * identical at dim=8 and dim=768.
     */
-  private def hyperplane(table: Int, bit: Int, dim: Int, seed: Long): Double = {
-    var z = seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^= (z >>> 33)
-    // map to (-1, 1)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
-
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int, nBits: Int = 12,
-              nTables: Int = 4, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, nBits: Int = 8,
+              nTables: Int = 8, seed: Long = 42L): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-
-    def sigCol(vec: org.apache.spark.sql.Column, table: Int) = {
-      val bits = (0 until nBits).map { b =>
-        val dot = (0 until dim).map(d =>
-          element_at(vec, d + 1) * lit(hyperplane(table, b, d, seed)))
-          .reduce(_ + _)
-        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
-    }
 
     def withSigs(df: DataFrame, id: String, out: String) = {
       val v = col(vecCol).cast("array<double>")
       df.select(col(idCol).as(id), v.as(out),
-        posexplode(array((0 until nTables).map(t => sigCol(v, t)): _*)))
+        posexplode(GraftFunctions.lshSigs(v, nBits, nTables, seed)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
     }
 

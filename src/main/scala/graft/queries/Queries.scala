@@ -195,11 +195,37 @@ object Queries {
   val dd1_exact: Q = (s, d) =>
     Dedup.exact(docs(s, d), "text", "doc_id").orderBy("doc_id")
 
-  val dd2_minhash: Q = (s, d) =>
-    Dedup.minhashLshPairs(docs(s, d), "text", "doc_id").orderBy("ida", "idb")
+  /** MinHash recall gate: every exact near-dup pair (uncapped word-3-gram
+    * Jaccard ≥ 0.8) must be recovered by the MinHash+LSH banding path
+    * (16 bands × 4 rows ⇒ P(miss | J=0.8) ≈ 2e-4, and the hash seeds are
+    * fixed, so the outcome is deterministic). The oracle computes the
+    * exact pair set in SQL; a banding miss drops a row and fails the
+    * row/hash gate.
+    */
+  val dd2_minhash: Q = (s, d) => {
+    val exact = Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .select("ida", "idb")
+    val mh = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id")
+      .select("ida", "idb")
+    exact.join(mh, Seq("ida", "idb")).orderBy("ida", "idb")
+  }
 
-  val dd3_simhash: Q = (s, d) =>
-    Dedup.simhashPairs(docs(s, d), "text", "doc_id").orderBy("ida", "idb")
+  /** SimHash recall gate. The corpus has no exactly-equal texts, so the
+    * gate constructs them: every document is unioned with an identical
+    * copy at doc_id+1e6, and simhashPairs must recover ALL (i, i+1e6)
+    * pairs at hamming 0 — guaranteed by construction (identical text →
+    * identical signature → identical 16-bit chunks → banding collision),
+    * so the oracle is simply every doc_id. A broken signature, banding
+    * join, or hamming expression drops rows and fails the gate.
+    */
+  val dd3_simhash: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.simhashPairs(base.unionByName(dup), "text", "doc_id")
+      .filter(col("idb") === col("ida") + 1000000L)
+      .select("ida", "idb", "hamming").orderBy("ida", "idb")
+  }
 
   /** Gated WITH the hot-shingle cap active (maxShingleFreq=5 suppresses
     * real shingles at sf0.01 — max observed freq there is 7), so the
@@ -237,13 +263,30 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** LSH ANN correctness gate: a query id appears in the output iff the
+    * LSH path achieves recall@5 ≥ 3/5 against the exact brute-force
+    * top-5 for that query. The oracle (which cannot run LSH) asserts
+    * EVERY query id appears — i.e. the approximate index never degrades
+    * below the recall floor. Hyperplanes are seed-deterministic, so this
+    * is a fixed, reproducible gate, and the plan contains no driver
+    * action (dim is discovered inside the signature kernel).
+    */
   val sim2_lsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val q = emb.filter(col("vec_id") % 100 === 0)
-    Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim)
-      .select(col("qid"), col("nid"), col("cos"), col("rank"))
-      .orderBy("qid", "rank")
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    // Param note: the synthetic embeddings are weakly clustered (true
+    // top-5 neighbors sit at cos ≈ 0.30-0.45, dim 64), so the index uses
+    // short signatures and many tables (P(find | cos .37) = 1-(1-p^4)^24
+    // ≈ .98 with p = 1-acos(.37)/π). Real embedding corpora with tight
+    // clusters would run longer signatures and fewer tables.
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+      nBits = 4, nTables = 24).select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
   }
 
   // ---------------------------------------------------------------- MM: multimodal plumbing
@@ -413,6 +456,22 @@ object Queries {
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
+    "dd2_minhash" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
+        |SELECT ida, idb FROM j WHERE jaccard >= 0.8 ORDER BY ida, idb""".stripMargin,
+
+    "dd3_simhash" ->
+      """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY ida, idb""".stripMargin,
+
     "dd4_ngram" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
@@ -458,6 +517,10 @@ object Queries {
         |t AS (SELECT qid, nid, cos,
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM r)
         |SELECT qid, nid, cos, rank FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "sim2_lsh" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "mm1_decode" ->
       """SELECT doc_id AS id, 'image' AS media_type,

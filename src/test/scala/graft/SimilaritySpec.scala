@@ -46,13 +46,31 @@ class SimilaritySpec extends AnyFunSuite {
       (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.1f, 0.2f))
     }.toDF("id", "v")
     val q = vecs.filter(col("id") === 0L)
-    val r = Similarity.lshTopK(vecs, q, "id", "v", 5, dim = 4)
+    val r = Similarity.lshTopK(vecs, q, "id", "v", 5)
       .select("qid", "nid", "cos", "rank").as[(Long, Long, Double, Int)].collect().toSeq
     assert(r.nonEmpty && r.forall(_._1 == 0L))
     // ranks are contiguous from 1 and cosines non-increasing
     val sorted = r.sortBy(_._4)
     assert(sorted.map(_._4) == (1 to sorted.size))
     assert(sorted.map(_._3).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("lsh_sigs kernel: deterministic, dim-agnostic, nTables signatures") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1L, Array.tabulate(768)(i => math.sin(i + 1))),
+                 (2L, Array.tabulate(768)(i => math.sin(i + 1))),
+                 (3L, Array.tabulate(768)(i => math.cos(i * 3 + 2)))).toDF("id", "v")
+    val sigs = df.select(col("id"),
+        GraftFunctions.lshSigs(col("v"), 16, 4, 42L).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).size == 4)
+    assert(sigs(1L) == sigs(2L))       // identical vectors → identical sigs
+    assert(sigs(1L) != sigs(3L))       // different vectors diverge
+    assert(sigs(1L).forall(s => s >= 0 && s < (1L << 16)))
+    // determinism across evaluations
+    val again = df.select(GraftFunctions.lshSigs(col("v"), 16, 4, 42L))
+      .as[Seq[Long]].collect()
+    assert(again.toSet == sigs.values.toSet)
   }
 
   test("cosineNearDupPairs finds colinear vectors") {
