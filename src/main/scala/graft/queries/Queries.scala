@@ -176,9 +176,33 @@ object Queries {
 
   // ---------------------------------------------------------------- D / M / U
 
-  val d1_pageview: Q = (s, d) =>
-    docs(s, d).groupBy(col("source").as("url"))
-      .agg(count(lit(1)).as("pageview")).orderBy("url")
+  /** DBCountPageView (reference `ex:DBCountPageView.java:61-177`): a REAL
+    * JDBC round trip on embedded Derby — load the access log into the
+    * database, range-partitioned `read.jdbc` back out (DataDrivenDB
+    * splits on ID), count pageviews per url, batched `write.jdbc` of the
+    * result, read THAT back, and self-verify input/output sum equality
+    * (`DBCountPageView.verify()` :255, invoked :426) before returning.
+    * The returned frame comes from the database, so the parquet oracle
+    * certifies the whole in→agg→out→read chain. Identifiers are
+    * uppercase to survive Derby's unquoted-identifier normalization.
+    */
+  val d1_pageview: Q = (s, d) => {
+    val dbDir = s"/tmp/graft-derby/db${(d.hashCode & Int.MaxValue)}"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
+    val log = docs(s, d).select(col("doc_id").as("ID"), col("source").as("URL"))
+    graft.sources.Jdbc.write(log, url, "ACCESS_LOG")
+    val in = graft.sources.Jdbc.readPartitioned(s, url, "ACCESS_LOG", "ID", 8)
+    val counts = in.groupBy("URL").agg(count(lit(1)).as("PAGEVIEW"))
+    graft.sources.Jdbc.write(counts, url, "PAGEVIEW_COUNTS")
+    val out = graft.sources.Jdbc.read(s, url, "PAGEVIEW_COUNTS")
+    val totalIn = in.count()
+    val totalOut = out.agg(sum("PAGEVIEW")).head().getLong(0)
+    require(totalIn == totalOut,
+      s"DBCountPageView verify failed: in=$totalIn out=$totalOut")
+    out.select(col("URL").as("url"), col("PAGEVIEW").as("pageview"))
+      .orderBy("url")
+  }
 
   val m1_pi: Q = (s, _) => MonteCarlo.piEstimate(s, 100000L)
 
