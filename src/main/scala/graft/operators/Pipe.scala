@@ -57,11 +57,20 @@ object Pipe {
     * them in an accumulator instead of failing the job.
     */
   def safeMap[T, U: org.apache.spark.sql.Encoder](ds: Dataset[T], name: String)(
-      f: T => U): Dataset[U] = {
+      f: T => U): Dataset[U] =
+    safeMapCounted(ds, name)(f)._1
+
+  /** safeMap exposing the skip counter (the accumulator is populated
+    * only after an action runs the plan — MR counter semantics).
+    */
+  def safeMapCounted[T, U: org.apache.spark.sql.Encoder](
+      ds: Dataset[T], name: String)(
+      f: T => U): (Dataset[U], org.apache.spark.util.LongAccumulator) = {
     val acc = ds.sparkSession.sparkContext.longAccumulator(name)
-    ds.flatMap { t =>
+    val out = ds.flatMap { t =>
       try Some(f(t))
       catch { case scala.util.control.NonFatal(_) => acc.add(1L); None }
     }
+    (out, acc)
   }
 }

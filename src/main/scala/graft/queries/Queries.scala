@@ -174,6 +174,53 @@ object Queries {
     OverrideJoin.overrideJoin(Seq(n, su), "k").orderBy("k", "v")
   }
 
+  /** Reduce-side tagged join (`tools:hadoop-datajoin`:
+    * `DataJoinMapperBase.java` tags records by source,
+    * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
+    * crosses them): both sources shuffle on the key, `cogroup` hands each
+    * key's per-source iterators to one function, which materializes the
+    * groups (the MarkableIterator mark/reset idiom,
+    * `core:mapreduce/task/ReduceContextImpl.java:184-210`) and applies an
+    * arbitrary within-group theta — here, strictly-ordered order-date
+    * pairs per customer, which no equi-join expresses directly.
+    */
+  val j4_cogroup: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      .as[(Long, String)]
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("dt"))
+      .as[(Long, Long)]
+    c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { case (k, cs, os) =>
+      val segs = cs.map(_._2).toSeq   // tag-A buffer
+      val dates = os.map(_._2).toSeq  // tag-B buffer (re-iterable)
+      if (segs.isEmpty || dates.isEmpty) Iterator.empty
+      else {
+        var pairs = 0L
+        for (a <- dates; b <- dates) if (a < b) pairs += 1
+        Iterator((k, segs.head, dates.size.toLong, pairs))
+      }
+    }.toDF("custkey", "seg", "n_orders", "n_pairs").orderBy("custkey")
+  }
+
+  /** MapFile point-lookup parity (`io:MapFile.java:681-715` get/seek on a
+    * sorted, indexed KV file): the sorted parquet copy gives tight
+    * row-group min/max stats, and the IN-list filter is pushed to the
+    * scan (PushedFilters), so a lookup touches only the row groups whose
+    * range covers a key — the index-skip behavior of MapFile.Reader.
+    */
+  val mf1_lookup: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("mf1", d)
+    Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+      .write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+      .filter(col("p_partkey").isin(1L, 101L, 201L, 301L, 999999L))
+      .orderBy("p_partkey")
+  }
+
   // ---------------------------------------------------------------- D / M / U
 
   /** DBCountPageView (reference `ex:DBCountPageView.java:61-177`): a REAL
@@ -212,6 +259,157 @@ object Queries {
     val piped = Pipe.pipeMap(lines, Seq("cat"))
     piped.select(explode(TextOps.tokens(col("value"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
+  }
+
+  // ---------------------------------------------------------------- I: non-parquet ingestion
+
+  /** KV-text round trip (TextOutputFormat → KeyValueTextInputFormat):
+    * lineitem rendered as `orderkey \t returnflag \t linestatus` lines;
+    * kvText splits on the FIRST tab only, so the value keeps its embedded
+    * tab (the KeyValueLineRecordReader contract) and is re-split for the
+    * aggregate. The oracle runs on the original parquet — a green row
+    * proves the text render/parse chain is lossless.
+    */
+  val i1_kvtext: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("i1", d)
+    graft.sources.Io.tsv(
+      li(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus")), p)
+    val kv = graft.sources.Io.kvText(s, p)
+    val f = split(col("v"), "\t")
+    kv.select(element_at(f, 1).as("flag"), element_at(f, 2).as("status"))
+      .groupBy("flag", "status").agg(count(lit(1)).as("n"))
+      .orderBy("flag", "status")
+  }
+
+  /** Fixed-length binary ingestion (FixedLengthInputFormat): 17-byte
+    * records (12-digit orderkey, 4-digit linenumber, newline) written as
+    * padded text lines — every line is exactly recordLen bytes, so
+    * binaryRecords splits are record-aligned across all part files.
+    */
+  val i2_fixedlen: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("i2", d)
+    graft.sources.Io.tsv(
+      li(s, d).select(concat(
+        lpad(col("l_orderkey").cast("string"), 12, "0"),
+        lpad(col("l_linenumber").cast("string"), 4, "0")).as("rec")), p)
+    val str = decode(col("record"), "US-ASCII")
+    graft.sources.Io.fixedLength(s, p, 17)
+      .select(substring(str, 1, 12).cast("long").as("ok"),
+        substring(str, 13, 4).cast("long").as("ln"))
+      .agg(count(lit(1)).as("n_rec"), sum("ok").as("sum_orderkey"),
+        sum("ln").as("sum_linenumber"))
+  }
+
+  /** SequenceFile round trip (SequenceFileOutputFormat →
+    * SequenceFileInputFormat, Text KV).
+    */
+  val i3_seqfile: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("i3", d)
+    graft.sources.Io.sequenceFile(
+      Tables.part(s, d).select(col("p_partkey"), col("p_type")), p)
+    graft.sources.Io.sequenceFile(s, p)
+      .groupBy(col("v").as("p_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k").cast("long")).as("min_key"),
+        max(col("k").cast("long")).as("max_key"))
+      .orderBy("p_type")
+  }
+
+  /** Partitioned output (MultipleOutputFormat filename-from-key,
+    * `core:mapred/lib/MultipleOutputFormat.java:56-144`): orders written
+    * `partitionBy(o_orderpriority)` as text, read back raw, and the
+    * partition value recovered FROM THE FILE PATH (`input_file_name`) —
+    * also covering the per-input-file record counting of
+    * `ValueAggregatorBaseDescriptor.java:140-156`. The oracle over the
+    * original parquet proves no record crossed into a wrong partition
+    * file.
+    */
+  val k1_partitioned: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("k1", d)
+    graft.sources.Io.partitionedTsv(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      p, "o_orderpriority")
+    // Partition dir names are Hadoop-escaped (%xx for specials, e.g.
+    // "NOT%20SPECIFIED"); url_decode reverses that, with '+' pre-escaped
+    // because URL decoding (unlike Hadoop escaping) would turn a literal
+    // '+' into a space.
+    val rawPrio = regexp_extract(input_file_name(), "o_orderpriority=([^/]+)", 1)
+    s.read.text(p)
+      .select(url_decode(regexp_replace(rawPrio, "\\+", "%2B")).as("prio"),
+        col("value").cast("long").as("okey"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum("okey").as("sum_keys"))
+      .orderBy("prio")
+  }
+
+  /** Skip-bad-records gate (`jc-test:mapred/TestBadRecords.java`
+    * semantics): a deterministic subset of rows is rendered unparseable;
+    * safeMap must drop exactly those, counting them in the accumulator,
+    * and the survivors' sum must match. Report-shaped: the single
+    * aggregate row is collected so the accumulator (populated only after
+    * the action, like MR counters) can be emitted alongside.
+    */
+  val c1_safemap: Q = (s, d) => {
+    import s.implicits._
+    val lines = li(s, d).select(
+      when(col("l_linenumber") % 7 === 0, lit("bad"))
+        .otherwise(col("l_orderkey").cast("string")).as("v")).as[String]
+    val (parsed, acc) = Pipe.safeMapCounted(lines, "c1_bad")(_.toLong)
+    val row = parsed.toDF("k")
+      .agg(count(lit(1)).as("n_good"), sum("k").as("sum_parsed")).head()
+    Seq((row.getLong(0), acc.value: Long, row.getLong(1)))
+      .toDF("n_good", "n_bad", "sum_parsed")
+  }
+
+  /** GNU-sort key-spec gate (`-k2,2nr -k1,1`,
+    * `core:mapreduce/lib/partition/KeyFieldBasedComparator.java:36-60`)
+    * over TSV lines; a full-line tiebreak pins a total order for the
+    * hash compare.
+    */
+  val o4_sortspec: Q = (s, d) => {
+    val lines = li(s, d).select(concat_ws("\t",
+      col("l_orderkey").cast("string"),
+      col("l_quantity").cast("long").cast("string")).as("line"))
+    lines.orderBy(
+      SortSpec.sortCols(col("line"), "\t", "-k2,2nr -k1,1") :+ col("line").asc: _*)
+  }
+
+  /** Reducer-side pipe gate (`stream:PipeReducer.java:40-77` contract):
+    * records routed by the first numKeyFields=2 tab fields, each key
+    * group contiguous+sorted at ONE subprocess, awk folds per-key sums.
+    * A broken partition/sort contract would split keys across processes
+    * and break the per-key totals.
+    */
+  val u2_pipereduce: Q = (s, d) => {
+    val lines = li(s, d).select(concat_ws("\t",
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").cast("string")).as("line"))
+    val piped = Pipe.pipeReduce(lines, "line",
+      Seq("awk", "-F", "\t",
+        "{s[$1\"\\t\"$2] += $3} END {for (k in s) print k\"\\t\"s[k]}"),
+      numKeyFields = 2)
+    val f = split(col("value"), "\t")
+    piped.toDF("value")
+      .select(element_at(f, 1).as("flag"), element_at(f, 2).as("status"),
+        element_at(f, 3).cast("long").as("qty"))
+      .groupBy("flag", "status").agg(sum("qty").as("sum_qty"))
+      .orderBy("flag", "status")
+  }
+
+  /** MultipleInputs: heterogeneous sources (kv-text lineitem + parquet
+    * orders) normalized to a common schema and unioned — the
+    * DelegatingInputFormat/TaggedInputSplit shape as `unionByName`.
+    */
+  val mi1_multi: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("mi1", d)
+    graft.sources.Io.tsv(li(s, d).select(col("l_orderkey"), col("l_linenumber")), p)
+    val a = graft.sources.Io.kvText(s, p)
+      .select(lit("lineitem").as("src"), col("k").cast("long").as("key"))
+    val b = Tables.orders(s, d)
+      .select(lit("orders").as("src"), col("o_orderkey").as("key"))
+    a.unionByName(b).groupBy("src")
+      .agg(count(lit(1)).as("n"), count_distinct(col("key")).as("n_keys"))
+      .orderBy("src")
   }
 
   // ---------------------------------------------------------------- DD: dedup
@@ -344,6 +542,11 @@ object Queries {
     "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
     "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "u1_pipe" -> u1_pipe,
+    "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
+    "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
+    "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
+    "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
+    "j4_cogroup" -> j4_cogroup, "mf1_lookup" -> mf1_lookup,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
@@ -475,6 +678,68 @@ object Queries {
         |GROUP BY source ORDER BY url""".stripMargin,
 
     "u1_pipe" -> a1Sql,
+
+    "i1_kvtext" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin,
+
+    "i2_fixedlen" ->
+      """SELECT count(*) AS n_rec, CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber FROM lineitem""".stripMargin,
+
+    "i3_seqfile" ->
+      """SELECT p_type, count(*) AS n, min(p_partkey) AS min_key,
+        |  max(p_partkey) AS max_key FROM part GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "j4_cogroup" ->
+      """WITH p AS (SELECT a.o_custkey AS k, count(*) AS n_pairs
+        |  FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+        |  GROUP BY 1),
+        |n AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT c_custkey AS custkey, c_mktsegment AS seg,
+        |  CAST(n.n_orders AS BIGINT) AS n_orders,
+        |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs
+        |FROM customer JOIN n ON c_custkey = n.o_custkey
+        |LEFT JOIN p ON c_custkey = p.k
+        |ORDER BY custkey""".stripMargin,
+
+    "mf1_lookup" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (1, 101, 201, 301, 999999)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "k1_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "c1_safemap" ->
+      """SELECT CAST(count(CASE WHEN l_linenumber % 7 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+        |  CAST(count(CASE WHEN l_linenumber % 7 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN l_linenumber % 7 <> 0 THEN l_orderkey END) AS BIGINT) AS sum_parsed
+        |FROM lineitem""".stripMargin,
+
+    "o4_sortspec" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || chr(9) ||
+        |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS line
+        |FROM lineitem
+        |ORDER BY CAST(l_quantity AS BIGINT) DESC NULLS LAST,
+        |  CAST(l_orderkey AS VARCHAR) ASC NULLS FIRST, line""".stripMargin,
+
+    "u2_pipereduce" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin,
+
+    "mi1_multi" ->
+      """SELECT src, n, n_keys FROM (
+        |  SELECT 'lineitem' AS src, count(*) AS n,
+        |    count(DISTINCT l_orderkey) AS n_keys FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders' AS src, count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS n_keys FROM orders
+        |) ORDER BY src""".stripMargin,
 
     "dd1_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies

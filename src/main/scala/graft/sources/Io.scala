@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Non-parquet ingestion and egress — the reference's InputFormat /
+  * OutputFormat surface re-expressed on Spark's file sources.
+  *
+  * Readers (reference `core:mapreduce/lib/input/`):
+  *  - `text`       ← TextInputFormat (`TextInputFormat.java`,
+  *                   `LineRecordReader.java`): one row per line. The
+  *                   reference's byte-offset key was never semantic
+  *                   (just a unique id) and is not reproduced; use
+  *                   `input_file_name()` + a row id when a key is needed.
+  *  - `kvText`     ← KeyValueTextInputFormat (`KeyValueLineRecordReader
+  *                   .java`): line split on the FIRST separator; a line
+  *                   with no separator is all key, empty value.
+  *  - `fixedLength`← FixedLengthInputFormat (`FixedLengthInputFormat
+  *                   .java:41-50`): exact `recordLen`-byte binary records.
+  *  - `sequenceFile` ← SequenceFileInputFormat (`SequenceFileInputFormat
+  *                   .java`, writer `io:SequenceFile.java`) for Text KV
+  *                   pairs.
+  *
+  * Sinks (reference `core:mapreduce/lib/output/`):
+  *  - `tsv`        ← TextOutputFormat (`TextOutputFormat.java`):
+  *                   `key <sep> value` lines (null → empty string).
+  *  - `sequenceFile` ← SequenceFileOutputFormat.
+  *
+  * Scale: all readers are splittable distributed scans (text/binary file
+  * sources split by HDFS block like FileInputFormat.getSplits;
+  * fixed-length splits are record-aligned by construction). Nothing here
+  * collects to the driver.
+  */
+object Io {
+
+  // ------------------------------------------------------------ readers
+
+  /** One row per line: DataFrame(value: string). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** (k, v) from splitting each line on the FIRST `sep` only —
+    * KeyValueLineRecordReader semantics: no separator ⇒ whole line is
+    * the key and the value is empty.
+    */
+  def kvText(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep), 2)
+    spark.read.text(path).select(
+      element_at(parts, 1).as("k"),
+      coalesce(try_element_at(parts, lit(2)), lit("")).as("v"))
+  }
+
+  /** Fixed-size binary records: DataFrame(record: binary), each exactly
+    * `recordLen` bytes. Splits are record-aligned (binaryRecords
+    * guarantees it), so the format parallelizes like the reference's
+    * FixedLengthInputFormat.
+    */
+  def fixedLength(spark: SparkSession, path: String, recordLen: Int): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryRecords(path, recordLen).toDF("record")
+  }
+
+  /** Text-KV SequenceFile scan: DataFrame(k: string, v: string). */
+  def sequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("k", "v")
+  }
+
+  // ------------------------------------------------------------ sinks
+
+  /** `col1 <sep> col2 <sep> ...` text lines (TextOutputFormat shape);
+    * nulls render as empty strings (concat_ws drops nulls only between
+    * separators, so cast+coalesce first for faithful columns).
+    */
+  def tsv(df: DataFrame, path: String, sep: String = "\t"): Unit = {
+    val cols: Seq[Column] =
+      df.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
+    df.select(concat_ws(sep, cols: _*).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** Text-KV SequenceFile write from a 2-column (k, v) frame. */
+  def sequenceFile(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    df.select(col(df.columns(0)).cast("string"), col(df.columns(1)).cast("string"))
+      .as[(String, String)].rdd.saveAsSequenceFile(path)
+  }
+
+  /** Key-partitioned text output — the filename-from-key semantics of
+    * MultipleOutputFormat.generateFileNameForKeyValue
+    * (`core:mapred/lib/MultipleOutputFormat.java:56-144`): records land
+    * in `<path>/<partitionCol>=<value>/part-*`.
+    */
+  def partitionedTsv(df: DataFrame, path: String, partitionCol: String,
+                     sep: String = "\t"): Unit = {
+    val rest = df.columns.toSeq.filterNot(_ == partitionCol)
+      .map(c => coalesce(col(c).cast("string"), lit("")))
+    df.select(concat_ws(sep, rest: _*).as("value"), col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).text(path)
+  }
+
+  /** MultipleOutputs (`core:mapreduce/lib/output/MultipleOutputs.java:
+    * 69-179`): N named side outputs written off ONE cached upstream pass
+    * — the upstream plan executes once, each sink consumes the
+    * materialized blocks.
+    */
+  def multiOutputs(df: DataFrame,
+                   outputs: Seq[(DataFrame => DataFrame, String)]): Unit = {
+    val cached = df.persist()
+    try {
+      cached.count() // materialize once before fan-out
+      outputs.foreach { case (f, path) =>
+        f(cached).write.mode("overwrite").parquet(path)
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Deterministic per-sfDir scratch dir for ingestion round-trip
+    * queries (they must be rerunnable and sf-isolated).
+    */
+  def scratch(tag: String, sfDir: String): String =
+    s"/tmp/graft-io/$tag-${sfDir.hashCode & Int.MaxValue}"
+}

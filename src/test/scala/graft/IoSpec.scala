@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Io
+
+/** Non-parquet IO round trips — reference `mapreduce/lib/input/
+  * KeyValueLineRecordReader.java`, `FixedLengthInputFormat.java:41-50`,
+  * `io/SequenceFile.java`, `mapreduce/lib/output/TextOutputFormat.java`.
+  */
+class IoSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-io-$tag").toString + "/d"
+
+  test("kvText splits on FIRST separator only; no separator => empty value") {
+    val p = tmp("kv")
+    Seq("a\tb\tc", "noseparator", "k\t").toDF("value")
+      .write.mode("overwrite").text(p)
+    val got = Io.kvText(spark, p).as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b\tc"), ("noseparator", ""), ("k", "")))
+  }
+
+  test("tsv renders nulls as empty fields") {
+    val p = tmp("tsv")
+    Io.tsv(Seq((Option(1L), Option.empty[String]), (Option.empty[Long], Option("x")))
+      .toDF("a", "b"), p)
+    val lines = spark.read.text(p).as[String].collect().toSet
+    assert(lines == Set("1\t", "\tx"))
+  }
+
+  test("fixedLength records are aligned across multi-file output") {
+    val p = tmp("fix")
+    // 4-byte payload + newline = 5-byte records, written from 3 partitions
+    spark.range(0, 30, 1, 3).select(lpad(col("id").cast("string"), 4, "0").as("value"))
+      .write.mode("overwrite").text(p)
+    val rec = Io.fixedLength(spark, p, 5)
+    assert(rec.count() == 30)
+    val ids = rec.select(substring(decode(col("record"), "US-ASCII"), 1, 4)
+      .cast("long")).as[Long].collect().toSet
+    assert(ids == (0L until 30L).toSet)
+  }
+
+  test("partitionedTsv: records land in filename-from-key directories") {
+    val p = tmp("part")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    Io.partitionedTsv(df, p, "k")
+    val back = spark.read.text(p)
+      .select(regexp_extract(input_file_name(), "k=([^/]+)", 1).as("k"),
+        col("value").cast("long").as("id"))
+      .as[(String, Long)].collect().toSet
+    assert(back == Set(("a", 1L), ("b", 2L), ("a", 3L)))
+  }
+
+  test("multiOutputs: N sinks off one cached pass") {
+    val p = tmp("multi")
+    val df = spark.range(0, 100).toDF("id")
+    Io.multiOutputs(df, Seq(
+      ((d: org.apache.spark.sql.DataFrame) => d.filter(col("id") % 2 === 0), s"$p/even"),
+      ((d: org.apache.spark.sql.DataFrame) => d.filter(col("id") % 2 =!= 0), s"$p/odd")))
+    assert(spark.read.parquet(s"$p/even").count() == 50)
+    assert(spark.read.parquet(s"$p/odd").count() == 50)
+  }
+
+  test("sequenceFile KV round trip preserves pairs") {
+    val p = tmp("seq")
+    val df = Seq(("k1", "v1"), ("k2", "v2"), ("k1", "v3")).toDF("k", "v")
+    Io.sequenceFile(df, p)
+    val back = Io.sequenceFile(spark, p).as[(String, String)].collect().toSeq
+    assert(back.sorted == Seq(("k1", "v1"), ("k1", "v3"), ("k2", "v2")))
+  }
+}
