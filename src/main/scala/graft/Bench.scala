@@ -40,13 +40,15 @@ object Bench {
 
     val Q = queries.Queries
     // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
-    // + tiny-job latency probe (MRBench analog).
+    // + tiny-job latency probe (MRBench analog) + dedup skew kernel
+    // (dd4 with the hot-shingle cap active — the 100 TB skew-guard path).
     val kernels: Seq[(String, () => DataFrame)] = Seq(
       "bench_sort" -> (() => Q.o3_terasort(spark, sfDir)),
       "bench_agg" -> (() => Q.a1_wordcount(spark, sfDir)),
       "bench_grep" -> (() => Q.g1_grep(spark, sfDir)),
       "bench_join" -> (() => Q.j1_join(spark, sfDir)),
       "bench_2sort" -> (() => Q.o2_secsort(spark, sfDir)),
+      "bench_dedup" -> (() => Q.dd4_ngram(spark, sfDir)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
     val results = kernels.map { case (name, mk) =>
@@ -56,7 +58,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for humans, a file for the driver (sbt log noise makes the
+    // stdout line hard to machine-parse)
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }

@@ -253,6 +253,20 @@ object Queries {
 
   val m1_pi: Q = (s, _) => MonteCarlo.piEstimate(s, 100000L)
 
+  /** BBP digit extraction (`ex:BaileyBorweinPlouffe.java` shape): one row
+    * per hex-digit position of π, computed independently (map-only).
+    * The oracle pins the well-known first 32 hex digits — the Spark side
+    * must actually compute them.
+    */
+  val m2_bbp: Q = (s, _) => {
+    import s.implicits._
+    s.range(1, 33).map(i => (i, Bbp.hexDigitAt(i))).toDF("pos", "digit")
+      .orderBy("pos")
+  }
+
+  /** First 32 hex digits of π after the radix point (public constant). */
+  private val piHex = "243F6A8885A308D313198A2E03707344"
+
   val u1_pipe: Q = (s, d) => {
     import s.implicits._
     val lines = docs(s, d).select("text").as[String]
@@ -541,7 +555,8 @@ object Queries {
     "f3_regexscan" -> f3_regexscan, "o1_sort" -> o1_sort,
     "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
-    "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "u1_pipe" -> u1_pipe,
+    "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "m2_bbp" -> m2_bbp,
+    "u1_pipe" -> u1_pipe,
     "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
     "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
@@ -678,6 +693,13 @@ object Queries {
         |GROUP BY source ORDER BY url""".stripMargin,
 
     "u1_pipe" -> a1Sql,
+
+    "m2_bbp" -> {
+      val rows = piHex.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, '$c')" }.mkString(", ")
+      s"""SELECT CAST(pos AS BIGINT) AS pos, digit
+         |FROM (VALUES $rows) t(pos, digit) ORDER BY pos""".stripMargin
+    },
 
     "i1_kvtext" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n

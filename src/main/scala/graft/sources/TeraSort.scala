@@ -124,16 +124,103 @@ object TeraSort {
       new java.math.BigDecimal(total.bigInteger))
   }
 
-  /** Full kernel as a one-row summary DataFrame (generate → sort →
-    * validate).
+  /** TeraValidate over WRITTEN output files (the reference's own shape:
+    * `TeraValidate.java:40-120` runs one map per TeraSort output file,
+    * checking in-file order and emitting the file's first/last key, and
+    * one reduce checking boundaries across files in name order).
+    *
+    * Here: one distributed pass over the written parquet; each task
+    * iterates its rows, detects file transitions (`input_file_name`),
+    * checks key order within each contiguous file run, and emits one
+    * (file, first, last, ordered, n, crcSum) summary per run. The driver
+    * merges runs per file and checks cross-file boundaries in file-name
+    * order — file names (`part-00000…`) are the sorted partition ids, so
+    * name order IS the range-partition order. Only O(#files) summaries
+    * reach the driver.
+    *
+    * Caveat (documented gap, irrelevant at bench scale): a single file
+    * larger than maxPartitionBytes splits into several runs whose
+    * relative order is unknown; order is then verified within runs and
+    * across files, not across chunks of the same file.
     */
-  def kernel(spark: SparkSession, n: Long): DataFrame = {
+  def teravalidateFiles(spark: SparkSession, path: String): ValidateResult = {
     import spark.implicits._
-    val sorted = terasort(teragen(spark, n)).cache()
-    try {
-      val r = teravalidate(sorted)
-      Seq((r.rows, r.sortedWithin, r.sortedAcross, r.checksum.toString))
-        .toDF("rows", "sorted_within", "sorted_across", "checksum")
-    } finally sorted.unpersist()
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val perRun: Array[(String, Array[Byte], Array[Byte], Boolean, Long, String)] =
+      spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("key"), col("value"))
+        .as[(String, Array[Byte], Array[Byte])]
+        .mapPartitions { it =>
+          val runs = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Array[Byte], Array[Byte], Boolean, Long, String)]
+          var file: String = null
+          var first: Array[Byte] = null
+          var last: Array[Byte] = null
+          var ordered = true
+          var n = 0L
+          var sum = BigInt(0)
+          def flush(): Unit = if (file != null) {
+            runs += ((file, first, last, ordered, n, sum.toString))
+          }
+          for ((f, k, v) <- it) {
+            if (f != file) { flush(); file = f; first = k; last = k
+                             ordered = true; n = 0L; sum = BigInt(0) }
+            if (!unsignedLte(last, k)) ordered = false
+            last = k; n += 1; sum += crc(k, v)
+          }
+          flush()
+          runs.iterator
+        }.collect()
+
+    // merge runs per file, then check boundaries across name-ordered files
+    val byFile = perRun.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val ordered = rs.forall(_._4)
+      val first = rs.map(_._2).min(Ordering.fromLessThan[Array[Byte]](
+        (a, b) => unsignedLte(a, b) && !java.util.Arrays.equals(a, b)))
+      val last = rs.map(_._3).max(Ordering.fromLessThan[Array[Byte]](
+        (a, b) => unsignedLte(a, b) && !java.util.Arrays.equals(a, b)))
+      (f, first, last, ordered, rs.map(_._5).sum, rs.map(r => BigInt(r._6)).sum)
+    }
+    val within = byFile.forall(_._4)
+    val across = byFile.sliding(2).forall {
+      case Seq(a, b) => unsignedLte(a._3, b._2)
+      case _         => true
+    }
+    ValidateResult(byFile.map(_._5).sum, within, across,
+      new java.math.BigDecimal(byFile.map(_._6).sum.bigInteger))
+  }
+
+  /** Checksum of a record stream (SortValidator's input≡output content
+    * check, `jc-test:mapred/SortValidator.java:40-75` — sum-of-crc
+    * variant): distributed partial sums, one value per partition to the
+    * driver.
+    */
+  def checksumOf(records: DataFrame): java.math.BigDecimal = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val parts = records.select("key", "value").as[(Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        var sum = BigInt(0)
+        for ((k, v) <- it) sum += crc(k, v)
+        Iterator(sum.toString)
+      }.collect()
+    new java.math.BigDecimal(parts.map(BigInt(_)).sum.bigInteger)
+  }
+
+  /** Full kernel (generate → total-order sort → WRITE → validate from the
+    * written files → input/output checksum equality). No full-dataset
+    * cache anywhere: the sort output streams to storage, validation
+    * streams over the files, and the input-side checksum re-scans the
+    * (deterministic, compute-only) generator.
+    */
+  def kernel(spark: SparkSession, n: Long, outDir: String = null): DataFrame = {
+    import spark.implicits._
+    val out = Option(outDir).getOrElse(s"/tmp/graft-terasort/n$n")
+    terasort(teragen(spark, n)).write.mode("overwrite").parquet(out)
+    val r = teravalidateFiles(spark, out)
+    val genSum = checksumOf(teragen(spark, n))
+    Seq((r.rows, r.sortedWithin, r.sortedAcross, r.checksum.toString,
+        r.checksum.compareTo(genSum) == 0))
+      .toDF("rows", "sorted_within", "sorted_across", "checksum", "io_checksum_match")
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bbp
+import graft.sources.Generators
+
+/** Synthetic generators + BBP kernel — reference `ex:RandomWriter.java`,
+  * `ex:RandomTextWriter.java`, `ex:BaileyBorweinPlouffe.java`.
+  */
+class GeneratorsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("bbp: first 16 hex digits of pi") {
+    val got = (1L to 16L).map(Bbp.hexDigitAt).mkString
+    assert(got == "243F6A8885A308D3")
+  }
+
+  test("bbp: digit at a deep position is stable and valid hex") {
+    val d = Bbp.hexDigitAt(1000)
+    assert(d.length == 1 && "0123456789ABCDEF".contains(d))
+    assert(Bbp.hexDigitAt(1000) == d)
+  }
+
+  test("randomKV: deterministic, length bounds honored, parallelism-independent") {
+    val a = Generators.randomKV(spark, 200, seed = 9L, maxValLen = 100, partitions = 2)
+      .as[(Array[Byte], Array[Byte])].collect()
+    val b = Generators.randomKV(spark, 200, seed = 9L, maxValLen = 100, partitions = 7)
+      .as[(Array[Byte], Array[Byte])].collect()
+    assert(a.length == 200)
+    assert(a.forall { case (k, v) => k.length >= 10 && k.length <= 1000 && v.length <= 100 })
+    assert(a.map(_._1.toSeq).toSet == b.map(_._1.toSeq).toSet)
+  }
+
+  test("randomText: word counts in range, words from lexicon, deterministic") {
+    val rows = Generators.randomText(spark, 300, seed = 3L, wordsMin = 4, wordsMax = 9)
+      .as[(Long, String)].collect()
+    assert(rows.length == 300)
+    val counts = rows.map(_._2.split(" ").length)
+    assert(counts.forall(c => c >= 4 && c <= 9))
+    val again = Generators.randomText(spark, 300, seed = 3L, wordsMin = 4, wordsMax = 9)
+      .as[(Long, String)].collect()
+    assert(rows.toSeq.sortBy(_._1) == again.toSeq.sortBy(_._1))
+  }
+}

@@ -41,4 +41,29 @@ class TeraSortSpec extends AnyFunSuite {
     val r = TeraSort.teravalidate(gen)
     assert(!(r.sortedWithin && r.sortedAcross))
   }
+
+  test("kernel: write-then-validate from files, input/output checksum equal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-terasort").toString
+    val row = TeraSort.kernel(spark, 3000, s"$dir/out").as[
+      (Long, Boolean, Boolean, String, Boolean)].head()
+    assert(row == ((3000L, true, true, row._4, true)))
+    // file-based validation agrees with the pipeline validator
+    val direct = TeraSort.teravalidate(
+      TeraSort.terasort(TeraSort.teragen(spark, 3000)))
+    assert(row._4 == direct.checksum.toString)
+  }
+
+  test("teravalidateFiles flags boundary violations across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-terasort").toString
+    // hash-partitioned (NOT range-sorted) but sorted within partitions:
+    // within-file order passes, cross-file boundaries must fail
+    TeraSort.teragen(spark, 2000).repartition(4)
+      .sortWithinPartitions("key")
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    val r = TeraSort.teravalidateFiles(spark, s"$dir/bad")
+    assert(r.rows == 2000L)
+    assert(r.sortedWithin)
+    assert(!r.sortedAcross)
+  }
 }
