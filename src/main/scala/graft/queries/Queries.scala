@@ -410,6 +410,23 @@ object Queries {
       .orderBy("flag", "status")
   }
 
+  /** Tag-delimited record ingestion (StreamXmlRecordReader,
+    * `stream:StreamXmlRecordReader.java`): documents rendered as
+    * `<doc>id|fingerprint</doc>` records, re-read by splitting on the end
+    * tag, parsed, and compared against the parquet-side fingerprints.
+    */
+  val i4_xml: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("i4", d)
+    graft.sources.Io.tsv(
+      docs(s, d).select(concat(lit("<doc>"), col("doc_id"), lit("|"),
+        TextOps.fingerprint(col("text")), lit("</doc>")).as("r")), p)
+    val f = split(col("record"), "\\|")
+    graft.sources.Io.xmlRecords(s, p, "<doc>", "</doc>")
+      .select(element_at(f, 1).cast("long").as("doc_id"),
+        element_at(f, 2).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** MultipleInputs: heterogeneous sources (kv-text lineitem + parquet
     * orders) normalized to a common schema and unioned — the
     * DelegatingInputFormat/TaggedInputSplit shape as `unionByName`.
@@ -544,6 +561,14 @@ object Queries {
     Windows.sessions(Tables.events(s, d), "ts", "30 minutes")
       .orderBy("user_id", "session_start")
 
+  /** Sliding windows (1 h window, 30 min slide): every event lands in
+    * exactly two windows; the oracle replicates that with a 2-row cross
+    * join of 30-minute buckets.
+    */
+  val w3_sliding: Q = (s, d) =>
+    Windows.sliding(Tables.events(s, d), "ts", "1 hour", "30 minutes")
+      .orderBy("ws", "event_type")
+
   // ================================================================ registry
 
   val all: Map[String, Q] = Map(
@@ -562,6 +587,7 @@ object Queries {
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "mf1_lookup" -> mf1_lookup,
+    "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
@@ -844,6 +870,17 @@ object Queries {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS ws,
         |  event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "i4_xml" ->
+      """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "w3_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS n
+        |FROM (SELECT event_type,
+        |  time_bucket(INTERVAL 30 MINUTE, ts) - o * INTERVAL 30 MINUTE AS ws
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(o))
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "w2_sessions" ->
       """WITH e AS (SELECT user_id, ts, value,

@@ -66,6 +66,51 @@ object Io {
     spark.sparkContext.sequenceFile[String, String](path).toDF("k", "v")
   }
 
+  /** Tag-delimited record scan — StreamXmlRecordReader semantics
+    * (`stream:StreamXmlRecordReader.java`: records bracketed by
+    * begin/end tags, one record per emitted row): implemented with the
+    * text source's custom record delimiter (split on the END tag, strip
+    * everything before the begin tag). Content between records (incl.
+    * trailing whitespace/newlines) is discarded; records not containing
+    * `beginTag` (e.g. the post-final-tag remainder) are dropped.
+    */
+  def xmlRecords(spark: SparkSession, path: String,
+                 beginTag: String, endTag: String): DataFrame = {
+    val df = spark.read
+      .option("lineSep", endTag)
+      .text(path)
+    val body = substring_index(col("value"),
+      beginTag, -1) // text after the last beginTag
+    df.filter(col("value").contains(beginTag))
+      .select(body.as("record"))
+  }
+
+  /** Format-sniffing reader — AutoInputFormat semantics
+    * (`stream:AutoInputFormat.java`: peek at the file header, route to
+    * SequenceFile or text). Checks the 3-byte `SEQ` magic of the first
+    * data file.
+    */
+  def auto(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val first = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath).sortBy(_.getName)
+      .find(f => fs.getFileStatus(f).getLen > 0)
+    val isSeq = first.exists { f =>
+      val in = fs.open(f)
+      try {
+        // "SEQ" magic + a small version byte — text that merely starts
+        // with the letters SEQ has a printable 4th byte and routes to text
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        magic.take(3).sameElements("SEQ".getBytes("US-ASCII")) && magic(3) < 0x20
+      } catch { case _: java.io.EOFException => false }
+      finally in.close()
+    }
+    if (isSeq) sequenceFile(spark, path) else text(spark, path)
+  }
+
   // ------------------------------------------------------------ sinks
 
   /** `col1 <sep> col2 <sep> ...` text lines (TextOutputFormat shape);

@@ -64,6 +64,26 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$p/odd").count() == 50)
   }
 
+  test("xmlRecords: tag-delimited records across lines, inter-record noise dropped") {
+    val p = tmp("xml")
+    Seq("<r>a</r>  <r>b", "with newline</r>", "junk", "<r>c</r>trailing")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(p)
+    val got = Io.xmlRecords(spark, p, "<r>", "</r>")
+      .as[String].collect().toSet
+    assert(got == Set("a", "b\nwith newline", "c"))
+  }
+
+  test("auto: sniffs SEQ magic vs text") {
+    val pSeq = tmp("auto-seq")
+    Io.sequenceFile(Seq(("k", "v")).toDF("k", "v"), pSeq)
+    assert(Io.auto(spark, pSeq).columns.toSeq == Seq("k", "v"))
+    val pTxt = tmp("auto-txt")
+    Seq("SEQuence text that is not a seqfile", "line2").toDF("value")
+      .write.mode("overwrite").text(pTxt)
+    val a = Io.auto(spark, pTxt)
+    assert(a.columns.toSeq == Seq("value") && a.count() == 2)
+  }
+
   test("sequenceFile KV round trip preserves pairs") {
     val p = tmp("seq")
     val df = Seq(("k1", "v1"), ("k2", "v2"), ("k1", "v3")).toDF("k", "v")
