@@ -267,6 +267,15 @@ object Queries {
   /** First 32 hex digits of π after the radix point (public constant). */
   private val piHex = "243F6A8885A308D313198A2E03707344"
 
+  /** Distributed backtracking search (`ex:dancing/Sudoku.java` shape):
+    * the search space fans out over candidate prefixes, one independent
+    * subtree per task. The puzzle (40 blanks) has exactly one solution,
+    * which the oracle pins.
+    */
+  val m3_sudoku: Q = (s, _) =>
+    Sudoku.solveDistributed(s,
+      "103050709050709020709020406030507090507090204090204060305070902070902040902040608")
+
   val u1_pipe: Q = (s, d) => {
     import s.implicits._
     val lines = docs(s, d).select("text").as[String]
@@ -581,7 +590,7 @@ object Queries {
     "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
     "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "m2_bbp" -> m2_bbp,
-    "u1_pipe" -> u1_pipe,
+    "m3_sudoku" -> m3_sudoku, "u1_pipe" -> u1_pipe,
     "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
     "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
@@ -719,6 +728,10 @@ object Queries {
         |GROUP BY source ORDER BY url""".stripMargin,
 
     "u1_pipe" -> a1Sql,
+
+    "m3_sudoku" ->
+      """SELECT CAST(1 AS BIGINT) AS n_solutions,
+        |  '123456789456789123789123456234567891567891234891234567345678912678912345912345678' AS first_solution""".stripMargin,
 
     "m2_bbp" -> {
       val rows = piHex.zipWithIndex

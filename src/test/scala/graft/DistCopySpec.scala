@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DistCopy
+import java.nio.file.{Files, Paths}
+
+/** Manifest copy job — reference `tools:hadoop-distcp` (SimpleCopyListing
+  * recursive listing, update skip, RegexCopyFilter).
+  */
+class DistCopySpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private def mkTree(): String = {
+    val root = Files.createTempDirectory("graft-distcp-src").toString
+    Files.createDirectories(Paths.get(s"$root/a/b"))
+    Files.writeString(Paths.get(s"$root/f1.txt"), "hello")
+    Files.writeString(Paths.get(s"$root/a/f2.txt"), "world!")
+    Files.writeString(Paths.get(s"$root/a/b/f3.log"), "deep file")
+    root
+  }
+
+  test("recursive copy preserves tree and contents; stats add up") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("graft-distcp-dst").toString + "/out"
+    val s = DistCopy.copy(spark, src, dst)
+    assert(s.copied == 3 && s.skipped == 0)
+    assert(s.bytes == 5 + 6 + 9)
+    assert(Files.readString(Paths.get(s"$dst/a/b/f3.log")) == "deep file")
+    assert(Files.readString(Paths.get(s"$dst/f1.txt")) == "hello")
+  }
+
+  test("update mode skips same-size existing files, recopies changed ones") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("graft-distcp-dst").toString + "/out"
+    DistCopy.copy(spark, src, dst)
+    val s2 = DistCopy.copy(spark, src, dst, update = true)
+    assert(s2.copied == 0 && s2.skipped == 3)
+    // change a file size upstream → exactly that file recopies
+    Files.writeString(Paths.get(s"$src/f1.txt"), "hello, longer")
+    val s3 = DistCopy.copy(spark, src, dst, update = true)
+    assert(s3.copied == 1 && s3.skipped == 2)
+    assert(Files.readString(Paths.get(s"$dst/f1.txt")) == "hello, longer")
+  }
+
+  test("exclude regex filters the listing") {
+    val src = mkTree()
+    val l = DistCopy.listing(spark, src, excludeRegex = Some("\\.log$"))
+    assert(l.map(_.rel) == Seq("a/f2.txt", "f1.txt"))
+  }
+}
