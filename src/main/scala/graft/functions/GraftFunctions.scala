@@ -152,6 +152,96 @@ object GraftFunctions {
     override def prettyName: String = "lsh_sigs"
   }
 
+  /** Distinct word k-shingles of an `array<string>` of tokens in ONE
+    * kernel call: the compositional form
+    * (`array_distinct(transform(sequence, i => concat_ws(slice...)))`)
+    * allocates a slice array + string per position and then runs an
+    * O(n²) distinct — measured 4× slower than the whole tokenize stage.
+    * Here: one pass, one hash set, one output array.
+    */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    /** Public so generated code can call it. */
+    def shingle(toks: ArrayData): ArrayData = {
+      val n = toks.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      var i = 0
+      while (i <= n - k) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+        var j = 0
+        while (j < k) {
+          parts(j) = toks.getUTF8String(i + j)
+          j += 1
+        }
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override def nullSafeEval(v: Any): Any = shingle(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[WordShingles].getName
+      val ref = ctx.addReferenceObj("shingler", this, cls)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.shingle($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "word_shingles"
+  }
+
+  /** One-pass 64-bit SimHash fold over an `array<long>` of token hashes:
+    * per bit, count tokens with the bit set vs total; sign → bit. The
+    * column-expression formulation needs 64 `size(filter(...))`
+    * traversals of the array per row; this kernel is a single traversal
+    * with a 64-counter accumulator, inside whole-stage codegen.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    /** Public so generated code can call it. */
+    def fold(hashes: ArrayData): Long = {
+      val n = hashes.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        // bit set iff strictly more ones than zeros (2*ones - n > 0)
+        if (2 * counts(b) - n > 0) sig |= 1L << b
+        b += 1
+      }
+      sig
+    }
+
+    override def nullSafeEval(v: Any): Any = fold(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[SimHash64].getName
+      val ref = ctx.addReferenceObj("simhash", this, cls)
+      defineCodeGen(ctx, ev, a => s"$ref.fold($a)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "simhash64"
+  }
+
   /** Register the graft functions in the session's FunctionRegistry.
     * Unconditional createOrReplace (a map put) — no session cache, so no
     * strong references pinning long-lived multi-session deployments.
@@ -162,6 +252,11 @@ object GraftFunctions {
       "hamming_dist", es => HammingDistance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", es => WordShingles(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "lsh_sigs", es => LshSignatures(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),
@@ -174,6 +269,9 @@ object GraftFunctions {
     */
   def hamming(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def simhash64(tokenHashes: Column): Column = call_function("simhash64", tokenHashes)
+  def wordShingles(tokens: Column, k: Int): Column =
+    call_function("word_shingles", tokens, lit(k))
   def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
 }

@@ -19,17 +19,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Word k-shingles as a distinct array column (basis for Jaccard /
-    * MinHash).
+    * MinHash) — the native `word_shingles` kernel (one pass, one hash
+    * set; the slice/concat/array_distinct composition measured 4× the
+    * cost of the whole tokenize stage). Requires
+    * `GraftFunctions.ensureRegistered` on the session (all Dedup
+    * entry points call it).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    // guard: sequence(1, n) DESCENDS when n < 1, so short texts must
-    // short-circuit to an empty array, not sequence(1, 0) = [1, 0]
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.GraftFunctions.wordShingles(TextOps.tokens(text), k)
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * Inverted-index join: explode shingles → self-join per shingle →
@@ -42,19 +39,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleFreq: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    // Materialize ONE sh-partitioned exchange of the shingle table. The
+    // tokenize→shingle→explode pipeline runs exactly once; every
+    // consumer below reuses the exchange (ReusedExchange), and hash(sh)
+    // is exactly the co-partitioning the inverted-index join wants at
+    // scale.
+    val shP = sh.repartition(col("sh"))
+    // Hot-shingle suppression (skew guard): per-shingle frequency is a
+    // partition-local aggregate on the already-sh-partitioned exchange
+    // (no new shuffle), and the keep-set semi-join is co-partitioned —
+    // the cap costs one extra pass over the partitioned data, not a
+    // Window shuffle+sort.
     val capped =
-      if (maxShingleFreq == Int.MaxValue) sh
+      if (maxShingleFreq == Int.MaxValue) shP
       else {
-        // Hot-shingle suppression: one aggregate pass finds the (few)
-        // shingles above the cap; a broadcast anti-join drops them. The
-        // hot set is bounded by totalShingles/cap rows, so it broadcasts —
-        // no full-table window shuffle+sort like a Window.partitionBy(sh)
-        // cap would cost.
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-          .filter(col("freq") > maxShingleFreq).select("sh")
-        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        val keep = shP.groupBy("sh").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") <= maxShingleFreq).select("sh")
+        shP.join(keep, Seq("sh"), "left_semi")
       }
     // Set sizes from the CAPPED table: suppressed shingles are excluded
     // from both the intersection and the denominator, i.e. Jaccard over
@@ -93,9 +97,15 @@ object Dedup {
                       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val rowsPer = numHashes / bands
+    // id-partitioned exchange: the signature computation (shingling + 64
+    // hash mins per doc — the expensive map) runs once, and all three
+    // consumers (banding, the two post-candidate signature joins) reuse
+    // it; the id partitioning already matches the re-join keys.
     val sig = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .repartition(col("id"))
     // Band rows carry only (id, band, bandhash) — signatures are re-joined
     // by id AFTER candidate dedup, so the banding shuffle moves 24-byte
     // rows, not 64-long signatures.
@@ -120,32 +130,29 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by token hash
-    * bit, sign → bit. Near-dups = signatures within `maxHamming`.
+  /** 64-bit SimHash over tokens: per bit, count of set token-hash bits vs
+    * total, sign → bit. Computed by the native one-pass `simhash64`
+    * kernel (a column-expression formulation would traverse the hash
+    * array 64 times per row). Near-dups = signatures within `maxHamming`.
     * Banding on 4 × 16-bit chunks gives the LSH blocking (pigeonhole: any
     * pair within hamming 3 shares at least one exact 16-bit chunk).
+    * NOTE: requires `GraftFunctions.ensureRegistered` on the session.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
-    val bits = (0 until 64).map { b =>
-      // count of tokens with bit b set, minus half the total → sign
-      size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L)) * 2 -
-        size(hashes)
-    }
-    val folded = bits.zipWithIndex.map { case (c, i) =>
-      when(c > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    folded.reduce[Column](_ bitwiseOR _)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(
+      transform(TextOps.tokens(text), w => xxhash64(w)))
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // (band, chunk)-partitioned exchange: both sides of the bucket
+    // self-join reuse one banding computation
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .repartition(col("band"), col("chunk"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))

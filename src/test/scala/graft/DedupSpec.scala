@@ -7,6 +7,7 @@ import graft.operators.Dedup
 class DedupSpec extends AnyFunSuite {
   import SharedSpark.spark
   import spark.implicits._
+  graft.functions.GraftFunctions.ensureRegistered(spark)
 
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),

@@ -17,9 +17,12 @@ object DevRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val explain = args.contains("-e")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val df = queries.Queries.all(n)(spark, sfDir)
+      if (explain) println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       val rows = df.collect()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[dev] $n: ${rows.length} rows in $dt%.1fs")
