@@ -578,6 +578,23 @@ object Queries {
     Windows.sliding(Tables.events(s, d), "ts", "1 hour", "30 minutes")
       .orderBy("ws", "event_type")
 
+  /** Custom-state sessionization (flatMapGroupsWithState) run in batch
+    * flush mode over the events table — the arbitrary-stateful-operator
+    * surface gated against the same window-free SQL sessionization that
+    * verifies w2.
+    */
+  val w4_statefulsessions: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Windows.SessionEvent]
+    Windows.statefulSessions(ev, 30L * 60 * 1000, flushOpenAtEnd = true)
+      .toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), Det.r2(col("sum_val")).as("sum_val"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ================================================================ registry
 
   val all: Map[String, Q] = Map(
@@ -597,6 +614,7 @@ object Queries {
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
+    "w4_statefulsessions" -> w4_statefulsessions,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
@@ -895,15 +913,22 @@ object Queries {
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(o))
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
-    "w2_sessions" ->
-      """WITH e AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |  THEN 1 ELSE 0 END AS brk FROM events),
-        |s AS (SELECT user_id, ts, value,
-        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_val
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+    "w4_statefulsessions" -> w2SessionsSql,
+
+    "w2_sessions" -> w2SessionsSql)
+
+  /** Window-free SQL sessionization — the shared oracle for both the
+    * session_window query (w2) and the flatMapGroupsWithState one (w4).
+    */
+  private lazy val w2SessionsSql: String =
+    """WITH e AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |  THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events, floor(sum(value) * 100 + 0.5) / 100 AS sum_val
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 }

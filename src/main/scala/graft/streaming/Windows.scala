@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time windowing over the `events` table — the streaming extension
   * (the reference has no stream engine; SURVEY.md §2.9). The same
@@ -43,4 +44,87 @@ object Windows {
     stream.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), duration), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------- custom state
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                                value: Double)
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, session_start: String,
+                                 session_end: String, n_events: Long,
+                                 sum_val: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-stateful-operator surface (`KeyValueGroupedDataset`) for
+    * logic `session_window` can't express. State per user = the open
+    * session; a batch's events fold in event-time order, gaps > `gapMs`
+    * close-and-emit; an event-time timeout (watermark past
+    * sessionEnd+gap) flushes sessions that stopped receiving events.
+    * Emitted `session_end` = last event + gap (the `sessions` batch
+    * convention).
+    *
+    * Scale: state is one small record per ACTIVE user (bounded by the
+    * watermark), shuffled by user — the same partitioning story as any
+    * keyed agg; nothing global.
+    *
+    * Input stream needs columns (user_id, ts, value) and a watermark on
+    * `ts` at least as long as the gap.
+    */
+  /** `flushOpenAtEnd = true` is the BATCH-mode switch: batch execution
+    * calls the state function exactly once per key with every event and
+    * then discards state (no timeouts fire), so the trailing open
+    * session must be emitted inline to reproduce full sessionization —
+    * which also makes the operator oracle-checkable against the
+    * window-free SQL sessionization. Leave false for streams.
+    */
+  def statefulSessions(events: Dataset[SessionEvent], gapMs: Long,
+                       flushOpenAtEnd: Boolean = false): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // NB: formatting happens inside the task; DateTimeFormatter is not
+    // serializable, so it is built per call (closed sessions are rare
+    // relative to events — negligible)
+    def render(u: Long, s: OpenSession): ClosedSession = {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      ClosedSession(u,
+        fmt.format(java.time.Instant.ofEpochMilli(s.startMs)),
+        fmt.format(java.time.Instant.ofEpochMilli(s.endMs + gapMs)),
+        s.n, s.sum)
+    }
+
+    def fn(user: Long, rows: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(render(user, s))
+      } else {
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var open = state.getOption.orNull
+        // total order (ts, value) so the double fold is deterministic
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val t = e.ts.getTime
+          if (open == null) open = OpenSession(t, t, 1, e.value)
+          else if (t - open.endMs >= gapMs) { // gap >= duration breaks (w2 convention)
+            closed += render(user, open)
+            open = OpenSession(t, t, 1, e.value)
+          } else open = OpenSession(open.startMs, math.max(open.endMs, t),
+            open.n + 1, open.sum + e.value)
+        }
+        if (open != null) {
+          if (flushOpenAtEnd) closed += render(user, open)
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+          }
+        }
+        closed.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -96,6 +96,37 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(r == Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("stateful sessionization: gap-close within batch and timeout flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val events = ms.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .as[Windows.SessionEvent](org.apache.spark.sql.Encoders.product)
+    val out = Windows.statefulSessions(events, 30L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // session 1: two events; then an event > gap later in the SAME user
+      // closes it inline
+      ms.addData((1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+                 (1L, Timestamp.valueOf("2026-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      ms.addData((1L, Timestamp.valueOf("2026-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past session 2's end → timeout flush
+      ms.addData((2L, Timestamp.valueOf("2026-01-01 14:00:00"), 0.5))
+      q.processAllAvailable()
+      ms.addData((2L, Timestamp.valueOf("2026-01-01 16:00:00"), 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .as[Windows.ClosedSession].collect().toSeq
+        .map(c => (c.user_id, c.session_start, c.session_end, c.n_events, c.sum_val))
+      assert(rows.contains((1L, "2026-01-01 10:00:00", "2026-01-01 10:40:00", 2L, 3.0)))
+      assert(rows.contains((1L, "2026-01-01 12:00:00", "2026-01-01 12:30:00", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming form: windowed agg over a memory stream with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
