@@ -63,6 +63,35 @@ object Multimodal {
     }.toDF("id", "frame_offset", "frame_bytes")
   }
 
+  final case class ResizedMedia(id: Long, media_type: String,
+                                target_w: Int, target_h: Int,
+                                bytes: Array[Byte])
+
+  /** Resize stub: deterministic byte-domain downsample (every k-th byte
+    * so output length tracks target area — a real impl decodes, bilinear
+    * resizes, re-encodes). The Spark shape is the point: partition-batched
+    * (codec init once per partition), typed output schema, bounded
+    * per-row memory.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: open codec here, close after the iterator
+      it.map { r =>
+        val n = if (r.bytes == null) 0 else r.bytes.length
+        val target = math.max(1, math.min(n, targetW * targetH / 64))
+        val stride = math.max(1, n / target)
+        val out = new Array[Byte]((n + stride - 1) / math.max(stride, 1) max 0)
+        var i = 0
+        var j = 0
+        while (i < n && j < out.length) { out(j) = r.bytes(i); i += stride; j += 1 }
+        ResizedMedia(r.id, r.media_type, targetW, targetH,
+          java.util.Arrays.copyOf(out, j))
+      }
+    }
+  }
+
   /** Wrap any table into the media schema (text → utf-8 bytes) — the
     * fixture path used by tests and the mm query, since no true binary
     * media table ships with the testdata.

@@ -77,6 +77,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path besides LSH:
+    *  1. coarse quantizer = `nlist` centroids picked deterministically
+    *     (smallest xxhash64(id, seed) — a seeded sample of the corpus
+    *     itself, no training iteration);
+    *  2. every corpus vector is assigned to its nearest centroid with
+    *     one broadcast pass (`max_by` over the centroid cross product) —
+    *     building the inverted lists;
+    *  3. each query probes its `nprobe` nearest centroids and ranks
+    *     exact cosine ONLY within those lists.
+    * Per-query work drops from N to ~(nprobe/nlist)·N; the lists shuffle
+    * by centroid id, so the candidate join is a bounded bucket join.
+    * Fully declarative — centroid selection is a limit-subplan reused
+    * via broadcast, no driver action.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val cents = c.orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
+      .limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    // inverted lists: nearest centroid per corpus vector
+    val assigned = c.crossJoin(broadcast(cents))
+      .groupBy("nid")
+      .agg(max_by(col("cid"),
+          struct(GraftFunctions.cosineSim(col("nvec"), col("cvec")),
+            col("cid").cast("long") * -1)).as("cid"),
+        first(col("nvec")).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    // probe lists: nprobe nearest centroids per query
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(
+          GraftFunctions.cosineSim(col("qvec"), col("cvec")).desc, col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)
     * over a self-comparison — brute-force within the given frame; use an
     * id-hash subset or LSH blocking for the full-corpus variant at scale.

@@ -551,6 +551,24 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** IVF ANN recall gate — same contract as sim2 (qid emitted iff
+    * recall@5 ≥ 3/5 vs brute force, oracle = every qid). nprobe=8 of 16
+    * lists because the synthetic embeddings cluster weakly (see sim2
+    * note); tighter corpora probe fewer lists.
+    */
+  val sim3_ivf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8).select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   // ---------------------------------------------------------------- MM: multimodal plumbing
 
   val mm1_decode: Q = (s, d) => {
@@ -619,7 +637,7 @@ object Queries {
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
-    "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh,
+    "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
 
@@ -887,6 +905,10 @@ object Queries {
         |SELECT qid, nid, cos, rank FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "sim2_lsh" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim3_ivf" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 

@@ -66,6 +66,20 @@ object Io {
     spark.sparkContext.sequenceFile[String, String](path).toDF("k", "v")
   }
 
+  /** NLineInputFormat analog (`core:mapreduce/lib/input/NLineInputFormat
+    * .java:62,150-159`): control task granularity at N lines per
+    * partition. The reference uses it to bound per-task work; here a
+    * count + repartition after the scan (the count is a cheap
+    * metadata-ish pass; Spark's equivalent granularity control for most
+    * jobs is maxPartitionBytes).
+    */
+  def textNLines(spark: SparkSession, path: String, linesPerPartition: Int): DataFrame = {
+    val df = spark.read.text(path)
+    val n = df.count()
+    val parts = math.max(1, ((n + linesPerPartition - 1) / linesPerPartition).toInt)
+    df.repartition(parts)
+  }
+
   /** Tag-delimited record scan — StreamXmlRecordReader semantics
     * (`stream:StreamXmlRecordReader.java`: records bracketed by
     * begin/end tags, one record per emitted row): implemented with the

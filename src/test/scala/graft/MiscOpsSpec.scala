@@ -47,6 +47,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(feats.map(_.feature_hash).toSeq == again.map(_.feature_hash).toSeq)
   }
 
+  test("resize stub: deterministic downsample, typed schema, partition-batched") {
+    val media = Seq(Multimodal.MediaRow(1L, Array.tabulate[Byte](4096)(_.toByte), "image"),
+                    Multimodal.MediaRow(2L, Array.empty[Byte], "image")).toDS()
+    val r = Multimodal.resize(media, 64, 64).collect().sortBy(_.id)
+    assert(r.map(_.id).toSeq == Seq(1L, 2L))
+    assert(r(0).bytes.length > 0 && r(0).bytes.length <= 4096)
+    assert(r(1).bytes.length == 0)
+    val again = Multimodal.resize(media, 64, 64).collect().sortBy(_.id)
+    assert(r(0).bytes.toSeq == again(0).bytes.toSeq)
+  }
+
+  test("textNLines controls partition granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nline").toString
+    spark.range(0, 100).select(col("id").cast("string").as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$dir/t")
+    val df = graft.sources.Io.textNLines(spark, s"$dir/t", 10)
+    assert(df.rdd.getNumPartitions == 10)
+    assert(df.count() == 100)
+  }
+
   test("sampleFrames chunks binary payloads at 1KiB boundaries") {
     val bytes = Array.fill[Byte](2500)(7)
     val media = Seq(Multimodal.MediaRow(1L, bytes, "video")).toDS()

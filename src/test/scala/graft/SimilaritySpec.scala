@@ -73,6 +73,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.toSet == sigs.values.toSet)
   }
 
+  test("ivfTopK: probing all lists reproduces exact top-k") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val ang = i * math.Pi / n
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("id", "v")
+    val q = vecs.filter(col("id") === 7L)
+    val exact = Similarity.bruteForceTopK(vecs, q, "id", "v", 5)
+      .select("nid", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    val ivf = Similarity.ivfTopK(vecs, q, "id", "v", 5, nlist = 4, nprobe = 4)
+      .select("nid", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(ivf == exact) // nprobe = nlist → no pruning → identical
+  }
+
+  test("ivfTopK: partial probe returns ranked subset of corpus") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("id", "v")
+    val q = vecs.filter(col("id") < 3L)
+    val r = Similarity.ivfTopK(vecs, q, "id", "v", 5, nlist = 10, nprobe = 3)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.size))
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("cosineNearDupPairs finds colinear vectors") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
