@@ -264,6 +264,14 @@ object Queries {
       .orderBy("pos")
   }
 
+  /** Pentomino exact cover (`ex:dancing/DistributedPentomino.java`
+    * shape): prefix-split search, one subtree per task; gated on the
+    * published 3×20 solution count (2, up to board symmetry).
+    */
+  val m4_pentomino: Q = (s, _) =>
+    Pentomino.solveDistributed(s, 3, 20)
+      .select(col("rows"), col("cols"), col("n_solutions"))
+
   /** First 32 hex digits of π after the radix point (public constant). */
   private val piHex = "243F6A8885A308D313198A2E03707344"
 
@@ -625,7 +633,8 @@ object Queries {
     "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
     "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "m2_bbp" -> m2_bbp,
-    "m3_sudoku" -> m3_sudoku, "u1_pipe" -> u1_pipe,
+    "m3_sudoku" -> m3_sudoku, "m4_pentomino" -> m4_pentomino,
+    "u1_pipe" -> u1_pipe,
     "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
     "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
@@ -764,6 +773,10 @@ object Queries {
         |GROUP BY source ORDER BY url""".stripMargin,
 
     "u1_pipe" -> a1Sql,
+
+    "m4_pentomino" ->
+      """SELECT CAST(3 AS INTEGER) AS rows, CAST(20 AS INTEGER) AS cols,
+        |  CAST(2 AS BIGINT) AS n_solutions""".stripMargin,
 
     "m3_sudoku" ->
       """SELECT CAST(1 AS BIGINT) AS n_solutions,
