@@ -83,6 +83,25 @@ object DistCopy {
     CopyStats(copied.value, skipped.value, bytes.value)
   }
 
+  /** Small-file compaction (HadoopArchives/`har` capability,
+    * `tools:hadoop-archives`, as SURVEY §2.11 maps it: coalesce+rewrite):
+    * read a directory of small text files, rewrite as ~`targetBytes`
+    * parts. Content-preserving, metadata-light — the archive-index
+    * aspect of har is subsumed by the file-source's listing.
+    */
+  def compactText(spark: SparkSession, srcDir: String, dstDir: String,
+                  targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val totalBytes = listing(spark, srcDir).map(_.size).sum
+    val parts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
+    val df = spark.read.text(srcDir)
+    df.coalesce(parts).write.mode("overwrite").text(dstDir)
+    fs.listStatus(new Path(dstDir)).count(s =>
+      s.isFile && s.getPath.getName.startsWith("part-")).toLong
+  }
+
   /** Stats as a one-row frame for report-style use. */
   def copyReport(spark: SparkSession, srcDir: String, dstDir: String,
                  update: Boolean = false): DataFrame = {

@@ -28,6 +28,19 @@ object SortSpec {
       case other => throw new IllegalArgumentException(s"bad sort key: $other")
     }
 
+  /** Partition columns for `repartition` over a line column split on
+    * `sep` — the KeyFieldBasedPartitioner twin
+    * (`core:mapreduce/lib/partition/KeyFieldBasedPartitioner.java:36-60`:
+    * route on the key fields named by the same `-k` spec, ignoring the
+    * n/r ordering flags). Rows sharing the named fields land in the same
+    * partition, so a downstream `sortWithinPartitions(sortCols(...))`
+    * reproduces the streaming partition+comparator contract.
+    */
+  def partitionCols(line: Column, sep: String, spec: String): Seq[Column] = {
+    val fields = split(line, java.util.regex.Pattern.quote(sep))
+    parse(spec).flatMap(k => (k.from to k.to).map(i => try_element_at(fields, lit(i))))
+  }
+
   /** Sort columns for `orderBy` over a line column split on `sep`.
     *
     * ANSI-safe on ragged/non-numeric input: a field index past the end of

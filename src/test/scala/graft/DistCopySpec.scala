@@ -42,6 +42,20 @@ class DistCopySpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(s"$dst/f1.txt")) == "hello, longer")
   }
 
+  test("compactText coalesces many small files, preserving lines") {
+    val src = Files.createTempDirectory("graft-compact-src").toString
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 20).foreach { i =>
+      Files.writeString(Paths.get(s"$src/f$i.txt"), s"line-$i\n")
+    }
+    val dst = Files.createTempDirectory("graft-compact-dst").toString + "/out"
+    val nParts = DistCopy.compactText(spark, src, dst, targetBytes = 1L << 20)
+    assert(nParts == 1) // 20 tiny files → one part
+    val lines = spark.read.text(dst).as[String].collect().toSet
+    assert(lines == (0 until 20).map(i => s"line-$i").toSet)
+  }
+
   test("exclude regex filters the listing") {
     val src = mkTree()
     val l = DistCopy.listing(spark, src, excludeRegex = Some("\\.log$"))
