@@ -71,6 +71,23 @@ object Queries {
       max("lang").as("max_lang"))
       .orderBy("source")
 
+  /** HLL sketch gate (the approx path of UniqValueCount — SURVEY §2.5
+    * maps the cap to `approx_count_distinct`): a group id is emitted iff
+    * the HLL estimate lands within 5% of the exact distinct count. The
+    * oracle (which can't run Spark's HLL) asserts EVERY group passes —
+    * same recall-gate pattern as sim2/sim3.
+    */
+  val a5_approxuniq: Q = (s, d) => {
+    val exact = Tables.part(s, d).groupBy("p_type")
+      .agg(count_distinct(col("p_brand")).as("exact"))
+    val approx = Tables.part(s, d).groupBy("p_type")
+      .agg(approx_count_distinct(col("p_brand")).as("est"))
+    exact.join(approx, "p_type")
+      .filter(abs(col("est") - col("exact")).cast("double") <=
+        col("exact").cast("double") * 0.05)
+      .select("p_type").orderBy("p_type")
+  }
+
   // ---------------------------------------------------------------- S: word stats
 
   val s1_wordmean: Q = (s, d) =>
@@ -626,6 +643,7 @@ object Queries {
   val all: Map[String, Q] = Map(
     "a1_wordcount" -> a1_wordcount, "a2_uniq" -> a2_uniq,
     "a3_histogram" -> a3_histogram, "a4_aggstats" -> a4_aggstats,
+    "a5_approxuniq" -> a5_approxuniq,
     "s1_wordmean" -> s1_wordmean, "s2_wordmedian" -> s2_wordmedian,
     "s3_wordstddev" -> s3_wordstddev, "g1_grep" -> g1_grep,
     "f1_fieldsel" -> f1_fieldsel, "f2_md5sample" -> f2_md5sample,
@@ -697,6 +715,9 @@ object Queries {
         |  CAST(g.s AS DOUBLE) / g.nd AS avg_cnt,
         |  sqrt(greatest((CAST(g.sq AS DOUBLE) - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.nd) / g.nd, 0)) AS std_cnt
         |FROM g JOIN md ON g.seg = md.seg ORDER BY seg""".stripMargin,
+
+    "a5_approxuniq" ->
+      """SELECT DISTINCT p_type FROM part ORDER BY p_type""".stripMargin,
 
     "a4_aggstats" ->
       """SELECT source, count(*) AS n_rec, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
