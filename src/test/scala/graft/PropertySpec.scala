@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SortSpec, TextOps}
+import graft.sources.Jdbc
+
+/** Property-based checks: parser round trips, kernel-vs-composition
+  * equivalence, splitter invariants.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  graft.functions.GraftFunctions.ensureRegistered(spark)
+
+  /** Deterministic sampling loop (scalatestplus bridge unavailable —
+    * raw scalacheck Gen with fixed seeds).
+    */
+  private def forAll[T](g: Gen[T], n: Int = 25)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L + i)))
+    }
+
+  test("integerSplitPoints: covers [lo,hi] disjointly, ascending, n ranges") {
+    forAll(Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(0L, 5000L),
+           Gen.chooseNum(1, 40))) { case (lo, span, n) =>
+      val hi = lo + span
+      val b = Jdbc.integerSplitPoints(lo, hi, n)
+      assert(b.size == n + 1)
+      assert(b.head == lo && b.last == hi + 1)
+      assert(b.sliding(2).forall { case Seq(a, c) => a <= c; case _ => true })
+      // total width preserved
+      assert(b.last - b.head == span + 1)
+    }
+  }
+
+  test("SortSpec.parse: accepts every generated -k spec") {
+    val flag = Gen.oneOf("", "n", "r", "nr", "rn")
+    val key = for {
+      f <- Gen.chooseNum(1, 9); t <- Gen.chooseNum(1, 9); fl <- flag
+    } yield if (t >= f) s"-k$f,$t$fl" else s"-k$f$fl"
+    forAll(Gen.nonEmptyListOf(key)) { keys =>
+      val parsed = SortSpec.parse(keys.mkString(" "))
+      assert(parsed.size == keys.size)
+      assert(parsed.forall(k => k.from >= 1 && k.to >= k.from))
+    }
+  }
+
+  test("word_shingles kernel ≡ compositional slice/concat/distinct form") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "ff")
+    val text = Gen.listOfN(12, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(8, text)) { texts =>
+      val df = texts.toDF("text")
+      val kernel = df.select(Dedup.shingles(col("text"), 3).as("s"))
+        .as[Seq[String]].collect().map(_.toSet).toSeq
+      val toks = TextOps.tokens(col("text"))
+      val composed = df.select(
+        when(size(toks) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))).as("s"))
+        .as[Seq[String]].collect().map(_.toSet).toSeq
+      assert(kernel == composed)
+    }
+  }
+
+  test("simhash64 kernel ≡ per-bit column composition") {
+    val text = Gen.listOfN(10, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(6, text)) { texts =>
+      val df = texts.toDF("text")
+      val hashes = transform(TextOps.tokens(col("text")), w => xxhash64(w))
+      val kernel = df.select(
+        graft.functions.GraftFunctions.simhash64(hashes)).as[Long].collect().toSeq
+      val bits = (0 until 64).map { b =>
+        size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L)) * 2 -
+          size(hashes)
+      }
+      val folded = bits.zipWithIndex.map { case (c, i) =>
+        when(c > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+      val composed = df.select(folded).as[Long].collect().toSeq
+      assert(kernel == composed)
+    }
+  }
+}
