@@ -301,10 +301,14 @@ object Queries {
     Sudoku.solveDistributed(s,
       "103050709050709020709020406030507090507090204090204060305070902070902040902040608")
 
+  /** Map-side pipe through a REAL transforming subprocess (`tr` to
+    * uppercase — the corpus is pure ASCII, so engine upper() semantics
+    * agree): a pass-through `cat` would certify only the plumbing.
+    */
   val u1_pipe: Q = (s, d) => {
     import s.implicits._
     val lines = docs(s, d).select("text").as[String]
-    val piped = Pipe.pipeMap(lines, Seq("cat"))
+    val piped = Pipe.pipeMap(lines, Seq("tr", "[:lower:]", "[:upper:]"))
     piped.select(explode(TextOps.tokens(col("value"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
   }
@@ -596,10 +600,16 @@ object Queries {
 
   // ---------------------------------------------------------------- MM: multimodal plumbing
 
+  /** Gates only the REAL outputs of the decode plumbing (byte length of
+    * the binary payload through the partition-batched transform); the
+    * stubbed width/height formula is spec-verified as a stub contract,
+    * not oracle-gated (an oracle echoing the stub would certify
+    * nothing).
+    */
   val mm1_decode: Q = (s, d) => {
     val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "image")
     Multimodal.decodeFeatures(media).toDF()
-      .select(col("id"), col("media_type"), col("n_bytes"), col("width"), col("height"))
+      .select(col("id"), col("media_type"), col("n_bytes"))
       .orderBy("id")
   }
 
@@ -793,7 +803,10 @@ object Queries {
       """SELECT source AS url, count(*) AS pageview FROM documents
         |GROUP BY source ORDER BY url""".stripMargin,
 
-    "u1_pipe" -> a1Sql,
+    "u1_pipe" ->
+      s"""$wordsSql
+         |SELECT upper(word) AS word, count(*) AS cnt FROM wf
+         |GROUP BY upper(word) ORDER BY word""".stripMargin,
 
     "m4_pentomino" ->
       """SELECT CAST(3 AS INTEGER) AS rows, CAST(20 AS INTEGER) AS cols,
@@ -948,9 +961,7 @@ object Queries {
 
     "mm1_decode" ->
       """SELECT doc_id AS id, 'image' AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY id""".stripMargin,
 
     "w1_tumbling" ->
