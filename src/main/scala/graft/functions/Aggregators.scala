@@ -19,13 +19,14 @@ object Aggregators {
 
   /** Distinct-value count with an insertion cap.
     *
-    * Reference semantics (`UniqValueCount.java:88-93`): values past the cap
-    * are dropped, so the result is min(true distinct, ~cap) and
-    * order-dependent. For the oracle gate we declare the *uncapped*
-    * semantics (cap = Int.MaxValue ⇒ exact `count(distinct)`); the cap is
-    * kept as the reference-parity / memory-bound option. At 100 TB scale
-    * prefer `approx_count_distinct` (HLL) — this operator exists for
-    * API parity and small-cardinality dimensions.
+    * Reference semantics (`UniqValueCount.java:88-93`): values past the
+    * cap are dropped. WHICH values are retained is order-dependent, but
+    * the COUNT is deterministically min(true distinct, cap): a buffer
+    * below the cap has lost nothing, and a buffer at the cap already
+    * counts `cap` — so the oracle gate covers both the uncapped and the
+    * capped count (a2). At 100 TB scale prefer `approx_count_distinct`
+    * (HLL, gated by a5) — this operator exists for reference API parity
+    * and memory-bounded small-cardinality dimensions.
     */
   final case class CappedDistinct(cap: Int)
       extends Aggregator[String, Set[String], Long] {

@@ -45,10 +45,16 @@ object Queries {
     s"""$wordsSql
        |SELECT word, count(*) AS cnt FROM wf GROUP BY word ORDER BY word""".stripMargin
 
+  /** Both the uncapped count and an ACTIVE cap (10 < the 25 brands per
+    * type, so the cap path is exercised): the capped count is
+    * deterministically min(distinct, cap), hence oracle-able as LEAST.
+    */
   val a2_uniq: Q = (s, d) =>
     Tables.part(s, d)
       .groupBy("p_type")
-      .agg(Aggregators.cappedDistinct(Int.MaxValue)(col("p_brand")).as("uniq_brands"))
+      .agg(
+        Aggregators.cappedDistinct(Int.MaxValue)(col("p_brand")).as("uniq_brands"),
+        Aggregators.cappedDistinct(10)(col("p_brand")).as("capped_brands"))
       .orderBy("p_type")
 
   val a3_histogram: Q = (s, d) =>
@@ -709,7 +715,8 @@ object Queries {
     "a1_wordcount" -> a1Sql,
 
     "a2_uniq" ->
-      """SELECT p_type, CAST(count(DISTINCT p_brand) AS BIGINT) AS uniq_brands
+      """SELECT p_type, CAST(count(DISTINCT p_brand) AS BIGINT) AS uniq_brands,
+        |  CAST(least(count(DISTINCT p_brand), 10) AS BIGINT) AS capped_brands
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "a3_histogram" ->
