@@ -197,6 +197,27 @@ object Queries {
     OverrideJoin.overrideJoin(Seq(n, su), "k").orderBy("k", "v")
   }
 
+  /** Bucketed co-located join (CompositeInputFormat's map-side merge
+    * precondition, `core:mapreduce/lib/join/CompositeInputFormat.java:
+    * 120-130`): both sides persisted bucketed+sorted on the join key, so
+    * the join itself runs with no exchange — same answer as j1 through
+    * the pre-partitioned plan.
+    */
+  val j5_bucketed: Q = (s, d) => {
+    BucketedJoin.writeBucketed(
+      li(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      "j5_lineitem", "l_orderkey", 8)
+    BucketedJoin.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority")),
+      "j5_orders", "l_orderkey", 8)
+    BucketedJoin.join(s, "j5_lineitem", "j5_orders", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Reduce-side tagged join (`tools:hadoop-datajoin`:
     * `DataJoinMapperBase.java` tags records by source,
     * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
@@ -673,7 +694,8 @@ object Queries {
     "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
-    "j4_cogroup" -> j4_cogroup, "mf1_lookup" -> mf1_lookup,
+    "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
+    "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
@@ -841,6 +863,12 @@ object Queries {
     "i3_seqfile" ->
       """SELECT p_type, count(*) AS n, min(p_partkey) AS min_key,
         |  max(p_partkey) AS max_key FROM part GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "j5_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "j4_cogroup" ->
       """WITH p AS (SELECT a.o_custkey AS k, count(*) AS n_pairs
