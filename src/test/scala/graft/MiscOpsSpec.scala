@@ -147,6 +147,40 @@ class MiscOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming e2e: readStream dir → windowed agg → parquet sink + checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    // batch 1 lands before the stream starts; batch 2 arrives mid-stream
+    Seq("2026-01-01 10:01:00,a", "2026-01-01 10:04:00,a")
+      .toDF("value").coalesce(1).write.mode("append").text(in)
+    val schemaed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))
+      .text(in)
+      .select(split(col("value"), ",").getItem(0).cast("timestamp").as("ts"),
+        split(col("value"), ",").getItem(1).as("event_type"))
+    val agg = Windows.streamingAgg(schemaed, "ts", "10 minutes", "5 minutes")
+      .select(date_format(col("window.start"), "HH:mm").as("ws"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append-mode parquet sink only emits windows closed by the
+    // watermark; push a later batch and run a second incremental pass
+    Seq("2026-01-01 10:31:00,b").toDF("value")
+      .coalesce(1).write.mode("append").text(in)
+    val q2 = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(out).select("ws", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("10:00", "a", 2L))) // closed by the advanced watermark
+  }
+
   test("streaming form: windowed agg over a memory stream with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
