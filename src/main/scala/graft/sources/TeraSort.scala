@@ -216,7 +216,9 @@ object TeraSort {
   def kernel(spark: SparkSession, n: Long, outDir: String = null): DataFrame = {
     import spark.implicits._
     val out = Option(outDir).getOrElse(s"/tmp/graft-terasort/n$n")
-    terasort(teragen(spark, n)).write.mode("overwrite").parquet(out)
+    // random 100-byte records don't compress — codec work is pure loss
+    terasort(teragen(spark, n)).write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(out)
     val r = teravalidateFiles(spark, out)
     val genSum = checksumOf(teragen(spark, n))
     Seq((r.rows, r.sortedWithin, r.sortedAcross, r.checksum.toString,
