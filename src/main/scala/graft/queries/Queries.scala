@@ -554,6 +554,27 @@ object Queries {
       k = 3, threshold = 0.8, maxShingleFreq = 5)
       .orderBy("ida", "idb")
 
+  /** Flagship training-data composition: the full cleaning pipeline a
+    * corpus pass runs — exact dedup (keep the smallest id per content
+    * digest) → near-dup removal (word-3-gram Jaccard ≥ 0.8 with the
+    * hot-shingle cap, larger id of each pair dropped) → quality floor
+    * (≥ 5 tokens). Every stage is individually gated elsewhere
+    * (dd1/dd4/t1); this gates their composition end-to-end.
+    */
+  val p1_clean: Q = (s, d) => {
+    val base = docs(s, d)
+    val winners = base.groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val uniq = base.join(winners, "doc_id")
+    val dropped = Dedup.ngramJaccardPairs(uniq, "text", "doc_id",
+        k = 3, threshold = 0.8, maxShingleFreq = 5)
+      .select(col("idb").as("doc_id")).distinct()
+    uniq.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- T: text analysis
 
   val t1_tokens: Q = (s, d) =>
@@ -698,6 +719,7 @@ object Queries {
     "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
+    "p1_clean" -> p1_clean,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
@@ -919,6 +941,29 @@ object Queries {
         |  SELECT 'orders' AS src, count(*) AS n,
         |    count(DISTINCT o_orderkey) AS n_keys FROM orders
         |) ORDER BY src""".stripMargin,
+
+    "p1_clean" ->
+      """WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |uniq AS (SELECT d.* FROM documents d JOIN winners USING (doc_id)),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM uniq),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id),
+        |dropped AS (SELECT DISTINCT idb AS doc_id FROM j WHERE jaccard >= 0.8),
+        |clean AS (SELECT u.doc_id, u.text FROM uniq u
+        |  WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped))
+        |SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM clean
+        |WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) >= 5
+        |ORDER BY doc_id""".stripMargin,
 
     "dd1_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
