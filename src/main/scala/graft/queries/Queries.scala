@@ -218,6 +218,25 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** As-of join (no reference or Spark-native analog — a training-data
+    * staple): each probe event matched to the latest strictly-earlier
+    * event of the same user. Gated against DuckDB's NATIVE ASOF JOIN,
+    * so the union+window formulation is checked by an independent
+    * implementation of the same semantics. Right side pre-aggregated to
+    * one row per (user, ts) for determinism.
+    */
+  val j6_asof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ref = ev.groupBy("user_id", "ts").agg(max("value").as("rv"))
+    AsOfJoin.asOfStrict(probes, ref, "user_id", "ts", "ts", "rv")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("prior_ts"), "yyyy-MM-dd HH:mm:ss").as("prior_ts"),
+        col("prior_val"))
+      .orderBy("event_id")
+  }
+
   /** Reduce-side tagged join (`tools:hadoop-datajoin`:
     * `DataJoinMapperBase.java` tags records by source,
     * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
@@ -716,6 +735,7 @@ object Queries {
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
+    "j6_asof" -> j6_asof,
     "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
@@ -885,6 +905,14 @@ object Queries {
     "i3_seqfile" ->
       """SELECT p_type, count(*) AS n, min(p_partkey) AS min_key,
         |  max(p_partkey) AS max_key FROM part GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "j6_asof" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_ts, r.rv AS prior_val
+        |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND r.ts < p.ts
+        |ORDER BY event_id""".stripMargin,
 
     "j5_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
