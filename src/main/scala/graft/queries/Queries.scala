@@ -237,6 +237,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Keyless range join (binned interval join — no equi key anywhere):
+    * sampled events define 2-hour windows; every event is matched to
+    * every window containing it through the bucket equi-join, never a
+    * cartesian. Oracle = the plain theta join in SQL.
+    */
+  val j7_range: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("event_id") % 500 === 0)
+      .select(col("event_id").as("wid"), col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
+    RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("ts")), "ts",
+        windows, "ws", "we", binWidthSec = 2 * 3600)
+      .groupBy("wid").agg(count(lit(1)).as("n"))
+      .orderBy("wid")
+  }
+
   /** Reduce-side tagged join (`tools:hadoop-datajoin`:
     * `DataJoinMapperBase.java` tags records by source,
     * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
@@ -735,7 +752,7 @@ object Queries {
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
-    "j6_asof" -> j6_asof,
+    "j6_asof" -> j6_asof, "j7_range" -> j7_range,
     "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
@@ -905,6 +922,13 @@ object Queries {
     "i3_seqfile" ->
       """SELECT p_type, count(*) AS n, min(p_partkey) AS min_key,
         |  max(p_partkey) AS max_key FROM part GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "j7_range" ->
+      """WITH w AS (SELECT event_id AS wid, ts AS ws, ts + INTERVAL 2 HOUR AS we
+        |  FROM events WHERE event_id % 500 = 0)
+        |SELECT wid, count(*) AS n FROM w JOIN events e
+        |ON e.ts >= w.ws AND e.ts < w.we
+        |GROUP BY wid ORDER BY wid""".stripMargin,
 
     "j6_asof" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events GROUP BY 1, 2),
