@@ -355,6 +355,16 @@ object Queries {
   /** First 32 hex digits of π after the radix point (public constant). */
   private val piHex = "243F6A8885A308D313198A2E03707344"
 
+  /** π to 50 decimals (public constant) — the m5 oracle. */
+  private val piDec =
+    "3.14159265358979323846264338327950288419716939937510"
+
+  /** DistSum (`ex:pi/DistSum.java` shape): arbitrary-precision series
+    * summation with the index space split across tasks; exact partials
+    * make the split invisible. Gated on the first 50 decimals of π.
+    */
+  val m5_distsum: Q = (s, _) => DistSum.pi(s, 50)
+
   /** Distributed backtracking search (`ex:dancing/Sudoku.java` shape):
     * the search space fans out over candidate prefixes, one independent
     * subtree per task. The puzzle (40 blanks) has exactly one solution,
@@ -746,6 +756,7 @@ object Queries {
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
     "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "m2_bbp" -> m2_bbp,
     "m3_sudoku" -> m3_sudoku, "m4_pentomino" -> m4_pentomino,
+    "m5_distsum" -> m5_distsum,
     "u1_pipe" -> u1_pipe,
     "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
     "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
@@ -895,6 +906,9 @@ object Queries {
       s"""$wordsSql
          |SELECT upper(word) AS word, count(*) AS cnt FROM wf
          |GROUP BY upper(word) ORDER BY word""".stripMargin,
+
+    "m5_distsum" ->
+      s"""SELECT CAST(50 AS INTEGER) AS digits, '$piDec' AS pi_prefix""",
 
     "m4_pentomino" ->
       """SELECT CAST(3 AS INTEGER) AS rows, CAST(20 AS INTEGER) AS cols,

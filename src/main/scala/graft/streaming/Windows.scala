@@ -45,6 +45,17 @@ object Windows {
       .groupBy(window(col(tsCol), duration), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): exact dedup on a key column for
+    * streams, where state for a key is dropped once the watermark passes
+    * it — the streaming form of `Dedup.exact`, with memory bounded by
+    * the watermark horizon instead of the corpus size.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, keyCol: String,
+                     watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   // ------------------------------------------------------- custom state
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,

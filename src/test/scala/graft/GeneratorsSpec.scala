@@ -22,6 +22,15 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(Bbp.hexDigitAt(1000) == d)
   }
 
+  test("distsum: pi to 80 decimals, split-count invariant") {
+    import graft.operators.DistSum
+    val r16 = DistSum.pi(spark, 80, splits = 16).as[(Int, String)].head()
+    val r3 = DistSum.pi(spark, 80, splits = 3).as[(Int, String)].head()
+    assert(r16 == r3)
+    assert(r16._2.startsWith(
+      "3.1415926535897932384626433832795028841971693993751058209749445923078164062862089"))
+  }
+
   test("randomKV: deterministic, length bounds honored, parallelism-independent") {
     val a = Generators.randomKV(spark, 200, seed = 9L, maxValLen = 100, partitions = 2)
       .as[(Array[Byte], Array[Byte])].collect()

@@ -116,6 +116,28 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(r == Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps first arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val dedup = Windows.streamingDedup(
+      ms.toDF().toDF("ts", "fp", "doc_id"), "ts", "fp", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "fpA", 1L),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "fpA", 2L), // dup of fpA
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "fpB", 3L))
+      q.processAllAvailable()
+      ms.addData((Timestamp.valueOf("2026-01-01 10:03:00"), "fpA", 4L)) // still dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap-close within batch and timeout flush") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
