@@ -81,7 +81,28 @@ object Aggregators {
     override def outputEncoder: Encoder[HistReport] = Encoders.product[HistReport]
   }
 
+  /** Detailed-report mode (`ValueHistogram.java` getReportDetails: the
+    * full value→frequency table, not just the summary): as a typed
+    * aggregator returning sorted (value, count) entries. Bounded-group
+    * use only, like the reference.
+    */
+  final class ValueHistogramDetail
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    private val base = new ValueHistogram
+    override def zero: Map[String, Long] = base.zero
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      base.reduce(b, v)
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      base.merge(x, y)
+    override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy(_._1)
+    override def bufferEncoder: Encoder[Map[String, Long]] = base.bufferEncoder
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
   /** Column-ready UDAFs. */
   def cappedDistinct(cap: Int) = udaf(CappedDistinct(cap))
   val valueHistogram = udaf(new ValueHistogram)
+  val valueHistogramDetail = udaf(new ValueHistogramDetail)
 }

@@ -80,19 +80,18 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, 16)
 
-  /** Rolling-hash shingle fingerprint (Rabin-Karp style): min of 64-bit
-    * hashes over word 3-shingles — a 1-value MinHash, useful as a cheap
-    * near-dup blocking key.
+  /** Shingle fingerprint: min of 64-bit hashes over word 3-shingles — a
+    * 1-value MinHash, useful as a cheap near-dup blocking key. Uses the
+    * native `word_shingles` kernel (requires
+    * `GraftFunctions.ensureRegistered`); short texts fall back to a
+    * whole-text hash.
     */
   def shingleFingerprint(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)
-    val n = size(toks)
-    // sequence(1, n) descends for n < 1 — short texts fall back to a
-    // whole-text hash instead of producing a bogus [1, 0] index range
-    val shingles = transform(sequence(lit(1), n - (k - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-    when(n < k, xxhash64(text))
-      .otherwise(array_min(transform(shingles, s => xxhash64(s))))
+    when(size(toks) < k, xxhash64(text))
+      .otherwise(array_min(transform(
+        graft.functions.GraftFunctions.wordShingles(toks, k),
+        s => xxhash64(s))))
   }
 
   /** Language ID: n-gram/stopword heuristic. Scores each candidate

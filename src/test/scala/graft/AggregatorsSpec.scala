@@ -58,4 +58,13 @@ class AggregatorsSpec extends AnyFunSuite {
       .select("r.n_distinct", "r.min_cnt", "r.max_cnt").as[(Long, Long, Long)].head()
     assert(r == ((10L, 100L, 100L)))
   }
+
+  test("valueHistogramDetail returns the full sorted frequency table") {
+    val df = Seq("b", "a", "b", "c", "b", "a").toDF("v")
+      .select(lit("g").as("g"), col("v"))
+    val r = df.groupBy("g")
+      .agg(Aggregators.valueHistogramDetail(col("v")).as("d"))
+      .select("d").as[Seq[(String, Long)]].head()
+    assert(r == Seq(("a", 2L), ("b", 3L), ("c", 1L)))
+  }
 }

@@ -7,6 +7,7 @@ import graft.operators.TextOps
 class TextOpsSpec extends AnyFunSuite {
   import SharedSpark.spark
   import spark.implicits._
+  graft.functions.GraftFunctions.ensureRegistered(spark)
 
   test("tokens drop empties; tokenCount counts whitespace words") {
     val r = Seq("  the quick\tbrown\n\nfox  ").toDF("t")
