@@ -94,6 +94,27 @@ object TextOps {
         s => xxhash64(s))))
   }
 
+  /** Corpus-commonality score — the two-pass global-statistic shape of
+    * perplexity-style quality filtering (pass 1: corpus-wide token
+    * frequencies; pass 2: score each document against them), kept in
+    * exact integer arithmetic so it is engine-reproducible (log-prob
+    * variants differ in the last ulp across libm implementations).
+    * Low `sum_tok_freq / n_tokens` = document of rare tokens — the
+    * usual "weird text" signal.
+    *
+    * Scale: the frequency table is a corpus-derived dimension (vocab ≪
+    * corpus); the score join shuffles tokens by word — or broadcasts
+    * when the vocab fits, which Catalyst/AQE decides.
+    */
+  def commonality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+    toks.join(freq, "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_tok_freq"))
+  }
+
   /** Language ID: n-gram/stopword heuristic. Scores each candidate
     * language by stopword hits and picks the max (deterministic
     * tie-break: language order). Real pipelines plug in fastText-style

@@ -638,6 +638,15 @@ object Queries {
     docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Two-pass corpus-global scoring (perplexity-filter shape, exact
+    * integers): global token frequencies joined back to score each
+    * document. Docs with no tokens are absent (inner semantics) — the
+    * oracle mirrors that.
+    */
+  val t5_commonality: Q = (s, d) =>
+    TextOps.commonality(docs(s, d), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
   // ---------------------------------------------------------------- SIM: similarity search
 
   val sim1_knn: Q = (s, d) => {
@@ -772,9 +781,16 @@ object Queries {
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
+    "t5_commonality" -> t5_commonality,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
+
+  /** Shared CTEs for t5: per-doc tokens + corpus token frequencies. */
+  private val wordsSql2 =
+    """WITH toks0 AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+      |toks AS (SELECT doc_id, word FROM toks0 WHERE length(word) > 0),
+      |freq AS (SELECT word, count(*) AS freq FROM toks GROUP BY word)""".stripMargin
 
   private val stopwordsSqlList =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1080,6 +1096,13 @@ object Queries {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "t3_langid" -> t3Sql,
+
+    "t5_commonality" ->
+      s"""$wordsSql2
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(f.freq) AS BIGINT) AS sum_tok_freq
+         |FROM toks t JOIN freq f USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
