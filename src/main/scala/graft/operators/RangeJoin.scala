@@ -29,10 +29,15 @@ object RangeJoin {
     val binUs = binWidthSec * 1000000L
     val p = points.withColumn("_bin",
       floor(unix_micros(col(ptTs)) / binUs).cast("long"))
-    val i = intervals.withColumn("_bin",
-      explode(sequence(
-        floor(unix_micros(col(startCol)) / binUs).cast("long"),
-        floor((unix_micros(col(endCol)) - 1) / binUs).cast("long"))))
+    // guard: sequence(a, b) DESCENDS when b < a, so an empty/inverted
+    // interval would explode into bogus bins (the refine filter rejects
+    // their matches, but the rows are wasted shuffle) — drop them first
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bin",
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / binUs).cast("long"),
+          floor((unix_micros(col(endCol)) - 1) / binUs).cast("long"))))
     p.join(i, "_bin")
       .filter(col(ptTs) >= col(startCol) && col(ptTs) < col(endCol))
       .drop("_bin")
