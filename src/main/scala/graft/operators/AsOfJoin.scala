@@ -30,6 +30,8 @@ object AsOfJoin {
   def asOfStrict(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String,
                  valueCol: String): DataFrame = {
+    require(!left.columns.exists(Set("prior_ts", "prior_val", "_tag", "_ts", "_rts", "_rv")),
+      "left side must not already contain prior_ts/prior_val or _-prefixed working columns")
     val l = left.withColumn("_tag", lit(0))
       .withColumn("_rts", lit(null).cast(right.schema(rightTs).dataType))
       .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
