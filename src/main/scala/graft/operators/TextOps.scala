@@ -115,6 +115,52 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_tok_freq"))
   }
 
+  /** Overlapping character chunks for long-document training prep:
+    * 1→N explode of (chunk_idx, chunk) with `size` chars per chunk and
+    * `overlap` chars shared between neighbors. Pure column expressions —
+    * map-only, no UDF; empty text yields no chunks.
+    */
+  def chunk(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    val n = length(text)
+    // starts: 1, 1+stride, … while start <= len - overlap — i.e. stop
+    // once the previous chunk already reached the end, so no chunk is
+    // fully contained in its predecessor; sequence guard for empty text
+    val starts = when(n < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride)))
+    // NB: Column `/` is double division — cast back to int for the index
+    // (exact: chunk counts are far below 2^53)
+    transform(starts, st => struct(((st - 1) / stride).cast("int").as("chunk_idx"),
+      substring(text, st, lit(size)).as("chunk")))
+  }
+
+  /** PII scrubbing: regex redaction of emails, long digit runs (phone /
+    * account numbers), and IPv4 addresses — the standard patterns, each
+    * replaced with a typed tag so downstream counts stay analyzable.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
+  /** Deterministic train/val/test assignment from a stable key: the
+    * first two hex digits of md5(key) give a 256-bucket hash, compared
+    * against hex thresholds AS STRINGS (2-char lowercase hex compares
+    * lexicographically = numerically, the same trick as md5Filter) —
+    * engine-reproducible and stable under resharding, which is the
+    * property that matters for split hygiene.
+    */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = substring(md5(key.cast("string")), 1, 2)
+    val trainMax = f"${256 * trainPct / 100}%02x"
+    val valMax = f"${256 * (trainPct + valPct) / 100}%02x"
+    when(h < trainMax, "train").when(h < valMax, "val").otherwise("test")
+  }
+
   /** Language ID: n-gram/stopword heuristic. Scores each candidate
     * language by stopword hits and picks the max (deterministic
     * tie-break: language order). Real pipelines plug in fastText-style

@@ -647,6 +647,36 @@ object Queries {
     TextOps.commonality(docs(s, d), "text", "doc_id")
       .withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
+  /** Overlapping chunking for long-document training prep (100-char
+    * chunks, 20 overlap): 1→N explode, map-only.
+    */
+  val t6_chunks: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), explode(TextOps.chunk(col("text"), 100, 20)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** PII redaction over deterministically injected emails / IPs /
+    * account numbers (the corpus has none of its own) — both engines
+    * inject and redact identically.
+    */
+  val t7_redact: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TextOps.redact(concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0.0."),
+        col("doc_id") % 256, lit(" acct "), col("doc_id") + 1234567))
+        .as("red"))
+      .orderBy("doc_id")
+
+  /** Deterministic md5-bucket train/val/test split: per-doc assignment +
+    * the split sizes, stable under any resharding.
+    */
+  val f4_split: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- SIM: similarity search
 
   val sim1_knn: Q = (s, d) => {
@@ -781,7 +811,8 @@ object Queries {
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
-    "t5_commonality" -> t5_commonality,
+    "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
+    "t7_redact" -> t7_redact, "f4_split" -> f4_split,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
@@ -1096,6 +1127,33 @@ object Queries {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "t3_langid" -> t3Sql,
+
+    "t6_chunks" ->
+      """SELECT doc_id, CAST((st - 1) // 80 AS INTEGER) AS chunk_idx,
+        |  substr(text, CAST(st AS INTEGER), 100) AS chunk
+        |FROM (SELECT doc_id, text,
+        |      unnest(range(1, greatest(length(text) - 20, 1) + 1, 80)) AS st
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t7_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com from 10.0.0.' ||
+        |          (doc_id % 256) || ' acct ' || (doc_id + 1234567),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS red
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f4_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t5_commonality" ->
       s"""$wordsSql2

@@ -62,6 +62,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps.distinct.size == 1 && fps.head.length == 16)
   }
 
+  test("chunk: overlap math, short-text single chunk, empty text no chunks") {
+    val df = Seq("a" * 250, "short", "").toDF("t")
+    val chunks = df.select(col("t"),
+        explode(TextOps.chunk(col("t"), 100, 20)).as("c"))
+      .select(length(col("t")).as("len"), col("c.chunk_idx"), col("c.chunk"))
+      .as[(Int, Int, String)].collect().toSeq
+    val big = chunks.filter(_._1 == 250).sortBy(_._2)
+    // starts 1, 81, 161 over 250 chars (241 would be fully contained
+    // in the 161-chunk) → lengths 100, 100, 90
+    assert(big.map(_._3.length) == Seq(100, 100, 90))
+    assert(big.map(_._2) == Seq(0, 1, 2))
+    assert(chunks.filter(_._1 == 5).map(_._3) == Seq("short"))
+    assert(!chunks.exists(_._1 == 0)) // empty text: no chunks
+  }
+
+  test("redact: emails, IPs, long digit runs tagged; short numbers kept") {
+    val r = Seq("mail a.b+c@x-y.io ip 192.168.0.1 acct 123456789 year 2026")
+      .toDF("t").select(TextOps.redact(col("t"))).as[String].head()
+    assert(r == "mail <EMAIL> ip <IP> acct <NUM> year 2026")
+  }
+
+  test("splitAssign: deterministic, partition-count independent, ~80/10/10") {
+    val a = spark.range(0, 2000, 1, 3)
+      .select(col("id"), TextOps.splitAssign(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = spark.range(0, 2000, 1, 13)
+      .select(col("id"), TextOps.splitAssign(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1450 && counts("train") < 1750)
+    assert(counts("val") > 100 && counts("test") > 100)
+  }
+
   test("shingleFingerprint equal for equal text, differs for different") {
     val f = Seq("a b c d e", "a b c d e", "v w x y z").toDF("t")
       .select(TextOps.shingleFingerprint(col("t")).as("f")).as[Long].collect().toSeq
