@@ -677,6 +677,43 @@ object Queries {
       .select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** Degenerate-text detection: duplicate word-3-gram counts per doc
+    * (total vs distinct; a high duplicate fraction marks loops/boiler-
+    * plate — the standard repetition rule). Exact integers from the
+    * native shingle kernel.
+    */
+  val t8_dupngrams: Q = (s, d) => {
+    GraftFunctions.ensureRegistered(s)
+    val toks = TextOps.tokens(col("text"))
+    docs(s, d).select(col("doc_id"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_3grams"),
+        size(GraftFunctions.wordShingles(toks, 3)).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** Composed rule filter (Gopher-style heuristics): keep docs with
+    * 10..2000 tokens, mean token length in [2, 12], ≥1 stopword, and
+    * < 30% duplicate 3-grams. Every ingredient is individually gated
+    * (t1/t2/t8); this gates the conjunction.
+    */
+  val p2_rulefilter: Q = (s, d) => {
+    GraftFunctions.ensureRegistered(s)
+    val t = col("text")
+    val toks = TextOps.tokens(t)
+    val nTok = size(toks).cast("long")
+    val n3 = greatest(size(toks) - 2, lit(0))
+    val nd = size(GraftFunctions.wordShingles(toks, 3))
+    val meanLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nTok
+    docs(s, d)
+      .filter(nTok >= 10 && nTok <= 2000)
+      .filter(meanLen >= 2.0 && meanLen <= 12.0)
+      .filter(TextOps.stopwordCount(t) >= 1)
+      .filter(n3 === 0 || (n3 - nd).cast("double") / n3 < 0.3)
+      .select(col("doc_id"), nTok.as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- SIM: similarity search
 
   val sim1_knn: Q = (s, d) => {
@@ -813,6 +850,7 @@ object Queries {
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
     "t7_redact" -> t7_redact, "f4_split" -> f4_split,
+    "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
@@ -1147,6 +1185,32 @@ object Queries {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{7,}\b', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t8_dupngrams" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents)
+        |SELECT doc_id, CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_3grams,
+        |  CAST(len(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p2_rulefilter" -> {
+      val sw = stopwordsSqlList
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS n_tokens,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+         |  len(list_filter(w, x -> list_contains($sw, lower(x)))) AS n_stop,
+         |  greatest(len(w) - 2, 0) AS n3,
+         |  len(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |    i -> array_to_string(w[i:i+2], ' ')))) AS nd
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM m
+         |WHERE n_tokens >= 10 AND n_tokens <= 2000
+         |  AND mean_len >= 2.0 AND mean_len <= 12.0
+         |  AND n_stop >= 1
+         |  AND (n3 = 0 OR CAST(n3 - nd AS DOUBLE) / n3 < 0.3)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "f4_split" ->
       """SELECT doc_id,
