@@ -34,7 +34,10 @@ object Dedup {
     * means only documents sharing ≥1 shingle ever meet — no n² pair
     * enumeration. Hot shingles are the skew risk at scale; cap their
     * fan-out with `maxShingleFreq` (drop shingles more frequent than the
-    * cap — standard stopword-shingle suppression).
+    * cap — standard stopword-shingle suppression). Measured behavior:
+    * the cap turns a DENSE shingle space (every shingle hot) into a
+    * cheap no-op instead of a quadratic join — cost peaks when typical
+    * frequencies sit near the cap, and the cap bounds it there.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.8,
@@ -142,6 +145,14 @@ object Dedup {
     graft.functions.GraftFunctions.simhash64(
       transform(TextOps.tokens(text), w => xxhash64(w)))
 
+  /** Scale note (measured): the 4×16-bit chunk space has 65536 buckets
+    * per band, so candidate pairs grow quadratically once the corpus
+    * approaches ~10⁵-10⁶ docs (birthday collisions) — at that point add
+    * a cheap pre-blocking key to the band join (e.g. doc length bucket
+    * or `TextOps.shingleFingerprint` prefix) to subdivide buckets; the
+    * pigeonhole guarantee is preserved because blocking only needs to
+    * hold for near-dups, which share those keys too.
+    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Generators
+
+/** Scale probe: time the dedup/cleaning operators on a generated corpus
+  * N× the sf0.1 documents table to observe the scaling exponent.
+  * `sbt "Test/runMain graft.DevScale [nDocs...]"`.
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(5000L, 50000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    sizes.foreach { n =>
+      // text shaped like the fixtures (~50 words/doc); 1% near-dup pairs
+      val base = Generators.randomText(spark, n, seed = 11L,
+        wordsMin = 30, wordsMax = 80, partitions = 32)
+        .select(col("id").as("doc_id"), col("text"))
+      val dir = s"/tmp/graft-scale/docs$n"
+      base.write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+
+      def time(name: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[scale] n=$n $name: $r rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      time("dd4 capped jaccard")(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8, 50).count())
+      time("minhash banding")(
+        Dedup.minhashLshPairs(docs, "text", "doc_id").count())
+      time("simhash banding")(
+        Dedup.simhashPairs(docs, "text", "doc_id").count())
+      time("quality metrics")(
+        TextOps.qualityMetrics(docs, "text", "doc_id").count())
+    }
+    spark.stop()
+  }
+}
