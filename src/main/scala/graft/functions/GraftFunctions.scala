@@ -196,6 +196,64 @@ object GraftFunctions {
     override def prettyName: String = "word_shingles"
   }
 
+  /** MinHash signatures in one pass over an `array<long>` of base
+    * shingle hashes: `numHashes` universal-hash permutations
+    * h_j(x) = a_j·x + b_j (odd a_j, both seeded), min per permutation.
+    * The compositional form re-hashes every shingle STRING once per
+    * signature row (64 xxhash64 evaluations per shingle); this kernel
+    * hashes each shingle once upstream and mixes 64 multiply-adds per
+    * element in a single traversal. Empty input → all Long.MaxValue
+    * (matches the coalesce convention of the old form).
+    */
+  case class MinHashSigs(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val coefA: Array[Long] = Array.tabulate(numHashes) { j =>
+      mix64(seed ^ (j.toLong << 32) ^ 0xa5a5a5a5L) | 1L // odd multiplier
+    }
+    @transient private lazy val coefB: Array[Long] = Array.tabulate(numHashes) { j =>
+      mix64(seed ^ (j.toLong << 16) ^ 0x5a5a5a5aL)
+    }
+
+    private def mix64(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** Public so generated code can call it. */
+    def sigs(hashes: ArrayData): ArrayData = {
+      val n = hashes.numElements()
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val p = coefA(j) * h + coefB(j)
+          if (p < out(j)) out(j) = p
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any = sigs(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[MinHashSigs].getName
+      val ref = ctx.addReferenceObj("minhash", this, cls)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sigs($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sigs"
+  }
+
   /** One-pass 64-bit SimHash fold over an `array<long>` of token hashes:
     * per bit, count tokens with the bit set vs total; sign → bit. The
     * column-expression formulation needs 64 `size(filter(...))`
@@ -255,6 +313,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_sigs", es => MinHashSigs(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_shingles", es => WordShingles(es.head,
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
@@ -270,6 +332,8 @@ object GraftFunctions {
   def hamming(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash64(tokenHashes: Column): Column = call_function("simhash64", tokenHashes)
+  def minhashSigs(shingleHashes: Column, numHashes: Int, seed: Long): Column =
+    call_function("minhash_sigs", shingleHashes, lit(numHashes), lit(seed))
   def wordShingles(tokens: Column, k: Int): Column =
     call_function("word_shingles", tokens, lit(k))
   def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =

@@ -80,14 +80,17 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` permutation hashes, each
-    * min over the shingle set of `xxhash64(seed_j, shingle)`. Pure column
-    * expressions — signature computation is map-only.
+  /** MinHash signatures: one 64-bit base hash per shingle, then
+    * `numHashes` universal-hash permutations folded in a single pass by
+    * the native `minhash_sigs` kernel (the compositional
+    * `transform(sequence, j => array_min(transform(shingles, xxhash64)))`
+    * re-hashes every shingle string once per signature row). Map-only.
+    * Requires `GraftFunctions.ensureRegistered`.
     */
-  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => coalesce(array_min(transform(shingles(text, k),
-        s => xxhash64(j, s))), lit(Long.MaxValue)))
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64,
+                       seed: Long = 42L): Column =
+    graft.functions.GraftFunctions.minhashSigs(
+      transform(shingles(text, k), s => xxhash64(s)), numHashes, seed)
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `rowsPerBand`; documents sharing any band hash become candidates;
