@@ -52,6 +52,58 @@ object Pipe {
       .rdd.pipe(cmd).toDS()
   }
 
+  /** Binary typedbytes pipe (`-io typedbytes` mode,
+    * `stream:io/TypedBytesInputWriter.java`): each partition streams its
+    * (k, v) pairs to the subprocess as typedbytes records and decodes
+    * typedbytes pairs from its stdout — the binary-clean alternative to
+    * the line protocol (values may contain tabs/newlines/raw bytes).
+    * A feeder thread writes while the task thread consumes, so neither
+    * side buffers the partition.
+    */
+  def pipeTypedBytes(kv: Dataset[(String, String)],
+                     cmd: Seq[String]): Dataset[(String, String)] = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    kv.mapPartitions { it =>
+      val proc = new ProcessBuilder(cmd: _*).start()
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(proc.getOutputStream))
+      val feeder = new Thread(() => {
+        try {
+          it.foreach { case (k, v) =>
+            TypedBytes.write(out, k); TypedBytes.write(out, v)
+          }
+          out.close()
+        } catch { case _: java.io.IOException => /* subprocess closed early */ }
+      }, "typedbytes-feeder")
+      feeder.setDaemon(true)
+      feeder.start()
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(proc.getInputStream))
+      new Iterator[(String, String)] {
+        private var nextPair: (String, String) = _
+        private var done = false
+        private def advance(): Unit = if (nextPair == null && !done) {
+          TypedBytes.read(in) match {
+            case None => done = true
+              feeder.join()
+              val rc = proc.waitFor()
+              if (rc != 0) throw new RuntimeException(s"pipe exited with $rc")
+            case Some(k) =>
+              val v = TypedBytes.read(in).getOrElse(
+                throw new java.io.EOFException("odd typedbytes record count"))
+              nextPair = (k.toString, v.toString)
+          }
+        }
+        override def hasNext: Boolean = { advance(); nextPair != null }
+        override def next(): (String, String) = {
+          advance()
+          val p = nextPair; nextPair = null; p
+        }
+      }
+    }
+  }
+
   /** Skip-bad-records analog (reference: `mapred/Task.java` skip ranges,
     * `TestBadRecords.java`): apply `f` per record, drop failures, count
     * them in an accumulator instead of failing the job.

@@ -34,6 +34,31 @@ class PipeSpec extends AnyFunSuite {
     assert(out == Seq("a\t2", "b\t3"))
   }
 
+  test("typedbytes codec round-trips every type code") {
+    import graft.operators.TypedBytes
+    val values: Seq[Any] = Seq(
+      Array[Byte](1, 2, -3), 7.toByte, true, 42, 9999999999L, 1.5f, 2.75,
+      "héllo\tworld\n", Vector(1, "two"), List(3L, false), Map("k" -> 1))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    values.foreach(TypedBytes.write(out, _))
+    out.close()
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = Iterator.continually(TypedBytes.read(in))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    assert(back.size == values.size)
+    assert(back(0).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, -3))
+    assert(back.drop(1) == values.drop(1))
+  }
+
+  test("pipeTypedBytes: binary-clean round trip through cat, tabs/newlines survive") {
+    val kv = Seq(("k1", "has\ttab"), ("k2", "has\nnewline"), ("k3", "plain"))
+      .toDS()
+    val back = Pipe.pipeTypedBytes(kv, Seq("cat")).collect().toSet
+    assert(back == Set(("k1", "has\ttab"), ("k2", "has\nnewline"), ("k3", "plain")))
+  }
+
   test("safeMap drops poison records and counts them") {
     val ds = Seq("1", "2", "boom", "4").toDS()
     val out = Pipe.safeMap(ds, "bad")(s => s.toInt)
