@@ -19,12 +19,15 @@ object Aggregators {
 
   /** Distinct-value count with an insertion cap.
     *
-    * Reference semantics (`UniqValueCount.java:88-93`): values past the
-    * cap are dropped. WHICH values are retained is order-dependent, but
-    * the COUNT is deterministically min(true distinct, cap): a buffer
-    * below the cap has lost nothing, and a buffer at the cap already
-    * counts `cap` — so the oracle gate covers both the uncapped and the
-    * capped count (a2). At 100 TB scale prefer `approx_count_distinct`
+    * Reference shape (`UniqValueCount.java:88-93`): values past the cap
+    * are dropped. DELIBERATE divergence: the reference inserts while
+    * `numItems <= maxNumItems`, so it actually retains up to cap+1 values
+    * and reports min(distinct, cap+1); here the cap is exact —
+    * min(distinct, cap) — which is the semantics the name promises and
+    * what the a2 `LEAST(distinct, 10)` oracle checks. WHICH values are
+    * retained is order-dependent either way, but the COUNT is
+    * deterministic: a buffer below the cap has lost nothing, and a buffer
+    * at the cap already counts `cap`. At 100 TB scale prefer `approx_count_distinct`
     * (HLL, gated by a5) — this operator exists for reference API parity
     * and memory-bounded small-cardinality dimensions.
     */

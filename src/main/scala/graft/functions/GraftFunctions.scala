@@ -89,8 +89,11 @@ object GraftFunctions {
                            seed: Long) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    @transient @volatile private var planes: Array[Array[Double]] = _
-    @transient @volatile private var planesDim: Int = -1
+    // Single volatile reference to an immutable (dim, matrix) pair: a
+    // reader takes ONE read and validates dim from it, so mixed-dimension
+    // input can never pair a dim check with a matrix built for a different
+    // dim (two separate volatile fields could).
+    @transient @volatile private var cached: (Int, Array[Array[Double]]) = _
 
     private def hyperplane(table: Int, bit: Int, d: Int): Double = {
       var z = seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d.toLong
@@ -101,17 +104,19 @@ object GraftFunctions {
     }
 
     /** Benign-race lazy build: concurrent tasks compute identical
-      * matrices; the volatile write is atomic either way.
+      * matrices for the same dim; the single volatile pair write is
+      * atomic, and each caller reads the pair once.
       */
     private def planesFor(dim: Int): Array[Array[Double]] = {
-      if (planesDim != dim) {
+      val c = cached
+      if (c != null && c._1 == dim) c._2
+      else {
         val m = Array.tabulate(nTables * nBits, dim) { (r, d) =>
           hyperplane(r / nBits, r % nBits, d)
         }
-        planes = m
-        planesDim = dim
+        cached = (dim, m)
+        m
       }
-      planes
     }
 
     /** Public so generated code can call back into this instance. */

@@ -66,6 +66,23 @@ object Pipe {
     import spark.implicits._
     kv.mapPartitions { it =>
       val proc = new ProcessBuilder(cmd: _*).start()
+      // Drain the child's stderr on a daemon thread (forwarded to the task
+      // log): a child writing >64KB of stderr would otherwise block on the
+      // full OS pipe while the task thread blocks reading stdout —
+      // deadlock. redirectErrorStream is NOT an option for a binary
+      // protocol (it would interleave stderr bytes into the typedbytes
+      // stream). Same design as Spark's PipedRDD stderr-reader thread.
+      val errDrain = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getErrorStream))
+        try {
+          var line = r.readLine()
+          while (line != null) { System.err.println(s"[pipe-err] $line"); line = r.readLine() }
+        } catch { case _: java.io.IOException => () }
+        finally r.close()
+      }, "typedbytes-stderr-drain")
+      errDrain.setDaemon(true)
+      errDrain.start()
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(proc.getOutputStream))
       val feeder = new Thread(() => {

@@ -155,10 +155,15 @@ object TextOps {
     * property that matters for split hygiene.
     */
   def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    // A 100% threshold would format as the 3-char "100", which compares
+    // lexicographically BELOW most 2-char hex hashes — clamp to a sentinel
+    // above every 2-char hex string instead.
+    def thresh(pct: Int): String =
+      if (pct >= 100) "zz" else f"${256 * pct / 100}%02x"
     val h = substring(md5(key.cast("string")), 1, 2)
-    val trainMax = f"${256 * trainPct / 100}%02x"
-    val valMax = f"${256 * (trainPct + valPct) / 100}%02x"
-    when(h < trainMax, "train").when(h < valMax, "val").otherwise("test")
+    when(h < thresh(trainPct), "train")
+      .when(h < thresh(trainPct + valPct), "val")
+      .otherwise("test")
   }
 
   /** Language ID: n-gram/stopword heuristic. Scores each candidate

@@ -274,13 +274,15 @@ object Queries {
         unix_micros(col("o_orderdate").cast("timestamp")).as("dt"))
       .as[(Long, Long)]
     c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { case (k, cs, os) =>
-      val segs = cs.map(_._2).toSeq   // tag-A buffer
-      val dates = os.map(_._2).toSeq  // tag-B buffer (re-iterable)
-      if (segs.isEmpty || dates.isEmpty) Iterator.empty
+      if (cs.isEmpty || os.isEmpty) Iterator.empty
       else {
-        var pairs = 0L
-        for (a <- dates; b <- dates) if (a < b) pairs += 1
-        Iterator((k, segs.head, dates.size.toLong, pairs))
+        val seg = cs.next()._2
+        // Stream the orders side ONCE (GroupStream.strictlyOrderedPairs):
+        // closed-form pair count, O(n) time, O(distinct dates) memory —
+        // a hot key with 10⁷ orders holds only its date histogram,
+        // bounded by the calendar, never the rows.
+        val (n, pairs) = GroupStream.strictlyOrderedPairs(os.map(_._2))
+        Iterator((k, seg, n, pairs))
       }
     }.toDF("custkey", "seg", "n_orders", "n_pairs").orderBy("custkey")
   }

@@ -67,17 +67,39 @@ object Io {
   }
 
   /** NLineInputFormat analog (`core:mapreduce/lib/input/NLineInputFormat
-    * .java:62,150-159`): control task granularity at N lines per
-    * partition. The reference uses it to bound per-task work; here a
-    * count + repartition after the scan (the count is a cheap
-    * metadata-ish pass; Spark's equivalent granularity control for most
-    * jobs is maxPartitionBytes).
+    * .java:62,150-159`): control task granularity at ~N lines per
+    * partition. The reference's getSplitsForFile reads every file
+    * client-side to find exact line boundaries — a full driver-side pass
+    * that does not scale; here the line count is ESTIMATED from file
+    * metadata (total bytes) and a single bounded 64 KiB head sample for
+    * the average line length, so sizing costs O(#files) metadata calls +
+    * one tiny read, never a data scan. Partition sizes are then ~N lines,
+    * which is all the reference's use (bounding per-task work) needs;
+    * jobs wanting byte-exact control should set maxPartitionBytes.
     */
   def textNLines(spark: SparkSession, path: String, linesPerPartition: Int): DataFrame = {
-    val df = spark.read.text(path)
-    val n = df.count()
-    val parts = math.max(1, ((n + linesPerPartition - 1) / linesPerPartition).toInt)
-    df.repartition(parts)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+                 else Seq(fs.getFileStatus(p)))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val avgLineBytes = files.find(_.getLen > 0).map { f =>
+      val in = fs.open(f.getPath)
+      try {
+        val buf = new Array[Byte](math.min(f.getLen, 64 * 1024L).toInt)
+        var read = 0
+        var r = in.read(buf, 0, buf.length)
+        while (r > 0 && read + r < buf.length) { read += r; r = in.read(buf, read, buf.length - read) }
+        if (r > 0) read += r
+        val lines = buf.take(read).count(_ == '\n'.toByte)
+        if (lines > 0) read.toDouble / lines else read.toDouble.max(1.0)
+      } finally in.close()
+    }.getOrElse(1.0)
+    val estLines = math.max(1L, math.round(totalBytes / avgLineBytes))
+    val parts = math.max(1, ((estLines + linesPerPartition - 1) / linesPerPartition).toInt)
+    spark.read.text(path).repartition(parts)
   }
 
   /** Tag-delimited record scan — StreamXmlRecordReader semantics

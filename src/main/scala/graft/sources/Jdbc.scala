@@ -75,8 +75,10 @@ object Jdbc {
       .collect()(0)
     if (bounds.isNullAt(0)) read(spark, url, table, options) // empty table
     else {
-      val lo = bounds.getLong(0)
-      val hi = bounds.getLong(1)
+      // getAs[Number]: MIN/MAX of an INTEGER-typed column (e.g. Derby INT)
+      // comes back as Integer; Row.getLong does not widen.
+      val lo = bounds.getAs[Number](0).longValue
+      val hi = bounds.getAs[Number](1).longValue
       spark.read.jdbc(url, table, splitCol, lo, hi,
         math.max(1, numSplits), props(options))
     }

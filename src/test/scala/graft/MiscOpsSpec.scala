@@ -35,6 +35,35 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(kept > 20 && kept < 130) // ~1/16 of 1000
   }
 
+  test("strictlyOrderedPairs: closed form matches brute force; hot key streams") {
+    import graft.operators.GroupStream
+    // brute-force check on a small multiset
+    val small = Seq(3L, 1L, 3L, 2L, 1L, 3L)
+    var brute = 0L
+    for (a <- small; b <- small) if (a < b) brute += 1
+    assert(GroupStream.strictlyOrderedPairs(small.iterator) == (6L, brute))
+    // hot key: 1e5 values over 365 distinct dates through the SAME
+    // cogroup shape j4 uses — the old O(g²) loop would run 5e9
+    // comparisons here; the stream holds only a 365-entry histogram.
+    val n = 100000
+    val c = Seq((1L, "SEG")).toDS()
+    val o = (0 until n).map(i => (1L, (i % 365).toLong)).toDS()
+    val out = c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { case (k, cs, os) =>
+      if (cs.isEmpty || os.isEmpty) Iterator.empty
+      else {
+        val seg = cs.next()._2
+        val (cnt, pairs) = GroupStream.strictlyOrderedPairs(os.map(_._2))
+        Iterator((k, seg, cnt, pairs))
+      }
+    }.collect()
+    // expected: C(n,2) - 365 * C(m,2) with m = n/365 spread (n=100000:
+    // 100000 = 365*273 + 355 → 355 dates hold 274, 10 hold 273)
+    val m = n / 365; val r = n % 365
+    val ties = r.toLong * (m + 1) * m / 2 + (365L - r) * m * (m - 1) / 2
+    val expect = n.toLong * (n - 1) / 2 - ties
+    assert(out.toSeq == Seq((1L, "SEG", n.toLong, expect)))
+  }
+
   test("multimodal decode: deterministic fake features, partition-batched") {
     val docs = Seq((1L, "hello"), (2L, "a much longer payload here"))
       .toDF("id", "payload")
