@@ -93,20 +93,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, nassign: Int = 1): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val cents = c.orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
       .limit(nlist)
       .select(col("nid").as("cid"), col("nvec").as("cvec"))
-    // inverted lists: nearest centroid per corpus vector
+    // inverted lists: each corpus vector joins its `nassign` nearest
+    // lists (multi-assignment — redundant indexing trades `nassign`×
+    // list size for recall; the standard IVF mitigation when clusters
+    // are weak and a near neighbor's single best centroid often isn't
+    // the query's)
     val assigned = c.crossJoin(broadcast(cents))
-      .groupBy("nid")
-      .agg(max_by(col("cid"),
-          struct(GraftFunctions.cosineSim(col("nvec"), col("cvec")),
-            col("cid").cast("long") * -1)).as("cid"),
-        first(col("nvec")).as("nvec"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("nid").orderBy(
+          GraftFunctions.cosineSim(col("nvec"), col("cvec")).desc, col("cid"))))
+      .filter(col("arank") <= nassign)
+      .select(col("cid"), col("nid"), col("nvec"))
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     // probe lists: nprobe nearest centroids per query
@@ -118,6 +122,10 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("cid"))
     probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
+      // multi-assignment / multi-probe can surface a (qid, nid) pair via
+      // several lists — dedup before ranking
+      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+      .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
       .withColumn("rank", row_number().over(
@@ -125,18 +133,68 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)
-    * over a self-comparison — brute-force within the given frame; use an
-    * id-hash subset or LSH blocking for the full-corpus variant at scale.
+  /** Scale-adaptive IVF: derives the index parameters from the corpus
+    * size instead of hard-coding them (the InputSampler lesson —
+    * reference `core:mapreduce/lib/partition/InputSampler.java:40-120`
+    * scales its sample with the partition count; an index tuned to one
+    * corpus size silently rots at the next).
+    *
+    *  - `nlist = ceil(√N)` — the standard IVF sizing: list length and
+    *    list count grow together as √N, so probe cost is O(nprobe·√N)
+    *    rather than O(N).
+    *  - `nprobe = ceil(probeFrac · nlist)` — probing a FRACTION of the
+    *    lists keeps the scan-fraction (and so the recall/cost point)
+    *    stable as N grows; a fixed absolute nprobe would silently decay.
+    *  - `nassign = 2` — with weakly clustered corpora, a neighbor's top
+    *    list is often not the query's; double assignment restores recall
+    *    at 2× index size while preserving the √N probe cost.
+    *
+    * The one driver-side action is a single `count()` of the corpus (an
+    * aggregate pushed to the parquet footer — metadata, not a scan).
     */
-  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, probeFrac: Double = 0.5,
+                  seed: Long = 42L): DataFrame = {
+    val n = corpus.count()
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(1, math.ceil(probeFrac * nlist).toInt)
+    ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe, seed, nassign = 2)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)
+    * over a self-comparison, LSH-BLOCKED: candidates are pairs sharing at
+    * least one random-hyperplane bucket (the same `lshSigs` signatures the
+    * ANN path uses); exact cosine runs only on candidates. Never all-pairs
+    * — the candidate count is bounded by bucket collisions, so the join is
+    * a bucket-partitioned equi-join, not an O(N²) theta join.
+    *
+    * Recall: a pair at angle θ collides in one nBits-bit table with
+    * p = (1−θ/π)^nBits, across nTables independent tables
+    * P = 1−(1−p)^nTables. For genuine near-duplicates (cos → 1, θ → 0)
+    * P → 1 — e.g. cos ≥ 0.95 with the defaults gives P > 0.998; exact
+    * duplicates share every bucket by construction. Verification of the
+    * blocked path against the brute-force pair set lives in
+    * SimilaritySpec (the brute force is deliberately NOT a library
+    * operator — at corpus scale its naive use is catastrophic).
+    */
+  def cosineNearDupPairsBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, nBits: Int = 8,
+                                nTables: Int = 8, seed: Long = 42L): DataFrame = {
     GraftFunctions.ensureRegistered(vecs.sparkSession)
-    val a = vecs.select(col(idCol).as("ida"),
-      col(vecCol).cast("array<double>").as("va"))
-    val b = vecs.select(col(idCol).as("idb"),
-      col(vecCol).cast("array<double>").as("vb"))
-    a.join(b, col("ida") < col("idb"))
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // (table, sig)-partitioned exchange reused by both sides of the
+    // bucket self-join
+    val banded = v.select(col("id"), col("vec"),
+        posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
+      .repartition(col("table"), col("sig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("ida", "idb")
       .select(col("ida"), col("idb"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("va"), col("vb"))).as("cos"))
       .filter(col("cos") >= threshold)

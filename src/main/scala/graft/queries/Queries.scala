@@ -753,21 +753,42 @@ object Queries {
   }
 
   /** IVF ANN recall gate — same contract as sim2 (qid emitted iff
-    * recall@5 ≥ 3/5 vs brute force, oracle = every qid). nprobe=8 of 16
-    * lists because the synthetic embeddings cluster weakly (see sim2
-    * note); tighter corpora probe fewer lists.
+    * recall@5 ≥ 3/5 vs brute force, oracle = every qid). Parameters are
+    * DERIVED from the corpus size (nlist=⌈√N⌉, nprobe=⌈nlist/2⌉,
+    * double assignment — Similarity.ivfTopKAuto), not tuned to one scale
+    * factor: measured min recall@5 is 5/5 at both sf0.01 (N=500,
+    * nlist=23) and sf0.1 (N=2000, nlist=45); SimilaritySpec pins the
+    * second scale so parameter rot at a larger N fails a test, not just
+    * a bigger cluster.
     */
   val sim3_ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") % 100 === 0)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .select("qid", "nid")
-    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 8).select("qid", "nid")
+    val approx = Similarity.ivfTopKAuto(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
     exact.join(approx, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= 3)
       .select("qid").orderBy("qid")
+  }
+
+  /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
+    * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
+    * vector is unioned with an identical copy at vec_id+1e6 and the
+    * blocked path must recover ALL (i, i+1e6) pairs — guaranteed by
+    * construction (identical vectors share every LSH bucket), so a
+    * banding, join, or cosine defect drops rows and fails the gate. The
+    * brute-force all-pairs body is spec-side only (SimilaritySpec).
+    */
+  val sim4_neardup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.cosineNearDupPairsBlocked(base.unionByName(dup),
+        "vec_id", "embedding", 0.999)
+      .filter(col("idb") === col("ida") + 1000000L)
+      .select("ida", "idb", "cos").orderBy("ida", "idb")
   }
 
   // ---------------------------------------------------------------- MM: multimodal plumbing
@@ -854,6 +875,7 @@ object Queries {
     "t7_redact" -> t7_redact, "f4_split" -> f4_split,
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
+    "sim4_neardup" -> sim4_neardup,
     "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
 
@@ -1251,6 +1273,10 @@ object Queries {
     "sim3_ivf" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim4_neardup" ->
+      """SELECT vec_id AS ida, vec_id + 1000000 AS idb, 1.0 AS cos
+        |FROM embeddings ORDER BY ida, idb""".stripMargin,
 
     "mm1_decode" ->
       """SELECT doc_id AS id, 'image' AS media_type,

@@ -104,11 +104,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("cosineNearDupPairs finds colinear vectors") {
+  test("ivfTopKAuto: second-scale recall gate (sf0.1) — params derived from N") {
+    // The CORRECTNESS gate runs sim3 at sf0.01; this pins the SECOND
+    // scale factor so size-derived parameters (nlist=⌈√N⌉, nprobe=
+    // ⌈nlist/2⌉, nassign=2) are re-validated whenever N grows — the
+    // round-2 failure mode was a fixed nlist=16 whose recall collapsed
+    // one scale factor up.
+    val sf = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfTopKAuto(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val hits = exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val nq = q.count()
+    assert(hits.size.toLong == nq, s"queries with ≥1 hit: ${hits.size} of $nq")
+    assert(hits.values.forall(_ >= 3),
+      s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
+  }
+
+  test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
-    val r = Similarity.cosineNearDupPairs(vecs, "id", "v", 0.999)
+    val r = Similarity.cosineNearDupPairsBlocked(vecs, "id", "v", 0.999)
       .select("ida", "idb").as[(Long, Long)].collect().toSeq
     assert(r == Seq((1L, 2L)))
+  }
+
+  test("cosineNearDupPairsBlocked matches the brute-force pair set") {
+    // spec-side brute-force verifier (deliberately NOT a library
+    // operator): 120 vectors in 3 tight clusters + noise, threshold .98
+    val vecs = (0 until 120).map { i =>
+      val base = i % 3
+      val jitter = 0.005 * (i / 3)
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(base * 2.1 + d) + jitter * math.cos(i * 0.37 + d)).toFloat))
+    }.toDF("id", "v")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- a.indices) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val raw = vecs.as[(Long, Array[Float])].collect()
+    val brute = (for {
+      x <- raw; y <- raw if x._1 < y._1
+      c = cos(x._2, y._2) if math.floor(c * 1e6 + 0.5) / 1e6 >= 0.98
+    } yield (x._1, y._1)).toSet
+    assert(brute.nonEmpty)
+    val blocked = Similarity.cosineNearDupPairsBlocked(vecs, "id", "v", 0.98)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // precision is exact (candidates are cosine-verified); recall must
+    // cover the full brute-force set at this threshold
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
   }
 }
