@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extract as
   * per-partition batch transforms.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container): `fakeDecode` derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — the binary schema, the partition-batched
-  * transform shape (the Scala analog of `mapInPandas`: one iterator of
-  * rows per partition, so a real decoder amortizes model/codec init per
-  * partition, not per row), the output schema — is real and tested.
-  * Swapping in a real decoder = replacing the body of `fakeDecode` only.
+  * Image decode is REAL: `decodeImage` runs `javax.imageio` (in-JDK —
+  * PNG/JPEG/GIF/BMP) and returns genuinely decoded dimensions and
+  * pixels. Payloads that are not a decodable image (sniffed by magic
+  * bytes) fall back to `fakeDecode`, a clearly-marked deterministic
+  * stub for media types whose codecs aren't in the JDK (audio/video).
+  * The pipeline shape is the Scala analog of `mapInPandas`: one
+  * iterator of rows per partition, so decoder init is amortized per
+  * partition, not per row.
   */
 object Multimodal {
 
@@ -21,9 +22,9 @@ object Multimodal {
   final case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
                                  width: Int, height: Int, feature_hash: Long)
 
-  /** STUB decoder — deterministic fake: dims from byte length, feature
-    * hash from content (stands in for an embedding). Replace with a real
-    * codec (e.g. javax.imageio / ffmpeg bindings) in production.
+  /** STUB decoder — deterministic fake for non-image media: dims from
+    * byte length, feature hash from content (stands in for an
+    * embedding). Image payloads never reach this (see `decodeFeatures`).
     */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val n = if (r.bytes == null) 0 else r.bytes.length
@@ -34,16 +35,88 @@ object Multimodal {
       width = (n % 640) + 1, height = (n % 480) + 1, feature_hash = h)
   }
 
-  /** Partition-batched decode: the Spark-side plumbing that matters —
-    * runs once per partition with an iterator (decoder init amortized),
-    * keeps the pipeline distributed, output is a typed Dataset.
+  /** True iff the payload starts with a magic ImageIO can decode
+    * in-JDK: PNG (89 50 4E 47), JPEG (FF D8 FF), GIF (47 49 46), BMP
+    * (42 4D).
+    */
+  def isImagePayload(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && {
+      val b = bytes
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M')
+    }
+
+  final case class DecodedImage(id: Long, n_bytes: Long, width: Int,
+                                height: Int, px00: Long)
+
+  /** REAL image decode (javax.imageio): width/height from the decoded
+    * raster and the top-left pixel's 24-bit RGB — values that can only
+    * be right if the bytes were actually decoded. Returns None for
+    * undecodable payloads.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length == 0) None
+    else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some(DecodedImage(id, bytes.length.toLong, img.getWidth, img.getHeight,
+        (img.getRGB(0, 0) & 0xffffff).toLong))
+    }
+  }
+
+  /** Partition-batched typed image decode — the strict path for media
+    * known to be images; undecodable payloads are dropped (count them
+    * upstream with `isImagePayload` if an audit is needed).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // ImageIO plugin registry lookup is per-JVM; per-partition scope
+      // here is where a heavier codec would init
+      it.flatMap(r => decodeImage(r.id, r.bytes))
+    }
+  }
+
+  /** Encode a solid-`rgb` `width`×`height` PNG — the deterministic
+    * image fixture generator (PNG is lossless, so decoded dims/pixels
+    * are bit-exact).
+    */
+  def pngBytes(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Partition-batched decode: image payloads (magic-sniffed) get the
+    * REAL javax.imageio decode; anything else falls back to the
+    * deterministic stub. Runs once per partition with an iterator
+    * (decoder init amortized), keeps the pipeline distributed, output is
+    * a typed Dataset.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: open codec/model here, close after the iterator
-      it.map(fakeDecode)
+      it.map { r =>
+        if (isImagePayload(r.bytes))
+          decodeImage(r.id, r.bytes) match {
+            case Some(d) => MediaFeatures(r.id, r.media_type, d.n_bytes,
+              d.width, d.height, d.px00)
+            case None => fakeDecode(r)
+          }
+        else fakeDecode(r)
+      }
     }
   }
 

@@ -15,18 +15,41 @@ import org.apache.spark.sql.functions._
   * hand-partition).
   */
 object SortSpec {
-  final case class Key(from: Int, to: Int, numeric: Boolean, reverse: Boolean)
+  /** One `-k` key. Char offsets (`-k f.c[,f.c]`,
+    * `KeyFieldBasedComparator.java:36-60` / `KeyFieldHelper.java`):
+    * `fromChar` is the 1-based start character within the first field;
+    * `toChar` is the last character within the last field, with 0 = "to
+    * the end of the field" (the whole-field default).
+    */
+  final case class Key(from: Int, to: Int, numeric: Boolean, reverse: Boolean,
+                       fromChar: Int = 1, toChar: Int = 0)
 
-  private val KeyRe = """-k(\d+)(?:,(\d+))?([nr]*)""".r
+  private val KeyRe = """-k(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?([nr]*)""".r
 
   def parse(spec: String): Seq[Key] =
     spec.trim.split("\\s+").toSeq.filter(_.nonEmpty).map {
-      case KeyRe(f, t, flags) =>
+      case KeyRe(f, fc, t, tc, flags) =>
         val from = f.toInt
         val to = Option(t).map(_.toInt).getOrElse(from)
-        Key(from, to, flags.contains("n"), flags.contains("r"))
+        Key(from, to, flags.contains("n"), flags.contains("r"),
+          fromChar = Option(fc).map(_.toInt).getOrElse(1),
+          toChar = Option(tc).map(_.toInt).getOrElse(0))
       case other => throw new IllegalArgumentException(s"bad sort key: $other")
     }
+
+  /** The key slice of field `i` under `k`: char offsets apply to the
+    * FIRST field (start at fromChar) and the LAST field (stop at
+    * toChar); interior fields contribute whole. 1-based, inclusive,
+    * matching KeyFieldHelper's field.char addressing.
+    */
+  private def fieldSlice(k: Key, i: Int, f: Column): Column = {
+    val isFirst = i == k.from
+    val isLast = i == k.to
+    val start = if (isFirst) k.fromChar else 1
+    if (isLast && k.toChar > 0) substring(f, start, math.max(0, k.toChar - start + 1))
+    else if (start > 1) substring(f, start, Int.MaxValue)
+    else f
+  }
 
   /** Partition columns for `repartition` over a line column split on
     * `sep` — the KeyFieldBasedPartitioner twin
@@ -38,7 +61,8 @@ object SortSpec {
     */
   def partitionCols(line: Column, sep: String, spec: String): Seq[Column] = {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
-    parse(spec).flatMap(k => (k.from to k.to).map(i => try_element_at(fields, lit(i))))
+    parse(spec).flatMap(k => (k.from to k.to).map(i =>
+      fieldSlice(k, i, try_element_at(fields, lit(i)))))
   }
 
   /** Sort columns for `orderBy` over a line column split on `sep`.
@@ -53,7 +77,7 @@ object SortSpec {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
     parse(spec).flatMap { k =>
       (k.from to k.to).map { i =>
-        val f = try_element_at(fields, lit(i))
+        val f = fieldSlice(k, i, try_element_at(fields, lit(i)))
         val c = if (k.numeric) f.try_cast("double") else f
         if (k.reverse) c.desc_nulls_last else c.asc_nulls_first
       }

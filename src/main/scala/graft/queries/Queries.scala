@@ -442,6 +442,76 @@ object Queries {
       .orderBy("p_type")
   }
 
+  /** Binary SequenceFile round trip (SequenceFileAsBinaryOutputFormat →
+    * SequenceFileAsBinaryInputFormat): keys are 8-byte big-endian
+    * orderkeys (leading ZERO bytes by construction), values embed a NUL,
+    * a TAB, and a LF — the bytes that break any line-oriented carrier.
+    * The gate decodes key and value fields back out and checks counts,
+    * key ranges, and the exact 5-byte value length per record, so a
+    * single corrupted/truncated byte fails the oracle.
+    */
+  val i5_binseq: Q = (s, d) => {
+    val p = graft.sources.Io.scratch("i5", d)
+    val kv = li(s, d).select(
+      // 8-byte big-endian key (ANSI mode forbids a direct long→binary
+      // cast; hex-pad-unhex builds the same bytes)
+      unhex(lpad(hex(col("l_orderkey")), 16, "0")).as("k"),
+      concat(col("l_returnflag").cast("binary"), lit(Array[Byte](0x00)),
+        col("l_linestatus").cast("binary"),
+        lit(Array[Byte](0x09, 0x0A))).as("v"))
+    graft.sources.Io.sequenceFileBinary(kv, p)
+    val back = graft.sources.Io.sequenceFileBinary(s, p)
+    back.select(
+        conv(hex(col("k")), 16, 10).cast("long").as("ok"),
+        decode(substring(col("v"), 1, 1), "US-ASCII").as("flag"),
+        decode(substring(col("v"), 3, 1), "US-ASCII").as("status"),
+        length(col("v")).as("vlen"))
+      .groupBy("flag", "status")
+      .agg(count(lit(1)).as("n"), min("ok").as("min_key"),
+        max("ok").as("max_key"), sum("vlen").as("sum_vlen"))
+      .orderBy("flag", "status")
+  }
+
+  /** Typed JDBC splitter gate (DateSplitter,
+    * `core:mapreduce/lib/db/DateSplitter.java`): orders land in Derby
+    * with a DATE column, are read back through date-range predicates
+    * (readPartitionedTyped dispatches on the column's JDBC type), and the
+    * query REQUIRES ≥4 genuinely non-empty partitions before gating the
+    * per-month aggregate against the parquet oracle.
+    */
+  val d2_datesplit: Q = (s, d) => {
+    val dbDir = s"/tmp/graft-derby/db2_${d.hashCode & Int.MaxValue}"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
+    val orders = Tables.orders(s, d).select(col("o_orderkey").as("ID"),
+      col("o_orderdate").cast("date").as("ODATE"))
+    graft.sources.Jdbc.write(orders, url, "ORDERS_BY_DATE")
+    val in = graft.sources.Jdbc.readPartitionedTyped(
+      s, url, "ORDERS_BY_DATE", "ODATE", 6)
+    val nonEmpty = in.groupBy(spark_partition_id().as("pid"))
+      .count().filter(col("count") > 0).count()
+    require(nonEmpty >= 4,
+      s"date splits produced only $nonEmpty non-empty partitions")
+    in.groupBy(date_format(col("ODATE"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), sum("ID").as("sum_keys"))
+      .orderBy("month")
+  }
+
+  /** Char-offset sort-key gate (`-k f.c[,f.c]`,
+    * `core:mapreduce/lib/partition/KeyFieldBasedComparator.java:36-60` /
+    * `KeyFieldHelper.java`): sorting on the MONTH characters of the date
+    * field (-k2.6,2.7) orders year-first dates month-first — an ordering
+    * no whole-field spec produces — then numerically by orderkey, with a
+    * full-line tiebreak pinning the total order.
+    */
+  val o5_charsort: Q = (s, d) => {
+    val lines = Tables.orders(s, d).select(concat_ws("\t",
+      col("o_orderkey").cast("string"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd")).as("line"))
+    lines.orderBy(
+      SortSpec.sortCols(col("line"), "\t", "-k2.6,2.7 -k1,1n") :+ col("line").asc: _*)
+  }
+
   /** Partitioned output (MultipleOutputFormat filename-from-key,
     * `core:mapred/lib/MultipleOutputFormat.java:56-144`): orders written
     * `partitionBy(o_orderpriority)` as text, read back raw, and the
@@ -806,6 +876,29 @@ object Queries {
       .orderBy("id")
   }
 
+  /** REAL image decode gate: per-doc solid-color PNGs are rendered
+    * distributedly (dims and color derived from doc_id), then decoded
+    * with javax.imageio — the gated width/height/top-left-pixel values
+    * exist ONLY inside the encoded PNG bytes, so a green row certifies a
+    * genuine encode→decode round trip, not an echoed formula. (PNG byte
+    * length is encoder-dependent and deliberately not gated.)
+    */
+  val mm2_image: Q = (s, d) => {
+    import s.implicits._
+    val ids = docs(s, d).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 31 + 1).toInt
+        val h = (id % 17 + 1).toInt
+        val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+        Multimodal.MediaRow(id, Multimodal.pngBytes(w, h, rgb), "image")
+      }
+    }
+    Multimodal.decodeImages(media).toDF()
+      .select(col("id"), col("width"), col("height"), col("px00"))
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------- W: windows (streaming extension)
 
   val w1_tumbling: Q = (s, d) =>
@@ -858,7 +951,9 @@ object Queries {
     "m5_distsum" -> m5_distsum,
     "u1_pipe" -> u1_pipe,
     "i1_kvtext" -> i1_kvtext, "i2_fixedlen" -> i2_fixedlen,
-    "i3_seqfile" -> i3_seqfile, "mi1_multi" -> mi1_multi,
+    "i3_seqfile" -> i3_seqfile, "i5_binseq" -> i5_binseq,
+    "d2_datesplit" -> d2_datesplit, "o5_charsort" -> o5_charsort,
+    "mi1_multi" -> mi1_multi,
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
@@ -876,7 +971,8 @@ object Queries {
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup,
-    "mm1_decode" -> mm1_decode, "w1_tumbling" -> w1_tumbling,
+    "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
+    "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
 
   /** Shared CTEs for t5: per-doc tokens + corpus token frequencies. */
@@ -1045,6 +1141,24 @@ object Queries {
     "i3_seqfile" ->
       """SELECT p_type, count(*) AS n, min(p_partkey) AS min_key,
         |  max(p_partkey) AS max_key FROM part GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "i5_binseq" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  CAST(5 * count(*) AS BIGINT) AS sum_vlen
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin,
+
+    "d2_datesplit" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "o5_charsort" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) || chr(9) ||
+        |  strftime(o_orderdate, '%Y-%m-%d') AS line
+        |FROM orders
+        |ORDER BY substr(strftime(o_orderdate, '%Y-%m-%d'), 6, 2) ASC NULLS FIRST,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) ASC NULLS FIRST, line""".stripMargin,
 
     "j7_range" ->
       """WITH w AS (SELECT event_id AS wid, ts AS ws, ts + INTERVAL 2 HOUR AS we
@@ -1281,6 +1395,13 @@ object Queries {
     "mm1_decode" ->
       """SELECT doc_id AS id, 'image' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "mm2_image" ->
+      """SELECT doc_id AS id, CAST(1 + doc_id % 31 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 17 AS INTEGER) AS height,
+        |  CAST((doc_id % 256) * 65536 + (doc_id * 7 % 256) * 256
+        |    + doc_id * 13 % 256 AS BIGINT) AS px00
         |FROM documents ORDER BY id""".stripMargin,
 
     "w1_tumbling" ->

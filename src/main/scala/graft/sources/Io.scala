@@ -102,6 +102,45 @@ object Io {
     spark.read.text(path).repartition(parts)
   }
 
+  /** Binary-KV SequenceFile scan — SequenceFileAsBinaryInputFormat
+    * semantics (`core:mapreduce/lib/input/SequenceFileAsBinaryInputFormat
+    * .java`): raw BytesWritable payloads, safe for keys/values containing
+    * tabs, newlines, and zero bytes. DataFrame(k: binary, v: binary).
+    * The record reader REUSES its Writable instances, so bytes are copied
+    * out per record before leaving the iterator.
+    */
+  def sequenceFileBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.io.BytesWritable
+    spark.sparkContext
+      .sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) =>
+        (java.util.Arrays.copyOf(k.getBytes, k.getLength),
+          java.util.Arrays.copyOf(v.getBytes, v.getLength))
+      }
+      .toDF("k", "v")
+  }
+
+  /** Binary-KV SequenceFile write from a 2-column (k, v) binary frame —
+    * SequenceFileAsBinaryOutputFormat
+    * (`core:mapreduce/lib/output/SequenceFileAsBinaryOutputFormat.java`).
+    */
+  def sequenceFileBinary(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    df.select(col(df.columns(0)).cast("binary"), col(df.columns(1)).cast("binary"))
+      .rdd.map { r =>
+        (new BytesWritable(r.getAs[Array[Byte]](0)),
+          new BytesWritable(r.getAs[Array[Byte]](1)))
+      }
+      .saveAsNewAPIHadoopFile(path, classOf[BytesWritable], classOf[BytesWritable],
+        classOf[org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat[
+          BytesWritable, BytesWritable]])
+  }
+
   /** Tag-delimited record scan — StreamXmlRecordReader semantics
     * (`stream:StreamXmlRecordReader.java`: records bracketed by
     * begin/end tags, one record per emitted row): implemented with the

@@ -62,6 +62,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
   }
 
+  test("simhash banding: chunk ranges cover 64 bits; C(6,3)=20 combos") {
+    val ranges = Dedup.chunkRanges(6)
+    assert(ranges.map(_._2).sum == 64)
+    assert(ranges == Seq((0,11),(11,11),(22,11),(33,11),(44,10),(54,10)))
+    assert(Dedup.combinations(6, 3).size == 20)
+    assert(Dedup.combinations(6, 3).distinct.size == 20)
+    assert(Dedup.chunkRanges(4) == Seq((0,16),(16,16),(32,16),(48,16)))
+  }
+
+  test("simhash length blocking: boundary-straddling near-dups still meet") {
+    // Identical-signature docs whose token counts straddle a bucket
+    // boundary: "x"×7 and "x"×8 have the SAME simhash (single distinct
+    // token → every bit has full margin) but blk 1 vs 2 at blockWidth=4
+    // — only the ±1 neighbor probe can pair them. The far doc ("y"×36,
+    // blk 9) must not become a candidate: even where its chunks happen
+    // to collide, the length block separates it.
+    val a = Seq.fill(7)("x").mkString(" ")   // 7 tokens → blk 1
+    val b = Seq.fill(8)("x").mkString(" ")   // 8 tokens → blk 2
+    val far = Seq.fill(36)("y").mkString(" ") // 36 tokens → blk 9
+    val df = Seq((1L, a), (2L, b), (3L, far)).toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(df, "text", "doc_id", blockWidth = 4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "adjacent-bucket pair must meet via ±1 probe")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)),
+      "length blocking must separate far-length docs (their chunks also differ)")
+    // blocked and unblocked agree on the near-dup pair set here
+    val blockedPairs = Dedup.simhashPairs(df, "text", "doc_id", 3, 4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val unblocked = Dedup.simhashPairs(df, "text", "doc_id", 3, 0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(blockedPairs == unblocked)
+  }
+
   test("hot-shingle cap drops high-frequency shingles from candidates") {
     // 3 docs sharing one hot shingle; cap=2 suppresses it entirely
     val hot = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))

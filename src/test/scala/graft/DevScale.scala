@@ -41,6 +41,14 @@ object DevScale {
         Dedup.minhashLshPairs(docs, "text", "doc_id").count())
       time("simhash banding")(
         Dedup.simhashPairs(docs, "text", "doc_id").count())
+      // candidate-pair curve: the quantity that must stay sub-quadratic
+      time("simhash candidates m=6 (default)")(
+        Dedup.simhashCandidates(docs, "text", "doc_id").count())
+      time("simhash candidates m=6 + length block w=8")(
+        Dedup.simhashCandidates(docs, "text", "doc_id", 8).count())
+      if (n <= 200000)
+        time("simhash candidates m=4 (old 4x16 scheme)")(
+          Dedup.simhashCandidates(docs, "text", "doc_id", 0, 4).count())
       time("quality metrics")(
         TextOps.qualityMetrics(docs, "text", "doc_id").count())
     }

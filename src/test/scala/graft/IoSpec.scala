@@ -91,4 +91,33 @@ class IoSpec extends AnyFunSuite {
     val back = Io.sequenceFile(spark, p).as[(String, String)].collect().toSeq
     assert(back.sorted == Seq(("k1", "v1"), ("k1", "v3"), ("k2", "v2")))
   }
+
+  test("binary sequenceFile round trip: tabs, newlines, zero bytes survive") {
+    val p = tmp("binseq")
+    val pairs = Seq(
+      (Array[Byte](0, 1, 2), Array[Byte](9, 10, 0, 13, 10)),     // \t \n NUL \r \n
+      (Array[Byte](0x7f, 0, -1), Array[Byte]()),                 // empty value
+      (Array[Byte](0), Array[Byte](0, 0, 0)))
+    Io.sequenceFileBinary(pairs.toDF("k", "v"), p)
+    val back = Io.sequenceFileBinary(spark, p)
+      .as[(Array[Byte], Array[Byte])].collect().toSeq
+      .map { case (k, v) => (k.toSeq, v.toSeq) }.sortBy(_._1.toString)
+    assert(back == pairs.map { case (k, v) => (k.toSeq, v.toSeq) }.sortBy(_._1.toString))
+  }
+
+  test("kvText round trip survives a splittable bzip2 codec") {
+    // CompressedSplitLineReader parity: the same i1-style text chain
+    // through .bz2 part files (bzip2 is the splittable codec)
+    val p = tmp("bz2")
+    val df = (1 to 500).map(i => (s"k$i", s"v$i\twith tab")).toDF("k", "v")
+    df.select(concat_ws("\t", col("k"), col("v")).as("value"))
+      .write.mode("overwrite").option("compression", "bzip2").text(p)
+    val files = new java.io.File(p).listFiles.filter(_.getName.endsWith(".bz2"))
+    assert(files.nonEmpty, "fixture must actually be bzip2-compressed")
+    val back = Io.kvText(spark, p)
+    assert(back.count() == 500)
+    // first-separator-only split: embedded tab stays in the value
+    val r = back.filter(col("k") === "k7").as[(String, String)].head()
+    assert(r == ("k7", "v7\twith tab"))
+  }
 }

@@ -45,4 +45,49 @@ class JdbcSpec extends AnyFunSuite {
     assert(sums.map(_._2).sum == 1000)
     assert(sums.size == 7)
   }
+
+  test("dateRangePredicates: contiguous day slices covering [lo, hi]") {
+    val lo = java.time.LocalDate.parse("2020-01-01")
+    val hi = java.time.LocalDate.parse("2020-12-31")
+    val p = Jdbc.dateRangePredicates("D", lo, hi, 4)
+    assert(p.length == 4)
+    assert(p.head.startsWith("D >= {d '2020-01-01'}"))
+    assert(p.last.contains("< {d '2021-01-01'}")) // hi+1: hi itself covered
+    // contiguity: each slice's upper bound is the next slice's lower
+    val bounds = p.toSeq.map(s => "\\{d '([0-9-]+)'\\}".r.findAllMatchIn(s)
+      .map(_.group(1)).toSeq)
+    bounds.sliding(2).foreach {
+      case Seq(a, b) => assert(a(1) == b(0))
+      case _ =>
+    }
+  }
+
+  test("bigDecimal and text splitters: ordered, covering, non-degenerate") {
+    val bd = Jdbc.bigDecimalRangePredicates("X", BigDecimal(0), BigDecimal(10), 4)
+    assert(bd.length == 4 && bd.head.startsWith("X >= 0") && bd.last.endsWith("<= 10"))
+    val tx = Jdbc.textRangePredicates("S", "apple", "applz", 3)
+    assert(tx.length == 3)
+    assert(tx.head.contains(">= 'apple'") && tx.last.contains("<= 'applz'"))
+    // escaping
+    val esc = Jdbc.textRangePredicates("S", "o'lo", "o'zz", 1)
+    assert(esc.head.contains("'o''lo'"))
+  }
+
+  test("typed read: DATE column splits into multiple non-empty partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby-date")
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val df = spark.range(0, 365).select(col("id").as("ID"),
+      date_add(lit(java.sql.Date.valueOf("2021-01-01")),
+        col("id").cast("int")).as("D"))
+    Jdbc.write(df, url, "T_DATES")
+    val back = Jdbc.readPartitionedTyped(spark, url, "T_DATES", "D", 5)
+    assert(back.rdd.getNumPartitions == 5)
+    assert(back.count() == 365)
+    val perPart = back.groupBy(spark_partition_id()).count()
+      .as[(Int, Long)].collect().toMap
+    assert(perPart.size == 5 && perPart.values.forall(_ > 0))
+    // no row lost or duplicated at slice boundaries
+    assert(back.select(count_distinct(col("ID"))).as[Long].head() == 365)
+  }
 }

@@ -64,6 +64,30 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "SEG", n.toLong, expect)))
   }
 
+  test("real PNG decode: dims and pixel survive an encode→decode round trip") {
+    val bytes = Multimodal.pngBytes(13, 7, 0xa1b2c3)
+    assert(Multimodal.isImagePayload(bytes))
+    val d = Multimodal.decodeImage(42L, bytes).get
+    assert(d.width == 13 && d.height == 7 && d.px00 == 0xa1b2c3L)
+    assert(d.n_bytes == bytes.length.toLong)
+    // distributed typed path
+    val media = Seq(Multimodal.MediaRow(1L, Multimodal.pngBytes(3, 2, 0x0000ff),
+      "image")).toDS()
+    val out = Multimodal.decodeImages(media).collect().toSeq
+    assert(out == Seq(Multimodal.DecodedImage(1L, out.head.n_bytes, 3, 2, 0xffL)))
+  }
+
+  test("decodeFeatures routes image payloads to the real decoder, text to the stub") {
+    val png = Multimodal.pngBytes(5, 4, 0x123456)
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image"),
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"), "audio")).toDS()
+    val r = Multimodal.decodeFeatures(media).collect().sortBy(_.id)
+    assert(r(0).width == 5 && r(0).height == 4 && r(0).feature_hash == 0x123456L)
+    val n2 = "not an image".getBytes("UTF-8").length
+    assert(r(1).width == (n2 % 640) + 1 && r(1).n_bytes == n2.toLong) // stub path
+  }
+
   test("multimodal decode: deterministic fake features, partition-batched") {
     val docs = Seq((1L, "hello"), (2L, "a much longer payload here"))
       .toDF("id", "payload")

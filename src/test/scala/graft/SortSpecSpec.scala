@@ -39,6 +39,47 @@ class SortSpecSpec extends AnyFunSuite {
     assert(keyParts.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1))
   }
 
+  test("char offsets parse: -k f.c,f.c and mixed forms") {
+    assert(SortSpec.parse("-k2.6,2.7") ==
+      Seq(Key(2, 2, numeric = false, reverse = false, fromChar = 6, toChar = 7)))
+    assert(SortSpec.parse("-k1.3nr") ==
+      Seq(Key(1, 1, numeric = true, reverse = true, fromChar = 3, toChar = 0)))
+    assert(SortSpec.parse("-k1.2,3.4n") ==
+      Seq(Key(1, 3, numeric = true, reverse = false, fromChar = 2, toChar = 4)))
+    // charless specs keep whole-field defaults
+    assert(SortSpec.parse("-k2,2nr") ==
+      Seq(Key(2, 2, numeric = true, reverse = true)))
+  }
+
+  test("char-offset keys order by the sub-field slice") {
+    // field 2 is yyyy-MM-dd; -k2.6,2.7 sorts by MONTH — a different
+    // order than the whole field (year-first)
+    val df = Seq("a\t2001-12-01", "b\t2003-01-15", "c\t2002-06-30").toDF("line")
+    val byMonth = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2.6,2.7"): _*)
+      .as[String].collect().toSeq
+    assert(byMonth == Seq("b\t2003-01-15", "c\t2002-06-30", "a\t2001-12-01"))
+    val byWhole = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2,2"): _*)
+      .as[String].collect().toSeq
+    assert(byWhole == Seq("a\t2001-12-01", "c\t2002-06-30", "b\t2003-01-15"))
+    // from-char to end-of-field: -k2.9 → day+1 digit... -k2.9,2 → "01","15","30"
+    val byDay = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2.9,2"): _*)
+      .as[String].collect().toSeq
+    assert(byDay == Seq("a\t2001-12-01", "b\t2003-01-15", "c\t2002-06-30"))
+  }
+
+  test("char-offset numeric key: digits sliced then compared numerically") {
+    // field 2 from char 2: "10", "9", "2" — numeric asc (2 < 9 < 10)
+    // differs from string asc ("10" < "2" < "9")
+    val df = Seq(("b", "x10"), ("a", "x9"), ("c", "x2"))
+      .map { case (a, b) => s"$a\t$b" }.toDF("line")
+    val numeric = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2.2,2.3n"): _*)
+      .as[String].collect().toSeq
+    assert(numeric == Seq("c\tx2", "a\tx9", "b\tx10"))
+    val string = df.orderBy(SortSpec.sortCols(col("line"), "\t", "-k2.2,2.3"): _*)
+      .as[String].collect().toSeq
+    assert(string == Seq("b\tx10", "c\tx2", "a\tx9"))
+  }
+
   test("ragged and non-numeric fields sort as null, not ANSI errors") {
     // "x" has no field 2; "y\tabc" has a non-numeric field 2. GNU sort
     // treats both as empty/0 — here they sort as null (desc → last).
