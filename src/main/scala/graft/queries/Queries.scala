@@ -170,6 +170,28 @@ object Queries {
 
   val o3_terasort: Q = (s, _) => TeraSort.kernel(s, 200000L)
 
+  /** Secondary sort through the STREAMING group iterator
+    * (GroupStream.mapSortedGroups — the MR reduce contract, O(1) group
+    * memory): same answer as o2, whose collect_list materializes each
+    * group. Shares o2's oracle, so a broken shuffle-sort arrangement or
+    * group-boundary bug diverges from the array-sort formulation.
+    */
+  val o6_streamgroups: Q = (s, d) => {
+    import s.implicits._
+    val rows = li(s, d).select(col("l_orderkey").as("k"),
+        col("l_shipdate").as("sd"), col("l_linenumber").as("ln"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    GroupStream.mapSortedGroups(rows, Seq("k"), Seq("sd", "ln"))(_._1) {
+      (k, it) =>
+        val sb = new StringBuilder
+        it.foreach { r =>
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(r._3)
+        }
+        Iterator((k, sb.toString))
+    }.toDF("l_orderkey", "lines").orderBy("l_orderkey")
+  }
+
   // ---------------------------------------------------------------- J: joins
 
   val j1_join: Q = (s, d) =>
@@ -945,6 +967,7 @@ object Queries {
     "f1_fieldsel" -> f1_fieldsel, "f2_md5sample" -> f2_md5sample,
     "f3_regexscan" -> f3_regexscan, "o1_sort" -> o1_sort,
     "o2_secsort" -> o2_secsort, "o3_terasort" -> o3_terasort,
+    "o6_streamgroups" -> o6_streamgroups,
     "j1_join" -> j1_join, "j2_outer" -> j2_outer, "j3_override" -> j3_override,
     "d1_pageview" -> d1_pageview, "m1_pi" -> m1_pi, "m2_bbp" -> m2_bbp,
     "m3_sudoku" -> m3_sudoku, "m4_pentomino" -> m4_pentomino,
@@ -1079,6 +1102,11 @@ object Queries {
         |FROM lineitem ORDER BY ship, l_orderkey, l_linenumber""".stripMargin,
 
     "o2_secsort" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_shipdate, l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "o6_streamgroups" ->
       """SELECT l_orderkey,
         |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_shipdate, l_linenumber) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,

@@ -88,6 +88,32 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(r(1).width == (n2 % 640) + 1 && r(1).n_bytes == n2.toLong) // stub path
   }
 
+  test("mapSortedGroups: sorted streaming groups, partial consumption drained") {
+    import graft.operators.GroupStream
+    val ds = Seq((2L, 30L), (1L, 2L), (2L, 10L), (1L, 1L), (3L, 5L), (2L, 20L))
+      .toDS().withColumnRenamed("_1", "k").withColumnRenamed("_2", "v")
+      .as[(Long, Long)]
+    // full consumption: values arrive sorted within each key
+    val sums = GroupStream.mapSortedGroups(ds, Seq("k"), Seq("v"))(_._1) {
+      (k, it) => Iterator((k, it.map(_._2).mkString("-")))
+    }.collect().toMap
+    assert(sums == Map(1L -> "1-2", 2L -> "10-20-30", 3L -> "5"))
+    // partial consumption: f takes only the first (smallest) value; the
+    // remainder must be drained, not leak into the next group
+    val firsts = GroupStream.mapSortedGroups(ds, Seq("k"), Seq("v"))(_._1) {
+      (k, it) => Iterator((k, it.next()._2))
+    }.collect().toMap
+    assert(firsts == Map(1L -> 1L, 2L -> 10L, 3L -> 5L))
+    // hot key: 1e5 rows in one group stream through a constant-space fold
+    val hot = (0 until 100000).map(i => (7L, i.toLong)).toDS()
+      .withColumnRenamed("_1", "k").withColumnRenamed("_2", "v").as[(Long, Long)]
+    val folded = GroupStream.mapSortedGroups(hot, Seq("k"), Seq("v"))(_._1) {
+      (k, it) => var n = 0L; var s = 0L; it.foreach { r => n += 1; s += r._2 }
+        Iterator((k, n, s))
+    }.collect().toSeq
+    assert(folded == Seq((7L, 100000L, 100000L * 99999L / 2)))
+  }
+
   test("multimodal decode: deterministic fake features, partition-batched") {
     val docs = Seq((1L, "hello"), (2L, "a much longer payload here"))
       .toDF("id", "payload")
