@@ -785,6 +785,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Training-shard packing via the distributed two-pass prefix sum
+    * (Shards.packByTokenBudget): documents in doc_id order packed into
+    * ~1000-token shards. The oracle computes the same exclusive running
+    * total with a window — correct only if the partition-offset
+    * bookkeeping is exact, so one mis-offset partition diverges.
+    */
+  val t9_shardpack: Q = (s, d) => {
+    val withTokens = docs(s, d).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Shards.packByTokenBudget(withTokens, "doc_id", "n_tokens", 1000L)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus mixing (domain reweighting): per-source keep
+    * probabilities applied through the stable md5-threshold filter —
+    * src0 kept at 25%, src1 dropped, src2 fully kept, everything else
+    * at the 75% default. Stable under resharding; the oracle replays the
+    * same thresholds.
+    */
+  val t10_mix: Q = (s, d) =>
+    docs(s, d)
+      .filter(Shards.weightedSampleFilter(col("doc_id"), col("source"),
+        Map("src0" -> 0.25, "src1" -> 0.0, "src2" -> 1.0),
+        defaultWeight = 0.75))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** Composed rule filter (Gopher-style heuristics): keep docs with
     * 10..2000 tokens, mean token length in [2, 12], ≥1 stopword, and
     * < 30% duplicate 3-grams. Every ingredient is individually gated
@@ -992,6 +1019,7 @@ object Queries {
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
     "t7_redact" -> t7_redact, "f4_split" -> f4_split,
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
+    "t9_shardpack" -> t9_shardpack, "t10_mix" -> t10_mix,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
@@ -1377,6 +1405,21 @@ object Queries {
          |  AND (n3 = 0 OR CAST(n3 - nd AS DOUBLE) / n3 < 0.3)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "t9_shardpack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 1000 AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t10_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '00'
+        |              WHEN 'src2' THEN 'zz' ELSE 'c0' END
+        |ORDER BY doc_id""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

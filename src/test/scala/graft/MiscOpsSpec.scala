@@ -114,6 +114,39 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(folded == Seq((7L, 100000L, 100000L * 99999L / 2)))
   }
 
+  test("packByTokenBudget: matches serial prefix sum, parallelism-independent") {
+    import graft.operators.Shards
+    val rows = (0 until 500).map(i => (i.toLong, (i * 37 % 90 + 10).toLong))
+    val df = rows.toDF("id", "n")
+    def run(parts: Int) = Shards.packByTokenBudget(df, "id", "n", 777L, parts)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    // serial reference: exclusive running total
+    var running = 0L
+    val expect = rows.map { case (id, n) =>
+      val s = running / 777L; running += n; id -> s
+    }.toMap
+    assert(run(3) == expect)
+    assert(run(13) == expect) // partition-count independent
+    // every shard non-empty and contiguous in id order
+    val shards = expect.toSeq.sortBy(_._1).map(_._2)
+    assert(shards.sliding(2).forall { case Seq(a, b) => b == a || b == a + 1; case _ => true })
+  }
+
+  test("weightedSampleFilter: 0 drops all, 1 keeps all, default applies") {
+    import graft.operators.Shards
+    val df = (0 until 400).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val kept = df.filter(Shards.weightedSampleFilter(col("id"), col("src"),
+        Map("s0" -> 0.0, "s1" -> 1.0), defaultWeight = 0.5))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("s0"))
+    assert(kept("s1") == 100L)
+    assert(kept("s2") > 25 && kept("s2") < 75) // ~50 of 100
+    // deterministic across evaluations
+    val again = df.filter(Shards.weightedSampleFilter(col("id"), col("src"),
+        Map("s0" -> 0.0, "s1" -> 1.0), defaultWeight = 0.5)).count()
+    assert(again == kept.values.sum)
+  }
+
   test("multimodal decode: deterministic fake features, partition-batched") {
     val docs = Seq((1L, "hello"), (2L, "a much longer payload here"))
       .toDF("id", "payload")
