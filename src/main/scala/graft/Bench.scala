@@ -49,6 +49,7 @@ object Bench {
       "bench_join" -> (() => Q.j1_join(spark, sfDir)),
       "bench_2sort" -> (() => Q.o2_secsort(spark, sfDir)),
       "bench_dedup" -> (() => Q.dd4_ngram(spark, sfDir)),
+      "bench_simhash" -> (() => Q.dd3_simhash(spark, sfDir)),
       "bench_ann" -> (() => Q.sim1_knn(spark, sfDir)),
       "bench_clean" -> (() => Q.p1_clean(spark, sfDir)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))

@@ -191,12 +191,16 @@ object Io {
   /** `col1 <sep> col2 <sep> ...` text lines (TextOutputFormat shape);
     * nulls render as empty strings (concat_ws drops nulls only between
     * separators, so cast+coalesce first for faithful columns).
+    * `codec`: output compression (TextOutputFormat.setCompressOutput
+    * parity) — "none", "gzip", "bzip2" (splittable), "lz4", "snappy",
+    * "deflate".
     */
-  def tsv(df: DataFrame, path: String, sep: String = "\t"): Unit = {
+  def tsv(df: DataFrame, path: String, sep: String = "\t",
+          codec: String = "none"): Unit = {
     val cols: Seq[Column] =
       df.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
     df.select(concat_ws(sep, cols: _*).as("value"))
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite").option("compression", codec).text(path)
   }
 
   /** Text-KV SequenceFile write from a 2-column (k, v) frame. */

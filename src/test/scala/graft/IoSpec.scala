@@ -107,11 +107,11 @@ class IoSpec extends AnyFunSuite {
 
   test("kvText round trip survives a splittable bzip2 codec") {
     // CompressedSplitLineReader parity: the same i1-style text chain
-    // through .bz2 part files (bzip2 is the splittable codec)
+    // through .bz2 part files (bzip2 is the splittable codec), written
+    // by the tsv sink's codec option (TextOutputFormat compression)
     val p = tmp("bz2")
     val df = (1 to 500).map(i => (s"k$i", s"v$i\twith tab")).toDF("k", "v")
-    df.select(concat_ws("\t", col("k"), col("v")).as("value"))
-      .write.mode("overwrite").option("compression", "bzip2").text(p)
+    Io.tsv(df, p, codec = "bzip2")
     val files = new java.io.File(p).listFiles.filter(_.getName.endsWith(".bz2"))
     assert(files.nonEmpty, "fixture must actually be bzip2-compressed")
     val back = Io.kvText(spark, p)
