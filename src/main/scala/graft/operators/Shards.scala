@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-shard packing: assign documents, in a stable global order,
@@ -64,6 +65,22 @@ object Shards {
       }
       spark.createDataFrame(out, schema)
     } finally arranged.unpersist(blocking = false)
+  }
+
+  /** Deterministic stratified bottom-k sample: the `n` rows with the
+    * smallest stable content hashes per stratum — exact-size per-stratum
+    * sampling that is reproducible across engines and reshardings
+    * (unlike rand()-based sampleBy). Declarative rank ≤ n over a
+    * stratum window: Catalyst's WindowGroupLimit rewrites it to a
+    * per-partition top-k + merge, so a 10⁹-row stratum never fully
+    * sorts. Output: input columns + `rn` (1..n by hash order).
+    */
+  def stratifiedBottomK(df: DataFrame, strataCol: String, keyCol: String,
+                        n: Int): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))))
+      .filter(col("rn") <= n)
   }
 
   /** Deterministic per-source corpus mixing: keep a row iff its stable

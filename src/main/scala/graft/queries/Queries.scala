@@ -812,6 +812,50 @@ object Queries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Eval-set decontamination gate (Decontaminate.overlapCounts): the
+    * "benchmark" is every doc_id % 50 == 0 document's own text, so each
+    * benchmark doc with ≥8 tokens must flag itself with n_hits = its
+    * distinct 8-gram count, and any other doc sharing an 8-gram is
+    * flagged too — the oracle recomputes the same inverted-index
+    * semi-join in SQL.
+    */
+  val t11_decontam: Q = (s, d) => {
+    val all = docs(s, d)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    Decontaminate.overlapCounts(all, "text", "doc_id", bench, "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Count-min-sketch heavy-hitter gate (the "novel sketch" surface —
+    * same recall-gate pattern as a5/sim2): a word is emitted iff the
+    * CMS estimate (fixed seed → deterministic) sits within the
+    * eps·N guarantee of the exact count; the oracle asserts EVERY word
+    * does. CMS never underestimates, so the filter also proves the
+    * probe path returns ≥ exact.
+    */
+  val t12_cms: Q = (s, d) => {
+    val w = words(s, d)
+    val eps = 0.001
+    val sketch = w.stat.countMinSketch(col("word"), eps, 0.99, 42)
+    val totalN = sketch.totalCount()
+    val slack = math.ceil(eps * totalN).toLong
+    val bc = s.sparkContext.broadcast(sketch)
+    val probe = udf((word: String) => bc.value.estimateCount(word))
+    w.groupBy("word").agg(count(lit(1)).as("exact"))
+      .withColumn("est", probe(col("word")))
+      .filter(col("est") >= col("exact") && col("est") - col("exact") <= slack)
+      .select("word").orderBy("word")
+  }
+
+  /** Deterministic stratified bottom-k sample (5 smallest md5 hashes
+    * per source) — exact-size per-stratum sampling, reproducible across
+    * engines/reshardings.
+    */
+  val t13_stratified: Q = (s, d) =>
+    Shards.stratifiedBottomK(
+        docs(s, d).select(col("doc_id"), col("source")), "source", "doc_id", 5)
+      .select("doc_id", "source", "rn").orderBy("source", "rn")
+
   /** Composed rule filter (Gopher-style heuristics): keep docs with
     * 10..2000 tokens, mean token length in [2, 12], ≥1 stopword, and
     * < 30% duplicate 3-grams. Every ingredient is individually gated
@@ -1020,6 +1064,8 @@ object Queries {
     "t7_redact" -> t7_redact, "f4_split" -> f4_split,
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
     "t9_shardpack" -> t9_shardpack, "t10_mix" -> t10_mix,
+    "t11_decontam" -> t11_decontam, "t12_cms" -> t12_cms,
+    "t13_stratified" -> t13_stratified,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
@@ -1420,6 +1466,27 @@ object Queries {
         |  CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '00'
         |              WHEN 'src2' THEN 'zz' ELSE 'c0' END
         |ORDER BY doc_id""".stripMargin,
+
+    "t11_decontam" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+        |  i -> array_to_string(w[i:i+7], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN b USING (sh)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t12_cms" ->
+      s"""$wordsSql
+         |SELECT DISTINCT word FROM wf ORDER BY word""".stripMargin,
+
+    "t13_stratified" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,
