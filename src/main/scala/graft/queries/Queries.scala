@@ -1027,6 +1027,24 @@ object Queries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join in its batch form (same plan shape the
+    * watermarked streaming variant runs — MiscOpsSpec drives the actual
+    * two-memory-stream execution): each sampled probe event counts the
+    * same user's events in the 10 minutes up to and including it (≥1 —
+    * itself). Oracle = the plain theta join.
+    */
+  val w5_intervaljoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_id") % 100 === 0)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"))
+    Windows.intervalJoin(probes, "p_user", "p_ts", r, "r_user", "r_ts",
+        "10 MINUTES", "0 SECONDS")
+      .groupBy("p_id").agg(count(lit(1)).as("n"))
+      .orderBy("p_id")
+  }
+
   // ================================================================ registry
 
   val all: Map[String, Q] = Map(
@@ -1055,6 +1073,7 @@ object Queries {
     "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
+    "w5_intervaljoin" -> w5_intervaljoin,
     "p1_clean" -> p1_clean,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
@@ -1559,6 +1578,14 @@ object Queries {
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "w4_statefulsessions" -> w2SessionsSql,
+
+    "w5_intervaljoin" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT p_id, count(*) AS n FROM p JOIN events e
+        |ON e.user_id = p.p_user
+        |  AND e.ts >= p.p_ts - INTERVAL 10 MINUTE AND e.ts <= p.p_ts
+        |GROUP BY 1 ORDER BY p_id""".stripMargin,
 
     "w2_sessions" -> w2SessionsSql)
 

@@ -56,6 +56,22 @@ object Windows {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join — the remaining streaming join
+    * surface: left rows match right rows with the same key whose
+    * timestamp falls in [lTs − before, lTs + after]. Column names must
+    * be distinct across the two sides (rename before calling). The same
+    * declarative join runs over bounded frames (gated as w5) and over
+    * two watermarked streams, where the time-interval condition is what
+    * lets Spark prune join state to the watermark horizon — without it
+    * both sides' state grows forever.
+    */
+  def intervalJoin(left: DataFrame, lKey: String, lTs: String,
+                   right: DataFrame, rKey: String, rTs: String,
+                   before: String, after: String): DataFrame =
+    left.join(right, col(lKey) === col(rKey) &&
+      col(rTs) >= col(lTs) - expr(s"INTERVAL $before") &&
+      col(rTs) <= col(lTs) + expr(s"INTERVAL $after"))
+
   // ------------------------------------------------------- custom state
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,

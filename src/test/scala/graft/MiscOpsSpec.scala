@@ -250,6 +250,31 @@ class MiscOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: two memory streams, watermark-pruned state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val lms = MemoryStream[(Long, Timestamp, Long)]
+    val rms = MemoryStream[(Long, Timestamp)]
+    val left = lms.toDF().toDF("p_id", "p_ts", "p_user")
+      .withWatermark("p_ts", "1 hour")
+    val right = rms.toDF().toDF("r_user", "r_ts")
+      .withWatermark("r_ts", "1 hour")
+    val joined = Windows.intervalJoin(left, "p_user", "p_ts",
+      right, "r_user", "r_ts", "10 MINUTES", "0 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      rms.addData((1L, Timestamp.valueOf("2026-01-01 09:55:00")), // in window
+                  (1L, Timestamp.valueOf("2026-01-01 09:40:00")), // too early
+                  (2L, Timestamp.valueOf("2026-01-01 09:58:00"))) // other key
+      lms.addData((100L, Timestamp.valueOf("2026-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      val got = spark.table("ivj_test").select("p_id", "r_ts")
+        .as[(Long, Timestamp)].collect().toSet
+      assert(got == Set((100L, Timestamp.valueOf("2026-01-01 09:55:00"))))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap-close within batch and timeout flush") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
