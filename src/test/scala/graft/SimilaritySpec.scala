@@ -126,6 +126,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
   }
 
+  test("lshTopK: second-scale recall gate (sf0.1) at the sim2 parameters") {
+    // sim2's gate runs at sf0.01; this pins nBits=4/nTables=24 at the
+    // next scale factor (measured minHits=4/5 there — DevLsh probe), so
+    // index-parameter rot at a larger N fails a test first.
+    val sf = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+      nBits = 4, nTables = 24).select("qid", "nid")
+    val hits = exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits.size.toLong == q.count())
+    assert(hits.values.forall(_ >= 3),
+      s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
+  }
+
   test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
