@@ -37,13 +37,16 @@ class PropertySpec extends AnyFunSuite {
 
   test("SortSpec.parse: accepts every generated -k spec") {
     val flag = Gen.oneOf("", "n", "r", "nr", "rn")
+    val charOff = Gen.oneOf(Gen.const(""), Gen.chooseNum(1, 9).map("." + _))
     val key = for {
       f <- Gen.chooseNum(1, 9); t <- Gen.chooseNum(1, 9); fl <- flag
-    } yield if (t >= f) s"-k$f,$t$fl" else s"-k$f$fl"
+      fc <- charOff; tc <- charOff
+    } yield if (t >= f) s"-k$f$fc,$t$tc$fl" else s"-k$f$fc$fl"
     forAll(Gen.nonEmptyListOf(key)) { keys =>
       val parsed = SortSpec.parse(keys.mkString(" "))
       assert(parsed.size == keys.size)
       assert(parsed.forall(k => k.from >= 1 && k.to >= k.from))
+      assert(parsed.forall(k => k.fromChar >= 1 && k.toChar >= 0))
     }
   }
 
