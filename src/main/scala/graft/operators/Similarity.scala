@@ -161,6 +161,69 @@ object Similarity {
     ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe, seed, nassign = 2)
   }
 
+  /** Persist an IVF index for index-once / query-many service shape:
+    * the inverted lists land as a table BUCKETED by centroid id (the
+    * same CompositeInputFormat-precondition layout BucketedJoin uses),
+    * and the centroids as a small side table. Every later query batch
+    * probes with a join that is co-located on `cid` — the corpus is
+    * never re-scanned, re-assigned, or re-shuffled per batch; only the
+    * (tiny) probe side moves. Parameters follow ivfTopKAuto
+    * (nlist=⌈√N⌉, double assignment) unless overridden.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               table: String, nlist: Int = 0, nassign: Int = 2,
+               buckets: Int = 8, seed: Long = 42L): Unit = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val nl = if (nlist > 0) nlist
+             else math.max(4, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    val cents = c.orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
+      .limit(nl)
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("nid").orderBy(
+          GraftFunctions.cosineSim(col("nvec"), col("cvec")).desc, col("cid"))))
+      .filter(col("arank") <= nassign)
+      .select(col("cid"), col("nid"), col("nvec"))
+    BucketedJoin.writeBucketed(assigned, table, "cid", buckets)
+    BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
+  }
+
+  /** Query a persisted IVF index (see `ivfBuild`): rank each query's
+    * `nprobe` nearest centroids from the (broadcast) centroid table,
+    * then join the probe set against the bucketed inverted lists —
+    * co-located on `cid`, so no index-side shuffle — and rank exact
+    * cosine within the probed lists. Default nprobe = ⌈nlist/2⌉, the
+    * measured-recall rule of ivfTopKAuto.
+    */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, table: String,
+               queries: DataFrame, idCol: String, vecCol: String, k: Int,
+               nprobe: Int = 0): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val cents = spark.table(s"${table}_cents")
+    val np = if (nprobe > 0) nprobe
+             else math.max(1, math.ceil(cents.count() / 2.0).toInt)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(
+          GraftFunctions.cosineSim(col("qvec"), col("cvec")).desc, col("cid"))))
+      .filter(col("crank") <= np)
+      .select(col("qid"), col("qvec"), col("cid"))
+    probes.join(spark.table(table), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)
     * over a self-comparison, LSH-BLOCKED: candidates are pairs sharing at
     * least one random-hyperplane bucket (the same `lshSigs` signatures the

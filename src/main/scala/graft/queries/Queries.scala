@@ -937,6 +937,29 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** Persisted-IVF-index gate (index-once / query-many): ivfBuild
+    * writes the inverted lists as a cid-bucketed table + centroid side
+    * table; ivfQuery probes them with a co-located join. Same recall
+    * contract and oracle as sim3 — the index holds the identical
+    * size-derived parameters, so recall is the measured 5/5 — but the
+    * answer now comes off the PERSISTED index, certifying the
+    * build→store→query chain.
+    */
+  val sim5_ivfindex: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"ivf_idx_${d.hashCode & Int.MaxValue}"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", table)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfQuery(s, table, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1086,7 +1109,7 @@ object Queries {
     "t11_decontam" -> t11_decontam, "t12_cms" -> t12_cms,
     "t13_stratified" -> t13_stratified,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
-    "sim4_neardup" -> sim4_neardup,
+    "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
@@ -1548,6 +1571,10 @@ object Queries {
     "sim4_neardup" ->
       """SELECT vec_id AS ida, vec_id + 1000000 AS idb, 1.0 AS cos
         |FROM embeddings ORDER BY ida, idb""".stripMargin,
+
+    "sim5_ivfindex" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "mm1_decode" ->
       """SELECT doc_id AS id, 'image' AS media_type,

@@ -145,6 +145,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
   }
 
+  test("ivfBuild/ivfQuery: persisted index answers match the inline path") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("id", "v")
+    val q = vecs.filter(col("id") < 3L)
+    Similarity.ivfBuild(vecs, "id", "v", "ivf_spec_idx", nlist = 10, nassign = 2)
+    val fromIndex = Similarity.ivfQuery(spark, "ivf_spec_idx", q, "id", "v", 5,
+        nprobe = 3)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val inline = Similarity.ivfTopK(vecs, q, "id", "v", 5,
+        nlist = 10, nprobe = 3, nassign = 2)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromIndex == inline)
+    // the index side of the probe join reads the bucketed table — its
+    // rows carry the same (cid, nid) assignment the inline path built
+    val idx = spark.table("ivf_spec_idx")
+    assert(idx.columns.toSeq == Seq("cid", "nid", "nvec"))
+    assert(idx.count() == 200) // 100 vectors × nassign 2
+  }
+
   test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
