@@ -856,6 +856,49 @@ object Queries {
         docs(s, d).select(col("doc_id"), col("source")), "source", "doc_id", 5)
       .select("doc_id", "source", "rn").orderBy("source", "rn")
 
+  /** Approximate-quantile gate (GK sketch — percentile_approx, the
+    * third sketch beside HLL/a5 and CMS/t12): a decile is emitted iff
+    * the sketch value's EXACT rank sits within the accuracy guarantee
+    * (±n/accuracy) of the target rank. Oracle asserts all 9 deciles
+    * pass — rank-checking sidesteps engine-specific quantile
+    * interpolation entirely.
+    */
+  val t14_quantiles: Q = (s, d) => {
+    val base = docs(s, d).select(col("n_chars"))
+    val acc = 100
+    val dec = base.agg(percentile_approx(col("n_chars"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(acc)).as("vals"))
+      .select(posexplode(col("vals")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
+    val stats = base.crossJoin(broadcast(dec))
+      .groupBy("i", "v")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("n_chars") <= col("v"), 1)).as("rank"))
+    stats
+      .filter(abs(col("rank") - (col("i") + 1) / lit(10.0) * col("n"))
+        <= col("n") / acc + 1)
+      .select((col("i") + 1).cast("int").as("decile"))
+      .orderBy("decile")
+  }
+
+  /** Bloom-filter membership gate (no-false-negative direction, which
+    * is the filter's contract): a bloom built over lineitem orderkeys
+    * must admit EVERY true orderkey probed from the orders side — the
+    * oracle is the exact key set, so one false negative drops a row.
+    * (False-positive rate is seed-deterministic but not
+    * SQL-expressible; it stays un-gated by design.)
+    */
+  val t15_bloom: Q = (s, d) => {
+    val keys = li(s, d).select(col("l_orderkey"))
+    val bloom = keys.stat.bloomFilter("l_orderkey", 2000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val hit = udf((k: Long) => bc.value.mightContain(k))
+    Tables.orders(s, d).select(col("o_orderkey")).distinct()
+      .join(keys.distinct(), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .filter(hit(col("o_orderkey")))
+      .orderBy("o_orderkey")
+  }
+
   /** Composed rule filter (Gopher-style heuristics): keep docs with
     * 10..2000 tokens, mean token length in [2, 12], ≥1 stopword, and
     * < 30% duplicate 3-grams. Every ingredient is individually gated
@@ -1107,7 +1150,8 @@ object Queries {
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
     "t9_shardpack" -> t9_shardpack, "t10_mix" -> t10_mix,
     "t11_decontam" -> t11_decontam, "t12_cms" -> t12_cms,
-    "t13_stratified" -> t13_stratified,
+    "t13_stratified" -> t13_stratified, "t14_quantiles" -> t14_quantiles,
+    "t15_bloom" -> t15_bloom,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
@@ -1529,6 +1573,14 @@ object Queries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "t14_quantiles" ->
+      """SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS decile ORDER BY decile""",
+
+    "t15_bloom" ->
+      """SELECT DISTINCT o_orderkey FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

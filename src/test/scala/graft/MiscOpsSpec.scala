@@ -77,6 +77,17 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out == Seq(Multimodal.DecodedImage(1L, out.head.n_bytes, 3, 2, 0xffL)))
   }
 
+  test("JPEG decode: dims survive a lossy encode→decode round trip") {
+    val img = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val bytes = out.toByteArray
+    assert(Multimodal.isImagePayload(bytes)) // FF D8 FF magic
+    val d = Multimodal.decodeImage(9L, bytes).get
+    assert(d.width == 11 && d.height == 6) // dims exact even under lossy JPEG
+  }
+
   test("decodeFeatures routes image payloads to the real decoder, text to the stub") {
     val png = Multimodal.pngBytes(5, 4, 0x123456)
     val media = Seq(
