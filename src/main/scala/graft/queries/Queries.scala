@@ -276,6 +276,25 @@ object Queries {
       .orderBy("wid")
   }
 
+  /** Salted skew join gate: j1's fact⋈dim aggregate replayed through
+    * Skew.saltedEquiJoin (salt 8 on the linenumber discriminator) —
+    * identical oracle to j1, so a salt-replication or salt-routing bug
+    * (dropped/duplicated rows for any key) fails the hash compare. The
+    * explicit-salting path is what spreads a single hot KEY across
+    * reducers when AQE's partition-level splitting can't.
+    */
+  val j8_salted: Q = (s, d) => {
+    val fact = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+    val dim = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    Skew.saltedEquiJoin(fact, dim, "l_orderkey", 8, "l_linenumber")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Reduce-side tagged join (`tools:hadoop-datajoin`:
     * `DataJoinMapperBase.java` tags records by source,
     * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
@@ -1135,7 +1154,7 @@ object Queries {
     "k1_partitioned" -> k1_partitioned, "c1_safemap" -> c1_safemap,
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
-    "j6_asof" -> j6_asof, "j7_range" -> j7_range,
+    "j6_asof" -> j6_asof, "j7_range" -> j7_range, "j8_salted" -> j8_salted,
     "mf1_lookup" -> mf1_lookup,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
@@ -1362,6 +1381,12 @@ object Queries {
         |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_ts, r.rv AS prior_val
         |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND r.ts < p.ts
         |ORDER BY event_id""".stripMargin,
+
+    "j8_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "j5_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
