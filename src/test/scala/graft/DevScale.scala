@@ -22,12 +22,18 @@ object DevScale {
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
     sizes.foreach { n =>
-      // text shaped like the fixtures (~50 words/doc); 1% near-dup pairs
+      // text shaped like the fixtures (~50 words/doc), PLUS planted
+      // near-dups (2%: a copy of every 50th doc with one appended
+      // token) so the pair-verification stages process real matches,
+      // not empty sets — pair counts below should be ≥ n/50.
       val base = Generators.randomText(spark, n, seed = 11L,
         wordsMin = 30, wordsMax = 80, partitions = 32)
         .select(col("id").as("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + n).as("doc_id"),
+          concat(col("text"), lit(" xq")).as("text"))
       val dir = s"/tmp/graft-scale/docs$n"
-      base.write.mode("overwrite").parquet(dir)
+      base.unionByName(planted).write.mode("overwrite").parquet(dir)
       val docs = spark.read.parquet(dir)
 
       def time(name: String)(body: => Long): Unit = {
