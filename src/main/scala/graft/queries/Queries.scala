@@ -1077,6 +1077,20 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Frame-sampling gate (Multimodal.sampleFrames 1→N explode): every
+    * 2nd 1 KiB chunk of each binary payload, gated on BOTH the offsets
+    * and the exact frame CONTENT (the corpus is ASCII, so the oracle
+    * reproduces each frame as a text substring) — a boundary or copy
+    * bug in the binary chunking fails the hash compare.
+    */
+  val mm3_frames: Q = (s, d) => {
+    val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "video")
+    Multimodal.sampleFrames(media, stride = 2)
+      .select(col("id"), col("frame_offset"),
+        decode(col("frame_bytes"), "UTF-8").as("frame"))
+      .orderBy("id", "frame_offset")
+  }
+
   // ---------------------------------------------------------------- W: windows (streaming extension)
 
   val w1_tumbling: Q = (s, d) =>
@@ -1174,6 +1188,7 @@ object Queries {
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
+    "mm3_frames" -> mm3_frames,
     "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
 
@@ -1664,6 +1679,13 @@ object Queries {
         |  CAST((doc_id % 256) * 65536 + (doc_id * 7 % 256) * 256
         |    + doc_id * 13 % 256 AS BIGINT) AS px00
         |FROM documents ORDER BY id""".stripMargin,
+
+    "mm3_frames" ->
+      """SELECT doc_id AS id, CAST(off AS INTEGER) AS frame_offset,
+        |  substr(text, CAST(off AS INTEGER) + 1, 1024) AS frame
+        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 2048)) AS off
+        |      FROM documents WHERE length(text) > 0)
+        |ORDER BY id, frame_offset""".stripMargin,
 
     "w1_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS ws,
