@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector — the configuration-driven way to
+  * install the graft native functions into EVERY session of a deployment:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * After that, `SELECT cosine_sim(a, b)` etc. resolve in plain SQL with
+  * no programmatic `ensureRegistered` call. The library's own queries
+  * keep calling `ensureRegistered` so they work on un-configured
+  * sessions too — both paths register the same expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftFunctions.type].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+    inject("hamming_dist", es => GraftFunctions.HammingDistance(es.head, es(1)))
+    inject("cosine_sim", es => GraftFunctions.CosineSimilarity(es.head, es(1)))
+    inject("simhash64", es => GraftFunctions.SimHash64(es.head))
+    inject("minhash_sigs", es => GraftFunctions.MinHashSigs(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].longValue()))
+    inject("word_shingles", es => GraftFunctions.WordShingles(es.head,
+      es(1).eval().asInstanceOf[Number].intValue()))
+    inject("lsh_sigs", es => GraftFunctions.LshSignatures(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].longValue()))
+  }
+}

@@ -145,6 +145,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
   }
 
+  test("GraftExtensions: config-injected functions resolve in plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force shared context to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session over the SAME context, functions injected via the
+      // extensions hook — the spark.sql.extensions deployment path
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne shared)
+      val r = s2.sql(
+        """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |  hamming_dist(0L, 7L) AS h, simhash64(array(5L)) AS s,
+          |  size(word_shingles(array('a','b','c'), 2)) AS w
+          |""".stripMargin).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getInt(1) == 3)
+      assert(r.getLong(2) == 5L) // single hash → sig = the hash's bits
+      assert(r.getInt(3) == 2)
+      // do NOT s2.stop() — it would stop the shared SparkContext
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("ivfBuild/ivfQuery: persisted index answers match the inline path") {
     val vecs = (0 until 100).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
