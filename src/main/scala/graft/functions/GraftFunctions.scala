@@ -306,29 +306,29 @@ object GraftFunctions {
   }
 
   /** Register the graft functions in the session's FunctionRegistry.
-    * Unconditional createOrReplace (a map put) — no session cache, so no
-    * strong references pinning long-lived multi-session deployments.
+    * Idempotent and quiet: names already present are left alone (the
+    * registry's replace path logs a WARN per call, which floods
+    * bench/verify logs when every query entry re-registers). No session
+    * cache, so no strong references pinning multi-session deployments.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "hamming_dist", es => HammingDistance(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sigs", es => MinHashSigs(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].longValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_shingles", es => WordShingles(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    reg.createOrReplaceTempFunction(
-      "lsh_sigs", es => LshSignatures(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue(),
-        es(3).eval().asInstanceOf[Number].longValue()), "built-in")
+    def put(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    put("hamming_dist")(es => HammingDistance(es.head, es(1)))
+    put("cosine_sim")(es => CosineSimilarity(es.head, es(1)))
+    put("simhash64")(es => SimHash64(es.head))
+    put("minhash_sigs")(es => MinHashSigs(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].longValue()))
+    put("word_shingles")(es => WordShingles(es.head,
+      es(1).eval().asInstanceOf[Number].intValue()))
+    put("lsh_sigs")(es => LshSignatures(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].longValue()))
   }
 
   /** Column wrappers (session must be registered — queries call

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: `decodeImage` runs `javax.imageio` (in-JDK —
   * PNG/JPEG/GIF/BMP) and returns genuinely decoded dimensions and
-  * pixels. Payloads that are not a decodable image (sniffed by magic
-  * bytes) fall back to `fakeDecode`, a clearly-marked deterministic
-  * stub for media types whose codecs aren't in the JDK (audio/video).
-  * The pipeline shape is the Scala analog of `mapInPandas`: one
-  * iterator of rows per partition, so decoder init is amortized per
-  * partition, not per row.
+  * pixels. Audio decode is REAL: `decodeAudio` runs
+  * `javax.sound.sampled` (in-JDK — WAV/AIFF/AU) and returns genuinely
+  * parsed sample rate / channels / frame count / first PCM sample.
+  * Only payloads that are neither (sniffed by magic bytes) fall back
+  * to `fakeDecode`, a clearly-marked deterministic stub for video —
+  * the one media type with no in-JDK codec. The pipeline shape is the
+  * Scala analog of `mapInPandas`: one iterator of rows per partition,
+  * so decoder init is amortized per partition, not per row.
   */
 object Multimodal {
 
@@ -22,9 +24,10 @@ object Multimodal {
   final case class MediaFeatures(id: Long, media_type: String, n_bytes: Long,
                                  width: Int, height: Int, feature_hash: Long)
 
-  /** STUB decoder — deterministic fake for non-image media: dims from
-    * byte length, feature hash from content (stands in for an
-    * embedding). Image payloads never reach this (see `decodeFeatures`).
+  /** STUB decoder — deterministic fake for media with no in-JDK codec
+    * (video): dims from byte length, feature hash from content (stands
+    * in for an embedding). Image and WAV-audio payloads never reach
+    * this (see `decodeFeatures`).
     */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val n = if (r.bytes == null) 0 else r.bytes.length
@@ -99,10 +102,12 @@ object Multimodal {
   }
 
   /** Partition-batched decode: image payloads (magic-sniffed) get the
-    * REAL javax.imageio decode; anything else falls back to the
-    * deterministic stub. Runs once per partition with an iterator
-    * (decoder init amortized), keeps the pipeline distributed, output is
-    * a typed Dataset.
+    * REAL javax.imageio decode, WAV payloads the REAL
+    * javax.sound.sampled decode (audio maps channels→width,
+    * sample_rate→height, frames→feature_hash); only video — no in-JDK
+    * codec — falls back to the deterministic stub. Runs once per
+    * partition with an iterator (decoder init amortized), keeps the
+    * pipeline distributed, output is a typed Dataset.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -115,9 +120,91 @@ object Multimodal {
               d.width, d.height, d.px00)
             case None => fakeDecode(r)
           }
+        else if (isAudioPayload(r.bytes))
+          decodeAudio(r.id, r.bytes) match {
+            case Some(a) => MediaFeatures(r.id, r.media_type,
+              r.bytes.length.toLong, a.channels, a.sample_rate, a.frames)
+            case None => fakeDecode(r)
+          }
         else fakeDecode(r)
       }
     }
+  }
+
+  /** True iff the payload carries the RIFF/WAVE magic (`RIFF` at 0,
+    * `WAVE` at 8) — the container javax.sound.sampled decodes in-JDK.
+    */
+  def isAudioPayload(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  final case class DecodedAudio(id: Long, sample_rate: Int, channels: Int,
+                                frames: Long, first_sample: Int)
+
+  /** REAL audio decode (javax.sound.sampled): sample rate, channel
+    * count and frame count from the parsed WAV header, plus the first
+    * PCM sample of channel 0 (16-bit little-endian signed) from the
+    * decoded stream — values that can only be right if the bytes were
+    * actually parsed as a WAV file. Returns None for undecodable
+    * payloads.
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frame = new Array[Byte](math.max(fmt.getFrameSize, 2))
+        var got = 0
+        while (got < 2) {
+          val n = ais.read(frame, got, frame.length - got)
+          if (n < 0) return None // shorter than one frame
+          got += n
+        }
+        val s0 = ((frame(0) & 0xff) | (frame(1) << 8)).toShort // LE 16-bit
+        Some(DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
+          ais.getFrameLength, s0.toInt))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
+  }
+
+  /** Partition-batched typed audio decode — the strict path for media
+    * known to be WAV audio (mirrors `decodeImages`).
+    */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(it => it.flatMap(r => decodeAudio(r.id, r.bytes)))
+  }
+
+  /** Encode `frames` frames of 16-bit LE signed PCM as a WAV file — the
+    * deterministic audio fixture generator (PCM WAV is lossless, so the
+    * decoded header fields and samples are bit-exact). Sample k of the
+    * interleaved stream is `firstSample + k` (wrapping short arithmetic).
+    */
+  def wavBytes(sampleRate: Int, channels: Int, frames: Int,
+               firstSample: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var k = 0
+    while (k < frames * channels) {
+      val v = (firstSample + k).toShort
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Frame-sample stub: pick every `stride`-th 1 KiB chunk of a video

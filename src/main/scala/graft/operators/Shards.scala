@@ -93,11 +93,13 @@ object Shards {
   def weightedSampleFilter(key: Column, sourceCol: Column,
                            weights: Map[String, Double],
                            defaultWeight: Double = 1.0): Column = {
+    // 4 hex digits = 1/65536 resolution, so sub-percent weights (0.1%)
+    // round to a usable threshold instead of collapsing to 0 or 1/256.
     def thresh(w: Double): String = {
       require(w >= 0 && w <= 1, s"weight out of [0,1]: $w")
-      if (w >= 1.0) "zz" else f"${(256 * w).toInt}%02x"
+      if (w >= 1.0) "zzzz" else f"${(65536 * w).toInt}%04x"
     }
-    val h = substring(md5(key.cast("string")), 1, 2)
+    val h = substring(md5(key.cast("string")), 1, 4)
     val cases = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
       case (acc, (src, w)) => when(sourceCol === src, thresh(w)).otherwise(acc)
     }

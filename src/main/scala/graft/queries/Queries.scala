@@ -1091,6 +1091,34 @@ object Queries {
       .orderBy("id", "frame_offset")
   }
 
+  /** REAL audio decode gate: per-doc 16-bit PCM WAVs are rendered
+    * distributedly (rate/channels/frames/first-sample derived from
+    * doc_id), then parsed with javax.sound.sampled — the gated values
+    * exist ONLY inside the encoded WAV bytes (header fields + the first
+    * decoded PCM sample), so a green row certifies a genuine
+    * encode→decode round trip, not an echoed formula. Retires the last
+    * non-video multimodal stub (reference multimodal ingestion is
+    * opaque-binary + typed metadata; cf. `io:SequenceFile` binary
+    * records).
+    */
+  val mm4_audio: Q = (s, d) => {
+    import s.implicits._
+    val ids = docs(s, d).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val sr = (8000 + (id % 8) * 1000).toInt
+        val ch = (1 + id % 2).toInt
+        val frames = (1 + id % 50).toInt
+        val s0 = ((id * 37) % 4001 - 2000).toShort
+        Multimodal.MediaRow(id, Multimodal.wavBytes(sr, ch, frames, s0), "audio")
+      }
+    }
+    Multimodal.decodeAudios(media).toDF()
+      .select(col("id"), col("sample_rate"), col("channels"),
+        col("frames"), col("first_sample"))
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------- W: windows (streaming extension)
 
   val w1_tumbling: Q = (s, d) =>
@@ -1188,7 +1216,7 @@ object Queries {
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
-    "mm3_frames" -> mm3_frames,
+    "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
 
@@ -1588,9 +1616,9 @@ object Queries {
 
     "t10_mix" ->
       """SELECT doc_id, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-        |  CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '00'
-        |              WHEN 'src2' THEN 'zz' ELSE 'c0' END
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN '0000'
+        |              WHEN 'src2' THEN 'zzzz' ELSE 'c000' END
         |ORDER BY doc_id""".stripMargin,
 
     "t11_decontam" ->
@@ -1678,6 +1706,14 @@ object Queries {
         |  CAST(1 + doc_id % 17 AS INTEGER) AS height,
         |  CAST((doc_id % 256) * 65536 + (doc_id * 7 % 256) * 256
         |    + doc_id * 13 % 256 AS BIGINT) AS px00
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "mm4_audio" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 + doc_id % 8 * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(1 + doc_id % 50 AS BIGINT) AS frames,
+        |  CAST(doc_id * 37 % 4001 - 2000 AS INTEGER) AS first_sample
         |FROM documents ORDER BY id""".stripMargin,
 
     "mm3_frames" ->

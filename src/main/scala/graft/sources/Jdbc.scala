@@ -207,26 +207,48 @@ object Jdbc {
         props(options))
       .collect()(0)
     if (bounds.isNullAt(0)) return read(spark, url, table, options) // empty table
-    val preds: Array[String] = bounds.get(0) match {
-      case d: java.sql.Date =>
-        dateRangePredicates(splitCol, d.toLocalDate,
-          bounds.getAs[java.sql.Date](1).toLocalDate, numSplits)
-      case t: java.sql.Timestamp =>
-        timestampRangePredicates(splitCol, t,
-          bounds.getAs[java.sql.Timestamp](1), numSplits)
-      case s: String =>
-        textRangePredicates(splitCol, s, bounds.getAs[String](1), numSplits)
-      case b: java.math.BigDecimal =>
-        bigDecimalRangePredicates(splitCol, BigDecimal(b),
-          BigDecimal(bounds.getAs[java.math.BigDecimal](1)), numSplits)
-      case _: Number =>
-        rangePredicates(splitCol, bounds.getAs[Number](0).longValue,
-          bounds.getAs[Number](1).longValue, numSplits)
-      case other => throw new IllegalArgumentException(
-        s"no splitter for ${other.getClass.getName} column $splitCol")
-    }
+    val preds = splitterPredicates(splitCol, bounds.get(0), bounds.get(1), numSplits)
     spark.read.jdbc(url, table, preds, props(options))
   }
+
+  /** The splitter registry (DataDrivenDBInputFormat.getSplitter): maps
+    * the discovered min/max values to typed range predicates. Unknown
+    * types degrade to a documented single split (the reference throws;
+    * degraded-but-correct is friendlier).
+    */
+  def splitterPredicates(splitCol: String, lo: Any, hi: Any,
+                         numSplits: Int): Array[String] = lo match {
+    case d: java.sql.Date =>
+      dateRangePredicates(splitCol, d.toLocalDate,
+        hi.asInstanceOf[java.sql.Date].toLocalDate, numSplits)
+    case t: java.sql.Timestamp =>
+      timestampRangePredicates(splitCol, t,
+        hi.asInstanceOf[java.sql.Timestamp], numSplits)
+    case s: String =>
+      textRangePredicates(splitCol, s, hi.asInstanceOf[String], numSplits)
+    case b: java.math.BigDecimal =>
+      bigDecimalRangePredicates(splitCol, BigDecimal(b),
+        BigDecimal(hi.asInstanceOf[java.math.BigDecimal]), numSplits)
+    case n: Number =>
+      rangePredicates(splitCol, n.longValue,
+        hi.asInstanceOf[Number].longValue, numSplits)
+    case _: java.lang.Boolean =>
+      booleanPredicates(splitCol)
+    case other =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"no typed splitter for ${other.getClass.getName} column " +
+          s"$splitCol; falling back to a single split")
+      Array("1 = 1")
+  }
+
+  /** Boolean splits (`core:mapreduce/lib/db/BooleanSplitter.java`): two
+    * value arms, with the NULL stripe attached to one so every row is
+    * read exactly once. (min/max pre-check means an all-NULL column
+    * never reaches here — it takes the empty-table path.)
+    */
+  def booleanPredicates(column: String): Array[String] =
+    Array(s"$column = TRUE",
+          s"$column = FALSE OR $column IS NULL")
 
   /** Batched JDBC write (DBOutputFormat): one prepared-statement batch
     * stream per partition.

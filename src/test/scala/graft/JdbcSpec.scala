@@ -90,4 +90,33 @@ class JdbcSpec extends AnyFunSuite {
     // no row lost or duplicated at slice boundaries
     assert(back.select(count_distinct(col("ID"))).as[Long].head() == 365)
   }
+
+  test("booleanPredicates: TRUE / FALSE-or-NULL arms partition all rows") {
+    val p = Jdbc.booleanPredicates("B")
+    assert(p.toSeq == Seq("B = TRUE", "B = FALSE OR B IS NULL"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby-bool")
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val df = spark.range(0, 90).select(col("id").as("ID"),
+      when(col("id") % 3 === 0, lit(true))
+        .when(col("id") % 3 === 1, lit(false)).as("B"))
+    Jdbc.write(df, url, "T_BOOL")
+    val back = Jdbc.readPartitionedTyped(spark, url, "T_BOOL", "B", 2)
+    assert(back.rdd.getNumPartitions == 2)
+    assert(back.count() == 90) // 30 true + 30 false + 30 null, each read once
+    assert(back.filter(col("B").isNull).count() == 30)
+  }
+
+  test("splitter registry: typed dispatch + unknown-type single-split fallback") {
+    // integer arm via the registry entry point
+    assert(Jdbc.splitterPredicates("K", Integer.valueOf(0),
+      Integer.valueOf(9), 3).length == 3)
+    // boolean arm
+    assert(Jdbc.splitterPredicates("B", java.lang.Boolean.FALSE,
+      java.lang.Boolean.TRUE, 8).toSeq ==
+      Seq("B = TRUE", "B = FALSE OR B IS NULL"))
+    // binary min/max has no splitter → documented whole-table fallback
+    assert(Jdbc.splitterPredicates("BB", Array[Byte](1), Array[Byte](9), 4)
+      .toSeq == Seq("1 = 1"))
+  }
 }

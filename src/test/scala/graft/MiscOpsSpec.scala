@@ -92,11 +92,33 @@ class MiscOpsSpec extends AnyFunSuite {
     val png = Multimodal.pngBytes(5, 4, 0x123456)
     val media = Seq(
       Multimodal.MediaRow(1L, png, "image"),
-      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"), "audio")).toDS()
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"), "video")).toDS()
     val r = Multimodal.decodeFeatures(media).collect().sortBy(_.id)
     assert(r(0).width == 5 && r(0).height == 4 && r(0).feature_hash == 0x123456L)
     val n2 = "not an image".getBytes("UTF-8").length
     assert(r(1).width == (n2 % 640) + 1 && r(1).n_bytes == n2.toLong) // stub path
+  }
+
+  test("real WAV decode: header fields and first sample survive encode→decode") {
+    val wav = Multimodal.wavBytes(sampleRate = 11000, channels = 2,
+      frames = 37, firstSample = -1234)
+    assert(Multimodal.isAudioPayload(wav))
+    val d = Multimodal.decodeAudio(7L, wav).get
+    assert(d.sample_rate == 11000 && d.channels == 2)
+    assert(d.frames == 37L && d.first_sample == -1234)
+    // undecodable payloads return None, not garbage
+    assert(Multimodal.decodeAudio(8L, "RIFFxxxxWAVE".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(9L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeFeatures routes WAV audio to the real decoder") {
+    val wav = Multimodal.wavBytes(sampleRate = 8000, channels = 1,
+      frames = 5, firstSample = 99)
+    val media = Seq(Multimodal.MediaRow(3L, wav, "audio")).toDS()
+    val r = Multimodal.decodeFeatures(media).collect()
+    // audio mapping: channels→width, sample_rate→height, frames→feature_hash
+    assert(r(0).width == 1 && r(0).height == 8000 && r(0).feature_hash == 5L)
+    assert(r(0).n_bytes == wav.length.toLong)
   }
 
   test("mapSortedGroups: sorted streaming groups, partial consumption drained") {
@@ -156,6 +178,17 @@ class MiscOpsSpec extends AnyFunSuite {
     val again = df.filter(Shards.weightedSampleFilter(col("id"), col("src"),
         Map("s0" -> 0.0, "s1" -> 1.0), defaultWeight = 0.5)).count()
     assert(again == kept.values.sum)
+  }
+
+  test("weightedSampleFilter: sub-percent weight resolves (1/65536 grid)") {
+    import graft.operators.Shards
+    // A 0.1% weight must produce a usable non-zero threshold, not
+    // collapse to 0 (old 1/256 grid floor'd 0.001 -> 0x00 = drop-all).
+    val df = (0 until 200000).map(i => (i.toLong, "s")).toDF("id", "src")
+    val kept = df.filter(Shards.weightedSampleFilter(col("id"), col("src"),
+        Map("s" -> 0.001))).count()
+    // E[kept] = 200000 * floor(65.536)/65536 = ~198; allow wide md5 noise
+    assert(kept > 100 && kept < 320, s"0.1% weight kept $kept of 200000")
   }
 
   test("multimodal decode: deterministic fake features, partition-batched") {
