@@ -344,6 +344,29 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  /** MapFile `getClosest` parity (`io:MapFile.java:681-715`): nearest
+    * key at-or-before and at-or-after each probe over a SPARSE sorted
+    * key set (partkeys divisible by 7 — dense keys would make every
+    * lookup an exact hit and prove nothing). Probes cover below-min
+    * (before → NULL), exact hit, two off-grid gaps, and above-max
+    * (after → NULL) — the reference's null-return contract.
+    */
+  val mf2_closest: Q = (s, d) => {
+    val sparse = Tables.part(s, d)
+      .filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    val probes = Seq(-5L, 7L, 50L, 699L, 1000000000L)
+    val before = graft.sources.Io
+      .mapFileGetClosest(sparse, "p_partkey", "p_name", probes, before = true)
+      .withColumnRenamed("closest_key", "before_key")
+      .withColumnRenamed("closest_val", "before_val")
+    val after = graft.sources.Io
+      .mapFileGetClosest(sparse, "p_partkey", "p_name", probes)
+      .withColumnRenamed("closest_key", "after_key")
+      .withColumnRenamed("closest_val", "after_val")
+    before.join(after, "probe").orderBy("probe")
+  }
+
   // ---------------------------------------------------------------- D / M / U
 
   /** DBCountPageView (reference `ex:DBCountPageView.java:61-177`): a REAL
@@ -1197,7 +1220,7 @@ object Queries {
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
     "j6_asof" -> j6_asof, "j7_range" -> j7_range, "j8_salted" -> j8_salted,
-    "mf1_lookup" -> mf1_lookup,
+    "mf1_lookup" -> mf1_lookup, "mf2_closest" -> mf2_closest,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
     "w5_intervaljoin" -> w5_intervaljoin,
@@ -1454,6 +1477,16 @@ object Queries {
       """SELECT p_partkey, p_name FROM part
         |WHERE p_partkey IN (1, 101, 201, 301, 999999)
         |ORDER BY p_partkey""".stripMargin,
+
+    "mf2_closest" ->
+      """WITH sk AS (SELECT p_partkey AS k, p_name AS v FROM part WHERE p_partkey % 7 = 0),
+        |p(probe) AS (VALUES (CAST(-5 AS BIGINT)), (7), (50), (699), (1000000000)),
+        |b AS (SELECT probe, max(k) AS before_key, max_by(v, k) AS before_val
+        |      FROM p LEFT JOIN sk ON k <= probe GROUP BY probe),
+        |a AS (SELECT probe, min(k) AS after_key, min_by(v, k) AS after_val
+        |      FROM p LEFT JOIN sk ON k >= probe GROUP BY probe)
+        |SELECT probe, before_key, before_val, after_key, after_val
+        |FROM b JOIN a USING (probe) ORDER BY probe""".stripMargin,
 
     "k1_partitioned" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,

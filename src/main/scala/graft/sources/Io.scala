@@ -243,6 +243,31 @@ object Io {
     } finally cached.unpersist()
   }
 
+  /** MapFile nearest-key lookup (`io:MapFile.java:681-715`
+    * `Reader.getClosest`): for each probe, the record with the largest
+    * key ≤ probe (`before = true`) or the smallest key ≥ probe
+    * (default), NULL columns when no such record exists — exactly the
+    * reference's null return.
+    *
+    * Scale shape: one BroadcastNestedLoopJoin pass of the (sorted,
+    * stats-pruned) table against the tiny broadcast probe set, then a
+    * map-side-partial `max_by`/`min_by` per probe — no shuffle of the
+    * big side, no window over the full table.
+    */
+  def mapFileGetClosest(sorted: DataFrame, keyCol: String, valCol: String,
+                        probes: Seq[Long], before: Boolean = false): DataFrame = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("probe"))
+    val k = col(keyCol)
+    val cond = if (before) k <= col("probe") else k >= col("probe")
+    val closestKey = if (before) max(k) else min(k)
+    val closestVal = if (before) max_by(col(valCol), k) else min_by(col(valCol), k)
+    probeDf.join(sorted, cond, "left")
+      .groupBy("probe")
+      .agg(closestKey.as("closest_key"), closestVal.as("closest_val"))
+  }
+
   /** Deterministic per-sfDir scratch dir for ingestion round-trip
     * queries (they must be rerunnable and sf-isolated).
     */

@@ -231,4 +231,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blocked == brute,
       s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
   }
+
+  test("refineCentroids: one Lloyd step lands each centroid on its list mean") {
+    // two tight, well-separated clusters; one seed inside each
+    val vecs = (0 until 40).map { i =>
+      val base = if (i < 20) Array(10.0, 0.0, 0.0) else Array(0.0, 10.0, 0.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 3) * 0.01, base(2)))
+    }.toDF("id", "v")
+    val c = vecs.select(col("id").as("nid"),
+      col("v").cast("array<double>").as("nvec"))
+    val seeds = c.filter(col("nid").isin(0L, 25L))
+      .select(col("nid").as("cid"), col("nvec").as("cvec"))
+    val refined = Similarity.refineCentroids(c, seeds, iters = 1)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(refined.keySet == Set(0L, 25L))
+    // by cosine every cluster-A vector assigns to seed 0, cluster B to 25;
+    // the refined centroid must be the exact per-dimension mean of its list
+    val raw = c.as[(Long, Array[Double])].collect()
+    def mean(rows: Seq[Array[Double]]): Seq[Double] =
+      rows.transpose.map(xs => xs.sum / xs.size).toSeq
+    val expectA = mean(raw.filter(_._1 < 20).map(_._2).toSeq)
+    val expectB = mean(raw.filter(_._1 >= 20).map(_._2).toSeq)
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    assert(close(refined(0L).toSeq, expectA))
+    assert(close(refined(25L).toSeq, expectB))
+  }
+
+  test("seedCentroids: scale path is a pure filter yielding ~nlist rows") {
+    val n = 20000
+    val c = spark.range(n).select(col("id").as("nid"),
+      array(col("id").cast("double"), lit(1.0)).as("nvec"))
+    val nlist = 64 // n >= 64*nlist → hash-threshold sample, no global sort
+    val picked = Similarity.seedCentroids(c, nlist, n, 42L)
+    val cnt = picked.count()
+    assert(cnt > nlist / 2 && cnt < nlist * 2, s"sampled $cnt for nlist=$nlist")
+    assert(picked.count() == cnt) // deterministic across evaluations
+    // no Sort / TakeOrdered anywhere: the pick is filter-only
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered") && !plan.contains("Sort"))
+  }
 }
