@@ -305,6 +305,61 @@ object GraftFunctions {
     override def prettyName: String = "simhash64"
   }
 
+  /** Codegen'd probe into a driver-built Count-Min Sketch
+    * (`df.stat.countMinSketch`): the serialized sketch rides in the plan
+    * as a binary literal and is deserialized ONCE per executor through
+    * the codegen reference object — not per row, and with no UDF
+    * boxing/serialization seam, so the probing scan stays inside
+    * whole-stage codegen (the t12 heavy-hitter gate's UDF probe was the
+    * one codegen break in that plan).
+    */
+  case class CmsProbe(child: Expression, sketchBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    @transient private lazy val sketch =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+    def estimate(w: org.apache.spark.unsafe.types.UTF8String): Long =
+      sketch.estimateCount(w.toString)
+    override def nullSafeEval(v: Any): Any =
+      estimate(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cms", this, classOf[CmsProbe].getName)
+      defineCodeGen(ctx, ev, a => s"$ref.estimate($a)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "cms_probe"
+  }
+
+  /** Codegen'd probe into a driver-built Bloom filter
+    * (`df.stat.bloomFilter` over a long key column). Same pattern as
+    * `CmsProbe`: sketch-as-literal, one deserialization per executor,
+    * no codegen break. (Spark's own runtime bloom pushdown has an
+    * internal `might_contain`, but it is only planted by the
+    * InjectRuntimeFilter rule — there is no public probe expression.)
+    */
+  case class BloomProbe(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    def probe(k: Long): Boolean = bloom.mightContainLong(k)
+    override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", this, classOf[BloomProbe].getName)
+      defineCodeGen(ctx, ev, a => s"$ref.probe($a)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "bloom_probe"
+  }
+
   /** Register the graft functions in the session's FunctionRegistry.
     * Idempotent and quiet: names already present are left alone (the
     * registry's replace path logs a WARN per call, which floods
@@ -329,6 +384,10 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue(),
       es(3).eval().asInstanceOf[Number].longValue()))
+    put("cms_probe")(es => CmsProbe(es.head,
+      es(1).eval().asInstanceOf[Array[Byte]]))
+    put("bloom_probe")(es => BloomProbe(es.head,
+      es(1).eval().asInstanceOf[Array[Byte]]))
   }
 
   /** Column wrappers (session must be registered — queries call
@@ -343,4 +402,14 @@ object GraftFunctions {
     call_function("word_shingles", tokens, lit(k))
   def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
+  def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
+    val baos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(baos)
+    call_function("cms_probe", value, lit(baos.toByteArray))
+  }
+  def bloomProbe(value: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    call_function("bloom_probe", value, lit(baos.toByteArray))
+  }
 }

@@ -136,6 +136,80 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Index-once / dedup-incrementally — the corpus-refresh path: a
+    * standing corpus is MinHash-indexed ONCE, then each incoming batch
+    * is checked against the persisted index with no corpus re-scan,
+    * re-shingle, or re-shuffle. At 100 TB this is the difference between
+    * a nightly batch costing O(batch) and re-running the full O(corpus)
+    * pairwise dedup.
+    *
+    * Persisted layout (BucketedJoin bucket tables):
+    *  - `<table>_sigs` (id, sig) bucketed by id — candidate verification
+    *    joins land co-located on the index side;
+    *  - `<table>_bands` (id, bandkey) bucketed+sorted by bandkey — batch
+    *    band rows shuffle TO the index layout, the index never moves.
+    * `bandkey` folds (band index, band hash) into one 64-bit key so the
+    * bucketed join key is a single column; a cross-band key collision
+    * merely creates an extra candidate that signature verification
+    * filters out (no correctness impact, ~2⁻⁶⁴ rate).
+    */
+  def minhashIndexBuild(docs: DataFrame, textCol: String, idCol: String,
+                        table: String, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, buckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    BucketedJoin.writeBucketed(sig, s"${table}_sigs", "id", buckets)
+    val banded = docs.sparkSession.table(s"${table}_sigs")
+      .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes / bands))
+        .as("bandkey"))
+    BucketedJoin.writeBucketed(banded, s"${table}_bands", "bandkey", buckets)
+  }
+
+  /** Check `batch` against a standing [[minhashIndexBuild]] index:
+    * returns (batch_id, corpus_id, est_jaccard) for every batch doc
+    * whose estimated Jaccard against an indexed doc reaches `threshold`.
+    * Only the batch is shingled/hashed; both index joins are co-located
+    * with the bucketed tables (band candidates on bandkey, signature
+    * verification on id).
+    */
+  def minhashDedupAgainst(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batch: DataFrame,
+                          textCol: String, idCol: String,
+                          threshold: Double = 0.5, k: Int = 3,
+                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // one id-partitioned exchange for the batch signatures, reused by
+    // the banding arm and the verification re-join
+    val bsig = batch.select(col(idCol).as("bid"),
+        minhashSignature(col(textCol), k, numHashes).as("bsig"))
+      .repartition(col("bid"))
+    val bband = bsig.select(col("bid"),
+      explode(bandKeys(col("bsig"), bands, numHashes / bands)).as("bandkey"))
+    val cand = bband.join(spark.table(s"${table}_bands"), "bandkey")
+      .select(col("bid"), col("id").as("cid"))
+      .dropDuplicates("bid", "cid")
+    cand.join(spark.table(s"${table}_sigs"), col("cid") === col("id"))
+      .join(bsig, "bid")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("bsig"), col("sig"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Band keys of a minhash signature: per band, xxhash64(band index,
+    * hash of the band's signature slice) — the single-column LSH bucket
+    * key the incremental index is laid out on.
+    */
+  private def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, xxhash64(slice(sig, b * rowsPer + 1, lit(rowsPer)))))
+
   /** 64-bit SimHash over tokens: per bit, count of set token-hash bits vs
     * total, sign → bit. Computed by the native one-pass `simhash64`
     * kernel (a column-expression formulation would traverse the hash

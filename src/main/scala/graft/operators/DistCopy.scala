@@ -102,6 +102,68 @@ object DistCopy {
       s.isFile && s.getPath.getName.startsWith("part-")).toLong
   }
 
+  /** har-style indexed archive (reference `tools:hadoop-archives` —
+    * HarFileSystem's `_index`/`_masterindex` + part-file layout): pack a
+    * directory tree of small files into ONE parquet dataset of
+    * (path, size, content) rows, range-partitioned and SORTED by path,
+    * so parquet's per-row-group min/max statistics ARE the index.
+    * Members are then read IN PLACE, no extraction:
+    *  - [[archiveList]] is a column-pruned metadata scan (content bytes
+    *    never leave disk);
+    *  - [[archiveGet]] is a pushed path-equality lookup — row groups
+    *    whose [min,max] path range excludes the member are skipped, so
+    *    a member read costs O(one row group), not O(archive).
+    * File contents stream through executor tasks (one manifest
+    * partition per task), never the driver. Members must be
+    * individually memory-sized (the har use case: millions of SMALL
+    * files); `targetBytes` sizes the output parts.
+    */
+  def archive(spark: SparkSession, srcDir: String, archiveDir: String,
+              excludeRegex: Option[String] = None,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val manifest = listing(spark, srcDir, excludeRegex)
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
+    val readParts = math.min(math.max(manifest.size, 1), 64)
+    val rows = sc.parallelize(manifest, readParts).map { e =>
+      val conf = confBc.value.value
+      val p = new Path(s"$srcDir/${e.rel}")
+      val fs = p.getFileSystem(conf)
+      val buf = new Array[Byte](e.size.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      (e.rel, e.size, buf)
+    }
+    val totalBytes = manifest.map(_.size).sum
+    val outParts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    rows.toDF("path", "size", "content")
+      .repartitionByRange(outParts, col("path"))
+      .sortWithinPartitions("path")
+      .write.mode("overwrite").parquet(archiveDir)
+    manifest.size.toLong
+  }
+
+  /** Archive member listing — (path, size), column-pruned (the content
+    * column is never materialized; check `ReadSchema` in the plan).
+    */
+  def archiveList(spark: SparkSession, archiveDir: String): DataFrame =
+    spark.read.parquet(archiveDir).select("path", "size")
+
+  /** Point lookup of one member's bytes — pushed path predicate +
+    * row-group pruning on the sorted layout (`PushedFilters` shows the
+    * equality reaching the scan).
+    */
+  def archiveGet(spark: SparkSession, archiveDir: String,
+                 member: String): Option[Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(archiveDir)
+      .filter(col("path") === member).select("content")
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+  }
+
   /** Stats as a one-row frame for report-style use. */
   def copyReport(spark: SparkSession, srcDir: String, dstDir: String,
                  update: Boolean = false): DataFrame = {

@@ -34,11 +34,41 @@ object Skew {
 
   /** Hot-key report: the keys whose row share exceeds `threshold` — the
     * diagnostic that decides between AQE-only and explicit salting.
+    *
+    * EXACT and therefore two full passes over `df` (a `count()` plus a
+    * full groupBy) — a report, not a sampler. On a 100 TB input prefer
+    * [[hotKeysSampled]], which reads a fraction once.
     */
   def hotKeys(df: DataFrame, key: Column, threshold: Double): DataFrame = {
     val total = df.count()
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(total * threshold))
       .orderBy(col("n").desc, col("key"))
+  }
+
+  /** Sampled hot-key report (the reference InputSampler spirit): ONE
+    * scan of a `fraction` Bernoulli sample, key shares estimated from
+    * the sampled counts. A key with true share p appears with sampled
+    * count ≈ p·fraction·N; `slack` (default 0.5) lowers the cut-off so
+    * borderline-hot keys aren't missed by sampling noise — the report
+    * errs toward listing a key that is almost hot, never toward salting
+    * being skipped for a truly hot one (for thresholds ≥ ~1e-4·fraction
+    * the binomial tail below 0.5·mean is negligible). Reported `share`
+    * is the sample estimate.
+    */
+  def hotKeysSampled(df: DataFrame, key: Column, threshold: Double,
+                     fraction: Double = 0.01, seed: Long = 42L,
+                     slack: Double = 0.5): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val sampled = df.sample(withReplacement = false, fraction, seed)
+      .groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    // one-row total joined broadcast — NOT an empty-partition window,
+    // which would drag every sampled key onto a single partition
+    val tot = sampled.agg(sum("n").as("tot"))
+    sampled.crossJoin(broadcast(tot))
+      .withColumn("share", col("n") / col("tot"))
+      .filter(col("share") >= threshold * slack)
+      .select(col("key"), col("share"))
+      .orderBy(col("share").desc, col("key"))
   }
 }

@@ -736,6 +736,34 @@ object Queries {
       k = 3, threshold = 0.8, maxShingleFreq = 5)
       .orderBy("ida", "idb")
 
+  /** Incremental-dedup gate (index-once / dedup-batches, the sim5
+    * pattern applied to MinHash): the corpus is indexed once
+    * (minhashIndexBuild → persisted bucketed band/signature tables),
+    * then a batch — every 10th doc re-submitted at doc_id+1e6 —
+    * is checked against the standing index. Gated dd2-style as a recall
+    * intersection: emit (batch_id, corpus_id) iff the EXACT batch↔corpus
+    * 3-gram Jaccard is ≥ 0.8 AND the index lookup found the pair; the
+    * oracle recomputes the exact side in SQL, so an index/lookup miss
+    * (bad persisted layout, banding, or verification join) drops a row
+    * and fails the hash gate. Identical resubmissions (Jaccard 1.0)
+    * are found by construction; near-dup recall is the dd2 banding math.
+    */
+  val dd5_incdedup: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val table = s"dd5_idx_${d.hashCode & Int.MaxValue}"
+    Dedup.minhashIndexBuild(base, "text", "doc_id", table)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.minhashDedupAgainst(s, table, batch, "text", "doc_id")
+      .select(col("corpus_id"), col("batch_id"))
+    val exact = Dedup.ngramJaccardPairs(base.unionByName(batch), "text", "doc_id",
+        k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .filter(col("ida") < 1000000L && col("idb") >= 1000000L)
+      .select(col("ida").as("corpus_id"), col("idb").as("batch_id"))
+    exact.join(found, Seq("corpus_id", "batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Flagship training-data composition: the full cleaning pipeline a
     * corpus pass runs — exact dedup (keep the smallest id per content
     * digest) → near-dup removal (word-3-gram Jaccard ≥ 0.8 with the
@@ -876,15 +904,16 @@ object Queries {
     * probe path returns ≥ exact.
     */
   val t12_cms: Q = (s, d) => {
+    GraftFunctions.ensureRegistered(s)
     val w = words(s, d)
     val eps = 0.001
     val sketch = w.stat.countMinSketch(col("word"), eps, 0.99, 42)
     val totalN = sketch.totalCount()
     val slack = math.ceil(eps * totalN).toLong
-    val bc = s.sparkContext.broadcast(sketch)
-    val probe = udf((word: String) => bc.value.estimateCount(word))
+    // Probe through the codegen'd cms_probe expression (sketch rides the
+    // plan as a literal; one deserialization per executor, no UDF seam).
     w.groupBy("word").agg(count(lit(1)).as("exact"))
-      .withColumn("est", probe(col("word")))
+      .withColumn("est", GraftFunctions.cmsProbe(col("word"), sketch))
       .filter(col("est") >= col("exact") && col("est") - col("exact") <= slack)
       .select("word").orderBy("word")
   }
@@ -933,11 +962,10 @@ object Queries {
   val t15_bloom: Q = (s, d) => {
     val keys = li(s, d).select(col("l_orderkey"))
     val bloom = keys.stat.bloomFilter("l_orderkey", 2000L, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val hit = udf((k: Long) => bc.value.mightContain(k))
+    GraftFunctions.ensureRegistered(s)
     Tables.orders(s, d).select(col("o_orderkey")).distinct()
       .join(keys.distinct(), col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .filter(hit(col("o_orderkey")))
+      .filter(GraftFunctions.bloomProbe(col("o_orderkey"), bloom))
       .orderBy("o_orderkey")
   }
 
@@ -1227,6 +1255,7 @@ object Queries {
     "p1_clean" -> p1_clean,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
+    "dd5_incdedup" -> dd5_incdedup,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -1558,6 +1587,24 @@ object Queries {
         |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
         |SELECT ida, idb FROM j WHERE jaccard >= 0.8 ORDER BY ida, idb""".stripMargin,
+
+    "dd5_incdedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM all_docs),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
+        |SELECT ida AS corpus_id, idb AS batch_id FROM j
+        |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
+        |ORDER BY corpus_id, batch_id""".stripMargin,
 
     "dd3_simhash" ->
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming

@@ -54,6 +54,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
   }
 
+  test("incremental index: batch lookups match self-join pairs, corpus untouched") {
+    Dedup.minhashIndexBuild(docs, "text", "doc_id", "dd_spec_idx")
+    // a batch: one identical resubmission, one near-dup, one novel doc
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),    // = 1, 2
+      (103L, "the quick brown fox jumps over the sleepy dog"),  // = 3 (and near 1, 2)
+      (110L, "entirely novel content that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashDedupAgainst(spark, "dd_spec_idx", batch,
+        "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // identical resubmission pairs with both exact-dup corpus docs at est 1.0
+    assert(got.filter(_._1 == 101L).map(m => (m._2, m._3)).toSet
+      .intersect(Set((1L, 1.0), (2L, 1.0))).size == 2)
+    // near-dup resubmission finds its identical source
+    assert(got.exists(m => m._1 == 103L && m._2 == 3L && m._3 == 1.0))
+    // novel doc matches nothing
+    assert(!got.exists(_._1 == 110L))
+    // and the lookup agrees with the one-shot self-join on the union:
+    // every (corpus, batch) pair minhashLshPairs finds is found here too
+    val union = docs.unionByName(batch)
+    val expect = Dedup.minhashLshPairs(union, "text", "doc_id", threshold = 0.3)
+      .filter(col("ida") <= 5L && col("idb") >= 101L)
+      .select(col("idb"), col("ida")).as[(Long, Long)].collect().toSet
+    assert(expect.subsetOf(got.map(m => (m._1, m._2)).toSet))
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq

@@ -61,4 +61,28 @@ class DistCopySpec extends AnyFunSuite {
     val l = DistCopy.listing(spark, src, excludeRegex = Some("\\.log$"))
     assert(l.map(_.rel) == Seq("a/f2.txt", "f1.txt"))
   }
+
+  test("har-style archive: in-place member read, pruned list, pushed lookup") {
+    val src = mkTree()
+    val arc = Files.createTempDirectory("graft-har").toString + "/arc"
+    assert(DistCopy.archive(spark, src, arc) == 3)
+
+    // member read is byte-exact, in place (no extraction step)
+    assert(DistCopy.archiveGet(spark, arc, "a/b/f3.log")
+      .map(new String(_)).contains("deep file"))
+    assert(DistCopy.archiveGet(spark, arc, "nope.txt").isEmpty)
+
+    // listing never reads content (column pruned off the scan) …
+    val listPlan = DistCopy.archiveList(spark, arc)
+      .queryExecution.executedPlan.toString
+    assert(listPlan.contains("ReadSchema") && !listPlan.contains("content"))
+    assert(DistCopy.archiveList(spark, arc).count() == 3)
+
+    // … and the member lookup predicate reaches the parquet scan
+    val getPlan = spark.read.parquet(arc)
+      .filter(org.apache.spark.sql.functions.col("path") === "f1.txt")
+      .queryExecution.executedPlan.toString
+    assert(getPlan.contains("PushedFilters") && getPlan.contains("IsNotNull(path)"))
+    assert(getPlan.contains("EqualTo(path,f1.txt)"))
+  }
 }

@@ -231,6 +231,41 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(frames == Seq(0, 1024, 2048))
   }
 
+  test("cms_probe matches driver-side estimateCount and stays in codegen") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val words = spark.range(0, 5000)
+      .select(concat(lit("w"), (col("id") % 97).cast("string")).as("word"))
+    val sketch = words.stat.countMinSketch(col("word"), 0.001, 0.99, 42)
+    val got = words.distinct()
+      .select(col("word"),
+        graft.functions.GraftFunctions.cmsProbe(col("word"), sketch).as("est"))
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w, est) => assert(est == sketch.estimateCount(w)) }
+    // the probing projection participates in whole-stage codegen (the
+    // whole point vs the UDF it replaced)
+    // `*(1)` marks the projection as WholeStageCodegen stage 1
+    val plan = words.select(
+        graft.functions.GraftFunctions.cmsProbe(col("word"), sketch))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cms_probe"))
+  }
+
+  test("bloom_probe: no false negatives, matches driver-side mightContain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val keys = spark.range(0, 2000).select((col("id") * 3).as("k"))
+    val bloom = keys.stat.bloomFilter("k", 2000L, 0.01)
+    // every inserted key must probe true through the expression
+    assert(keys.filter(!graft.functions.GraftFunctions.bloomProbe(col("k"), bloom))
+      .count() == 0)
+    // probe decisions agree with the driver-side filter on a mixed set
+    val got = spark.range(0, 3000).select(col("id").as("k"))
+      .select(col("k"),
+        graft.functions.GraftFunctions.bloomProbe(col("k"), bloom).as("hit"))
+      .as[(Long, Boolean)].collect()
+    got.foreach { case (k, hit) => assert(hit == bloom.mightContainLong(k)) }
+  }
+
   test("nanos→micros conversion is exact integer division at epoch scale") {
     // Epoch nanos ~1.7e18 exceed double's 2^53 exact range (ulp ≈ 256 ns
     // there): `col/1000` routes through double and truncates to a µs that

@@ -31,4 +31,16 @@ class SkewSpec extends AnyFunSuite {
     val hot = Skew.hotKeys(df, col("k"), 0.1).as[(String, Long)].collect().toSeq
     assert(hot == Seq(("hot", 400L)))
   }
+
+  test("hotKeysSampled finds the hot key from a single sampled pass") {
+    // 40% of 100k rows share one key; everything else is unique
+    val df = spark.range(0, 100000)
+      .select(when(col("id") % 5 < 2, lit("hot"))
+        .otherwise(col("id").cast("string")).as("k"))
+    val rep = Skew.hotKeysSampled(df, col("k"), threshold = 0.1,
+      fraction = 0.02, seed = 7L).as[(String, Double)].collect().toSeq
+    assert(rep.map(_._1) == Seq("hot"))
+    // sampled share estimate lands near the true 0.4
+    assert(math.abs(rep.head._2 - 0.4) < 0.1)
+  }
 }
