@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
@@ -65,13 +65,16 @@ object Similarity {
 
     val cBuckets = withSigs(corpus, "nid", "nvec")
     val qBuckets = withSigs(queries, "qid", "qvec")
+    // score BEFORE the dedup: the rounded cosine is identical on every
+    // duplicate of a (qid, nid) pair, so dropDuplicates runs on 24-byte
+    // rows instead of shuffling both vectors per candidate (the wide
+    // form was measured as the ivf-query bottleneck in DevSimScale)
     val cand = cBuckets.join(broadcast(qBuckets),
         Seq("table", "sig")).filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
-      .dropDuplicates("qid", "nid")
-    cand
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      .dropDuplicates("qid", "nid")
+    cand
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
@@ -106,12 +109,32 @@ object Similarity {
     */
   private def assignLists(c: DataFrame, cents: DataFrame,
                           nassign: Int): DataFrame =
-    c.crossJoin(broadcast(cents))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("nid").orderBy(
-          GraftFunctions.cosineSim(col("nvec"), col("cvec")).desc, col("cid"))))
-      .filter(col("arank") <= nassign)
-      .select(col("cid"), col("nid"), col("nvec"))
+    c.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("nid"), col("nvec"),
+        explode(topCentroids(col("nvec"), col("_cents"), nassign)).as("t"))
+      .select(col("t.cid").as("cid"), col("nid"), col("nvec"))
+
+  /** The (≈√N-row) centroid table folded into ONE array row, to ride a
+    * broadcast into a map-only per-row argmin. The alternative — a
+    * crossJoin producing N×nlist ROWS ranked by a window — sorts and
+    * shuffles the full vector payload N×nlist times: measured at 10⁵
+    * corpus vectors (DevSimScale) that window spilled tens of GB and at
+    * 10⁶ it filled the disk. The fold keeps assignment zero-shuffle;
+    * only the √N·dim-double array moves (≈0.5 MB at 10⁶ rows).
+    */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("_cents"))
+
+  /** Top-`n` centroid ids for one vector, computed with array
+    * expressions per row (no join-row blow-up): score every centroid,
+    * sort by (-cos, cid) — the (cos desc, cid asc) order of the old
+    * window formulation, bit-for-bit — and slice. Returns
+    * array<struct<ncs,cid>>.
+    */
+  private def topCentroids(vec: Column, cents: Column, n: Int): Column =
+    slice(array_sort(transform(cents, ct =>
+      struct((-GraftFunctions.cosineSim(vec, ct("cvec"))).as("ncs"),
+        ct("cid").as("cid")))), 1, n)
 
   /** Lloyd refinement of a centroid seed, in pure DataFrame ops: assign
     * each vector to its nearest centroid, recompute each centroid as the
@@ -160,21 +183,20 @@ object Similarity {
     val assigned = assignLists(c, cents, nassign)
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
-    // probe lists: nprobe nearest centroids per query
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("qid").orderBy(
-          GraftFunctions.cosineSim(col("qvec"), col("cvec")).desc, col("cid"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid"))
+    // probe lists: nprobe nearest centroids per query — same map-only
+    // argmin as assignment (scales to corpus-sized query batches)
+    val probes = q.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("qid"), col("qvec"),
+        explode(topCentroids(col("qvec"), col("_cents"), nprobe)).as("t"))
+      .select(col("qid"), col("qvec"), col("t.cid").as("cid"))
     probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       // multi-assignment / multi-probe can surface a (qid, nid) pair via
-      // several lists — dedup before ranking
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
-      .dropDuplicates("qid", "nid")
+      // several lists — score first (identical rounded cos on every
+      // duplicate), then dedup 24-byte rows before ranking
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
@@ -260,18 +282,17 @@ object Similarity {
              else math.max(1, math.ceil(cents.count() / 2.0).toInt)
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("qid").orderBy(
-          GraftFunctions.cosineSim(col("qvec"), col("cvec")).desc, col("cid"))))
-      .filter(col("crank") <= np)
-      .select(col("qid"), col("qvec"), col("cid"))
+    val probes = q.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("qid"), col("qvec"),
+        explode(topCentroids(col("qvec"), col("_cents"), np)).as("t"))
+      .select(col("qid"), col("qvec"), col("t.cid").as("cid"))
     probes.join(spark.table(table), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
-      .dropDuplicates("qid", "nid")
+      // score-then-dedup: cos is deterministic per (qid, nid), so the
+      // exchange moves 24-byte rows, not vector pairs
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      .dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
@@ -299,18 +320,27 @@ object Similarity {
     GraftFunctions.ensureRegistered(vecs.sparkSession)
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // (table, sig)-partitioned exchange reused by both sides of the
-    // bucket self-join
-    val banded = v.select(col("id"), col("vec"),
+    // Candidate generation is NARROW: band rows carry (id, table, sig)
+    // only — 24 bytes — through the (table, sig)-partitioned exchange
+    // (reused by both sides of the bucket self-join) and the candidate
+    // distinct. Vectors re-join by id AFTER the distinct, so the wide
+    // payload moves O(N + candidates) times, never O(candidates) copies
+    // through a sort. (The first formulation carried both vectors on
+    // every candidate row; DevSimScale measured that as a ~70 GB
+    // spill at 10⁶ vectors — the candidate count is fine, the row
+    // WIDTH was the killer.)
+    val banded = v.select(col("id"),
         posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
       .repartition(col("table"), col("sig"))
-    banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .dropDuplicates("ida", "idb")
+    cand
+      .join(v.select(col("id").as("ida"), col("vec").as("va")), "ida")
+      .join(v.select(col("id").as("idb"), col("vec").as("vb")), "idb")
       .select(col("ida"), col("idb"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("va"), col("vb"))).as("cos"))
       .filter(col("cos") >= threshold)

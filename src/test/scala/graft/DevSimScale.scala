@@ -59,7 +59,10 @@ object DevSimScale {
       }
 
       // ---- sim4: LSH-blocked near-dup pairs ----------------------------
-      val nBits = if (n >= 100000) 16 else 8
+      // candidates ≈ nTables·C(N,2)/2^nBits, so nBits tracks log2(N):
+      // 16 at 1e5, 20 at 1e6 (measured: holding 16 at 1e6 costs 127M
+      // candidates vs ~8M at 20 — the knob, demonstrated)
+      val nBits = if (n >= 1000000) 20 else if (n >= 100000) 16 else 8
       val (nCand, tCand) = timed {
         val v = emb.select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("vec"))
@@ -72,16 +75,15 @@ object DevSimScale {
               col("a.id") < col("b.id"))
           .select(col("a.id"), col("b.id")).distinct().count()
       }
-      val (pairs, tPairs) = timed {
-        Similarity.cosineNearDupPairsBlocked(emb, "vec_id", "embedding",
-          0.999, nBits = nBits, nTables = 8).cache()
-      }
-      val nPairs = pairs.count()
+      val pairs = Similarity.cosineNearDupPairsBlocked(emb, "vec_id", "embedding",
+        0.999, nBits = nBits, nTables = 8).cache()
+      val (nPairs, tPairs) = timed(pairs.count())
       val recovered = pairs
         .filter(col("idb") === col("ida") + n && col("ida") % 50 === 0).count()
       pairs.unpersist()
       println(f"[simscale] n=$n sim4 nBits=$nBits candidates=$nCand (${tCand}%.1fs) " +
         f"pairs=$nPairs recovered=$recovered/$nPlanted (${tPairs}%.1fs)")
+      System.out.flush() // forked stdout is pipe-buffered; don't lose results to a crash
 
       // ---- sim5: persisted IVF index recall ----------------------------
       val qStep = math.max(1L, n / 100)
@@ -108,6 +110,7 @@ object DevSimScale {
       exact.unpersist(); approx.unpersist()
       println(f"[simscale] n=$n sim5 build=${tBuild}%.1fs " +
         f"brute=${tExact}%.1fs query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
+      System.out.flush()
     }
     spark.stop()
   }
