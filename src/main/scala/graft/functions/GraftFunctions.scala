@@ -305,6 +305,100 @@ object GraftFunctions {
     override def prettyName: String = "simhash64"
   }
 
+  /** Top-`n` IVF centroids for one vector in ONE fused loop:
+    * `ivf_top_cents(vec, cents, n)` scores every centroid of the
+    * (broadcast-folded) `array<struct<cid,cvec>>` by cosine and returns
+    * the `n` best cids ordered (cos desc, cid asc). This is the
+    * assignment/probe hot path of the IVF family: the compositional
+    * form — `slice(array_sort(transform(cents, ct => struct(-cos, cid))))`
+    * — evaluates the lambda interpreted per centroid with per-element
+    * boxing and allocates two arrays per row; at 10⁶ corpus rows ×
+    * √N≈10³ centroids that interpretation tax dominates index build
+    * time. Here the scan is a primitive Java loop with a bounded
+    * insertion top-n (n ≤ 16) or one index sort (larger probe counts),
+    * inside whole-stage codegen.
+    */
+  case class IvfTopCents(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    require(n > 0, "n must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    def topCids(vecAny: ArrayData, centsAny: ArrayData): ArrayData = {
+      val vec = vecAny
+      val cents = centsAny
+      val m = cents.numElements()
+      val dim = vec.numElements()
+      val v = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { v(d) = vec.getDouble(d); d += 1 }
+      var nv = 0.0
+      d = 0
+      while (d < dim) { nv += v(d) * v(d); d += 1 }
+      val cos = new Array[Double](m)
+      val cid = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val row = cents.getStruct(i, 2)
+        cid(i) = row.getLong(0)
+        val cv = row.getArray(1)
+        val k = math.min(dim, cv.numElements())
+        var dot = 0.0; var nc = 0.0; var j = 0
+        while (j < k) {
+          val cj = cv.getDouble(j)
+          dot += v(j) * cj; nc += cj * cj; j += 1
+        }
+        cos(i) = if (nv == 0.0 || nc == 0.0) 0.0
+                 else dot / (math.sqrt(nv) * math.sqrt(nc))
+        i += 1
+      }
+      val take = math.min(n, m)
+      val out = new Array[Long](take)
+      // (cos desc, cid asc) — identical to the window/array_sort order
+      @inline def better(a: Int, b: Int): Boolean =
+        cos(a) > cos(b) || (cos(a) == cos(b) && cid(a) < cid(b))
+      if (n <= 16) {
+        val sel = new Array[Int](take)
+        var filled = 0
+        i = 0
+        while (i < m) {
+          if (filled < take) {
+            var p = filled
+            while (p > 0 && better(i, sel(p - 1))) { sel(p) = sel(p - 1); p -= 1 }
+            sel(p) = i
+            filled += 1
+          } else if (better(i, sel(take - 1))) {
+            var p = take - 1
+            while (p > 0 && better(i, sel(p - 1))) { sel(p) = sel(p - 1); p -= 1 }
+            sel(p) = i
+          }
+          i += 1
+        }
+        i = 0
+        while (i < take) { out(i) = cid(sel(i)); i += 1 }
+      } else {
+        val idx = Array.range(0, m)
+        val boxed = idx.sortWith((a, b) => better(a, b))
+        i = 0
+        while (i < take) { out(i) = cid(boxed(i)); i += 1 }
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      topCids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfTop", this, classOf[IvfTopCents].getName)
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"(${classOf[ArrayData].getName}) $ref.topCids($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "ivf_top_cents"
+  }
+
   /** Codegen'd probe into a driver-built Count-Min Sketch
     * (`df.stat.countMinSketch`): the serialized sketch rides in the plan
     * as a binary literal and is deserialized ONCE per executor through
@@ -384,6 +478,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue(),
       es(3).eval().asInstanceOf[Number].longValue()))
+    put("ivf_top_cents")(es => IvfTopCents(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue()))
     put("cms_probe")(es => CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
@@ -402,6 +498,8 @@ object GraftFunctions {
     call_function("word_shingles", tokens, lit(k))
   def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
+  def ivfTopCents(vec: Column, cents: Column, n: Int): Column =
+    call_function("ivf_top_cents", vec, cents, lit(n))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(baos)

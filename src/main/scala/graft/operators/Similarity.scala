@@ -111,8 +111,8 @@ object Similarity {
                           nassign: Int): DataFrame =
     c.crossJoin(broadcast(centroidArray(cents)))
       .select(col("nid"), col("nvec"),
-        explode(topCentroids(col("nvec"), col("_cents"), nassign)).as("t"))
-      .select(col("t.cid").as("cid"), col("nid"), col("nvec"))
+        explode(topCentroids(col("nvec"), col("_cents"), nassign)).as("cid"))
+      .select(col("cid"), col("nid"), col("nvec"))
 
   /** The (≈√N-row) centroid table folded into ONE array row, to ride a
     * broadcast into a map-only per-row argmin. The alternative — a
@@ -125,16 +125,16 @@ object Similarity {
   private def centroidArray(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("_cents"))
 
-  /** Top-`n` centroid ids for one vector, computed with array
-    * expressions per row (no join-row blow-up): score every centroid,
-    * sort by (-cos, cid) — the (cos desc, cid asc) order of the old
-    * window formulation, bit-for-bit — and slice. Returns
-    * array<struct<ncs,cid>>.
+  /** Top-`n` centroid ids for one vector — the native
+    * `ivf_top_cents` kernel (one fused Java loop per row, whole-stage
+    * codegen; ordering (cos desc, cid asc) matches the old window
+    * formulation bit-for-bit). The compositional
+    * `slice(array_sort(transform(...)))` form evaluated the cosine
+    * lambda interpreted per centroid — measured ~3× slower on the 10⁶
+    * index build (DevSimScale). Returns array<long> of cids.
     */
   private def topCentroids(vec: Column, cents: Column, n: Int): Column =
-    slice(array_sort(transform(cents, ct =>
-      struct((-GraftFunctions.cosineSim(vec, ct("cvec"))).as("ncs"),
-        ct("cid").as("cid")))), 1, n)
+    GraftFunctions.ivfTopCents(vec, cents, n)
 
   /** Lloyd refinement of a centroid seed, in pure DataFrame ops: assign
     * each vector to its nearest centroid, recompute each centroid as the
@@ -187,8 +187,7 @@ object Similarity {
     // argmin as assignment (scales to corpus-sized query batches)
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qvec"),
-        explode(topCentroids(col("qvec"), col("_cents"), nprobe)).as("t"))
-      .select(col("qid"), col("qvec"), col("t.cid").as("cid"))
+        explode(topCentroids(col("qvec"), col("_cents"), nprobe)).as("cid"))
     probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       // multi-assignment / multi-probe can surface a (qid, nid) pair via
@@ -284,8 +283,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qvec"))
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qvec"),
-        explode(topCentroids(col("qvec"), col("_cents"), np)).as("t"))
-      .select(col("qid"), col("qvec"), col("t.cid").as("cid"))
+        explode(topCentroids(col("qvec"), col("_cents"), np)).as("cid"))
     probes.join(spark.table(table), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       // score-then-dedup: cos is deterministic per (qid, nid), so the

@@ -145,6 +145,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@5 < 3/5 for qids ${hits.filter(_._2 < 3).keys.toSeq.sorted}")
   }
 
+  test("ivf_top_cents kernel matches the compositional sort, both regimes") {
+    GraftFunctions.ensureRegistered(spark)
+    // 40 vectors scored against 37 centroids (includes duplicated
+    // centroid vectors → cosine TIES, exercising the cid tie-break)
+    val vecs = spark.range(40).select(col("id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0 - 1.0).as("v"))
+    val cents = spark.range(37).select(col("id").as("cid"),
+      transform(sequence(lit(0), lit(7)), d =>
+        pmod(xxhash64(col("id") % 30, d, lit(7L)), lit(1000)).cast("double") / 500.0 - 1.0)
+        .as("cvec"))
+    val arr = cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    // n=2 exercises the insertion top-n path, n=20 the sort path
+    for (n <- Seq(2, 20)) {
+      val got = vecs.crossJoin(broadcast(arr))
+        .select(col("id"), GraftFunctions.ivfTopCents(col("v"), col("cs"), n).as("top"))
+      val expect = vecs.crossJoin(broadcast(arr))
+        .select(col("id"),
+          slice(array_sort(transform(col("cs"), ct =>
+            struct((-GraftFunctions.cosineSim(col("v"), ct("cvec"))).as("ncs"),
+              ct("cid").as("cid")))), 1, n).as("sorted"))
+        .select(col("id"), transform(col("sorted"), t => t("cid")).as("top"))
+      assert(got.as[(Long, Seq[Long])].collect().toMap ==
+        expect.as[(Long, Seq[Long])].collect().toMap)
+    }
+  }
+
   test("GraftExtensions: config-injected functions resolve in plain SQL") {
     import org.apache.spark.sql.SparkSession
     val shared = spark // force shared context to exist first
