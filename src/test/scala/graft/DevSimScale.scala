@@ -98,19 +98,28 @@ object DevSimScale {
           .select("qid", "nid").cache()
         e.count(); e
       }
-      val (approx, tQuery) = timed {
-        val a = Similarity.ivfQuery(spark, table, q, "vec_id", "embedding", 5)
-          .select("qid", "nid").cache()
-        a.count(); a
+      // operating-point sweep: nprobe = nlist/2 (the recall-first
+      // default), /4, /8 — the recall/cost dial on this worst-case
+      // (unstructured) corpus
+      val nlist = spark.table(s"${table}_cents").count().toInt
+      for (div <- Seq(2, 4, 8)) {
+        val np = math.max(1, nlist / div)
+        val (approx, tQuery) = timed {
+          val a = Similarity.ivfQuery(spark, table, q, "vec_id", "embedding", 5,
+              nprobe = np)
+            .select("qid", "nid").cache()
+          a.count(); a
+        }
+        val hits = exact.join(approx, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val pass = hits.filter(col("h") >= 3).count()
+        val minH = hits.agg(min("h")).head().getLong(0)
+        approx.unpersist()
+        println(f"[simscale] n=$n sim5 build=${tBuild}%.1fs brute=${tExact}%.1fs " +
+          f"nprobe=$np/$nlist query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
+        System.out.flush()
       }
-      val hits = exact.join(approx, Seq("qid", "nid"))
-        .groupBy("qid").agg(count(lit(1)).as("h"))
-      val pass = hits.filter(col("h") >= 3).count()
-      val minH = hits.agg(min("h")).head().getLong(0)
-      exact.unpersist(); approx.unpersist()
-      println(f"[simscale] n=$n sim5 build=${tBuild}%.1fs " +
-        f"brute=${tExact}%.1fs query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
-      System.out.flush()
+      exact.unpersist()
     }
     spark.stop()
   }
