@@ -295,6 +295,27 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Sampled hot-key report gate (dd2-style recall intersection): a key
+    * is emitted iff its EXACT row share is ≥ 0.2 AND the single-pass
+    * sampled reporter (10% Bernoulli sample, one scan) surfaced it. The
+    * oracle recomputes the exact side, so a sampling miss of a truly-hot
+    * key drops a row and fails the hash gate. Margins are wide by
+    * construction: the hot keys carry ~⅓ of rows each, so the sampled
+    * estimate sits thousands of rows above the slack-lowered cut-off.
+    */
+  val j9_hotkeys: Q = (s, d) => {
+    val found = Skew.hotKeysSampled(li(s, d), col("l_returnflag"),
+        threshold = 0.2, fraction = 0.1, seed = 7L)
+      .select(col("key"))
+    val exact = li(s, d).groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = exact.agg(sum("n").as("t"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("n") >= col("t") * 0.2)
+      .join(found, "key")
+      .select("key").orderBy("key")
+  }
+
   /** Reduce-side tagged join (`tools:hadoop-datajoin`:
     * `DataJoinMapperBase.java` tags records by source,
     * `DataJoinReducerBase.java` buffers per-tag groups at the reducer and
@@ -365,6 +386,33 @@ object Queries {
       .withColumnRenamed("closest_key", "after_key")
       .withColumnRenamed("closest_val", "after_val")
     before.join(after, "probe").orderBy("probe")
+  }
+
+  /** har-style archive gate (d1's pattern of constructing its own
+    * external fixture): every document is written as an individual
+    * small file from executor tasks, the directory is packed into the
+    * sorted-parquet indexed archive, and the MEMBER LISTING read back
+    * from the archive — (path, size) with content column-pruned off the
+    * scan — must match the documents table's own byte accounting
+    * (UTF-8 octet length). Certifies write→pack→indexed-read end to
+    * end; the in-place member-content lookup is spec-gated
+    * (DistCopySpec) since DuckDB can't read the loose files.
+    */
+  val ar1_archive: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ar1").toString
+    docs(s, d).select(
+        concat(col("doc_id").cast("string"), lit(".txt")).as("rel"),
+        col("text"))
+      .repartition(8)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, r.getString(0)), r.getString(1))
+        }
+      }
+    val arc = s"$dir-packed"
+    DistCopy.archive(s, dir, arc)
+    DistCopy.archiveList(s, arc).orderBy("path")
   }
 
   // ---------------------------------------------------------------- D / M / U
@@ -1248,7 +1296,9 @@ object Queries {
     "o4_sortspec" -> o4_sortspec, "u2_pipereduce" -> u2_pipereduce,
     "j4_cogroup" -> j4_cogroup, "j5_bucketed" -> j5_bucketed,
     "j6_asof" -> j6_asof, "j7_range" -> j7_range, "j8_salted" -> j8_salted,
+    "j9_hotkeys" -> j9_hotkeys,
     "mf1_lookup" -> mf1_lookup, "mf2_closest" -> mf2_closest,
+    "ar1_archive" -> ar1_archive,
     "i4_xml" -> i4_xml, "w3_sliding" -> w3_sliding,
     "w4_statefulsessions" -> w4_statefulsessions,
     "w5_intervaljoin" -> w5_intervaljoin,
@@ -1482,6 +1532,16 @@ object Queries {
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j9_hotkeys" ->
+      """SELECT l_returnflag AS key FROM lineitem GROUP BY 1
+        |HAVING count(*) >= 0.2 * (SELECT count(*) FROM lineitem)
+        |ORDER BY key""".stripMargin,
+
+    "ar1_archive" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size
+        |FROM documents ORDER BY path""".stripMargin,
 
     "j5_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
