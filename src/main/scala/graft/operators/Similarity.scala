@@ -107,12 +107,57 @@ object Similarity {
     * weak and a near neighbor's single best centroid often isn't the
     * query's).
     */
-  private def assignLists(c: DataFrame, cents: DataFrame,
-                          nassign: Int): DataFrame =
+  private[graft] def assignLists(c: DataFrame, cents: DataFrame,
+                                 nassign: Int): DataFrame =
     c.crossJoin(broadcast(centroidArray(cents)))
       .select(col("nid"), col("nvec"),
         explode(topCentroids(col("nvec"), col("_cents"), nassign)).as("cid"))
       .select(col("cid"), col("nid"), col("nvec"))
+
+  /** TWO-LEVEL assignment (coarse quantizer over the quantizer): the
+    * centroids are themselves clustered under ≈√nlist super-centroids,
+    * and each corpus vector scores only the members of its `nsup` best
+    * supers — ≈(1+nsup)·√nlist cosines per row instead of nlist. This is
+    * the step that keeps the assignment pass linear at the extreme where
+    * nlist=⌈√N⌉ is itself large (N=10¹² ⇒ 10⁶ centroids). Same
+    * zero-shuffle map-only shape as [[assignLists]]: the nested
+    * super→members structure rides ONE broadcast row into the native
+    * `ivf2_top_cents` kernel. Approximate by design (a vector whose true
+    * centroid hides outside its top supers assigns to the best covered
+    * one); with `nsup` ≥ the super count it equals the flat ranking
+    * exactly — the spec pins that equivalence, and DevSimScale measures
+    * recall at 10⁶.
+    */
+  private[graft] def assignListsTwoLevel(c: DataFrame, cents: DataFrame,
+                                         nassign: Int, nsup: Int = 4,
+                                         seed: Long = 43L): DataFrame = {
+    val nlist = cents.count()
+    val nSupers = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val supers = seedCentroids(
+      cents.select(col("cid").as("nid"), col("cvec").as("nvec")),
+      nSupers, nlist, seed)
+      .select(col("cid").as("scid"), col("cvec").as("scvec"))
+    // each centroid joins its single best super (flat ranking — the
+    // centroid table is only nlist rows, so this pass is cheap)
+    val members = cents.select(col("cid").as("nid"), col("cvec").as("nvec"))
+      .crossJoin(broadcast(supers.agg(
+        collect_list(struct(col("scid"), col("scvec"))).as("_cents"))))
+      .select(col("nid"), col("nvec"),
+        explode(GraftFunctions.ivfTopCents(col("nvec"),
+          transform(col("_cents"), x =>
+            struct(x("scid").as("cid"), x("scvec").as("cvec"))), 1)).as("scid"))
+    val nested = members
+      .groupBy("scid")
+      .agg(collect_list(struct(col("nid").as("cid"), col("nvec").as("cvec")))
+        .as("members"))
+      .join(supers, "scid")
+      .agg(collect_list(struct(col("scvec"), col("members"))).as("_supers"))
+    c.crossJoin(broadcast(nested))
+      .select(col("nid"), col("nvec"),
+        explode(GraftFunctions.ivf2TopCents(col("nvec"), col("_supers"),
+          nsup, nassign)).as("cid"))
+      .select(col("cid"), col("nid"), col("nvec"))
+  }
 
   /** The (≈√N-row) centroid table folded into ONE array row, to ride a
     * broadcast into a map-only per-row argmin. The alternative — a
@@ -250,7 +295,7 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                table: String, nlist: Int = 0, nassign: Int = 2,
                buckets: Int = 8, seed: Long = 42L,
-               lloydIters: Int = 0): Unit = {
+               lloydIters: Int = 0, twoLevel: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
@@ -260,7 +305,8 @@ object Similarity {
     val seeds = seedCentroids(c, nl, n, seed)
     val cents = if (lloydIters > 0) refineCentroids(c, seeds, lloydIters)
                 else seeds
-    val assigned = assignLists(c, cents, nassign)
+    val assigned = if (twoLevel) assignListsTwoLevel(c, cents, nassign)
+                   else assignLists(c, cents, nassign)
     BucketedJoin.writeBucketed(assigned, table, "cid", buckets)
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
   }

@@ -98,14 +98,25 @@ object DevSimScale {
           .select("qid", "nid").cache()
         e.count(); e
       }
+      // two-level (coarse-quantizer) build: same index contract, fewer
+      // per-row cosines at assignment — recall measured at the default
+      // operating point below
+      val table2 = s"ivf2_scale_$n"
+      val (_, tBuild2) = timed {
+        Similarity.ivfBuild(emb, "vec_id", "embedding", table2, buckets = 32,
+          twoLevel = true)
+      }
+      println(f"[simscale] n=$n sim5 twoLevel build=${tBuild2}%.1fs (flat was measured above)")
+      System.out.flush()
+
       // operating-point sweep: nprobe = nlist/2 (the recall-first
       // default), /4, /8 — the recall/cost dial on this worst-case
       // (unstructured) corpus
       val nlist = spark.table(s"${table}_cents").count().toInt
-      for (div <- Seq(2, 4, 8)) {
+      for (div <- Seq(2, 4, 8); tbl <- Seq(table, table2)) {
         val np = math.max(1, nlist / div)
         val (approx, tQuery) = timed {
-          val a = Similarity.ivfQuery(spark, table, q, "vec_id", "embedding", 5,
+          val a = Similarity.ivfQuery(spark, tbl, q, "vec_id", "embedding", 5,
               nprobe = np)
             .select("qid", "nid").cache()
           a.count(); a
@@ -115,7 +126,8 @@ object DevSimScale {
         val pass = hits.filter(col("h") >= 3).count()
         val minH = hits.agg(min("h")).head().getLong(0)
         approx.unpersist()
-        println(f"[simscale] n=$n sim5 build=${tBuild}%.1fs brute=${tExact}%.1fs " +
+        val kind = if (tbl == table) "flat" else "2lvl"
+        println(f"[simscale] n=$n sim5 $kind build=${tBuild}%.1fs brute=${tExact}%.1fs " +
           f"nprobe=$np/$nlist query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
         System.out.flush()
       }

@@ -172,6 +172,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("two-level assignment: exhaustive supers equals flat; default recalls dups") {
+    GraftFunctions.ensureRegistered(spark)
+    val corpus = spark.range(400).select(col("id").as("nid"),
+      transform(sequence(lit(0), lit(15)), d =>
+        pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0 - 1.0).as("nvec"))
+    val cents = Similarity.seedCentroids(corpus, 20, 400, 42L)
+    val flat = Similarity.assignLists(corpus, cents, 2)
+      .select("cid", "nid").as[(Long, Long)].collect().toSet
+    // nsup ≥ super count (⌈√20⌉ = 5) ⇒ every super is probed ⇒ EXACTLY
+    // the flat ranking
+    val exhaustive = Similarity.assignListsTwoLevel(corpus, cents, 2, nsup = 20)
+      .select("cid", "nid").as[(Long, Long)].collect().toSet
+    assert(exhaustive == flat)
+    // default nsup: approximate, but every vector still gets nassign
+    // lists, and a vector IS its own best match — identical planted
+    // copies land in the same top list as their source
+    val twoLvl = Similarity.assignListsTwoLevel(corpus, cents, 2)
+      .select("cid", "nid").as[(Long, Long)].collect()
+    assert(twoLvl.groupBy(_._2).forall(_._2.length == 2))
+    val dup = corpus.filter(col("nid") < 20)
+      .select((col("nid") + 1000).as("nid"), col("nvec"))
+    val both = Similarity.assignListsTwoLevel(corpus.unionByName(dup), cents, 2)
+      .select("cid", "nid").as[(Long, Long)].collect()
+    val byVec = both.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    (0L until 20L).foreach { i =>
+      assert(byVec(i) == byVec(i + 1000), s"planted copy of $i diverged")
+    }
+  }
+
   test("GraftExtensions: config-injected functions resolve in plain SQL") {
     import org.apache.spark.sql.SparkSession
     val shared = spark // force shared context to exist first
