@@ -1121,6 +1121,29 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** Two-level (coarse-quantizer) IVF gate: the sim5 chain with
+    * `twoLevel = true` — the centroids are themselves bucketed under
+    * ≈√nlist supers and assignment scores only the top supers' members
+    * (the 10¹²-extreme build path). Same recall contract and oracle as
+    * sim3/sim5: every query keeps ≥3/5 of the exact top-5, certifying
+    * that the approximate assignment step doesn't cost gate-level
+    * recall at the default operating point.
+    */
+  val sim6_ivf2level: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"ivf2_idx_${d.hashCode & Int.MaxValue}"
+    Similarity.ivfBuild(emb, "vec_id", "embedding", table, twoLevel = true)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfQuery(s, table, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1317,6 +1340,7 @@ object Queries {
     "t15_bloom" -> t15_bloom,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
+    "sim6_ivf2level" -> sim6_ivf2level,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -1833,6 +1857,10 @@ object Queries {
         |FROM embeddings ORDER BY ida, idb""".stripMargin,
 
     "sim5_ivfindex" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim6_ivf2level" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
