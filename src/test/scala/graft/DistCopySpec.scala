@@ -85,4 +85,18 @@ class DistCopySpec extends AnyFunSuite {
     assert(getPlan.contains("PushedFilters") && getPlan.contains("IsNotNull(path)"))
     assert(getPlan.contains("EqualTo(path,f1.txt)"))
   }
+
+  test("archive round-trips binary members (NULs, 0xFF, empty)") {
+    val src = Files.createTempDirectory("graft-har-bin").toString
+    val payload = Array.tabulate(1024)(i => ((i * 7) % 256 - 128).toByte)
+    Files.write(Paths.get(s"$src/blob.bin"), payload)
+    Files.write(Paths.get(s"$src/empty.bin"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$src/nuls.bin"), Array[Byte](0, 0, 0, -1, 0))
+    val arc = s"$src-packed"
+    assert(DistCopy.archive(spark, src, arc) == 3)
+    assert(DistCopy.archiveGet(spark, arc, "blob.bin").get.sameElements(payload))
+    assert(DistCopy.archiveGet(spark, arc, "empty.bin").get.isEmpty)
+    assert(DistCopy.archiveGet(spark, arc, "nuls.bin").get
+      .sameElements(Array[Byte](0, 0, 0, -1, 0)))
+  }
 }
