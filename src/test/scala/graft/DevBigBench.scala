@@ -64,21 +64,31 @@ object DevBigBench {
     val parts = if (mult <= 10) 32 else 128
     val reps = explode(sequence(lit(0L), lit(mult - 1L))).as("rep")
 
-    for (t <- Seq("lineitem", "orders")) {
-      val keyCol = if (t == "lineitem") "l_orderkey" else "o_orderkey"
-      spark.read.parquet(s"$src/$t.parquet")
+    // Above ×100 the replication itself must not shuffle: split the
+    // SOURCE file finely (1 MB splits of the ~11 MB parquet → ~32-way
+    // read parallelism) and let each task explode+write its slice
+    // directly — no repartition of the 10⁸-row output. Later scans
+    // re-split the big output files by maxPartitionBytes as usual.
+    val noShuffle = mult > 100
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    if (noShuffle) spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    try {
+      for (t <- Seq("lineitem", "orders")) {
+        val keyCol = if (t == "lineitem") "l_orderkey" else "o_orderkey"
+        val exploded = spark.read.parquet(s"$src/$t.parquet")
+          .select(col("*"), reps)
+          .withColumn(keyCol, col(keyCol) + col("rep") * 10000000L)
+          .drop("rep")
+        (if (noShuffle) exploded else exploded.repartition(parts))
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
         .select(col("*"), reps)
-        .withColumn(keyCol, col(keyCol) + col("rep") * 10000000L)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
         .drop("rep")
-        .repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    spark.read.parquet(s"$src/embeddings.parquet")
-      .select(col("*"), reps)
-      .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
-      .drop("rep")
-      .repartition(parts)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      (if (noShuffle) emb else emb.repartition(parts))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
 
     val nDocs = 5000L * mult
     val base = sources.Generators.randomText(spark, nDocs, seed = 11L,
@@ -116,15 +126,26 @@ object DevBigBench {
       val dir = materialize(spark, "/root/testdata/sf0.1", m)
       println(f"[bigbench] x$m corpus at $dir (${(System.nanoTime() - t0) / 1e9}%.0fs to materialize)")
 
-      val kernels: Seq[(String, () => DataFrame)] = Seq(
-        "bench_sort" -> (() => sources.TeraSort.kernel(spark, 200000L * m)),
+      val kernels: Seq[(String, () => DataFrame)] = (if (m <= 100)
+        Seq("bench_sort" -> (() => sources.TeraSort.kernel(spark, 200000L * m)))
+      else {
+        println(s"[bigbench] x$m bench_sort skipped: 2e8-row terasort spills " +
+          "~40 GB/run beside the corpus; its n·log n trend is measured to x100")
+        Nil
+      }) ++ Seq(
         "bench_agg" -> (() => Q.a1_wordcount(spark, dir)),
         "bench_grep" -> (() => Q.g1_grep(spark, dir)),
         "bench_join" -> (() => Q.j1_join(spark, dir)),
-        "bench_2sort" -> (() => Q.o2_secsort(spark, dir)),
-        "bench_dedup" -> (() => Q.dd4_ngram(spark, dir)),
-        "bench_simhash" -> (() => Q.dd3_simhash(spark, dir)),
-        "bench_clean" -> (() => Q.p1_clean(spark, dir))) ++
+        "bench_2sort" -> (() => Q.o2_secsort(spark, dir))) ++
+        (if (m <= 100) Seq(
+          "bench_dedup" -> (() => Q.dd4_ngram(spark, dir)),
+          "bench_simhash" -> (() => Q.dd3_simhash(spark, dir)),
+          "bench_clean" -> (() => Q.p1_clean(spark, dir)))
+        else {
+          println(s"[bigbench] x$m dedup/simhash/clean skipped: the doc-family " +
+            "curve at 5M docs is measured single-run by DevScale (BASELINE.md)")
+          Nil
+        }) ++
         (if (m <= 10) Seq("bench_ann" -> (() => Q.sim1_knn(spark, dir))) else Nil)
 
       val results = kernels.map { case (name, mk) =>
