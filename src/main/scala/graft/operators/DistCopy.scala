@@ -127,6 +127,10 @@ object DistCopy {
       new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
     val readParts = math.min(math.max(manifest.size, 1), 64)
     val rows = sc.parallelize(manifest, readParts).map { e =>
+      require(e.size <= Int.MaxValue,
+        s"archive member ${e.rel} is ${e.size} bytes — members must be " +
+          "individually memory-sized (har semantics: many SMALL files); " +
+          "store giant payloads as ordinary parquet/binary columns instead")
       val conf = confBc.value.value
       val p = new Path(s"$srcDir/${e.rel}")
       val fs = p.getFileSystem(conf)
