@@ -214,6 +214,21 @@ object GraftFunctions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    // array<string> input hashes elements inline with Spark's own XXH64
+    // (seed 42 — bit-identical to a `transform(a, s => xxhash64(s))`
+    // pre-pass, which as a higher-order function evaluates interpreted
+    // with per-element boxing; fusing it here keeps shingle hashing
+    // inside the kernel loop)
+    @transient private lazy val stringInput: Boolean = child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    private def elem(a: ArrayData, i: Int): Long =
+      if (stringInput)
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          a.getUTF8String(i), StringType, 42L)
+      else a.getLong(i)
+
     @transient private lazy val coefA: Array[Long] = Array.tabulate(numHashes) { j =>
       mix64(seed ^ (j.toLong << 32) ^ 0xa5a5a5a5L) | 1L // odd multiplier
     }
@@ -234,7 +249,7 @@ object GraftFunctions {
       val out = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        val h = hashes.getLong(i)
+        val h = elem(hashes, i)
         var j = 0
         while (j < numHashes) {
           val p = coefA(j) * h + coefB(j)
@@ -268,13 +283,25 @@ object GraftFunctions {
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
 
+    // same fused string-hash mode as MinHashSigs (XXH64 seed 42,
+    // bit-identical to an xxhash64 transform pre-pass)
+    @transient private lazy val stringInput: Boolean = child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    private def elem(a: ArrayData, i: Int): Long =
+      if (stringInput)
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          a.getUTF8String(i), StringType, 42L)
+      else a.getLong(i)
+
     /** Public so generated code can call it. */
     def fold(hashes: ArrayData): Long = {
       val n = hashes.numElements()
       val counts = new Array[Int](64)
       var i = 0
       while (i < n) {
-        val h = hashes.getLong(i)
+        val h = elem(hashes, i)
         var b = 0
         while (b < 64) {
           counts(b) += ((h >>> b) & 1L).toInt

@@ -89,8 +89,12 @@ object Dedup {
     */
   def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64,
                        seed: Long = 42L): Column =
+    // shingles feed the kernel directly: minhash_sigs hashes string
+    // elements inline (XXH64 seed 42 — bit-identical to the former
+    // `transform(_, xxhash64)` pre-pass, minus its interpreted
+    // higher-order evaluation)
     graft.functions.GraftFunctions.minhashSigs(
-      transform(shingles(text, k), s => xxhash64(s)), numHashes, seed)
+      shingles(text, k), numHashes, seed)
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `rowsPerBand`; documents sharing any band hash become candidates;
@@ -219,8 +223,9 @@ object Dedup {
     * NOTE: requires `GraftFunctions.ensureRegistered` on the session.
     */
   def simhash(text: Column): Column =
-    graft.functions.GraftFunctions.simhash64(
-      transform(TextOps.tokens(text), w => xxhash64(w)))
+    // tokens feed the kernel directly (fused string hashing — see
+    // minhashSignature)
+    graft.functions.GraftFunctions.simhash64(TextOps.tokens(text))
 
   /** All r-element combinations of 0 until m, lexicographic. */
   private[graft] def combinations(m: Int, r: Int): Seq[Seq[Int]] =
