@@ -39,9 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(3).eval().asInstanceOf[Number].longValue()))
     inject("ivf_top_cents", es => GraftFunctions.IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
-    inject("ivf2_top_cents", es => GraftFunctions.Ivf2TopCents(es.head, es(1),
-      es(2).eval().asInstanceOf[Number].intValue(),
-      es(3).eval().asInstanceOf[Number].intValue()))
     inject("cms_probe", es => GraftFunctions.CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     inject("bloom_probe", es => GraftFunctions.BloomProbe(es.head,

@@ -426,119 +426,6 @@ object GraftFunctions {
     override def prettyName: String = "ivf_top_cents"
   }
 
-  /** Two-level IVF centroid ranking: `ivf2_top_cents(vec, supers, nsup, n)`
-    * over a nested `array<struct<scvec, members:array<struct<cid,cvec>>>>`
-    * — score the ≈√nlist super-centroids, keep the `nsup` best, score
-    * ONLY their member centroids, and return the overall top-`n` cids
-    * (cos desc, cid asc). Per-row cosines drop from `nlist` to
-    * ≈(1+nsup)·√nlist — the coarse-quantizer step that keeps the
-    * assignment pass linear when nlist itself is large (nlist=⌈√N⌉ at
-    * N=10¹² is 10⁶ centroids; flat scoring would be 10⁶ cosines per
-    * row). Approximate by design: a vector whose true best centroid
-    * lives outside its top-`nsup` supers assigns to the best covered
-    * one — with `nsup` ≥ the super count it is EXACTLY the flat
-    * ranking (the spec pins that equivalence).
-    */
-  case class Ivf2TopCents(left: Expression, right: Expression,
-                          nsup: Int, n: Int) extends BinaryExpression {
-    require(nsup > 0 && n > 0, "nsup and n must be positive")
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    private def cosine(v: Array[Double], nv: Double, cv: ArrayData): Double = {
-      val k = math.min(v.length, cv.numElements())
-      var dot = 0.0; var nc = 0.0; var j = 0
-      while (j < k) {
-        val cj = cv.getDouble(j)
-        dot += v(j) * cj; nc += cj * cj; j += 1
-      }
-      if (nv == 0.0 || nc == 0.0) 0.0
-      else dot / (math.sqrt(nv) * math.sqrt(nc))
-    }
-
-    def topCids(vecAny: ArrayData, supersAny: ArrayData): ArrayData = {
-      val dim = vecAny.numElements()
-      val v = new Array[Double](dim)
-      var d = 0
-      while (d < dim) { v(d) = vecAny.getDouble(d); d += 1 }
-      var nv = 0.0
-      d = 0
-      while (d < dim) { nv += v(d) * v(d); d += 1 }
-      val ns = supersAny.numElements()
-      // rank supers by cosine (ties: lower index first, deterministic)
-      val sCos = new Array[Double](ns)
-      var i = 0
-      while (i < ns) {
-        sCos(i) = cosine(v, nv, supersAny.getStruct(i, 2).getArray(0))
-        i += 1
-      }
-      val nTake = math.min(nsup, ns)
-      val sel = new Array[Int](nTake)
-      var filled = 0
-      i = 0
-      while (i < ns) {
-        @inline def beats(a: Int, b: Int): Boolean =
-          sCos(a) > sCos(b) || (sCos(a) == sCos(b) && a < b)
-        if (filled < nTake) {
-          var p = filled
-          while (p > 0 && beats(i, sel(p - 1))) { sel(p) = sel(p - 1); p -= 1 }
-          sel(p) = i; filled += 1
-        } else if (beats(i, sel(nTake - 1))) {
-          var p = nTake - 1
-          while (p > 0 && beats(i, sel(p - 1))) { sel(p) = sel(p - 1); p -= 1 }
-          sel(p) = i
-        }
-        i += 1
-      }
-      // score the selected supers' members, global top-n (cos desc, cid asc)
-      val outCos = new Array[Double](n)
-      val outCid = new Array[Long](n)
-      var outN = 0
-      var s = 0
-      while (s < filled) {
-        val members = supersAny.getStruct(sel(s), 2).getArray(1)
-        val m = members.numElements()
-        var j = 0
-        while (j < m) {
-          val row = members.getStruct(j, 2)
-          val cid = row.getLong(0)
-          val cs = cosine(v, nv, row.getArray(1))
-          @inline def beats(p: Int): Boolean =
-            cs > outCos(p) || (cs == outCos(p) && cid < outCid(p))
-          if (outN < n) {
-            var p = outN
-            while (p > 0 && beats(p - 1)) {
-              outCos(p) = outCos(p - 1); outCid(p) = outCid(p - 1); p -= 1
-            }
-            outCos(p) = cs; outCid(p) = cid; outN += 1
-          } else if (beats(n - 1)) {
-            var p = n - 1
-            while (p > 0 && beats(p - 1)) {
-              outCos(p) = outCos(p - 1); outCid(p) = outCid(p - 1); p -= 1
-            }
-            outCos(p) = cs; outCid(p) = cid
-          }
-          j += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(outCid, outN))
-    }
-
-    override def nullSafeEval(a: Any, b: Any): Any =
-      topCids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ivf2Top", this, classOf[Ivf2TopCents].getName)
-      defineCodeGen(ctx, ev, (a, b) =>
-        s"(${classOf[ArrayData].getName}) $ref.topCids($a, $b)")
-    }
-
-    override protected def withNewChildrenInternal(
-        newLeft: Expression, newRight: Expression): Expression =
-      copy(left = newLeft, right = newRight)
-    override def prettyName: String = "ivf2_top_cents"
-  }
-
   /** Codegen'd probe into a driver-built Count-Min Sketch
     * (`df.stat.countMinSketch`): the serialized sketch rides in the plan
     * as a binary literal and is deserialized ONCE per executor through
@@ -594,18 +481,28 @@ object GraftFunctions {
     override def prettyName: String = "bloom_probe"
   }
 
+  /** Sessions this classloader's builders are already installed in.
+    * Weak keys: no strong reference pins a retired session in
+    * multi-session deployments.
+    */
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register the graft functions in the session's FunctionRegistry.
-    * Idempotent and quiet: names already present are left alone (the
-    * registry's replace path logs a WARN per call, which floods
-    * bench/verify logs when every query entry re-registers). No session
-    * cache, so no strong references pinning multi-session deployments.
+    * Idempotent and quiet: the per-session marker (not a bare
+    * name-exists check) makes re-entry a no-op — so the registry's
+    * replace-WARN never floods bench/verify logs when every query entry
+    * re-registers — while the FIRST pass per (session, classloader)
+    * always `createOrReplaceTempFunction`s, so a stale builder from an
+    * earlier code load, or a same-named function registered by other
+    * code before us, is replaced by this classloader's builders rather
+    * than silently winning forever.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
+    if (installed.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     def put(name: String)(builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     put("hamming_dist")(es => HammingDistance(es.head, es(1)))
     put("cosine_sim")(es => CosineSimilarity(es.head, es(1)))
     put("simhash64")(es => SimHash64(es.head))
@@ -620,13 +517,11 @@ object GraftFunctions {
       es(3).eval().asInstanceOf[Number].longValue()))
     put("ivf_top_cents")(es => IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
-    put("ivf2_top_cents")(es => Ivf2TopCents(es.head, es(1),
-      es(2).eval().asInstanceOf[Number].intValue(),
-      es(3).eval().asInstanceOf[Number].intValue()))
     put("cms_probe")(es => CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
+    installed.put(spark, java.lang.Boolean.TRUE)
   }
 
   /** Column wrappers (session must be registered — queries call
@@ -643,8 +538,6 @@ object GraftFunctions {
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
   def ivfTopCents(vec: Column, cents: Column, n: Int): Column =
     call_function("ivf_top_cents", vec, cents, lit(n))
-  def ivf2TopCents(vec: Column, supers: Column, nsup: Int, n: Int): Column =
-    call_function("ivf2_top_cents", vec, supers, lit(nsup), lit(n))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(baos)

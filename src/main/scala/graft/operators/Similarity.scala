@@ -119,43 +119,65 @@ object Similarity {
     * and each corpus vector scores only the members of its `nsup` best
     * supers — ≈(1+nsup)·√nlist cosines per row instead of nlist. This is
     * the step that keeps the assignment pass linear at the extreme where
-    * nlist=⌈√N⌉ is itself large (N=10¹² ⇒ 10⁶ centroids). Same
-    * zero-shuffle map-only shape as [[assignLists]]: the nested
-    * super→members structure rides ONE broadcast row into the native
-    * `ivf2_top_cents` kernel. Approximate by design (a vector whose true
-    * centroid hides outside its top supers assigns to the best covered
-    * one); with `nsup` ≥ the super count it equals the flat ranking
-    * exactly — the spec pins that equivalence, and DevSimScale measures
-    * recall at 10⁶.
+    * nlist=⌈√N⌉ is itself large (N=10¹² ⇒ 10⁶ centroids).
+    *
+    * Scale shape: the only ONE-ROW fold is the ≈√nlist supers
+    * (√nlist·dim doubles ≈ 6 MB even at nlist=10⁶, dim 768); the full
+    * nlist-centroid payload stays a MULTI-ROW broadcast table — one
+    * ≈√nlist-member list per super — fetched with `nsup` map-side
+    * BroadcastHashJoins against the same reused broadcast, so no single
+    * row ever approaches the 2 GB `GenericArrayData` ceiling and the
+    * pass stays zero-shuffle. Both ranking steps are the same
+    * `ivf_top_cents` kernel, whose (cos desc, cid asc) tie-break makes
+    * the whole assignment deterministic regardless of `collect_list`
+    * element order. Approximate by design (a vector whose true centroid
+    * hides outside its top supers assigns to the best covered one);
+    * with `nsup` ≥ the super count it equals the flat ranking exactly —
+    * the spec pins that equivalence, and DevSimScale measures recall at
+    * 10⁶. Pass `nlist` when the caller already knows it (ivfBuild
+    * does) to skip the extra `count()` job.
     */
   private[graft] def assignListsTwoLevel(c: DataFrame, cents: DataFrame,
                                          nassign: Int, nsup: Int = 4,
-                                         seed: Long = 43L): DataFrame = {
-    val nlist = cents.count()
-    val nSupers = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-    val supers = seedCentroids(
+                                         seed: Long = 43L,
+                                         nlist: Long = 0L): DataFrame = {
+    val nl = if (nlist > 0) nlist else cents.count()
+    val nSupers = math.max(2, math.ceil(math.sqrt(nl.toDouble)).toInt)
+    val supersArr = broadcast(seedCentroids(
       cents.select(col("cid").as("nid"), col("cvec").as("nvec")),
-      nSupers, nlist, seed)
-      .select(col("cid").as("scid"), col("cvec").as("scvec"))
+      nSupers, nl, seed)
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("_supers")))
     // each centroid joins its single best super (flat ranking — the
-    // centroid table is only nlist rows, so this pass is cheap)
+    // centroid table is only nlist rows, so this pass is cheap), giving
+    // a partition of the centroids into per-super member lists
     val members = cents.select(col("cid").as("nid"), col("cvec").as("nvec"))
-      .crossJoin(broadcast(supers.agg(
-        collect_list(struct(col("scid"), col("scvec"))).as("_cents"))))
+      .crossJoin(supersArr)
       .select(col("nid"), col("nvec"),
-        explode(GraftFunctions.ivfTopCents(col("nvec"),
-          transform(col("_cents"), x =>
-            struct(x("scid").as("cid"), x("scvec").as("cvec"))), 1)).as("scid"))
-    val nested = members
+        explode(GraftFunctions.ivfTopCents(col("nvec"), col("_supers"), 1))
+          .as("scid"))
       .groupBy("scid")
       .agg(collect_list(struct(col("nid").as("cid"), col("nvec").as("cvec")))
         .as("members"))
-      .join(supers, "scid")
-      .agg(collect_list(struct(col("scvec"), col("members"))).as("_supers"))
-    c.crossJoin(broadcast(nested))
+    val bMembers = broadcast(members)
+    // rank supers per corpus vector, then pull each selected super's
+    // member list with one left BHJ per slot (try_element_at: a corpus
+    // with fewer supers than nsup yields short rankings → null slots)
+    var cur = c.crossJoin(supersArr)
       .select(col("nid"), col("nvec"),
-        explode(GraftFunctions.ivf2TopCents(col("nvec"), col("_supers"),
-          nsup, nassign)).as("cid"))
+        GraftFunctions.ivfTopCents(col("nvec"), col("_supers"), nsup)
+          .as("_scids"))
+    for (i <- 0 until nsup) {
+      cur = cur.join(
+        bMembers.select(col("scid").as(s"_s$i"), col("members").as(s"_m$i")),
+        try_element_at(col("_scids"), lit(i + 1)) === col(s"_s$i"), "left")
+        .drop(s"_s$i")
+    }
+    val allMembers = flatten(array_compact(array(
+      (0 until nsup).map(i => col(s"_m$i")): _*)))
+    cur
+      .select(col("nid"), col("nvec"),
+        explode(GraftFunctions.ivfTopCents(col("nvec"), allMembers, nassign))
+          .as("cid"))
       .select(col("cid"), col("nid"), col("nvec"))
   }
 
@@ -305,7 +327,8 @@ object Similarity {
     val seeds = seedCentroids(c, nl, n, seed)
     val cents = if (lloydIters > 0) refineCentroids(c, seeds, lloydIters)
                 else seeds
-    val assigned = if (twoLevel) assignListsTwoLevel(c, cents, nassign)
+    val assigned = if (twoLevel) assignListsTwoLevel(c, cents, nassign,
+                                                     nlist = nl.toLong)
                    else assignLists(c, cents, nassign)
     BucketedJoin.writeBucketed(assigned, table, "cid", buckets)
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)

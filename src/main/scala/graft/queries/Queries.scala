@@ -399,15 +399,32 @@ object Queries {
     * (DistCopySpec) since DuckDB can't read the loose files.
     */
   val ar1_archive: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ar1").toString
+    val dir = graft.sources.Io.scratch("ar1-loose", d)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    driverFs.delete(dirPath, true)
+    driverFs.mkdirs(dirPath)
+    // loose files are written THROUGH the Hadoop FileSystem API from the
+    // executor tasks (the DistCopy pattern): the staging path resolves
+    // against the cluster's shared filesystem on every executor, not the
+    // driver's local disk — a java.nio write here would scatter members
+    // across executor-local disks on a real cluster
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
     docs(s, d).select(
         concat(col("doc_id").cast("string"), lit(".txt")).as("rel"),
         col("text"))
       .repartition(8)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(confBc.value.value)
         rows.foreach { r =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(dir, r.getString(0)), r.getString(1))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0)), true)
+          try out.write(
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
     val arc = s"$dir-packed"

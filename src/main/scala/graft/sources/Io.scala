@@ -249,23 +249,29 @@ object Io {
     * (default), NULL columns when no such record exists — exactly the
     * reference's null return.
     *
-    * Scale shape: one BroadcastNestedLoopJoin pass of the (sorted,
-    * stats-pruned) table against the tiny broadcast probe set, then a
-    * map-side-partial `max_by`/`min_by` per probe — no shuffle of the
-    * big side, no window over the full table.
+    * Scale shape: one INNER BroadcastNestedLoopJoin pass of the
+    * (sorted, stats-pruned) table against the tiny broadcast probe set
+    * (inner lets Spark legally build/broadcast the probe side; a
+    * left-outer join with the probes on the left cannot — BuildLeft is
+    * illegal for LeftOuter, so the hint would be dropped and the BIG
+    * side broadcast), then a map-side-partial `max_by`/`min_by` per
+    * probe, then a tiny left equi-join back onto the probe set to
+    * restore the NULL rows for probes with no qualifying record — no
+    * shuffle of the big side, no window over the full table.
     */
   def mapFileGetClosest(sorted: DataFrame, keyCol: String, valCol: String,
                         probes: Seq[Long], before: Boolean = false): DataFrame = {
     val spark = sorted.sparkSession
     import spark.implicits._
-    val probeDf = broadcast(probes.toDF("probe"))
+    val probeDf = probes.toDF("probe")
     val k = col(keyCol)
     val cond = if (before) k <= col("probe") else k >= col("probe")
     val closestKey = if (before) max(k) else min(k)
     val closestVal = if (before) max_by(col(valCol), k) else min_by(col(valCol), k)
-    probeDf.join(sorted, cond, "left")
+    val hits = sorted.join(broadcast(probeDf), cond, "inner")
       .groupBy("probe")
       .agg(closestKey.as("closest_key"), closestVal.as("closest_val"))
+    probeDf.join(broadcast(hits), Seq("probe"), "left")
   }
 
   /** Deterministic per-sfDir scratch dir for ingestion round-trip
