@@ -38,6 +38,54 @@ object BucketedJoin {
       .saveAsTable(table)
   }
 
+  /** Append `df` to an existing bucketed table, preserving the layout:
+    * rows are re-bucketed by the table's OWN bucket spec (read from the
+    * catalog, so a caller can't silently mis-bucket), each append adds
+    * one sorted file per bucket, and later co-located joins still see
+    * one partition per bucket with NO Exchange — at most a LOCAL
+    * per-partition sort re-merges the per-append sorted runs. Append
+    * cost is O(df), never O(table): this is the incremental half of the
+    * pay-the-shuffle-once contract ([[writeBucketed]] being the
+    * build-once half, [[compactBucketed]] the occasional fold of
+    * accumulated append files). Falls back to a fresh [[writeBucketed]]
+    * when the table doesn't exist yet.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     defaultBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (!cat.tableExists(ident)) writeBucketed(df, table, key, defaultBuckets)
+    else {
+      val n = cat.getTableMetadata(ident).bucketSpec
+        .map(_.numBuckets).getOrElse(defaultBuckets)
+      // pre-partition on the bucket hash so each task owns exactly one
+      // bucket → exactly n new files per append, not tasks×n
+      df.repartition(n, org.apache.spark.sql.functions.col(key))
+        .write.mode("append")
+        .bucketBy(n, key).sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+  }
+
+  /** Fold a bucketed table's accumulated append file sets back to one
+    * file per bucket. O(table) once, instead of every batch paying it:
+    * run on the compaction cadence, not the ingest cadence. The rewrite
+    * stages into a side table and swaps via catalog rename, so a crash
+    * mid-compact leaves the original intact.
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val n = cat.getTableMetadata(ident).bucketSpec
+      .map(_.numBuckets).getOrElse(8)
+    val tmp = s"${table}_compacting"
+    writeBucketed(spark.table(table), tmp, key, n)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Join two same-bucketed tables on their bucket key. The returned
     * plan contains no shuffle for the join itself (verify with
     * `hasJoinShuffle`).

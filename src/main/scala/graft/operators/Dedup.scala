@@ -171,6 +171,36 @@ object Dedup {
     BucketedJoin.writeBucketed(banded, s"${table}_bands", "bandkey", buckets)
   }
 
+  /** Absorb `batch` into a standing [[minhashIndexBuild]] index at
+    * O(batch) cost — the missing half of the incremental story: without
+    * it, a corpus-refresh loop that checks a batch with
+    * [[minhashDedupAgainst]] must re-run the full O(corpus) build to
+    * make the batch findable by the NEXT batch. Only the batch is
+    * shingled/hashed; both appends re-bucket batch rows into the
+    * existing `<table>_sigs`/`<table>_bands` layouts
+    * ([[BucketedJoin.appendBucketed]] — co-location is preserved, later
+    * lookups stay exchange-free). The signature frame is cached so the
+    * expensive minhash map runs once for both appends. Run
+    * [[BucketedJoin.compactBucketed]] on a slow cadence to fold
+    * accumulated per-append files.
+    */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         table: String, batch: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sig = batch.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig")).persist()
+    try {
+      BucketedJoin.appendBucketed(sig, s"${table}_sigs", "id")
+      val banded = sig.select(col("id"),
+        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bandkey"))
+      BucketedJoin.appendBucketed(banded, s"${table}_bands", "bandkey")
+    } finally sig.unpersist()
+  }
+
   /** Check `batch` against a standing [[minhashIndexBuild]] index:
     * returns (batch_id, corpus_id, est_jaccard) for every batch doc
     * whose estimated Jaccard against an indexed doc reaches `threshold`.

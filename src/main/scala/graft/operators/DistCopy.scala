@@ -9,63 +9,154 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `DistCpSync`/`CopyMapper`): build a file manifest, distribute it, and
   * stream-copy each file in its own task.
   *
-  * Scale: the listing is metadata-only (driver-side, like the
-  * reference's copy-listing phase); the data movement is one streaming
-  * copy per file across the cluster, with per-task byte counters
-  * aggregated by accumulator. No file content ever gathers at the
-  * driver.
+  * Scale: the listing is metadata-only AND distributed — the driver
+  * sees one row per top-level entry, each subtree walks in its own
+  * task ([[listingDs]]); the data movement is one streaming copy per
+  * file across the cluster, with per-task byte counters aggregated by
+  * accumulator. Neither file content nor the manifest ever gathers at
+  * the driver.
   */
 object DistCopy {
 
   final case class Entry(rel: String, size: Long)
 
-  /** Recursive copy listing relative to `srcDir`, optionally excluding
-    * paths matching `excludeRegex` (RegexCopyFilter semantics).
+  /** DISTRIBUTED recursive copy listing relative to `srcDir`,
+    * optionally excluding paths matching `excludeRegex`
+    * (RegexCopyFilter semantics). The driver touches only the top
+    * level (O(fanout) metadata); each first-level directory's subtree
+    * is then walked by its own executor task, so a 10⁸-small-file tree
+    * never materializes as driver heap — the manifest stays a Dataset
+    * end to end (the reference's copy-listing phase is itself a
+    * sequential driver-side walk; this is the Spark-shaped scale
+    * version of it).
     */
-  def listing(spark: SparkSession, srcDir: String,
-              excludeRegex: Option[String] = None): Seq[Entry] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  def listingDs(spark: SparkSession, srcDir: String,
+                excludeRegex: Option[String] = None):
+      org.apache.spark.sql.Dataset[Entry] = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val conf = sc.hadoopConfiguration
     val src = new Path(srcDir)
     val fs = src.getFileSystem(conf)
     val base = fs.getFileStatus(src).getPath.toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
-    val it = fs.listFiles(src, true)
-    val excl = excludeRegex.map(_.r)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      if (!excl.exists(_.findFirstIn(rel).isDefined))
-        out += Entry(rel, st.getLen)
+    val top = fs.listStatus(src).toSeq
+    val topFiles = top.filter(_.isFile).map(st =>
+      Entry(st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+        st.getLen))
+    val topDirs = top.filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath)
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val deep =
+      if (topDirs.isEmpty) spark.emptyDataset[Entry]
+      else spark.createDataset(topDirs)
+        .repartition(math.min(topDirs.size, 64))
+        .flatMap { dir =>
+          val p = new Path(dir)
+          val dfs = p.getFileSystem(confBc.value.value)
+          val it = dfs.listFiles(p, true)
+          // lazy: one subtree never buffers in executor heap either
+          new Iterator[Entry] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): Entry = {
+              val st = it.next()
+              Entry(
+                st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+                st.getLen)
+            }
+          }
+        }
+    val all = spark.createDataset(topFiles).unionByName(deep)
+    excludeRegex.fold(all) { rx =>
+      all.filter(e => rx.r.findFirstIn(e.rel).isEmpty)
     }
-    out.sortBy(_.rel).toSeq
   }
+
+  /** Driver-side copy listing — [[listingDs]] collected and sorted.
+    * Convenience for modest trees (specs, archives of a few million
+    * members); the copy job itself runs off the Dataset form.
+    */
+  def listing(spark: SparkSession, srcDir: String,
+              excludeRegex: Option[String] = None): Seq[Entry] =
+    listingDs(spark, srcDir, excludeRegex).collect().toSeq.sortBy(_.rel)
 
   final case class CopyStats(copied: Long, skipped: Long, bytes: Long)
 
+  /** Fill `buf` from `in` until full or EOF; returns bytes read. */
+  private def readFull(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    var n = 0
+    while (off < buf.length && n >= 0) {
+      n = in.read(buf, off, buf.length - off)
+      if (n > 0) off += n
+    }
+    off
+  }
+
+  /** Same-contents test for the `-update` skip decision (reference
+    * `tools:hadoop-distcp` `DistCpUtils.checksumsAreEqual`): when both
+    * filesystems expose a native file checksum (HDFS's MD5-of-CRCs) the
+    * comparison is pure metadata; filesystems that report none (e.g.
+    * the raw local fs) fall back to a streamed byte compare — still
+    * cheaper than an unconditional copy (read-only, no write path) and
+    * never silently skips a same-size changed file, which a size-only
+    * check would.
+    */
+  private def contentsEqual(sfs: FileSystem, from: Path,
+                            dfs: FileSystem, to: Path): Boolean = {
+    val sck = sfs.getFileChecksum(from)
+    val dck = dfs.getFileChecksum(to)
+    if (sck != null && dck != null &&
+        sck.getAlgorithmName == dck.getAlgorithmName) return sck == dck
+    val a = sfs.open(from)
+    try {
+      val b = dfs.open(to)
+      try {
+        val bufA = new Array[Byte](65536)
+        val bufB = new Array[Byte](65536)
+        var same = true
+        var more = true
+        while (same && more) {
+          val na = readFull(a, bufA)
+          val nb = readFull(b, bufB)
+          same = na == nb && java.util.Arrays.equals(bufA, 0, na, bufB, 0, na)
+          more = na == bufA.length
+        }
+        same
+      } finally b.close()
+    } finally a.close()
+  }
+
   /** Copy `srcDir` → `dstDir`. `update = true` skips files already
-    * present at the destination with the same size (the -update
-    * fast-path; the reference also offers checksum compare — size-only
-    * here, documented divergence).
+    * present at the destination with the same size AND equal contents
+    * (native-checksum compare when the filesystems expose one, streamed
+    * byte compare otherwise — see [[contentsEqual]]); same-size changed
+    * files are re-copied, matching the reference's checksum-gated
+    * update. The manifest is a Dataset end to end ([[listingDs]]), so
+    * neither the listing nor the copy job materializes the tree at the
+    * driver.
     */
   def copy(spark: SparkSession, srcDir: String, dstDir: String,
            update: Boolean = false,
            excludeRegex: Option[String] = None): CopyStats = {
-    val manifest = listing(spark, srcDir, excludeRegex)
     val sc = spark.sparkContext
     val copied = sc.longAccumulator("distcp_copied")
     val skipped = sc.longAccumulator("distcp_skipped")
     val bytes = sc.longAccumulator("distcp_bytes")
     val confBc = sc.broadcast(
       new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
-    val parts = math.min(math.max(manifest.size, 1), 64)
-    sc.parallelize(manifest, parts).foreachPartition { it =>
+    listingDs(spark, srcDir, excludeRegex)
+      .repartition(64)
+      .foreachPartition { it: Iterator[Entry] =>
       val conf = confBc.value.value
       it.foreach { e =>
         val from = new Path(s"$srcDir/${e.rel}")
         val to = new Path(s"$dstDir/${e.rel}")
         val sfs = from.getFileSystem(conf)
         val dfs = to.getFileSystem(conf)
-        if (update && dfs.exists(to) && dfs.getFileStatus(to).getLen == e.size) {
+        if (update && dfs.exists(to) &&
+            dfs.getFileStatus(to).getLen == e.size &&
+            contentsEqual(sfs, from, dfs, to)) {
           skipped.add(1)
         } else {
           dfs.mkdirs(to.getParent)

@@ -334,6 +334,29 @@ object Similarity {
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
   }
 
+  /** Absorb `batch` into a persisted [[ivfBuild]] index at O(batch)
+    * cost: the standing centroids (`<table>_cents`, tiny) ride one
+    * broadcast into the same zero-shuffle `ivf_top_cents` assignment
+    * pass, and the new inverted-list rows re-bucket into the existing
+    * cid layout ([[BucketedJoin.appendBucketed]] — queries stay
+    * co-located, no index-side exchange). Centroids are FROZEN, the
+    * standard IVF ingest contract: appended vectors quantize against
+    * the trained coarse quantizer, and recall decays only if the data
+    * distribution drifts from the training corpus — the cure is a
+    * periodic re-train (full [[ivfBuild]]) on the retrain cadence, with
+    * [[BucketedJoin.compactBucketed]] folding append files on the
+    * cadence in between.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, table: String,
+                batch: DataFrame, idCol: String, vecCol: String,
+                nassign: Int = 2): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val c = batch.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val assigned = assignLists(c, spark.table(s"${table}_cents"), nassign)
+    BucketedJoin.appendBucketed(assigned, table, "cid")
+  }
+
   /** Query a persisted IVF index (see `ivfBuild`): rank each query's
     * `nprobe` nearest centroids from the (broadcast) centroid table,
     * then join the probe set against the bucketed inverted lists —

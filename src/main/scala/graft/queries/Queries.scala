@@ -829,6 +829,33 @@ object Queries {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Incremental-index APPEND gate (the dd5 chain, but the index is
+    * GROWN, not built whole): the standing index starts WITHOUT the
+    * batch's source documents (doc_id % 10 ≠ 0), which then arrive via
+    * [[Dedup.minhashIndexAppend]] — so every (source, copy) pair the
+    * gate demands is findable ONLY if the appended rows landed in the
+    * bucketed layout correctly. Oracle identical to dd5 (the full
+    * corpus is indexed either way): append-built ≡ whole-built.
+    */
+  val dd6_incappend: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val table = s"dd6_idx_${d.hashCode & Int.MaxValue}"
+    Dedup.minhashIndexBuild(base.filter(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", table)
+    Dedup.minhashIndexAppend(s, table,
+      base.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.minhashDedupAgainst(s, table, batch, "text", "doc_id")
+      .select(col("corpus_id"), col("batch_id"))
+    val exact = Dedup.ngramJaccardPairs(base.unionByName(batch), "text", "doc_id",
+        k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .filter(col("ida") < 1000000L && col("idb") >= 1000000L)
+      .select(col("ida").as("corpus_id"), col("idb").as("batch_id"))
+    exact.join(found, Seq("corpus_id", "batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Flagship training-data composition: the full cleaning pipeline a
     * corpus pass runs — exact dedup (keep the smallest id per content
     * digest) → near-dup removal (word-3-gram Jaccard ≥ 0.8 with the
@@ -1161,6 +1188,33 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** IVF APPEND gate (the sim5 chain with a GROWN index): the index is
+    * built on the even half of the corpus only — centroids train on
+    * that half and are then FROZEN — and the odd half arrives via
+    * [[Similarity.ivfAppend]]. The recall contract is unchanged (every
+    * query keeps ≥3/5 of the exact top-5 over the FULL corpus), so the
+    * gate fails unless appended vectors are assigned and landed in the
+    * cid-bucketed lists correctly. Oracle identical to sim5:
+    * append-built ≡ whole-built at gate recall.
+    */
+  val sim7_ivfappend: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"sim7_idx_${d.hashCode & Int.MaxValue}"
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", table)
+    Similarity.ivfAppend(s, table, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfQuery(s, table, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1345,7 +1399,7 @@ object Queries {
     "p1_clean" -> p1_clean,
     "dd1_exact" -> dd1_exact, "dd2_minhash" -> dd2_minhash,
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
-    "dd5_incdedup" -> dd5_incdedup,
+    "dd5_incdedup" -> dd5_incdedup, "dd6_incappend" -> dd6_incappend,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -1357,7 +1411,7 @@ object Queries {
     "t15_bloom" -> t15_bloom,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
-    "sim6_ivf2level" -> sim6_ivf2level,
+    "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -1707,6 +1761,25 @@ object Queries {
         |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
         |ORDER BY corpus_id, batch_id""".stripMargin,
 
+    // append-built index ≡ whole-built index, so dd6 shares dd5's oracle
+    "dd6_incappend" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM all_docs),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
+        |SELECT ida AS corpus_id, idb AS batch_id FROM j
+        |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
+        |ORDER BY corpus_id, batch_id""".stripMargin,
+
     "dd3_simhash" ->
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
         |FROM documents ORDER BY ida, idb""".stripMargin,
@@ -1878,6 +1951,10 @@ object Queries {
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "sim6_ivf2level" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim7_ivfappend" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 

@@ -28,4 +28,62 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got._1 == 5000)
   }
+
+  test("appendBucketed grows the table at O(batch) and keeps the join exchange-free") {
+    val a = spark.range(0, 6000).select(col("id").as("k"), (col("id") % 97).as("va"))
+    val a2 = spark.range(6000, 10000).select(col("id").as("k"), (col("id") % 97).as("va"))
+    val b = spark.range(0, 10000, 2).select(col("id").as("k"), (col("id") % 31).as("vb"))
+    BucketedJoin.writeBucketed(a, "bja_left", "k", 8)
+    BucketedJoin.appendBucketed(a2, "bja_left", "k")
+    BucketedJoin.writeBucketed(b, "bja_right", "k", 8)
+    val joined = BucketedJoin.join(spark, "bja_left", "bja_right", "k")
+    assert(!BucketedJoin.hasJoinShuffle(joined),
+      "append must preserve the bucketed layout — no join-time exchange")
+    val got = joined.agg(count(lit(1)), sum(col("va") + col("vb")))
+      .as[(Long, Long)].head()
+    val expected = a.unionByName(a2).join(b, "k")
+      .agg(count(lit(1)), sum(col("va") + col("vb"))).as[(Long, Long)].head()
+    assert(got == expected)
+    assert(got._1 == 5000)
+  }
+
+  test("appendBucketed re-buckets by the table's own spec, not the caller's guess") {
+    val a = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    BucketedJoin.writeBucketed(a, "bjs_spec", "k", 4)
+    // defaultBuckets=8 would mis-bucket if the spec weren't read back
+    BucketedJoin.appendBucketed(
+      spark.range(1000, 2000).select(col("id").as("k"), col("id").as("v")),
+      "bjs_spec", "k", defaultBuckets = 8)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("bjs_spec"))
+    assert(meta.bucketSpec.map(_.numBuckets).contains(4))
+    assert(spark.table("bjs_spec").count() == 2000)
+  }
+
+  test("compactBucketed folds append files to one per bucket, content intact") {
+    val a = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    BucketedJoin.writeBucketed(a, "bjc_tbl", "k", 4)
+    for (i <- 0 until 3)
+      BucketedJoin.appendBucketed(
+        spark.range(2000 + i * 500, 2000 + (i + 1) * 500)
+          .select(col("id").as("k"), (col("id") * 3).as("v")),
+        "bjc_tbl", "k")
+    def dataFiles(): Seq[java.io.File] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bjc_tbl")).location.getPath
+      new java.io.File(loc).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles().size
+    assert(before > 4, s"appends should accumulate per-append files, saw $before")
+    val sumBefore = spark.table("bjc_tbl").agg(sum("v")).as[Long].head()
+    BucketedJoin.compactBucketed(spark, "bjc_tbl", "k")
+    assert(dataFiles().size <= before,
+      "compaction must not grow the file count")
+    assert(spark.table("bjc_tbl").agg(sum("v")).as[Long].head() == sumBefore)
+    assert(spark.table("bjc_tbl").count() == 3500)
+    val joinedAfter = spark.table("bjc_tbl")
+      .join(spark.table("bjc_tbl").select(col("k"), col("v").as("v2")), "k")
+    assert(!BucketedJoin.hasJoinShuffle(joinedAfter),
+      "compacted table must still be bucketed")
+  }
 }

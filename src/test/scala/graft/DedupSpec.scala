@@ -82,6 +82,28 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.subsetOf(got.map(m => (m._1, m._2)).toSet))
   }
 
+  test("index append: grown index answers identically to a whole-built one") {
+    // whole-built reference index over all five docs
+    Dedup.minhashIndexBuild(docs, "text", "doc_id", "dd_spec_whole")
+    // grown index: build on 1-3, APPEND 4-5
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 3), "text", "doc_id",
+      "dd_spec_grown")
+    Dedup.minhashIndexAppend(spark, "dd_spec_grown",
+      docs.filter(col("doc_id") > 3), "text", "doc_id")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (104L, "completely different text about spark query engines today")
+    ).toDF("doc_id", "text")
+    def lookup(table: String): Set[(Long, Long, Double)] =
+      Dedup.minhashDedupAgainst(spark, table, batch, "text", "doc_id",
+        threshold = 0.3).as[(Long, Long, Double)].collect().toSet
+    val whole = lookup("dd_spec_whole")
+    val grown = lookup("dd_spec_grown")
+    assert(grown == whole, "append-built index diverged from whole-built")
+    // 104's source (doc 4) is only reachable through the APPENDED rows
+    assert(grown.exists(m => m._1 == 104L && m._2 == 4L && m._3 == 1.0))
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq

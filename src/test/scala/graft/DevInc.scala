@@ -58,11 +58,23 @@ object DevInc {
       val selfHits = found
         .filter(col("corpus_id") === col("batch_id") - n).count()
       found.unpersist()
+      // ABSORB the batch (the refresh-loop close): append must cost
+      // O(batch) — flat as the corpus grows — not O(corpus) rebuild
+      val (_, tAppend) = timed {
+        Dedup.minhashIndexAppend(spark, table, batch, "text", "doc_id")
+      }
+      // the absorbed docs are immediately findable by the NEXT batch
+      val probe = corpus.filter(col("doc_id") % 100 === 0).limit(50)
+        .select((col("doc_id") + 2 * n).as("doc_id"), col("text"))
+      val nextHits = Dedup.minhashDedupAgainst(spark, table, probe,
+          "text", "doc_id")
+        .filter(col("corpus_id") >= n).count()
       // the standing full-corpus pair job, for the cost ratio
       val (nPairs, tFull) = timed(
         Dedup.minhashLshPairs(corpus, "text", "doc_id").count())
       println(f"[inc] n=$n build=${tBuild}%.1fs batch=$nBatch " +
         f"lookup=${tLookup}%.1fs found=$nFound selfHits=$selfHits/$nBatch " +
+        f"append=${tAppend}%.1fs nextBatchHitsAppended=$nextHits " +
         f"fullPairJob=${tFull}%.1fs (pairs=$nPairs) ratio=${tFull / tLookup}%.1fx")
       System.out.flush()
     }

@@ -42,6 +42,32 @@ class DistCopySpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(s"$dst/f1.txt")) == "hello, longer")
   }
 
+  test("update mode recopies a SAME-SIZE changed file (checksum gate)") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("graft-distcp-dst").toString + "/out"
+    DistCopy.copy(spark, src, dst)
+    // same byte count, different contents — a size-only skip would
+    // silently leave the stale destination in place
+    assert(Files.readString(Paths.get(s"$src/f1.txt")).length == 5)
+    Files.writeString(Paths.get(s"$src/f1.txt"), "olleh")
+    val s = DistCopy.copy(spark, src, dst, update = true)
+    assert(s.copied == 1 && s.skipped == 2)
+    assert(Files.readString(Paths.get(s"$dst/f1.txt")) == "olleh")
+    // and a second pass is all-skip again
+    val s2 = DistCopy.copy(spark, src, dst, update = true)
+    assert(s2.copied == 0 && s2.skipped == 3)
+  }
+
+  test("listingDs matches the driver-side listing") {
+    val src = mkTree()
+    val ds = DistCopy.listingDs(spark, src).collect().toSeq.sortBy(_.rel)
+    assert(ds == DistCopy.listing(spark, src))
+    assert(ds.map(_.rel) == Seq("a/b/f3.log", "a/f2.txt", "f1.txt"))
+    val excl = DistCopy.listingDs(spark, src, Some("\\.log$"))
+      .collect().toSeq.sortBy(_.rel)
+    assert(excl.map(_.rel) == Seq("a/f2.txt", "f1.txt"))
+  }
+
   test("compactText coalesces many small files, preserving lines") {
     val src = Files.createTempDirectory("graft-compact-src").toString
     val spark2 = spark

@@ -252,6 +252,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(idx.count() == 200) // 100 vectors × nassign 2
   }
 
+  test("ivfAppend: grown index answers identically to a whole-built one") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("id", "v")
+    val q = vecs.filter(col("id") < 3L)
+    // whole-built reference; grown = build on evens with the SAME
+    // centroid universe (seeded from evens), then append odds
+    Similarity.ivfBuild(vecs.filter(col("id") % 2 === 0), "id", "v",
+      "ivfa_whole", nlist = 10, nassign = 2)
+    Similarity.ivfAppend(spark, "ivfa_whole", vecs.filter(col("id") % 2 === 1),
+      "id", "v")
+    // append assigns against the persisted centroids, so the grown
+    // lists must equal assigning the FULL corpus against them in one go
+    val cents = spark.table("ivfa_whole_cents")
+    val expect = Similarity.assignLists(
+        vecs.select(col("id").as("nid"), col("v").cast("array<double>").as("nvec")),
+        cents, nassign = 2)
+      .select("cid", "nid").as[(Long, Long)].collect().toSet
+    val got = spark.table("ivfa_whole").select("cid", "nid")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect, "grown lists diverged from one-shot assignment")
+    assert(spark.table("ivfa_whole").count() == 200) // 100 vectors × nassign 2
+    // queries reach vectors that only exist through the APPEND
+    val res = Similarity.ivfQuery(spark, "ivfa_whole", q, "id", "v", 5,
+        nprobe = 10)
+      .select("nid").as[Long].collect()
+    assert(res.exists(_ % 2 == 1), "appended (odd) vectors never surfaced")
+  }
+
   test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
