@@ -109,15 +109,15 @@ object DevSimScale {
       println(f"[simscale] n=$n sim5 twoLevel build=${tBuild2}%.1fs (flat was measured above)")
       System.out.flush()
 
-      // operating-point sweep: nprobe = nlist/2 (the recall-first
-      // default), /4, /8 — the recall/cost dial on this worst-case
+      // operating-point sweep through the probeFrac dial: 0.5 (the
+      // recall-first default), 0.25, 0.125 (the measured throughput
+      // point) — the recall/cost dial on this worst-case
       // (unstructured) corpus
       val nlist = spark.table(s"${table}_cents").count().toInt
-      for (div <- Seq(2, 4, 8); tbl <- Seq(table, table2)) {
-        val np = math.max(1, nlist / div)
+      for (frac <- Seq(0.5, 0.25, 0.125); tbl <- Seq(table, table2)) {
         val (approx, tQuery) = timed {
           val a = Similarity.ivfQuery(spark, tbl, q, "vec_id", "embedding", 5,
-              nprobe = np)
+              probeFrac = frac)
             .select("qid", "nid").cache()
           a.count(); a
         }
@@ -128,7 +128,7 @@ object DevSimScale {
         approx.unpersist()
         val kind = if (tbl == table) "flat" else "2lvl"
         println(f"[simscale] n=$n sim5 $kind build=${tBuild}%.1fs brute=${tExact}%.1fs " +
-          f"nprobe=$np/$nlist query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
+          f"probeFrac=$frac%.3f (nlist=$nlist) query=${tQuery}%.1fs recall pass=$pass/$nq minHits=$minH")
         System.out.flush()
       }
       exact.unpersist()
