@@ -55,6 +55,33 @@ object DevScale {
       if (n <= 200000)
         time("simhash candidates m=4 (old 4x16 scheme)")(
           Dedup.simhashCandidates(docs, "text", "doc_id", 0, 4).count())
+      // past-the-birthday-wall variants: m=8 widens band keys from ~32
+      // to ~40 bits (C(8,5)=56 bands of 5 byte-chunks), the length
+      // block subdivides further — candidates should return to
+      // near-linear where fixed ~32-bit keys went quadratic (~5e6 docs)
+      time("simhash candidates m=8")(
+        Dedup.simhashCandidates(docs, "text", "doc_id", 0, 8).count())
+      time("simhash candidates m=8 + length block w=8")(
+        Dedup.simhashCandidates(docs, "text", "doc_id", 8, 8).count())
+      time("simhash pairs m=8 w=8")(
+        Dedup.simhashPairs(docs, "text", "doc_id", 3, 8, 8).count())
+      // planted-pair recall under m=8 + blocking: the planted dup edits
+      // ONE token, so |Δtokens| = 1 < w and the within-block pigeonhole
+      // still guarantees every hamming≤3 pair meets — found must equal
+      // the planted pairs whose signatures truly sit at hamming≤3
+      locally {
+        val sigs = docs.select(col("doc_id").as("id"),
+          Dedup.simhash(col("text")).as("sig"))
+        val truth = sigs.as("a").join(sigs.as("b"),
+            col("b.id") === col("a.id") + n && col("a.id") % 50 === 0)
+          .filter(graft.functions.GraftFunctions.hamming(
+            col("a.sig"), col("b.sig")) <= 3).count()
+        val found = Dedup.simhashPairs(docs, "text", "doc_id", 3, 8, 8)
+          .filter(col("idb") === col("ida") + n && col("ida") % 50 === 0)
+          .count()
+        println(s"[scale] n=$n simhash m=8 w=8 planted recall: $found/$truth")
+        System.out.flush()
+      }
       time("quality metrics")(
         TextOps.qualityMetrics(docs, "text", "doc_id").count())
     }
