@@ -195,68 +195,137 @@ object DistCopy {
 
   /** har-style indexed archive (reference `tools:hadoop-archives` —
     * HarFileSystem's `_index`/`_masterindex` + part-file layout): pack a
-    * directory tree of small files into ONE parquet dataset of
-    * (path, size, content) rows, range-partitioned and SORTED by path,
-    * so parquet's per-row-group min/max statistics ARE the index.
-    * Members are then read IN PLACE, no extraction:
+    * directory tree of files into ONE parquet dataset of
+    * (path, size, chunk, content) rows, range-partitioned and SORTED by
+    * (path, chunk), so parquet's per-row-group min/max statistics ARE
+    * the index. `size` is the FULL member size on every row; members
+    * larger than `chunkBytes` split into consecutive chunk rows, read
+    * streaming (one `chunkBytes` buffer per task, never the whole
+    * member), so member size is unbounded — the old 2 GB
+    * single-row/array ceiling is gone. Members are then read IN PLACE,
+    * no extraction:
     *  - [[archiveList]] is a column-pruned metadata scan (content bytes
     *    never leave disk);
     *  - [[archiveGet]] is a pushed path-equality lookup — row groups
     *    whose [min,max] path range excludes the member are skipped, so
-    *    a member read costs O(one row group), not O(archive).
+    *    a member read costs O(its row groups), not O(archive);
+    *  - [[archiveExtract]] streams a member of ANY size back out,
+    *    chunk at a time.
     * File contents stream through executor tasks (one manifest
-    * partition per task), never the driver. Members must be
-    * individually memory-sized (the har use case: millions of SMALL
-    * files); `targetBytes` sizes the output parts.
+    * partition per task), never the driver. `targetBytes` sizes the
+    * output parts.
     */
   def archive(spark: SparkSession, srcDir: String, archiveDir: String,
               excludeRegex: Option[String] = None,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              chunkBytes: Int = 64 * 1024 * 1024): Long = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
     val manifest = listing(spark, srcDir, excludeRegex)
     val sc = spark.sparkContext
     val confBc = sc.broadcast(
       new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
     val readParts = math.min(math.max(manifest.size, 1), 64)
-    val rows = sc.parallelize(manifest, readParts).map { e =>
-      require(e.size <= Int.MaxValue,
-        s"archive member ${e.rel} is ${e.size} bytes — members must be " +
-          "individually memory-sized (har semantics: many SMALL files); " +
-          "store giant payloads as ordinary parquet/binary columns instead")
+    val rows = sc.parallelize(manifest, readParts).flatMap { e =>
       val conf = confBc.value.value
       val p = new Path(s"$srcDir/${e.rel}")
       val fs = p.getFileSystem(conf)
-      val buf = new Array[Byte](e.size.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      (e.rel, e.size, buf)
+      val nChunks = math.max(1L, (e.size + chunkBytes - 1) / chunkBytes)
+      // lazy per-chunk read: at most one chunk buffered per member
+      new Iterator[(String, Long, Long, Array[Byte])] {
+        private var i = 0L
+        override def hasNext: Boolean = i < nChunks
+        override def next(): (String, Long, Long, Array[Byte]) = {
+          val off = i * chunkBytes
+          val len = math.min(chunkBytes.toLong, e.size - off).toInt
+          val buf = new Array[Byte](math.max(len, 0))
+          if (len > 0) {
+            val in = fs.open(p)
+            try in.readFully(off, buf) finally in.close()
+          }
+          val r = (e.rel, e.size, i, buf)
+          i += 1
+          r
+        }
+      }
     }
     val totalBytes = manifest.map(_.size).sum
     val outParts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    rows.toDF("path", "size", "content")
-      .repartitionByRange(outParts, col("path"))
-      .sortWithinPartitions("path")
+    rows.toDF("path", "size", "chunk", "content")
+      .repartitionByRange(outParts, col("path"), col("chunk"))
+      .sortWithinPartitions("path", "chunk")
       .write.mode("overwrite").parquet(archiveDir)
     manifest.size.toLong
   }
 
-  /** Archive member listing — (path, size), column-pruned (the content
-    * column is never materialized; check `ReadSchema` in the plan).
+  /** Archive member listing — (path, size), one row per member,
+    * column-pruned (the content column is never materialized; check
+    * `ReadSchema` in the plan — the chunk = 0 predicate is pushed).
     */
-  def archiveList(spark: SparkSession, archiveDir: String): DataFrame =
-    spark.read.parquet(archiveDir).select("path", "size")
+  def archiveList(spark: SparkSession, archiveDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(archiveDir)
+      .filter(col("chunk") === 0L).select("path", "size")
+  }
 
   /** Point lookup of one member's bytes — pushed path predicate +
     * row-group pruning on the sorted layout (`PushedFilters` shows the
-    * equality reaching the scan).
+    * equality reaching the scan). Reassembles chunked members; the
+    * result must fit one JVM array — for members ≥ 2 GB use
+    * [[archiveExtract]], which streams.
     */
   def archiveGet(spark: SparkSession, archiveDir: String,
                  member: String): Option[Array[Byte]] = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(archiveDir)
-      .filter(col("path") === member).select("content")
-      .collect().headOption.map(_.getAs[Array[Byte]](0))
+    val chunks = spark.read.parquet(archiveDir)
+      .filter(col("path") === member)
+      .select("size", "chunk", "content")
+      .collect().sortBy(_.getAs[Long]("chunk"))
+    if (chunks.isEmpty) None
+    else {
+      val size = chunks.head.getAs[Long]("size")
+      require(size <= Int.MaxValue,
+        s"archive member $member is $size bytes — too large for one " +
+          "array; use archiveExtract to stream it to a file")
+      val out = new Array[Byte](size.toInt)
+      var off = 0
+      chunks.foreach { r =>
+        val b = r.getAs[Array[Byte]]("content")
+        System.arraycopy(b, 0, out, off, b.length)
+        off += b.length
+      }
+      Some(out)
+    }
+  }
+
+  /** Stream one member (any size) out of the archive to `destPath`:
+    * chunk rows arrive in order via `toLocalIterator`, so peak driver
+    * memory is one chunk, not the member. Returns bytes written, or
+    * None if the member is absent.
+    */
+  def archiveExtract(spark: SparkSession, archiveDir: String,
+                     member: String, destPath: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val chunks = spark.read.parquet(archiveDir)
+      .filter(col("path") === member)
+      .select("chunk", "content").sort("chunk")
+    val it = chunks.toLocalIterator()
+    if (!it.hasNext) None
+    else {
+      val dest = new Path(destPath)
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(dest, true)
+      var written = 0L
+      try {
+        while (it.hasNext) {
+          val b = it.next().getAs[Array[Byte]]("content")
+          out.write(b)
+          written += b.length
+        }
+      } finally out.close()
+      Some(written)
+    }
   }
 
   /** Stats as a one-row frame for report-style use. */

@@ -112,6 +112,32 @@ class DistCopySpec extends AnyFunSuite {
     assert(getPlan.contains("EqualTo(path,f1.txt)"))
   }
 
+  test("chunked archive: members larger than chunkBytes reassemble exactly") {
+    val src = Files.createTempDirectory("graft-har-chunk").toString
+    val big = Array.tabulate(1000)(i => ((i * 31 + 7) % 256 - 128).toByte)
+    val small = "tiny".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Files.write(Paths.get(s"$src/big.bin"), big)
+    Files.write(Paths.get(s"$src/small.txt"), small)
+    val arc = s"$src-packed"
+    assert(DistCopy.archive(spark, src, arc, chunkBytes = 64) == 2)
+    // 1000 bytes at 64-byte chunks → 16 rows; small stays single-chunk
+    val byPath = spark.read.parquet(arc).groupBy("path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPath == Map("big.bin" -> 16L, "small.txt" -> 1L))
+    // listing stays one row per member, carrying the FULL size
+    val l = DistCopy.archiveList(spark, arc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(l == Map("big.bin" -> 1000L, "small.txt" -> 4L))
+    // in-place get reassembles byte-exactly across chunk boundaries
+    assert(DistCopy.archiveGet(spark, arc, "big.bin").get.sameElements(big))
+    assert(DistCopy.archiveGet(spark, arc, "small.txt").get.sameElements(small))
+    // extract streams chunk-at-a-time to a destination file
+    val dest = s"$src-out/big.bin"
+    assert(DistCopy.archiveExtract(spark, arc, "big.bin", dest).contains(1000L))
+    assert(Files.readAllBytes(Paths.get(dest)).sameElements(big))
+    assert(DistCopy.archiveExtract(spark, arc, "nope", s"$src-out/x").isEmpty)
+  }
+
   test("archive round-trips binary members (NULs, 0xFF, empty)") {
     val src = Files.createTempDirectory("graft-har-bin").toString
     val payload = Array.tabulate(1024)(i => ((i * 7) % 256 - 128).toByte)
