@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.RefreshLoop
+
+/** Streaming corpus-refresh loop: micro-batches dedup against the
+  * standing MinHash index AND within themselves, novel docs are absorbed
+  * so the next micro-batch sees them.
+  */
+class RefreshLoopSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  graft.functions.GraftFunctions.ensureRegistered(spark)
+
+  test("micro-batches dedup against index + intra-batch, novel docs absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+
+    Dedup.minhashIndexBuild(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "refresh_spec_idx")
+
+    // (epoch, batch_id, match_id, source) and (epoch, admitted ids)
+    val dupLog = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val novelLog = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+
+    val ms = MemoryStream[(Long, String)]
+    val q = RefreshLoop.minhashRefresh(
+        ms.toDF().toDF("doc_id", "text"), "refresh_spec_idx",
+        "text", "doc_id", threshold = 0.3) { (dups, novel, epoch) =>
+      dups.select("batch_id", "match_id", "source")
+        .as[(Long, Long, String)].collect()
+        .foreach { case (b, m, s) => dupLog += ((epoch, b, m, s)) }
+      novelLog += ((epoch,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }.start()
+
+    try {
+      // batch 0: a corpus dup, a novel doc, and an intra-batch dup of it
+      ms.addData(
+        (101L, "the quick brown fox jumps over the lazy dog"),
+        (110L, "entirely novel content that matches nothing else here"),
+        (111L, "entirely novel content that matches nothing else here"))
+      q.processAllAvailable()
+      // batch 1: a dup of batch 0's ADMITTED doc — findable only if the
+      // append absorbed 110 into the index — plus a fresh novel doc
+      ms.addData(
+        (201L, "entirely novel content that matches nothing else here"),
+        (210L, "another unrelated document mentioning catalyst plans only"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val e0 = dupLog.filter(_._1 == 0).map(t => (t._2, t._3, t._4)).toSet
+    assert(e0.contains((101L, 1L, "corpus")) && e0.contains((101L, 2L, "corpus")))
+    assert(e0.contains((111L, 110L, "batch")))
+    assert(!e0.exists(_._1 == 110L), "novel doc flagged as dup")
+    assert(novelLog.find(_._1 == 0).get._2 == Set(110L))
+
+    val e1 = dupLog.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
+    assert(e1.contains((201L, 110L, "corpus")),
+      "batch-1 dup of an absorbed doc not found — append didn't reach the index")
+    assert(!e1.exists(t => t._1 == 201L && t._2 == 111L),
+      "111 was a dup and must NOT have been absorbed")
+    assert(novelLog.find(_._1 == 1).get._2 == Set(210L))
+
+    // and the index grew by exactly the admitted docs (the appends ran
+    // on the micro-batch's cloned session, so this session's cached
+    // file listing is stale — refresh, as any cross-session reader of
+    // an externally-appended table must)
+    spark.catalog.refreshTable("refresh_spec_idx_sigs")
+    val ids = spark.table("refresh_spec_idx_sigs").select("id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 110L, 210L))
+  }
+}
