@@ -36,11 +36,19 @@ object DevScale {
       base.unionByName(planted).write.mode("overwrite").parquet(dir)
       val docs = spark.read.parquet(dir)
 
-      def time(name: String)(body: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = body
-        println(f"[scale] n=$n $name: $r rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      }
+      // GRAFT_SCALE_PROBES=substr,substr limits which probes run, so a
+      // fourth-decade run can measure one variant without paying for
+      // the whole family (the unblocked m=6 count alone is ~4 min at
+      // 5.1e6 and quadratic beyond)
+      val only = sys.env.get("GRAFT_SCALE_PROBES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      def time(name: String)(body: => Long): Unit =
+        if (only.forall(_.exists(name.contains))) {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"[scale] n=$n $name: $r rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          System.out.flush()
+        }
       time("dd4 capped jaccard")(
         Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8, 50).count())
       time("minhash banding")(
@@ -69,7 +77,7 @@ object DevScale {
       // ONE token, so |Δtokens| = 1 < w and the within-block pigeonhole
       // still guarantees every hamming≤3 pair meets — found must equal
       // the planted pairs whose signatures truly sit at hamming≤3
-      locally {
+      if (only.forall(_.exists("planted recall".contains))) {
         val sigs = docs.select(col("doc_id").as("id"),
           Dedup.simhash(col("text")).as("sig"))
         val truth = sigs.as("a").join(sigs.as("b"),
