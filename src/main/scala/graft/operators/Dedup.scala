@@ -236,6 +236,53 @@ object Dedup {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — cluster-level
+    * dedup: the pairwise drop-the-larger-id policy used by the cleaning
+    * pipelines under-merges transitive chains (a~b, b~c, a≁c keeps one
+    * doc per PAIR, not per cluster); components give one canonical doc
+    * (the min id) per near-dup CLUSTER. Returns (id, component) for
+    * every id that appears in at least one pair; component = min id
+    * reachable through the pair graph.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own
+    * id, each round every node takes the min of its own and its
+    * neighbors' labels, until a fixed point. Rounds = graph diameter;
+    * near-dup graphs are small dense clusters (diameter ≤ a few hops),
+    * so convergence is fast regardless of corpus size. Each round is
+    * one equi-join + one groupBy-min on (long, long) rows — shuffle
+    * volume O(edges), never materializing components on the driver —
+    * and `localCheckpoint` caps the plan's lineage so round N's plan
+    * does not replay rounds 1..N−1. (For adversarial long-chain graphs
+    * the published large-star/small-star contraction halves rounds to
+    * O(log diameter); the propagation round structure below is the
+    * same join+min shape, so that is a drop-in upgrade, not a rewrite.)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val noChange = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      converged = noChange
+      i += 1
+    }
+    labels
+  }
+
   /** Band keys of a minhash signature: per band, xxhash64(band index,
     * hash of the band's signature slice) — the single-column LSH bucket
     * key the incremental index is laid out on.

@@ -104,6 +104,17 @@ class DedupSpec extends AnyFunSuite {
     assert(grown.exists(m => m._1 == 104L && m._2 == 4L && m._3 == 1.0))
   }
 
+  test("connected components: transitive chains merge, disjoint clusters stay apart") {
+    // 1-2-3-4-5 is a pure chain (diameter 4 → several propagation
+    // rounds); 10-11 is a separate pair; 20-21-22 a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("ida", "idb")
+    val r = Dedup.connectedComponents(pairs, "ida", "idb")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq
