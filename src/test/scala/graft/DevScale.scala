@@ -92,6 +92,12 @@ object DevScale {
       }
       time("quality metrics")(
         TextOps.qualityMetrics(docs, "text", "doc_id").count())
+      // cluster-level dedup over the minhash pair graph: rounds =
+      // diameter (planted dups form 2-cliques, so convergence is fast
+      // regardless of n — the quantity to watch is time per round)
+      time("components over minhash pairs")(
+        Dedup.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id"), "ida", "idb").count())
     }
     spark.stop()
   }
