@@ -1104,6 +1104,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cluster-canonical cleaning (the dd7 components consumed by a
+    * pipeline): drop every non-canonical member of each near-dup
+    * CLUSTER (keep the component's min id — the transitive-closure
+    * policy p1's pairwise drop approximates), then the p1 quality
+    * floor. Scale shape: the pair graph and propagation shuffle only
+    * (long, long) rows; the corpus joins the loser set once,
+    * broadcast-sized in practice (losers ≤ dup count ≪ corpus).
+    */
+  val p3_componentclean: Q = (s, d) => {
+    val base = docs(s, d)
+    val pairs = Dedup.ngramJaccardPairs(base, "text", "doc_id",
+      k = 3, threshold = 0.8, maxShingleFreq = 5)
+    val losers = Dedup.connectedComponents(pairs, "ida", "idb")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    base.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- SIM: similarity search
 
   val sim1_knn: Q = (s, d) => {
@@ -1426,6 +1447,7 @@ object Queries {
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
     "t7_redact" -> t7_redact, "f4_split" -> f4_split,
     "t8_dupngrams" -> t8_dupngrams, "p2_rulefilter" -> p2_rulefilter,
+    "p3_componentclean" -> p3_componentclean,
     "t9_shardpack" -> t9_shardpack, "t10_mix" -> t10_mix,
     "t11_decontam" -> t11_decontam, "t12_cms" -> t12_cms,
     "t13_stratified" -> t13_stratified, "t14_quantiles" -> t14_quantiles,
@@ -1841,6 +1863,31 @@ object Queries {
         |  UNION
         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
         |SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // p3: dd7's closure, losers dropped, p1's quality floor
+    "p3_componentclean" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id),
+        |p AS (SELECT ida, idb FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT ida AS a, idb AS b FROM p UNION ALL SELECT idb AS a, ida AS b FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |kept AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks t
+        |  WHERE t.doc_id NOT IN (SELECT id FROM comp WHERE id <> component))
+        |SELECT doc_id, n_tokens FROM kept WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin,
 
     "t1_tokens" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Continuous corpus refresh — the streaming form of the incremental
   * dedup loop (dd5 check + dd6 absorb), lifted onto Structured
@@ -79,6 +79,51 @@ object RefreshLoop {
             onBatch(dups, novel, epoch)
             Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
               k, numHashes, bands)
+          } finally novel.unpersist()
+        } finally dups.unpersist()
+      } finally b.unpersist()
+    }
+
+  /** The embedding twin of [[minhashRefresh]]: micro-batches of
+    * vectors dedup against a persisted IVF index ([[Similarity.ivfBuild]])
+    * and within themselves (LSH-blocked cosine pairs), then novel
+    * vectors are absorbed with [[Similarity.ivfAppend]] (frozen
+    * centroids — O(batch)) so the next micro-batch sees them.
+    *
+    * `dups` rows are (batch_id, match_id, cos, source ∈ batch|corpus);
+    * the corpus check reports each batch vector's single best indexed
+    * match at cos ≥ `threshold` (k=1 — one match suffices to mark a
+    * dup; the full neighbor list is a query, not a dedup, concern).
+    * `probeFrac` is the usual recall/cost dial — keep it high for
+    * dedup (a missed probe is a false-novel that pollutes the corpus).
+    * Same at-least-once restart contract as [[minhashRefresh]].
+    */
+  def ivfRefresh(stream: DataFrame, table: String,
+                 idCol: String, vecCol: String,
+                 threshold: Double = 0.999,
+                 nBits: Int = 8, nTables: Int = 8,
+                 probeFrac: Double = 1.0, nassign: Int = 2)
+                (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val b = batch.persist()
+      try {
+        val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
+            threshold, nBits, nTables)
+          .select(col("idb").as("batch_id"), col("ida").as("match_id"),
+            col("cos"), lit("batch").as("source"))
+        val inter = Similarity.ivfQuery(spark, table, b, idCol, vecCol,
+            k = 1, probeFrac = probeFrac)
+          .filter(col("cos") >= threshold)
+          .select(col("qid").as("batch_id"), col("nid").as("match_id"),
+            col("cos"), lit("corpus").as("source"))
+        val dups = inter.unionByName(intra).persist()
+        try {
+          val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
+          val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
+          try {
+            onBatch(dups, novel, epoch)
+            Similarity.ivfAppend(spark, table, novel, idCol, vecCol, nassign)
           } finally novel.unpersist()
         } finally dups.unpersist()
       } finally b.unpersist()

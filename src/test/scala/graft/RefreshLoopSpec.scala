@@ -78,4 +78,53 @@ class RefreshLoopSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 3L, 110L, 210L))
   }
+
+  test("ivf refresh: vector batches dedup against index + intra-batch, novel absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+
+    graft.operators.Similarity.ivfBuild(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+          (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+          (3L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "refresh_spec_ivf")
+
+    val dupLog = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val novelLog = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = RefreshLoop.ivfRefresh(
+        ms.toDF().toDF("vec_id", "embedding"), "refresh_spec_ivf",
+        "vec_id", "embedding") { (dups, novel, epoch) =>
+      dups.select("batch_id", "match_id", "source")
+        .as[(Long, Long, String)].collect()
+        .foreach { case (b, m, s) => dupLog += ((epoch, b, m, s)) }
+      novelLog += ((epoch,
+        novel.select("vec_id").as[Long].collect().toSet))
+    }.start()
+
+    try {
+      // epoch 0: a dup of corpus vec 1, a novel direction, its twin
+      ms.addData(
+        (101L, Seq(1.0, 0.0, 0.0, 0.0)),
+        (110L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (111L, Seq(0.0, 0.0, 0.0, 1.0)))
+      q.processAllAvailable()
+      // epoch 1: a dup of the ABSORBED 110, plus a genuinely new one
+      ms.addData(
+        (201L, Seq(0.0, 0.0, 0.0, 1.0)),
+        (210L, Seq(0.5, 0.5, 0.5, 0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val e0 = dupLog.filter(_._1 == 0).map(t => (t._2, t._3, t._4)).toSet
+    assert(e0.contains((101L, 1L, "corpus")))
+    assert(e0.contains((111L, 110L, "batch")))
+    assert(novelLog.find(_._1 == 0).get._2 == Set(110L))
+
+    val e1 = dupLog.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
+    assert(e1.contains((201L, 110L, "corpus")),
+      "epoch-1 dup of an absorbed vector not found through the appended lists")
+    assert(novelLog.find(_._1 == 1).get._2 == Set(210L))
+  }
 }
