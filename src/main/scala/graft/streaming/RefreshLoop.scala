@@ -52,11 +52,19 @@ object RefreshLoop {
     * smaller-id doc in the same micro-batch); `novel` is the admitted
     * subset of the batch, already absorbed into the index by the time
     * the call returns the next epoch.
+    *
+    * `compactEvery` > 0 folds the accumulated per-append files back to
+    * one per bucket ([[graft.operators.BucketedJoin.compactBucketed]])
+    * after every Nth epoch — the slow-cadence maintenance that keeps
+    * file counts bounded on a long-running stream (each epoch's append
+    * adds one file set per bucket; lookups stay correct either way,
+    * compaction is purely about file-count/open-cost hygiene).
     */
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
                      threshold: Double = 0.5, k: Int = 3,
-                     numHashes: Int = 64, bands: Int = 16)
+                     numHashes: Int = 64, bands: Int = 16,
+                     compactEvery: Int = 0)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
@@ -79,6 +87,12 @@ object RefreshLoop {
             onBatch(dups, novel, epoch)
             Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
               k, numHashes, bands)
+            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+              graft.operators.BucketedJoin.compactBucketed(spark,
+                s"${table}_sigs", "id")
+              graft.operators.BucketedJoin.compactBucketed(spark,
+                s"${table}_bands", "bandkey")
+            }
           } finally novel.unpersist()
         } finally dups.unpersist()
       } finally b.unpersist()
@@ -102,7 +116,8 @@ object RefreshLoop {
                  idCol: String, vecCol: String,
                  threshold: Double = 0.999,
                  nBits: Int = 8, nTables: Int = 8,
-                 probeFrac: Double = 1.0, nassign: Int = 2)
+                 probeFrac: Double = 1.0, nassign: Int = 2,
+                 compactEvery: Int = 0)
                 (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
@@ -124,6 +139,8 @@ object RefreshLoop {
           try {
             onBatch(dups, novel, epoch)
             Similarity.ivfAppend(spark, table, novel, idCol, vecCol, nassign)
+            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+              graft.operators.BucketedJoin.compactBucketed(spark, table, "cid")
           } finally novel.unpersist()
         } finally dups.unpersist()
       } finally b.unpersist()

@@ -31,9 +31,12 @@ class RefreshLoopSpec extends AnyFunSuite {
     val novelLog = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
 
     val ms = MemoryStream[(Long, String)]
+    // compactEvery = 1: every epoch's append is folded before the next
+    // epoch's lookup, so the batch-1 assertions below also prove the
+    // index answers correctly ACROSS a compaction cycle
     val q = RefreshLoop.minhashRefresh(
         ms.toDF().toDF("doc_id", "text"), "refresh_spec_idx",
-        "text", "doc_id", threshold = 0.3) { (dups, novel, epoch) =>
+        "text", "doc_id", threshold = 0.3, compactEvery = 1) { (dups, novel, epoch) =>
       dups.select("batch_id", "match_id", "source")
         .as[(Long, Long, String)].collect()
         .foreach { case (b, m, s) => dupLog += ((epoch, b, m, s)) }
