@@ -280,6 +280,17 @@ object Dedup {
       converged = noChange
       i += 1
     }
+    // a silently split component is wrong output, not degraded output —
+    // labels spread one hop per round, so a chain longer than maxIters
+    // must fail here (raise maxIters, or contract with large-star/
+    // small-star first) rather than report two canonical docs for one
+    // cluster. (Prior rounds' checkpointed label sets are dropped
+    // references; the ContextCleaner reclaims them — each is only
+    // O(nodes) (long, long) rows, so peak pressure is modest.)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "the pair graph has a longer path; raise maxIters")
     labels
   }
 

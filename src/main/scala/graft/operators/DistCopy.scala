@@ -230,20 +230,25 @@ object DistCopy {
       val p = new Path(s"$srcDir/${e.rel}")
       val fs = p.getFileSystem(conf)
       val nChunks = math.max(1L, (e.size + chunkBytes - 1) / chunkBytes)
-      // lazy per-chunk read: at most one chunk buffered per member
+      // lazy per-chunk read: at most one chunk buffered per member, and
+      // ONE open per member (not per chunk — an open is a metadata RPC
+      // on HDFS/object stores), closed on the last chunk
       new Iterator[(String, Long, Long, Array[Byte])] {
         private var i = 0L
+        private var in: org.apache.hadoop.fs.FSDataInputStream = null
         override def hasNext: Boolean = i < nChunks
         override def next(): (String, Long, Long, Array[Byte]) = {
           val off = i * chunkBytes
           val len = math.min(chunkBytes.toLong, e.size - off).toInt
           val buf = new Array[Byte](math.max(len, 0))
           if (len > 0) {
-            val in = fs.open(p)
-            try in.readFully(off, buf) finally in.close()
+            if (in == null) in = fs.open(p)
+            try in.readFully(off, buf)
+            catch { case t: Throwable => in.close(); in = null; throw t }
           }
           val r = (e.rel, e.size, i, buf)
           i += 1
+          if (i == nChunks && in != null) { in.close(); in = null }
           r
         }
       }
@@ -259,38 +264,56 @@ object DistCopy {
     manifest.size.toLong
   }
 
+  /** Open an archive dataset, failing with an actionable message on a
+    * pre-chunked-layout archive (no `chunk` column) instead of an
+    * unresolved-column error deep in a reader.
+    */
+  private def readArchive(spark: SparkSession, archiveDir: String): DataFrame = {
+    val df = spark.read.parquet(archiveDir)
+    require(df.columns.contains("chunk"),
+      s"$archiveDir was written by an older graft archive layout " +
+        "(no chunk column) — re-pack it with archive()")
+    df
+  }
+
   /** Archive member listing — (path, size), one row per member,
     * column-pruned (the content column is never materialized; check
     * `ReadSchema` in the plan — the chunk = 0 predicate is pushed).
     */
   def archiveList(spark: SparkSession, archiveDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(archiveDir)
+    readArchive(spark, archiveDir)
       .filter(col("chunk") === 0L).select("path", "size")
   }
 
   /** Point lookup of one member's bytes — pushed path predicate +
     * row-group pruning on the sorted layout (`PushedFilters` shows the
-    * equality reaching the scan). Reassembles chunked members; the
-    * result must fit one JVM array — for members ≥ 2 GB use
-    * [[archiveExtract]], which streams.
+    * equality reaching the scan). Reassembles chunked members with one
+    * chunk in flight (`toLocalIterator` over the chunk-sorted rows, so
+    * driver overhead beyond the result array is one chunk); the result
+    * must fit one JVM array — for members ≥ 2 GB use [[archiveExtract]],
+    * which streams to a file.
     */
   def archiveGet(spark: SparkSession, archiveDir: String,
                  member: String): Option[Array[Byte]] = {
     import org.apache.spark.sql.functions.col
-    val chunks = spark.read.parquet(archiveDir)
+    val it = readArchive(spark, archiveDir)
       .filter(col("path") === member)
-      .select("size", "chunk", "content")
-      .collect().sortBy(_.getAs[Long]("chunk"))
-    if (chunks.isEmpty) None
+      .select("size", "content").sort("chunk")
+      .toLocalIterator()
+    if (!it.hasNext) None
     else {
-      val size = chunks.head.getAs[Long]("size")
-      require(size <= Int.MaxValue,
-        s"archive member $member is $size bytes — too large for one " +
-          "array; use archiveExtract to stream it to a file")
-      val out = new Array[Byte](size.toInt)
+      var out: Array[Byte] = null
       var off = 0
-      chunks.foreach { r =>
+      while (it.hasNext) {
+        val r = it.next()
+        if (out == null) {
+          val size = r.getAs[Long]("size")
+          require(size <= Int.MaxValue,
+            s"archive member $member is $size bytes — too large for one " +
+              "array; use archiveExtract to stream it to a file")
+          out = new Array[Byte](size.toInt)
+        }
         val b = r.getAs[Array[Byte]]("content")
         System.arraycopy(b, 0, out, off, b.length)
         off += b.length
@@ -307,7 +330,7 @@ object DistCopy {
   def archiveExtract(spark: SparkSession, archiveDir: String,
                      member: String, destPath: String): Option[Long] = {
     import org.apache.spark.sql.functions.col
-    val chunks = spark.read.parquet(archiveDir)
+    val chunks = readArchive(spark, archiveDir)
       .filter(col("path") === member)
       .select("chunk", "content").sort("chunk")
     val it = chunks.toLocalIterator()

@@ -377,7 +377,8 @@ object Similarity {
     */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, table: String,
                queries: DataFrame, idCol: String, vecCol: String, k: Int,
-               nprobe: Int = 0, probeFrac: Double = 0.5): DataFrame = {
+               nprobe: Int = 0, probeFrac: Double = 0.5,
+               excludeSelf: Boolean = true): DataFrame = {
     require(probeFrac > 0.0 && probeFrac <= 1.0,
       s"probeFrac must be in (0, 1], got $probeFrac")
     GraftFunctions.ensureRegistered(spark)
@@ -390,7 +391,11 @@ object Similarity {
       .select(col("qid"), col("qvec"),
         explode(topCentroids(col("qvec"), col("_cents"), np)).as("cid"))
     probes.join(spark.table(table), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
+      // excludeSelf drops a query's own indexed row (the corpus-as-
+      // queries ANN idiom); pass false when the SAME id legitimately
+      // sits on both sides — e.g. a refresh loop checking whether a
+      // resubmitted id duplicates its standing indexed content
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
       // score-then-dedup: cos is deterministic per (qid, nid), so the
       // exchange moves 24-byte rows, not vector pairs
       .select(col("qid"), col("nid"),

@@ -127,8 +127,12 @@ object RefreshLoop {
             threshold, nBits, nTables)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("cos"), lit("batch").as("source"))
+        // excludeSelf = false: a resubmitted id must match its own
+        // standing indexed row (the minhash twin has no self-filter —
+        // the loops would otherwise disagree on resubmissions, and a
+        // replayed id would be re-absorbed as a duplicate index row)
         val inter = Similarity.ivfQuery(spark, table, b, idCol, vecCol,
-            k = 1, probeFrac = probeFrac)
+            k = 1, probeFrac = probeFrac, excludeSelf = false)
           .filter(col("cos") >= threshold)
           .select(col("qid").as("batch_id"), col("nid").as("match_id"),
             col("cos"), lit("corpus").as("source"))

@@ -49,7 +49,7 @@ object DevTwoLevel {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val q = emb.filter(col("vec_id") % (n / 100) === 0 && col("vec_id") < n)
+    val q = emb.filter(col("vec_id") % math.max(1L, n / 100) === 0 && col("vec_id") < n)
     val nq = q.count()
     val (exact, tBrute) = timed {
       val e = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)

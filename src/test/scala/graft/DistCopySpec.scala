@@ -138,6 +138,17 @@ class DistCopySpec extends AnyFunSuite {
     assert(DistCopy.archiveExtract(spark, arc, "nope", s"$src-out/x").isEmpty)
   }
 
+  test("pre-chunked-layout archives fail with a re-pack message") {
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Files.createTempDirectory("graft-har-old").toString + "/arc"
+    Seq(("f.txt", 2L, Array[Byte](104, 105)))
+      .toDF("path", "size", "content").write.parquet(old)
+    val e = intercept[IllegalArgumentException](
+      DistCopy.archiveList(spark, old).collect())
+    assert(e.getMessage.contains("re-pack"))
+  }
+
   test("archive round-trips binary members (NULs, 0xFF, empty)") {
     val src = Files.createTempDirectory("graft-har-bin").toString
     val payload = Array.tabulate(1024)(i => ((i * 7) % 256 - 128).toByte)

@@ -113,8 +113,11 @@ class RefreshLoopSpec extends AnyFunSuite {
         (110L, Seq(0.0, 0.0, 0.0, 1.0)),
         (111L, Seq(0.0, 0.0, 0.0, 1.0)))
       q.processAllAvailable()
-      // epoch 1: a dup of the ABSORBED 110, plus a genuinely new one
+      // epoch 1: a dup of the ABSORBED 110, the SAME id resubmitted
+      // (must match its own indexed row — excludeSelf=false), plus a
+      // genuinely new one
       ms.addData(
+        (110L, Seq(0.0, 0.0, 0.0, 1.0)),
         (201L, Seq(0.0, 0.0, 0.0, 1.0)),
         (210L, Seq(0.5, 0.5, 0.5, 0.5)))
       q.processAllAvailable()
@@ -126,8 +129,10 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(novelLog.find(_._1 == 0).get._2 == Set(110L))
 
     val e1 = dupLog.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
-    assert(e1.contains((201L, 110L, "corpus")),
+    assert(e1.exists(t => t._1 == 201L && t._2 == 110L),
       "epoch-1 dup of an absorbed vector not found through the appended lists")
+    assert(e1.contains((110L, 110L, "corpus")),
+      "resubmitted id did not match its own standing indexed row")
     assert(novelLog.find(_._1 == 1).get._2 == Set(210L))
   }
 }
