@@ -406,6 +406,99 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persisted LSH bucket index — the EMBEDDING twin of the MinHash
+    * band index (`Dedup.minhashIndexBuild`), and the scalable
+    * dedup-ADMISSION path for vectors: checking a batch against an IVF
+    * index costs O(batch · probeFrac · corpus) per the IVF cost model
+    * (each query scans its probed lists, which grow with N — measured:
+    * 230 s for a 4000-vector batch at 2e5 corpus, probeFrac 0.5), while
+    * the bucket join here touches only colliding candidates —
+    * O(batch + collisions), FLAT as the corpus grows, exactly like the
+    * minhash path. IVF remains the right structure for QUERY serving
+    * (small query sets, the probeFrac recall dial); this is the right
+    * one for admission control.
+    *
+    * Layout (BucketedJoin tables, mirroring minhash):
+    *  - `<table>_vecs` (id, vec) bucketed by id — candidate
+    *    verification joins land co-located;
+    *  - `<table>_buckets` (id, bkey) bucketed by bkey, where bkey folds
+    *    (table index, bucket sig) into one 64-bit key — batch bucket
+    *    rows shuffle TO the index layout, the index never moves. A
+    *    cross-table key collision only adds a candidate that cosine
+    *    verification discards (~2⁻⁶⁴ rate).
+    * `nBits`/`nTables`/`seed` are part of the index contract: pass the
+    * same values to check/append (the nBits ≈ log2(N) sizing rule of
+    * the blocked self-join applies — see BASELINE.md).
+    */
+  def lshIndexBuild(vecs: DataFrame, idCol: String, vecCol: String,
+                    table: String, nBits: Int = 16, nTables: Int = 8,
+                    seed: Long = 42L, buckets: Int = 8): Unit = {
+    GraftFunctions.ensureRegistered(vecs.sparkSession)
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    BucketedJoin.writeBucketed(v, s"${table}_vecs", "id", buckets)
+    val b = vecs.sparkSession.table(s"${table}_vecs")
+      .select(col("id"),
+        posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
+      .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
+    BucketedJoin.writeBucketed(b, s"${table}_buckets", "bkey", buckets)
+  }
+
+  /** Check `batch` against a standing [[lshIndexBuild]] index: returns
+    * (batch_id, corpus_id, cos) for every batch vector sharing an LSH
+    * bucket with an indexed vector at cosine ≥ `threshold`. Only the
+    * batch is hashed; both index joins are co-located with the bucketed
+    * tables (candidates on bkey, verification on id). No self-filter:
+    * a resubmitted id matches its own indexed row, like the minhash
+    * twin.
+    */
+  def lshDedupAgainst(spark: org.apache.spark.sql.SparkSession,
+                      table: String, batch: DataFrame,
+                      idCol: String, vecCol: String,
+                      threshold: Double = 0.999, nBits: Int = 16,
+                      nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    // one id-partitioned exchange for the batch vectors, reused by the
+    // bucket arm and the verification re-join
+    val bv = batch.select(col(idCol).as("bid"),
+        col(vecCol).cast("array<double>").as("bvec"))
+      .repartition(col("bid"))
+    val bb = bv.select(col("bid"),
+        posexplode(GraftFunctions.lshSigs(col("bvec"), nBits, nTables, seed)))
+      .select(col("bid"), xxhash64(col("pos"), col("col")).as("bkey"))
+    val cand = bb.join(spark.table(s"${table}_buckets"), "bkey")
+      .select(col("bid"), col("id").as("cid"))
+      .dropDuplicates("bid", "cid")
+    cand.join(spark.table(s"${table}_vecs"), col("cid") === col("id"))
+      .join(bv, "bid")
+      .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
+        graft.functions.Det.r6(GraftFunctions.cosineSim(col("bvec"), col("vec"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Absorb `batch` into a standing [[lshIndexBuild]] index at O(batch)
+    * cost (the dd6 pattern for vectors): only the batch is hashed, both
+    * appends re-bucket into the existing layouts
+    * ([[BucketedJoin.appendBucketed]]). Run
+    * [[BucketedJoin.compactBucketed]] on a slow cadence.
+    */
+  def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     table: String, batch: DataFrame,
+                     idCol: String, vecCol: String,
+                     nBits: Int = 16, nTables: Int = 8,
+                     seed: Long = 42L): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val v = batch.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec")).persist()
+    try {
+      BucketedJoin.appendBucketed(v, s"${table}_vecs", "id")
+      val b = v.select(col("id"),
+          posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
+        .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
+      BucketedJoin.appendBucketed(b, s"${table}_buckets", "bkey")
+    } finally v.unpersist()
+  }
+
   /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)
     * over a self-comparison, LSH-BLOCKED: candidates are pairs sharing at
     * least one random-hyperplane bucket (the same `lshSigs` signatures the

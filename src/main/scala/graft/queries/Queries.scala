@@ -1256,6 +1256,31 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** LSH dedup-ADMISSION index gate (the dd6 grown-index pattern for
+    * vectors): the standing [[Similarity.lshIndexBuild]] index is built
+    * on even ids only, odd ids arrive via [[Similarity.lshIndexAppend]],
+    * and the batch duplicates EVERY corpus vector at vec_id+1e6. The
+    * check must find every constructed (id+1e6 → id) pair at cos 1.0 —
+    * identical vectors share every bucket by construction — and half
+    * of them are reachable ONLY through appended rows, so a bucket-key,
+    * append-layout, or verification defect drops rows and fails the
+    * hash gate.
+    */
+  val sim8_lshindex: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val table = s"sim8_idx_${d.hashCode & Int.MaxValue}"
+    Similarity.lshIndexBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", table)
+    Similarity.lshIndexAppend(s, table,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val batch = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    Similarity.lshDedupAgainst(s, table, batch, "vec_id", "embedding", 0.999)
+      .filter(col("corpus_id") === col("batch_id") - 1000000L)
+      .select(col("batch_id"), col("corpus_id"), col("cos"))
+      .orderBy("batch_id")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1455,6 +1480,7 @@ object Queries {
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
+    "sim8_lshindex" -> sim8_lshindex,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -2044,6 +2070,10 @@ object Queries {
     "sim6_ivf2level" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim8_lshindex" ->
+      """SELECT vec_id + 1000000 AS batch_id, vec_id AS corpus_id, 1.0 AS cos
+        |FROM embeddings ORDER BY batch_id""".stripMargin,
 
     "sim7_ivfappend" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings

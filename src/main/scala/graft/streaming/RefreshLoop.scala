@@ -99,42 +99,43 @@ object RefreshLoop {
     }
 
   /** The embedding twin of [[minhashRefresh]]: micro-batches of
-    * vectors dedup against a persisted IVF index ([[Similarity.ivfBuild]])
-    * and within themselves (LSH-blocked cosine pairs), then novel
-    * vectors are absorbed with [[Similarity.ivfAppend]] (frozen
-    * centroids — O(batch)) so the next micro-batch sees them.
+    * vectors dedup against a persisted LSH bucket index
+    * ([[Similarity.lshIndexBuild]] — the admission-control structure
+    * whose check cost is O(batch + collisions), FLAT as the corpus
+    * grows) and within themselves (LSH-blocked cosine pairs), then
+    * novel vectors are absorbed with [[Similarity.lshIndexAppend]] so
+    * the next micro-batch sees them. An IVF dedup check would pay
+    * O(batch · probeFrac · corpus) — the probed lists grow with N —
+    * so the loop deliberately does NOT check against IVF; pass
+    * `ivfTable` to also absorb admitted vectors into a standing IVF
+    * QUERY-serving index ([[Similarity.ivfAppend]], frozen centroids),
+    * keeping the serving index fresh as a side effect of admission.
     *
     * `dups` rows are (batch_id, match_id, cos, source ∈ batch|corpus);
-    * the corpus check reports each batch vector's single best indexed
-    * match at cos ≥ `threshold` (k=1 — one match suffices to mark a
-    * dup; the full neighbor list is a query, not a dedup, concern).
-    * `probeFrac` is the usual recall/cost dial — keep it high for
-    * dedup (a missed probe is a false-novel that pollutes the corpus).
-    * Same at-least-once restart contract as [[minhashRefresh]].
+    * a resubmitted id matches its own indexed row (no self-filter,
+    * like the minhash twin). `nBits`/`nTables`/`seed` must match the
+    * index build. Same at-least-once restart contract and
+    * `compactEvery` cadence as [[minhashRefresh]].
     */
-  def ivfRefresh(stream: DataFrame, table: String,
-                 idCol: String, vecCol: String,
-                 threshold: Double = 0.999,
-                 nBits: Int = 8, nTables: Int = 8,
-                 probeFrac: Double = 1.0, nassign: Int = 2,
-                 compactEvery: Int = 0)
-                (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+  def embeddingRefresh(stream: DataFrame, table: String,
+                       idCol: String, vecCol: String,
+                       threshold: Double = 0.999,
+                       nBits: Int = 16, nTables: Int = 8,
+                       seed: Long = 42L,
+                       ivfTable: Option[String] = None, nassign: Int = 2,
+                       compactEvery: Int = 0)
+                      (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val b = batch.persist()
       try {
         val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
-            threshold, nBits, nTables)
+            threshold, nBits, nTables, seed)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("cos"), lit("batch").as("source"))
-        // excludeSelf = false: a resubmitted id must match its own
-        // standing indexed row (the minhash twin has no self-filter —
-        // the loops would otherwise disagree on resubmissions, and a
-        // replayed id would be re-absorbed as a duplicate index row)
-        val inter = Similarity.ivfQuery(spark, table, b, idCol, vecCol,
-            k = 1, probeFrac = probeFrac, excludeSelf = false)
-          .filter(col("cos") >= threshold)
-          .select(col("qid").as("batch_id"), col("nid").as("match_id"),
+        val inter = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
+            threshold, nBits, nTables, seed)
+          .select(col("batch_id"), col("corpus_id").as("match_id"),
             col("cos"), lit("corpus").as("source"))
         val dups = inter.unionByName(intra).persist()
         try {
@@ -142,9 +143,25 @@ object RefreshLoop {
           val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
           try {
             onBatch(dups, novel, epoch)
-            Similarity.ivfAppend(spark, table, novel, idCol, vecCol, nassign)
-            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
-              graft.operators.BucketedJoin.compactBucketed(spark, table, "cid")
+            // ORDER MATTERS: novel's plan reads the LSH tables (through
+            // dups), and Spark uncaches any cached plan whose tables an
+            // insert mutates — so the LSH append must be novel's LAST
+            // consumer. Appending LSH first would invalidate novel's
+            // cache and the IVF absorb would recompute it against the
+            // already-grown index, where every novel row self-matches
+            // and the recomputed frame is empty.
+            ivfTable.foreach(t =>
+              Similarity.ivfAppend(spark, t, novel, idCol, vecCol, nassign))
+            Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
+              nBits, nTables, seed)
+            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+              graft.operators.BucketedJoin.compactBucketed(spark,
+                s"${table}_vecs", "id")
+              graft.operators.BucketedJoin.compactBucketed(spark,
+                s"${table}_buckets", "bkey")
+              ivfTable.foreach(t =>
+                graft.operators.BucketedJoin.compactBucketed(spark, t, "cid"))
+            }
           } finally novel.unpersist()
         } finally dups.unpersist()
       } finally b.unpersist()

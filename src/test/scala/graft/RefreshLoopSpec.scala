@@ -82,23 +82,28 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 3L, 110L, 210L))
   }
 
-  test("ivf refresh: vector batches dedup against index + intra-batch, novel absorbed") {
+  test("embedding refresh: batches dedup against LSH index + intra-batch, novel absorbed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
 
-    graft.operators.Similarity.ivfBuild(
-      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
-          (2L, Seq(0.0, 1.0, 0.0, 0.0)),
-          (3L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    graft.operators.Similarity.lshIndexBuild(corpus,
+      "vec_id", "embedding", "refresh_spec_lsh")
+    // the optional QUERY-serving index the loop keeps fresh
+    graft.operators.Similarity.ivfBuild(corpus,
       "vec_id", "embedding", "refresh_spec_ivf")
 
     val dupLog = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
     val novelLog = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
 
     val ms = MemoryStream[(Long, Seq[Double])]
-    val q = RefreshLoop.ivfRefresh(
-        ms.toDF().toDF("vec_id", "embedding"), "refresh_spec_ivf",
-        "vec_id", "embedding") { (dups, novel, epoch) =>
+    val q = RefreshLoop.embeddingRefresh(
+        ms.toDF().toDF("vec_id", "embedding"), "refresh_spec_lsh",
+        "vec_id", "embedding",
+        ivfTable = Some("refresh_spec_ivf")) { (dups, novel, epoch) =>
       dups.select("batch_id", "match_id", "source")
         .as[(Long, Long, String)].collect()
         .foreach { case (b, m, s) => dupLog += ((epoch, b, m, s)) }
@@ -130,9 +135,17 @@ class RefreshLoopSpec extends AnyFunSuite {
 
     val e1 = dupLog.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
     assert(e1.exists(t => t._1 == 201L && t._2 == 110L),
-      "epoch-1 dup of an absorbed vector not found through the appended lists")
+      "epoch-1 dup of an absorbed vector not found through the appended buckets")
     assert(e1.contains((110L, 110L, "corpus")),
       "resubmitted id did not match its own standing indexed row")
     assert(novelLog.find(_._1 == 1).get._2 == Set(210L))
+
+    // both indexes grew by exactly the admitted vectors
+    spark.catalog.refreshTable("refresh_spec_lsh_vecs")
+    spark.catalog.refreshTable("refresh_spec_ivf")
+    assert(spark.table("refresh_spec_lsh_vecs").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 110L, 210L))
+    assert(spark.table("refresh_spec_ivf").select("nid")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 110L, 210L))
   }
 }
