@@ -356,4 +356,36 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = picked.queryExecution.executedPlan.toString
     assert(!plan.contains("TakeOrdered") && !plan.contains("Sort"))
   }
+
+  test("lsh admission index: check finds pairs through grown index, index never shuffles") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)),
+      (4L, Seq(0.7, 0.7, 0.0))).toDF("vec_id", "embedding")
+    Similarity.lshIndexBuild(vecs.filter(col("vec_id") <= 2),
+      "vec_id", "embedding", "lshix_spec", buckets = 4)
+    Similarity.lshIndexAppend(spark, "lshix_spec",
+      vecs.filter(col("vec_id") > 2), "vec_id", "embedding")
+    val batch = vecs.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val checked = Similarity.lshDedupAgainst(spark, "lshix_spec", batch,
+      "vec_id", "embedding", 0.999)
+    // every duplicate finds its source — including 103/104, reachable
+    // only through APPENDED rows
+    val got = checked.select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(Set((101L, 1L), (102L, 2L), (103L, 3L), (104L, 4L)).subsetOf(got))
+    // … and no false pairs below threshold (1·4 at cos ≈ 0.707 must not
+    // survive verification even if buckets collide)
+    assert(!got.contains((101L, 4L)) && !got.contains((104L, 1L)))
+    // scale shape: only the BATCH moves — no shuffle exchange sits over
+    // an index-table scan (batch rows shuffle TO the bucketed layout)
+    val offending = checked.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collectLeaves().exists(_.toString.contains("lshix_spec")) => e
+    }
+    assert(offending.isEmpty,
+      s"index-side shuffle found:\n${offending.mkString("\n")}")
+  }
 }
