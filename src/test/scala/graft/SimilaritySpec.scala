@@ -380,12 +380,25 @@ class SimilaritySpec extends AnyFunSuite {
     // survive verification even if buckets collide)
     assert(!got.contains((101L, 4L)) && !got.contains((104L, 1L)))
     // scale shape: only the BATCH moves — no shuffle exchange sits over
-    // an index-table scan (batch rows shuffle TO the bucketed layout)
-    val offending = checked.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        if e.child.collectLeaves().exists(_.toString.contains("lshix_spec")) => e
-    }
-    assert(offending.isEmpty,
-      s"index-side shuffle found:\n${offending.mkString("\n")}")
+    // an index-table scan (batch rows shuffle TO the bucketed layout).
+    // Broadcast is disabled for the check: at gate scale the tiny index
+    // sides would broadcast and the assertion would never exercise the
+    // big-index (sort-merge) path this pins.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = Similarity.lshDedupAgainst(spark, "lshix_spec", batch,
+        "vec_id", "embedding", 0.999)
+      val plan = big.queryExecution.executedPlan
+      val offending = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectLeaves().exists(_.toString.contains("lshix_spec")) => e
+      }
+      assert(offending.isEmpty,
+        s"index-side shuffle found:\n${offending.mkString("\n")}")
+      // and the join really is the non-broadcast one over the index
+      assert(plan.toString.contains("SortMergeJoin"),
+        "expected the sort-merge path once broadcast is off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 }
