@@ -82,6 +82,32 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.subsetOf(got.map(m => (m._1, m._2)).toSet))
   }
 
+  test("minhash index: no shuffle exchange over an index-table scan") {
+    // the dd5 scale claim, pinned in the plan: batch rows shuffle TO the
+    // bucketed band/signature layouts, the index never moves. Broadcast
+    // off, else the tiny spec-scale index sides broadcast and the
+    // sort-merge path this pins never runs.
+    Dedup.minhashIndexBuild(docs, "text", "doc_id", "dd_spec_planidx")
+    val batch = Seq((201L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val checked = Dedup.minhashDedupAgainst(spark, "dd_spec_planidx",
+        batch, "text", "doc_id", threshold = 0.3)
+      val plan = checked.queryExecution.executedPlan
+      val offending = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectLeaves().exists(_.toString.contains("dd_spec_planidx")) => e
+      }
+      assert(offending.isEmpty,
+        s"index-side shuffle found:\n${offending.mkString("\n")}")
+      assert(plan.toString.contains("SortMergeJoin"))
+      // and it still answers correctly on that plan
+      assert(checked.select("corpus_id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("index append: grown index answers identically to a whole-built one") {
     // whole-built reference index over all five docs
     Dedup.minhashIndexBuild(docs, "text", "doc_id", "dd_spec_whole")
