@@ -18,20 +18,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedJoin {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted table. Drops any
-    * prior table AND its warehouse directory first: the default
-    * in-memory catalog forgets tables across JVMs while their files
-    * survive, and saveAsTable refuses a fresh managed table over an
-    * existing location.
+  /** Drop `table` from the catalog AND delete its warehouse directory:
+    * the default in-memory catalog forgets tables across JVMs while
+    * their files survive, and saveAsTable/RENAME refuse a fresh managed
+    * table over an existing location.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
-    val spark = df.sparkSession
+  private[graft] def dropWithLocation(spark: SparkSession,
+                                      table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/${table.toLowerCase}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(loc, true)
+  }
+
+  /** Persist `df` as a bucketed, per-bucket-sorted table, replacing any
+    * prior table and its files (see [[dropWithLocation]]).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    dropWithLocation(spark, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
@@ -71,19 +78,63 @@ object BucketedJoin {
 
   /** Fold a bucketed table's accumulated append file sets back to one
     * file per bucket. O(table) once, instead of every batch paying it:
-    * run on the compaction cadence, not the ingest cadence. The rewrite
-    * stages into a side table and swaps via catalog rename, so a crash
-    * mid-compact leaves the original intact.
+    * run on the compaction cadence, not the ingest cadence.
+    *
+    * Crash-safe swap: the rewrite stages into `<table>_compacting`, the
+    * original renames aside to `<table>_old`, the staged table renames
+    * in, and ONLY THEN is the original dropped — no step deletes the
+    * only copy, so a kill at any point leaves the rows recoverable and
+    * [[recoverCompacted]] (run automatically on the next compact)
+    * rolls the swap forward or back. The one non-atomic window is the
+    * instant between the two renames, where `table` is briefly absent
+    * from the catalog (readers in that window retry after recovery);
+    * data files are never at risk.
     */
   def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+    recoverCompacted(spark, table)
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val n = cat.getTableMetadata(ident).bucketSpec
       .map(_.numBuckets).getOrElse(8)
     val tmp = s"${table}_compacting"
+    val old = s"${table}_old"
     writeBucketed(spark.table(table), tmp, key, n)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // clear stale debris (a forgotten catalog entry or orphaned dir
+    // would make the rename-aside collide)
+    dropWithLocation(spark, old)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Repair an interrupted [[compactBucketed]] swap. Idempotent; safe
+    * to call when no compact ever ran. States and actions:
+    *  - `table` present, `<table>_compacting` present (killed before
+    *    the rename-aside): the staged copy may be partial — drop it,
+    *    the original is untouched;
+    *  - `table` absent, `<table>_compacting` present (killed between
+    *    the renames): the staged copy is complete (it is only ever
+    *    renamed aside AFTER the stage write finishes) — roll FORWARD by
+    *    renaming it in;
+    *  - `table` absent, only `<table>_old` present: roll BACK by
+    *    renaming the original home;
+    *  - `table` present, `<table>_old` present (killed before the final
+    *    drop): finish the drop.
+    */
+  def recoverCompacted(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val tmp = s"${table}_compacting"
+    val old = s"${table}_old"
+    if (!exists(table)) {
+      if (exists(tmp)) spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else if (exists(old)) spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    }
+    if (exists(table)) {
+      if (exists(old)) spark.sql(s"DROP TABLE $old")
+      if (exists(tmp)) dropWithLocation(spark, tmp)
+    }
   }
 
   /** Join two same-bucketed tables on their bucket key. The returned

@@ -86,4 +86,46 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(!BucketedJoin.hasJoinShuffle(joinedAfter),
       "compacted table must still be bucketed")
   }
+
+  test("compact swap survives a kill at every step — rows never lost") {
+    // replay compactBucketed's step sequence by hand, stopping after
+    // each one, and show recoverCompacted restores a readable table
+    // with the full row set every time
+    val t = "bjk_tbl"
+    val expected = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 7).as("v"))
+    def rebuild(): Unit = {
+      for (s <- Seq(t, s"${t}_compacting", s"${t}_old"))
+        BucketedJoin.dropWithLocation(spark, s)
+      BucketedJoin.writeBucketed(expected, t, "k", 4)
+    }
+    def check(label: String): Unit = {
+      BucketedJoin.recoverCompacted(spark, t)
+      assert(spark.table(t).count() == 1000, s"rows lost after kill $label")
+      assert(spark.table(t).agg(sum("v")).as[Long].head() == 999L * 1000 * 7 / 2,
+        s"content wrong after kill $label")
+      val cat = spark.sessionState.catalog
+      for (s <- Seq(s"${t}_compacting", s"${t}_old"))
+        assert(!cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(s)),
+          s"stale side table $s left after recovery from kill $label")
+    }
+    // kill after stage write, before rename-aside
+    rebuild()
+    BucketedJoin.writeBucketed(spark.table(t), s"${t}_compacting", "k", 4)
+    check("after-stage")
+    // kill between the two renames (table absent, both sides present)
+    rebuild()
+    BucketedJoin.writeBucketed(spark.table(t), s"${t}_compacting", "k", 4)
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    check("between-renames")
+    // kill before the final drop (new table in place, old still around)
+    rebuild()
+    BucketedJoin.writeBucketed(spark.table(t), s"${t}_compacting", "k", 4)
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    check("before-drop")
+    // and a full compact still works after all that
+    BucketedJoin.compactBucketed(spark, t, "k")
+    assert(spark.table(t).count() == 1000)
+  }
 }
