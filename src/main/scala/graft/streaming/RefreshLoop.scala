@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BucketedJoin, Dedup, Similarity}
 
 /** Continuous corpus refresh — the streaming form of the incremental
   * dedup loop (dd5 check + dd6 absorb), lifted onto Structured
@@ -33,11 +33,24 @@ import graft.operators.{Dedup, Similarity}
   * correctly since equality is transitive).
   *
   * The returned writer still needs a checkpoint/trigger/start from the
-  * caller. Restart semantics: foreachBatch may REPLAY the last epoch
-  * after a crash, and the index append is not idempotent — route with
-  * an epoch-keyed sink (e.g. overwrite-by-epoch partition) and dedup
-  * replayed ids downstream, or checkpoint after append (accepted
-  * at-least-once, the same contract as any foreachBatch side effect).
+  * caller.
+  *
+  * Restart semantics — EFFECTIVELY-ONCE absorb: foreachBatch may
+  * REPLAY the last epoch after a crash. Each completed absorb records
+  * its epoch and absorbed ids in a tiny `<table>_epochs` ledger
+  * (written AFTER the index appends); a replayed epoch found in the
+  * ledger skips the appends, and its index check EXCLUDES the rows
+  * that epoch absorbed — so the replay reproduces the original run's
+  * dup/novel split instead of self-matching against its own absorbed
+  * copies, and the index never holds a row twice. The residual
+  * at-least-once window is a crash BETWEEN the two table appends of
+  * one absorb (sigs landed, bands did not, no ledger row): the replay
+  * then re-appends both, duplicating the first table's rows until the
+  * next compaction — the standard foreachBatch side-effect window,
+  * now shrunk from "any crashed epoch" to "a crash inside the append
+  * itself". Route dups/novel with an epoch-keyed sink (e.g.
+  * overwrite-by-epoch partition) for the same property on the caller's
+  * side.
   *
   * The appends run on the micro-batch's cloned session; any OTHER
   * session reading the index tables afterwards must
@@ -45,6 +58,96 @@ import graft.operators.{Dedup, Similarity}
   * appended outside the reader's session).
   */
 object RefreshLoop {
+
+  /** True if `epoch` already committed its absorb into `table`'s
+    * ledger. */
+  private def epochCommitted(spark: SparkSession, table: String,
+                             epoch: Long): Boolean = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
+    cat.tableExists(ident) &&
+      !spark.table(s"${table}_epochs")
+        .filter(col("epoch") === epoch).head(1).isEmpty
+  }
+
+  /** Ids absorbed by `epoch` (one column named `as`). */
+  private def epochIds(spark: SparkSession, table: String, epoch: Long,
+                       as: String): DataFrame =
+    spark.table(s"${table}_epochs")
+      .filter(col("epoch") === epoch).select(col("id").as(as))
+
+  /** Compact the epoch ledger if it exists (it doesn't until the first
+    * epoch with a non-empty novel set commits). */
+  private def compactLedger(spark: SparkSession, table: String): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
+    if (spark.sessionState.catalog.tableExists(ident))
+      BucketedJoin.compactBucketed(spark, s"${table}_epochs", "epoch")
+  }
+
+  /** Record `epoch`'s absorbed ids — the commit point of the absorb.
+    * Zero admitted rows write nothing: a replay re-deriving an empty
+    * novel set appends nothing either way, so the no-op epoch needs no
+    * ledger row.
+    */
+  private def commitEpoch(spark: SparkSession, table: String, epoch: Long,
+                          ids: DataFrame): Unit =
+    BucketedJoin.appendBucketed(
+      ids.select(lit(epoch).as("epoch"), col(ids.columns.head).as("id")),
+      s"${table}_epochs", "epoch", defaultBuckets = 1)
+
+  /** The per-micro-batch body of [[minhashRefresh]], exposed so a
+    * replayed epoch can be exercised directly (crash-recovery specs,
+    * backfill drivers). See [[minhashRefresh]] for semantics.
+    */
+  def minhashBatch(table: String, textCol: String, idCol: String,
+                   threshold: Double = 0.5, k: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16,
+                   compactEvery: Int = 0)
+                  (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epoch: Long) => {
+      val spark = batch.sparkSession
+      val committed = epochCommitted(spark, table, epoch)
+      // micro-batch sources re-read on every action; pin the batch once
+      val b = batch.persist()
+      try {
+        val intra = Dedup.minhashLshPairs(b, textCol, idCol,
+            k, numHashes, bands, threshold)
+          .select(col("idb").as("batch_id"), col("ida").as("match_id"),
+            col("est_jaccard"), lit("batch").as("source"))
+        val inter0 = Dedup.minhashDedupAgainst(spark, table, b,
+          textCol, idCol, threshold, k, numHashes, bands)
+        // a replayed committed epoch sees an index that already holds
+        // its own absorbed rows — exclude exactly those so the replay
+        // reproduces the original run's outputs
+        val interAdj = if (committed)
+          inter0.join(epochIds(spark, table, epoch, "corpus_id"),
+            Seq("corpus_id"), "left_anti")
+        else inter0
+        val inter = interAdj
+          .select(col("batch_id"), col("corpus_id").as("match_id"),
+            col("est_jaccard"), lit("corpus").as("source"))
+        val dups = inter.unionByName(intra).persist()
+        try {
+          val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
+          // localCheckpoint pins novel's ROWS, cutting its plan's
+          // lineage to the index tables — the appends below can no
+          // longer invalidate or recompute it (batch-sized data)
+          val novel = b.join(dupIds, Seq(idCol), "left_anti")
+            .localCheckpoint()
+          onBatch(dups, novel, epoch)
+          if (!committed) {
+            Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
+              k, numHashes, bands)
+            commitEpoch(spark, table, epoch, novel.select(idCol))
+            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+              BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
+              BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
+              compactLedger(spark, table)
+            }
+          }
+        } finally dups.unpersist()
+      } finally b.unpersist()
+    }
 
   /** `onBatch(dups, novel, epoch)`: `dups` is
     * (batch_id, match_id, est_jaccard, source) where source is
@@ -58,42 +161,75 @@ object RefreshLoop {
     * after every Nth epoch — the slow-cadence maintenance that keeps
     * file counts bounded on a long-running stream (each epoch's append
     * adds one file set per bucket; lookups stay correct either way,
-    * compaction is purely about file-count/open-cost hygiene).
+    * compaction is purely about file-count/open-cost hygiene). The
+    * epoch ledger compacts on the same cadence.
     */
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
                      threshold: Double = 0.5, k: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
                      compactEvery: Int = 0)
-                    (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                    (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val body = minhashBatch(table, textCol, idCol, threshold, k,
+      numHashes, bands, compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      body(batch, epoch)
+    }
+  }
+
+  /** The per-micro-batch body of [[embeddingRefresh]], exposed like
+    * [[minhashBatch]]. */
+  def embeddingBatch(table: String, idCol: String, vecCol: String,
+                     threshold: Double = 0.999,
+                     nBits: Int = 16, nTables: Int = 8,
+                     seed: Long = 42L,
+                     ivfTable: Option[String] = None, nassign: Int = 2,
+                     compactEvery: Int = 0)
+                    (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
-      // micro-batch sources re-read on every action; pin the batch once
+      val committed = epochCommitted(spark, table, epoch)
       val b = batch.persist()
       try {
-        val intra = Dedup.minhashLshPairs(b, textCol, idCol,
-            k, numHashes, bands, threshold)
+        val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
+            threshold, nBits, nTables, seed)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
-            col("est_jaccard"), lit("batch").as("source"))
-        val inter = Dedup.minhashDedupAgainst(spark, table, b,
-            textCol, idCol, threshold, k, numHashes, bands)
+            col("cos"), lit("batch").as("source"))
+        val inter0 = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
+          threshold, nBits, nTables, seed)
+        val interAdj = if (committed)
+          inter0.join(epochIds(spark, table, epoch, "corpus_id"),
+            Seq("corpus_id"), "left_anti")
+        else inter0
+        val inter = interAdj
           .select(col("batch_id"), col("corpus_id").as("match_id"),
-            col("est_jaccard"), lit("corpus").as("source"))
+            col("cos"), lit("corpus").as("source"))
         val dups = inter.unionByName(intra).persist()
         try {
           val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
-          val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
-          try {
-            onBatch(dups, novel, epoch)
-            Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
-              k, numHashes, bands)
+          // localCheckpoint pins novel's ROWS independent of the index
+          // tables, so NEITHER append below can invalidate the other's
+          // input — the round-6 ordering hazard (append LSH first →
+          // novel recomputes against the grown index, self-matches,
+          // and the IVF absorb writes an empty frame) is structurally
+          // gone rather than comment-enforced
+          val novel = b.join(dupIds, Seq(idCol), "left_anti")
+            .localCheckpoint()
+          onBatch(dups, novel, epoch)
+          if (!committed) {
+            ivfTable.foreach(t =>
+              Similarity.ivfAppend(spark, t, novel, idCol, vecCol, nassign))
+            Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
+              nBits, nTables, seed)
+            commitEpoch(spark, table, epoch, novel.select(idCol))
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              graft.operators.BucketedJoin.compactBucketed(spark,
-                s"${table}_sigs", "id")
-              graft.operators.BucketedJoin.compactBucketed(spark,
-                s"${table}_bands", "bandkey")
+              BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
+              BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")
+              compactLedger(spark, table)
+              ivfTable.foreach(t =>
+                BucketedJoin.compactBucketed(spark, t, "cid"))
             }
-          } finally novel.unpersist()
+          }
         } finally dups.unpersist()
       } finally b.unpersist()
     }
@@ -114,8 +250,8 @@ object RefreshLoop {
     * `dups` rows are (batch_id, match_id, cos, source ∈ batch|corpus);
     * a resubmitted id matches its own indexed row (no self-filter,
     * like the minhash twin). `nBits`/`nTables`/`seed` must match the
-    * index build. Same at-least-once restart contract and
-    * `compactEvery` cadence as [[minhashRefresh]].
+    * index build. Same effectively-once restart contract (epoch
+    * ledger) and `compactEvery` cadence as [[minhashRefresh]].
     */
   def embeddingRefresh(stream: DataFrame, table: String,
                        idCol: String, vecCol: String,
@@ -124,46 +260,11 @@ object RefreshLoop {
                        seed: Long = 42L,
                        ivfTable: Option[String] = None, nassign: Int = 2,
                        compactEvery: Int = 0)
-                      (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                      (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
+      nTables, seed, ivfTable, nassign, compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val spark = batch.sparkSession
-      val b = batch.persist()
-      try {
-        val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
-            threshold, nBits, nTables, seed)
-          .select(col("idb").as("batch_id"), col("ida").as("match_id"),
-            col("cos"), lit("batch").as("source"))
-        val inter = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
-            threshold, nBits, nTables, seed)
-          .select(col("batch_id"), col("corpus_id").as("match_id"),
-            col("cos"), lit("corpus").as("source"))
-        val dups = inter.unionByName(intra).persist()
-        try {
-          val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
-          val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
-          try {
-            onBatch(dups, novel, epoch)
-            // ORDER MATTERS: novel's plan reads the LSH tables (through
-            // dups), and Spark uncaches any cached plan whose tables an
-            // insert mutates — so the LSH append must be novel's LAST
-            // consumer. Appending LSH first would invalidate novel's
-            // cache and the IVF absorb would recompute it against the
-            // already-grown index, where every novel row self-matches
-            // and the recomputed frame is empty.
-            ivfTable.foreach(t =>
-              Similarity.ivfAppend(spark, t, novel, idCol, vecCol, nassign))
-            Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
-              nBits, nTables, seed)
-            if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              graft.operators.BucketedJoin.compactBucketed(spark,
-                s"${table}_vecs", "id")
-              graft.operators.BucketedJoin.compactBucketed(spark,
-                s"${table}_buckets", "bkey")
-              ivfTable.foreach(t =>
-                graft.operators.BucketedJoin.compactBucketed(spark, t, "cid"))
-            }
-          } finally novel.unpersist()
-        } finally dups.unpersist()
-      } finally b.unpersist()
+      body(batch, epoch)
     }
+  }
 }

@@ -140,12 +140,101 @@ class RefreshLoopSpec extends AnyFunSuite {
       "resubmitted id did not match its own standing indexed row")
     assert(novelLog.find(_._1 == 1).get._2 == Set(210L))
 
-    // both indexes grew by exactly the admitted vectors
+    // both indexes grew by exactly the admitted vectors — in particular
+    // the IVF table: novel is pinned (localCheckpoint) before either
+    // append, so the LSH absorb can no longer empty the IVF absorb's
+    // input by invalidating a cached plan that read the LSH tables
     spark.catalog.refreshTable("refresh_spec_lsh_vecs")
     spark.catalog.refreshTable("refresh_spec_ivf")
     assert(spark.table("refresh_spec_lsh_vecs").select("id")
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 110L, 210L))
     assert(spark.table("refresh_spec_ivf").select("nid")
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 110L, 210L))
+  }
+
+  test("replayed epoch is effectively-once: outputs reproduced, index unchanged") {
+    Dedup.minhashIndexBuild(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "replay_spec_idx")
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = graft.streaming.RefreshLoop.minhashBatch(
+        "replay_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"),
+      (111L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+
+    fn(batch, 7L)
+    def indexState(): (Long, Set[Long]) = {
+      spark.catalog.refreshTable("replay_spec_idx_sigs")
+      spark.catalog.refreshTable("replay_spec_idx_bands")
+      (spark.table("replay_spec_idx_bands").count(),
+        spark.table("replay_spec_idx_sigs").select("id").as[Long].collect().toSet)
+    }
+    val after1 = indexState()
+    assert(after1._2 == Set(1L, 2L, 110L), "epoch 7 should absorb only 110")
+    assert(runs(0)._2 == Set(110L))
+
+    // the crash-replay: same epoch id again — the absorbed 110 is now
+    // IN the index, and without the ledger it would self-match (flagged
+    // dup, never re-admitted) and/or append twice
+    fn(batch, 7L)
+    assert(indexState() == after1,
+      "replayed epoch must not grow the index")
+    assert(runs(1) == runs(0),
+      s"replayed epoch must reproduce the original outputs, got ${runs(1)} vs ${runs(0)}")
+
+    // a LATER epoch resubmitting the same content is NOT a replay: it
+    // must match the standing absorbed copy and admit nothing new
+    fn(Seq((201L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 8L)
+    assert(runs(2)._1.contains((201L, 110L, "corpus")))
+    assert(runs(2)._2.isEmpty)
+    assert(indexState()._2 == after1._2)
+  }
+
+  test("embedding replayed epoch is effectively-once across both indexes") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    graft.operators.Similarity.lshIndexBuild(corpus,
+      "vec_id", "embedding", "replay_spec_lsh")
+    graft.operators.Similarity.ivfBuild(corpus,
+      "vec_id", "embedding", "replay_spec_ivf")
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = graft.streaming.RefreshLoop.embeddingBatch(
+        "replay_spec_lsh", "vec_id", "embedding",
+        ivfTable = Some("replay_spec_ivf")) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("vec_id").as[Long].collect().toSet))
+    }
+    val batch = Seq(
+      (101L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (110L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+
+    fn(batch, 3L)
+    def state(): (Set[Long], Long) = {
+      spark.catalog.refreshTable("replay_spec_lsh_vecs")
+      spark.catalog.refreshTable("replay_spec_ivf")
+      (spark.table("replay_spec_lsh_vecs").select("id").as[Long].collect().toSet,
+        spark.table("replay_spec_ivf").count())
+    }
+    val after1 = state()
+    assert(after1._1 == Set(1L, 2L, 110L))
+    fn(batch, 3L)
+    assert(state() == after1, "replay must not grow either index")
+    assert(runs(1) == runs(0),
+      s"replayed epoch outputs diverged: ${runs(1)} vs ${runs(0)}")
   }
 }
