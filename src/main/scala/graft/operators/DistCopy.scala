@@ -182,10 +182,13 @@ object DistCopy {
     */
   def compactText(spark: SparkSession, srcDir: String, dstDir: String,
                   targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
     val fs = src.getFileSystem(conf)
-    val totalBytes = listing(spark, srcDir).map(_.size).sum
+    val totalBytes = listingDs(spark, srcDir)
+      .agg(coalesce(sum("size"), lit(0L))).as[Long].head()
     val parts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
     val df = spark.read.text(srcDir)
     df.coalesce(parts).write.mode("overwrite").text(dstDir)
@@ -211,57 +214,124 @@ object DistCopy {
     *    a member read costs O(its row groups), not O(archive);
     *  - [[archiveExtract]] streams a member of ANY size back out,
     *    chunk at a time.
-    * File contents stream through executor tasks (one manifest
-    * partition per task), never the driver. `targetBytes` sizes the
-    * output parts.
+    * Packing is planned from METADATA alone: the manifest stays a
+    * Dataset end to end (like [[copy]] — a 10⁸-member tree never lands
+    * on driver heap; the only driver arrays are O(#partitions) prefix
+    * sums), chunk rows are byte-packed into ~`targetBytes` output
+    * partitions from their (size, chunkBytes)-derived offsets, and
+    * file contents are read exactly ONCE, inside the write pass — the
+    * earlier shape range-partitioned the content rows themselves, whose
+    * sampling pass re-read every member's bytes a second time.
     */
   def archive(spark: SparkSession, srcDir: String, archiveDir: String,
               excludeRegex: Option[String] = None,
               targetBytes: Long = 128L * 1024 * 1024,
               chunkBytes: Int = 64 * 1024 * 1024): Long = {
     require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
-    val manifest = listing(spark, srcDir, excludeRegex)
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
     val sc = spark.sparkContext
     val confBc = sc.broadcast(
       new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
-    val readParts = math.min(math.max(manifest.size, 1), 64)
-    val rows = sc.parallelize(manifest, readParts).flatMap { e =>
-      val conf = confBc.value.value
-      val p = new Path(s"$srcDir/${e.rel}")
-      val fs = p.getFileSystem(conf)
-      val nChunks = math.max(1L, (e.size + chunkBytes - 1) / chunkBytes)
-      // lazy per-chunk read: at most one chunk buffered per member, and
-      // ONE open per member (not per chunk — an open is a metadata RPC
-      // on HDFS/object stores), closed on the last chunk
-      new Iterator[(String, Long, Long, Array[Byte])] {
-        private var i = 0L
-        private var in: org.apache.hadoop.fs.FSDataInputStream = null
-        override def hasNext: Boolean = i < nChunks
-        override def next(): (String, Long, Long, Array[Byte]) = {
-          val off = i * chunkBytes
-          val len = math.min(chunkBytes.toLong, e.size - off).toInt
-          val buf = new Array[Byte](math.max(len, 0))
-          if (len > 0) {
-            if (in == null) in = fs.open(p)
-            try in.readFully(off, buf)
-            catch { case t: Throwable => in.close(); in = null; throw t }
-          }
-          val r = (e.rel, e.size, i, buf)
-          i += 1
-          if (i == nChunks && in != null) { in.close(); in = null }
-          r
-        }
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("chunk", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    // The manifest is a Dataset end to end (copy() parity — the har use
+    // case is 10⁸ small files, which must never land as a driver Seq);
+    // persisted because the metadata passes below walk it more than
+    // once, and each unpersisted walk would re-list the source tree.
+    val manifest = listingDs(spark, srcDir, excludeRegex).persist()
+    try {
+      val (nMembers, totalBytes) = manifest
+        .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L)))
+        .as[(Long, Long)].head()
+      if (nMembers == 0) {
+        spark.createDataFrame(sc.emptyRDD[org.apache.spark.sql.Row], schema)
+          .write.mode("overwrite").parquet(archiveDir)
+        return 0L
       }
-    }
-    val totalBytes = manifest.map(_.size).sum
-    val outParts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    rows.toDF("path", "size", "chunk", "content")
-      .repartitionByRange(outParts, col("path"), col("chunk"))
-      .sortWithinPartitions("path", "chunk")
-      .write.mode("overwrite").parquet(archiveDir)
-    manifest.size.toLong
+      // Chunk-level METADATA rows (rel, size, chunk, chunkLen) — sizes
+      // are known from the listing, so the byte-packed output layout is
+      // planned WITHOUT touching file contents: the old shape ranged-
+      // partitioned the content rows themselves, whose sampling pass
+      // read every member's bytes a second time per pack.
+      val metaParts = math.min(64L, (nMembers + 99999) / 100000 + 1).toInt
+      val chunkMeta = manifest.flatMap { e =>
+        val n = math.max(1L, (e.size + chunkBytes - 1) / chunkBytes)
+        (0L until n).iterator.map { i =>
+          (e.rel, e.size, i,
+            math.max(0L, math.min(chunkBytes.toLong, e.size - i * chunkBytes)))
+        }
+      }.toDF("rel", "size", "chunk", "clen")
+        .repartitionByRange(metaParts, col("rel"), col("chunk"))
+        .sortWithinPartitions("rel", "chunk")
+        .as[(String, Long, Long, Long)]
+        .persist()
+      try {
+        // distributed prefix sum (the Shards pattern): per-partition
+        // byte totals are the only driver materialization — O(metaParts)
+        val partSums = chunkMeta.rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            var s = 0L; it.foreach(s += _._4); Iterator((i, s))
+          }.collect().sortBy(_._1).map(_._2)
+        val offsets = partSums.scanLeft(0L)(_ + _)
+        val tb = targetBytes
+        val numOut = math.max(1L, (math.max(totalBytes, 1L) - 1) / tb + 1).toInt
+        // each chunk's output partition = its global byte offset / target
+        val keyed = chunkMeta.rdd.mapPartitionsWithIndex { (pi, it) =>
+          var cum = offsets(pi)
+          it.map { case (rel, size, chunk, clen) =>
+            val pid = (cum / tb).toInt
+            cum += clen
+            ((pid, rel, chunk), (size, clen))
+          }
+        }
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = numOut
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[(Int, String, Long)]._1
+        }
+        // shuffle only METADATA; within each output partition rows sort
+        // by (rel, chunk), preserving the archive's index property
+        val packed = keyed.repartitionAndSortWithinPartitions(partitioner)
+        val rows = packed.mapPartitions { it =>
+          val conf = confBc.value.value
+          var in: org.apache.hadoop.fs.FSDataInputStream = null
+          var curRel: String = null
+          // a killed/abandoned task (speculative kill, downstream limit)
+          // can leave the member stream open mid-run — close it on task
+          // completion, not only on the happy path
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            if (in != null) { in.close(); in = null }
+          }
+          it.map { case ((_, rel, chunk), (size, clen)) =>
+            val buf = new Array[Byte](clen.toInt)
+            if (clen > 0) {
+              if (rel != curRel) {
+                // consecutive chunks of one member share ONE open (an
+                // open is a metadata RPC on HDFS/object stores)
+                if (in != null) { in.close(); in = null }
+                val p = new Path(s"$srcDir/$rel")
+                in = p.getFileSystem(conf).open(p)
+                curRel = rel
+              }
+              in.readFully(chunk * chunkBytes, buf)
+            }
+            org.apache.spark.sql.Row(rel, size, chunk, buf)
+          }
+        }
+        // createDataFrame preserves the packed partitioning and order:
+        // contents are read ONCE, in the write pass itself
+        spark.createDataFrame(rows, schema)
+          .write.mode("overwrite").parquet(archiveDir)
+      } finally chunkMeta.unpersist()
+      nMembers
+    } finally manifest.unpersist()
   }
 
   /** Open an archive dataset, failing with an actionable message on a

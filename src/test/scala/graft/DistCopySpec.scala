@@ -149,6 +149,45 @@ class DistCopySpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-pack"))
   }
 
+  test("archive packs a 10⁴-file tree off the Dataset manifest, byte-balanced parts") {
+    val src = Files.createTempDirectory("graft-har-many").toString
+    Files.createDirectories(Paths.get(s"$src/d0"))
+    Files.createDirectories(Paths.get(s"$src/d1"))
+    val n = 10000
+    for (i <- 0 until n)
+      Files.writeString(Paths.get(s"$src/d${i % 2}/f$i.txt"), s"member-$i-payload")
+    // one member much larger than targetBytes, chunked small enough that
+    // its chunk rows MUST span output partitions
+    val big = Array.tabulate(50000)(i => ((i * 13 + 5) % 256 - 128).toByte)
+    Files.write(Paths.get(s"$src/big.bin"), big)
+    val arc = s"$src-packed"
+    assert(DistCopy.archive(spark, src, arc,
+      targetBytes = 16 * 1024, chunkBytes = 512) == n + 1)
+    // byte-packing must actually split the output (manifest partitions > 1)
+    val parts = new java.io.File(arc).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts > 5, s"expected byte-split output parts, got $parts")
+    // member accounting identical to the source tree
+    val l = DistCopy.archiveList(spark, arc)
+    assert(l.count() == n + 1)
+    val totalBytes = l.agg(org.apache.spark.sql.functions.sum("size"))
+      .head().getLong(0)
+    val srcBytes = DistCopy.listing(spark, src).map(_.size).sum
+    assert(totalBytes == srcBytes)
+    // spot-check contents, including the partition-spanning member
+    assert(DistCopy.archiveGet(spark, arc, "d0/f4242.txt")
+      .map(new String(_)).contains("member-4242-payload"))
+    assert(DistCopy.archiveGet(spark, arc, "big.bin").get.sameElements(big))
+  }
+
+  test("archive of an empty tree writes a readable empty archive") {
+    val src = Files.createTempDirectory("graft-har-empty").toString
+    val arc = s"$src-packed"
+    assert(DistCopy.archive(spark, src, arc) == 0)
+    assert(DistCopy.archiveList(spark, arc).count() == 0)
+    assert(DistCopy.archiveGet(spark, arc, "x").isEmpty)
+  }
+
   test("archive round-trips binary members (NULs, 0xFF, empty)") {
     val src = Files.createTempDirectory("graft-har-bin").toString
     val payload = Array.tabulate(1024)(i => ((i * 7) % 256 - 128).toByte)
