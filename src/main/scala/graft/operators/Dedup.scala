@@ -183,17 +183,29 @@ object Dedup {
     * expensive minhash map runs once for both appends. Run
     * [[BucketedJoin.compactBucketed]] on a slow cadence to fold
     * accumulated per-append files.
+    *
+    * Id contract: append-only, ids immutable — re-appending an id
+    * (e.g. the same doc id with edited text) leaves two signature rows
+    * under it and later [[minhashDedupAgainst]] calls report both.
+    * Admission flows never hit this (the dup check precedes the
+    * absorb); `checkIds = true` is the opt-in direct-API guard that
+    * fails such an append loudly, at the cost of an id-only scan of
+    * `<table>_sigs` (O(index) per append — see the same note on
+    * [[Similarity.lshIndexAppend]]).
     */
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          table: String, batch: DataFrame,
                          textCol: String, idCol: String,
                          k: Int = 3, numHashes: Int = 64,
-                         bands: Int = 16): Unit = {
+                         bands: Int = 16, checkIds: Boolean = false): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val sig = batch.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig")).persist()
     try {
+      if (checkIds)
+        Similarity.failOnIndexedIds(spark, s"${table}_sigs", sig,
+          "minhashIndexAppend")
       BucketedJoin.appendBucketed(sig, s"${table}_sigs", "id")
       val banded = sig.select(col("id"),
         explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bandkey"))

@@ -319,6 +319,7 @@ object Similarity {
                buckets: Int = 8, seed: Long = 42L,
                lloydIters: Int = 0, twoLevel: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
@@ -332,7 +333,41 @@ object Similarity {
                    else assignLists(c, cents, nassign)
     BucketedJoin.writeBucketed(assigned, table, "cid", buckets)
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
+    // Build-time assignment-quality distribution — the drift reference
+    // point for [[ivfAppend]]'s frozen-centroid signal. One extra
+    // zero-shuffle assignment pass + a one-row aggregate.
+    val buildMean = meanTop1Cos(spark.table(table).dropDuplicates("nid")
+      .select("nid", "nvec"), spark.table(s"${table}_cents"))
+    import spark.implicits._
+    BucketedJoin.writeBucketed(
+      Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
+      s"${table}_stats", "built_n", 1)
   }
+
+  /** Mean top-1-centroid cosine over `vecs` (nid, nvec) — the scalar
+    * that summarizes how well the coarse quantizer covers a
+    * distribution. NaN on an empty frame.
+    */
+  private def meanTop1Cos(vecs: DataFrame, cents: DataFrame): Double = {
+    val r = assignLists(vecs, cents, nassign = 1)
+      .join(broadcast(cents), Seq("cid"))
+      .agg(avg(GraftFunctions.cosineSim(col("nvec"), col("cvec"))))
+      .head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** What [[ivfAppend]] observed about one absorbed batch vs the
+    * build-time distribution: `drifted` fires when the batch's mean
+    * top-1 assignment cosine falls more than `driftTol` below the
+    * build-time mean — the standing centroids no longer cover the
+    * incoming distribution and recall at a fixed probe budget is
+    * decaying; run [[ivfRetrain]]. `buildMeanTop1Cos` is NaN for an
+    * index built before stats existed (no reference point — never
+    * flags).
+    */
+  final case class IvfAppendStats(batchN: Long, batchMeanTop1Cos: Double,
+                                  buildMeanTop1Cos: Double,
+                                  drifted: Boolean)
 
   /** Absorb `batch` into a persisted [[ivfBuild]] index at O(batch)
     * cost: the standing centroids (`<table>_cents`, tiny) ride one
@@ -342,19 +377,90 @@ object Similarity {
     * co-located, no index-side exchange). Centroids are FROZEN, the
     * standard IVF ingest contract: appended vectors quantize against
     * the trained coarse quantizer, and recall decays only if the data
-    * distribution drifts from the training corpus — the cure is a
-    * periodic re-train (full [[ivfBuild]]) on the retrain cadence, with
-    * [[BucketedJoin.compactBucketed]] folding append files on the
-    * cadence in between.
+    * distribution drifts from the training corpus.
+    *
+    * The decay is WATCHED, not hoped away: every append measures the
+    * batch's mean top-1 assignment cosine (a one-row aggregate on the
+    * batch-sized assignment pass — no corpus scan) against the
+    * build-time mean recorded in `<table>_stats`, and the returned
+    * [[IvfAppendStats]] flags `drifted` when it falls more than
+    * `driftTol` below; the caller's cadence then runs [[ivfRetrain]],
+    * with [[BucketedJoin.compactBucketed]] folding append files in
+    * between.
+    *
+    * Id contract: append-only, ids immutable — absorbing an id that is
+    * already indexed creates a second list entry for it and later
+    * queries rank both copies (admission flows never do this: the dedup
+    * check precedes the absorb). See `checkIds` on [[lshIndexAppend]]
+    * for the guarded variant on the admission index; the serving index
+    * inherits its admission filter.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, table: String,
                 batch: DataFrame, idCol: String, vecCol: String,
-                nassign: Int = 2): Unit = {
+                nassign: Int = 2, driftTol: Double = 0.05): IvfAppendStats = {
     GraftFunctions.ensureRegistered(spark)
     val c = batch.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("nvec"))
-    val assigned = assignLists(c, spark.table(s"${table}_cents"), nassign)
-    BucketedJoin.appendBucketed(assigned, table, "cid")
+      col(vecCol).cast("array<double>").as("nvec")).persist()
+    try {
+      val cents = spark.table(s"${table}_cents")
+      val assigned = assignLists(c, cents, nassign)
+      BucketedJoin.appendBucketed(assigned, table, "cid")
+      val batchMean = meanTop1Cos(c, cents)
+      val buildMean = {
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_stats")
+        if (spark.sessionState.catalog.tableExists(ident))
+          spark.table(s"${table}_stats").head().getDouble(1)
+        else Double.NaN
+      }
+      val n = c.count()
+      IvfAppendStats(n, batchMean, buildMean,
+        drifted = !buildMean.isNaN && !batchMean.isNaN &&
+          batchMean < buildMean - driftTol)
+    } finally c.unpersist()
+  }
+
+  /** Re-train a persisted [[ivfBuild]] index from its CURRENT corpus —
+    * the cure for [[IvfAppendStats]]`.drifted`: centroids re-seed from
+    * everything absorbed so far (so the new coarse quantizer covers the
+    * drifted region), nlist re-derives as ⌈√N⌉ of the grown corpus, and
+    * every vector re-assigns. O(corpus) — run on the drift signal or a
+    * slow cadence, not per batch.
+    *
+    * The standing lists are the only full copy of the indexed vectors,
+    * so the rebuild reads them through a rename-aside
+    * (`<table>_retrainsrc`): a crash mid-rebuild leaves either the
+    * renamed original (recover by re-running ivfRetrain, or rename it
+    * back) or the finished new index — never neither. Bucket count is
+    * preserved from the existing table.
+    */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
+                 nassign: Int = 2, seed: Long = 42L,
+                 lloydIters: Int = 0, twoLevel: Boolean = false): Unit = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val src = s"${table}_retrainsrc"
+    // resume a crashed retrain: the corpus lives under the rename-aside
+    if (exists(table) && exists(src)) BucketedJoin.dropWithLocation(spark, src)
+    if (exists(table)) {
+      spark.sql(s"ALTER TABLE $table RENAME TO $src")
+    } else require(exists(src),
+      s"ivfRetrain: neither $table nor $src exists")
+    val buckets = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(src))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    try {
+      // multi-assignment duplicates each nid nassign× — fold back first
+      val corpus = spark.table(src).select("nid", "nvec").dropDuplicates("nid")
+      ivfBuild(corpus, "nid", "nvec", table, nlist = 0, nassign, buckets,
+        seed, lloydIters, twoLevel)
+    } catch {
+      case t: Throwable =>
+        // roll back only when the new index didn't land
+        if (!exists(table)) spark.sql(s"ALTER TABLE $src RENAME TO $table")
+        throw t
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $src")
   }
 
   /** Query a persisted IVF index (see `ivfBuild`): rank each query's
@@ -481,22 +587,54 @@ object Similarity {
     * appends re-bucket into the existing layouts
     * ([[BucketedJoin.appendBucketed]]). Run
     * [[BucketedJoin.compactBucketed]] on a slow cadence.
+    *
+    * Id contract: append-only, ids immutable. Re-appending an id —
+    * legitimate resubmission or changed content — leaves TWO index rows
+    * under that id and later [[lshDedupAgainst]] calls report both;
+    * there is no supersede path. Admission flows never hit this (the
+    * dup check precedes the absorb, and a resubmitted id matches its
+    * own indexed row), so the guard is opt-in: `checkIds = true` fails
+    * the append loudly when an incoming id is already indexed. The
+    * check is an id-only semi-join against `<table>_vecs` — it SCANS
+    * the index id column (O(index) per append, cheap columnar read but
+    * not batch-bounded), so it is a direct-API safety net, not an
+    * ingest-path default.
     */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
                      table: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      nBits: Int = 16, nTables: Int = 8,
-                     seed: Long = 42L): Unit = {
+                     seed: Long = 42L, checkIds: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(spark)
     val v = batch.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec")).persist()
     try {
+      if (checkIds) failOnIndexedIds(spark, s"${table}_vecs", v, "lshIndexAppend")
       BucketedJoin.appendBucketed(v, s"${table}_vecs", "id")
       val b = v.select(col("id"),
           posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
         .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
       BucketedJoin.appendBucketed(b, s"${table}_buckets", "bkey")
     } finally v.unpersist()
+  }
+
+  /** Fail an append whose batch carries ids already present in the
+    * id-bucketed side table — the `checkIds` guard shared by the
+    * admission-index appends (see the contract note on
+    * [[lshIndexAppend]]).
+    */
+  private[operators] def failOnIndexedIds(
+      spark: org.apache.spark.sql.SparkSession, vecsTable: String,
+      batch: DataFrame, op: String): Unit = {
+    val clash = batch.select("id")
+      .join(spark.table(vecsTable).select("id"), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: batch re-appends ids already in $vecsTable " +
+          s"(sample: ${clash.mkString(", ")}) — index ids are immutable; " +
+          "dedup-check the batch first, or build a fresh index to replace " +
+          "changed content")
   }
 
   /** Embedding-cosine near-duplicate pairs (ida < idb, cos ≥ threshold)

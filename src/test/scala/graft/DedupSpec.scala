@@ -130,6 +130,24 @@ class DedupSpec extends AnyFunSuite {
     assert(grown.exists(m => m._1 == 104L && m._2 == 4L && m._3 == 1.0))
   }
 
+  test("minhashIndexAppend checkIds: re-appended id fails loudly") {
+    Dedup.minhashIndexBuild(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "one two three four five six")).toDF("doc_id", "text"),
+      "text", "doc_id", "mhguard_idx")
+    Dedup.minhashIndexAppend(spark, "mhguard_idx",
+      Seq((3L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text"),
+      "text", "doc_id", checkIds = true)
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashIndexAppend(spark, "mhguard_idx",
+        Seq((2L, "edited content under an existing id here")).toDF("doc_id", "text"),
+        "text", "doc_id", checkIds = true))
+    assert(e.getMessage.contains("immutable") && e.getMessage.contains("2"))
+    spark.catalog.refreshTable("mhguard_idx_sigs")
+    assert(spark.table("mhguard_idx_sigs").count() == 3,
+      "failed append must not have landed rows")
+  }
+
   test("connected components: transitive chains merge, disjoint clusters stay apart") {
     // 1-2-3-4-5 is a pure chain (diameter 4 → several propagation
     // rounds); 10-11 is a separate pair; 20-21-22 a triangle

@@ -281,6 +281,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.exists(_ % 2 == 1), "appended (odd) vectors never surfaced")
   }
 
+  test("ivf drift signal: matched batch quiet, orthogonal batch fires, retrain restores") {
+    // build corpus lives entirely in dims 0-3; the drifted batch in
+    // dims 4-7 — orthogonal to every trained centroid, the regime where
+    // frozen-centroid assignment decorrelates from similarity
+    def lowVec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d < 4) math.sin(i * 0.7 + d).toFloat else 0.0f)
+    def highVec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d >= 4) math.cos(i * 0.9 + d).toFloat else 0.0f)
+    val corpus = (0 until 200).map(i => (i.toLong, lowVec(i))).toDF("id", "v")
+    Similarity.ivfBuild(corpus, "id", "v", "ivfd_idx", nlist = 12, nassign = 2)
+    val buildMean = spark.table("ivfd_idx_stats").head().getDouble(1)
+    assert(spark.table("ivfd_idx_stats").head().getLong(0) == 200)
+    assert(buildMean > 0.5, s"build-time top-1 cosine unexpectedly low: $buildMean")
+
+    // a batch from the SAME distribution: signal quiet
+    val matched = (1000 until 1020).map(i => (i.toLong, lowVec(i))).toDF("id", "v")
+    val s1 = Similarity.ivfAppend(spark, "ivfd_idx", matched, "id", "v")
+    assert(s1.batchN == 20 && !s1.drifted,
+      s"matched batch flagged drifted: $s1")
+    assert(math.abs(s1.batchMeanTop1Cos - buildMean) < 0.2)
+
+    // the orthogonal batch: every centroid cosine is 0 → signal fires
+    val drifted = (2000 until 2020).map(i => (i.toLong, highVec(i))).toDF("id", "v")
+    val s2 = Similarity.ivfAppend(spark, "ivfd_idx", drifted, "id", "v")
+    assert(s2.drifted, s"orthogonal batch not flagged: $s2")
+    assert(s2.batchMeanTop1Cos < 0.1)
+
+    // retrain re-seeds centroids from the grown corpus — the drifted
+    // region is covered again and the next such batch is quiet
+    Similarity.ivfRetrain(spark, "ivfd_idx")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("ivfd_idx_retrainsrc")))
+    assert(spark.table("ivfd_idx").count() == 240 * 2)
+    assert(spark.table("ivfd_idx_stats").head().getLong(0) == 240)
+    val s3 = Similarity.ivfAppend(spark, "ivfd_idx",
+      (3000 until 3020).map(i => (i.toLong, highVec(i))).toDF("id", "v"),
+      "id", "v", driftTol = 0.3)
+    assert(s3.batchMeanTop1Cos > 0.5,
+      s"retrain did not restore coverage of the drifted region: $s3")
+    assert(!s3.drifted,
+      s"post-retrain batch outside the widened tolerance: $s3")
+    // and queries from the drifted region now find their true neighbors
+    val q = (2000 until 2003).map(i => (i.toLong, highVec(i))).toDF("id", "v")
+    val hits = Similarity.ivfQuery(spark, "ivfd_idx", q, "id", "v", 5)
+      .select("nid").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ >= 2000),
+      s"post-retrain probe surfaced low-subspace rows: ${hits.take(5).toSeq}")
+  }
+
+  test("lshIndexAppend checkIds: re-appended id fails loudly, fresh ids pass") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+      .toDF("id", "v")
+    Similarity.lshIndexBuild(corpus, "id", "v", "lshguard_idx", nBits = 8)
+    val fresh = Seq((100L, Array.tabulate(8)(d => math.cos(d).toFloat)))
+      .toDF("id", "v")
+    Similarity.lshIndexAppend(spark, "lshguard_idx", fresh, "id", "v",
+      nBits = 8, checkIds = true)
+    spark.catalog.refreshTable("lshguard_idx_vecs")
+    assert(spark.table("lshguard_idx_vecs").count() == 51)
+    // same id, DIFFERENT content — exactly the silent-supersede hazard
+    val resub = Seq((7L, Array.tabulate(8)(d => (d * 0.5).toFloat)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshIndexAppend(spark, "lshguard_idx", resub, "id", "v",
+        nBits = 8, checkIds = true))
+    assert(e.getMessage.contains("immutable") && e.getMessage.contains("7"))
+    // default stays unguarded (admission flows pre-filter) — documented
+    Similarity.lshIndexAppend(spark, "lshguard_idx", resub, "id", "v", nBits = 8)
+    spark.catalog.refreshTable("lshguard_idx_vecs")
+    assert(spark.table("lshguard_idx_vecs").filter(col("id") === 7L).count() == 2)
+  }
+
   test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
