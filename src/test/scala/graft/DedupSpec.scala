@@ -159,6 +159,47 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: diameter-200 chain converges via star contraction") {
+    // propagation alone needs 200 rounds — far past the default budget;
+    // the auto-switch must contract it in O(log) star rounds
+    val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val r = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 201, s"expected 201 labeled nodes, got ${r.size}")
+    assert(r.values.forall(_ == 0L),
+      s"chain split into ${r.values.toSet.size} components")
+  }
+
+  test("connected components: star contraction equals pure propagation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val viaProp = Dedup.connectedComponents(pairs, "a", "b",
+        maxIters = 200, propagateRounds = 200)
+      .as[(Long, Long)].collect().toSet
+    val viaStar = Dedup.connectedComponents(pairs, "a", "b",
+        maxIters = 200, propagateRounds = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStar == viaProp,
+      s"disagree: ${(viaStar -- viaProp).take(5)} vs ${(viaProp -- viaStar).take(5)}")
+  }
+
+  test("connected components: reliable-checkpoint path yields identical labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    // exercise BOTH phases under reliable checkpoints (propagateRounds=0
+    // forces the star path)
+    val r = Dedup.connectedComponents(pairs, "a", "b",
+        propagateRounds = 0, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // the rounds actually wrote reliable checkpoints under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs don't pair") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq
