@@ -444,12 +444,29 @@ object Dedup {
     * |Δtokens| ≥ blockWidth are the documented blocking tradeoff.
     * blockWidth = 0 (default) keeps the exact pigeonhole guarantee over
     * all lengths.
+    *
+    * SHARDED execution for bounded peak spill: the banding exchange is
+    * the operator's disk high-water mark (the band table is
+    * C(m, m−k)× the corpus — measured as the single-box wall at 1e7
+    * docs, BASELINE.md). `shards` = S > 1 restricts this pass to band
+    * keys with `pmod(key, S) = shard`; running the S passes
+    * SEQUENTIALLY bounds peak shuffle/spill to ~1/S of the full job at
+    * the cost of recomputing the map-only signature pass per shard.
+    * Band keys are hashes, so the restriction is uniform, and a
+    * colliding pair shares the full (band, key) — it surfaces in
+    * exactly the shard(s) its colliding band keys select: the UNION of
+    * all S passes equals the unsharded candidate set (pairs colliding
+    * in several bands may repeat across shards; dedup after the union,
+    * as the single-pass form does internally).
     */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         blockWidth: Int = 0, numChunks: Int = 6,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        shards: Int = 1, shard: Int = 0): DataFrame = {
     require(numChunks > maxHamming && numChunks <= 16,
       s"need maxHamming < numChunks <= 16, got m=$numChunks k=$maxHamming")
+    require(shards >= 1 && shard >= 0 && shard < shards,
+      s"need 0 <= shard < shards, got shard=$shard shards=$shards")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val ranges = chunkRanges(numChunks)
     val combos = combinations(numChunks, numChunks - maxHamming)
@@ -469,9 +486,14 @@ object Dedup {
     // (band, key, blk)-partitioned exchange: the build side of the
     // bucket self-join reuses one banding computation; the probe side
     // re-keys to its neighbor length buckets
-    val banded = sigs.select(col("id"), col("sig"), col("blk"),
+    val bandedAll = sigs.select(col("id"), col("sig"), col("blk"),
       posexplode(array(combos.map(bandKey(col("sig"), _)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    // shard restriction BEFORE the exchange: the filtered band rows
+    // never enter the shuffle, so peak spill scales with 1/shards
+    val banded = (if (shards > 1)
+        bandedAll.filter(pmod(col("key"), lit(shards.toLong)) === shard.toLong)
+      else bandedAll)
       .repartition(col("band"), col("key"), col("blk"))
     val probe = if (blockWidth > 0)
       banded.select(col("id"), col("sig"), col("band"), col("key"),
@@ -488,10 +510,15 @@ object Dedup {
   /** SimHash near-dup pairs: banded LSH candidates (see
     * `simhashCandidates` — C(m, m−k) chunk-combination bands, exact
     * pigeonhole guarantee at `maxHamming`) filtered to `maxHamming`.
+    * `shards`/`shard` select one sequential pass of the sharded
+    * execution (see [[simhashCandidates]]); union the passes and
+    * dropDuplicates(ida, idb) for the full pair set.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, blockWidth: Int = 0,
-                   numChunks: Int = 6): DataFrame =
-    simhashCandidates(docs, textCol, idCol, blockWidth, numChunks, maxHamming)
+                   numChunks: Int = 6, shards: Int = 1,
+                   shard: Int = 0): DataFrame =
+    simhashCandidates(docs, textCol, idCol, blockWidth, numChunks, maxHamming,
+      shards, shard)
       .filter(col("hamming") <= maxHamming)
 }

@@ -241,6 +241,33 @@ class DedupSpec extends AnyFunSuite {
     assert(blockedPairs == unblocked)
   }
 
+  test("sharded simhash: union of shard passes equals the unsharded pair set") {
+    val docs = (0 until 60).map { i =>
+      val base = s"some document number $i with plenty of shared words inside"
+      (i.toLong, if (i % 3 == 0) base else base + s" extra tail $i")
+    }.toDF("doc_id", "text")
+      // planted near-dups: copy with one extra token
+      .unionByName((0 until 60 by 10).map(i =>
+        (1000L + i, s"some document number $i with plenty of shared words inside zz"))
+        .toDF("doc_id", "text"))
+    val whole = Dedup.simhashCandidates(docs, "text", "doc_id", 8, 8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(whole.nonEmpty)
+    val shards = 3
+    val sharded = (0 until shards).flatMap(s =>
+      Dedup.simhashCandidates(docs, "text", "doc_id", 8, 8,
+          shards = shards, shard = s)
+        .select("ida", "idb").as[(Long, Long)].collect()).toSet
+    assert(sharded == whole,
+      s"missing=${(whole -- sharded).take(5)} extra=${(sharded -- whole).take(5)}")
+    // shards partition the band-key space: every pass returns a strict
+    // subset, and at least two passes are non-empty on this corpus
+    val sizes = (0 until shards).map(s =>
+      Dedup.simhashCandidates(docs, "text", "doc_id", 8, 8,
+        shards = shards, shard = s).count())
+    assert(sizes.sum >= whole.size && sizes.count(_ > 0) >= 2)
+  }
+
   test("hot-shingle cap drops high-frequency shingles from candidates") {
     // 3 docs sharing one hot shingle; cap=2 suppresses it entirely
     val hot = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))

@@ -90,6 +90,46 @@ object DevScale {
         println(s"[scale] n=$n simhash m=8 w=8 planted recall: $found/$truth")
         System.out.flush()
       }
+      // SHARDED banding (GRAFT_SCALE_SHARDS=S): S sequential passes,
+      // each filtering pmod(key, S) BEFORE the banding exchange — peak
+      // shuffle/spill bounded to ~1/S, the path past the single-box
+      // disk wall measured at 1e7. One pass per shard does double duty
+      // via accumulators: total candidate count AND planted-pair
+      // collection (a second action per shard would re-run the banding).
+      val shardCount = sys.env.get("GRAFT_SCALE_SHARDS").map(_.toInt).getOrElse(0)
+      if (shardCount > 1 &&
+          only.forall(_.exists("sharded".contains))) {
+        val sc = spark.sparkContext
+        val t0 = System.nanoTime()
+        var totalPairs = 0L
+        val found = scala.collection.mutable.Set.empty[(Long, Long)]
+        for (s <- 0 until shardCount) {
+          val ts = System.nanoTime()
+          val cnt = sc.longAccumulator(s"shard${s}_pairs")
+          val planted = sc.collectionAccumulator[(Long, Long)](s"shard${s}_planted")
+          Dedup.simhashPairs(docs, "text", "doc_id", 3, 8, 8, shardCount, s)
+            .select("ida", "idb").foreach { r =>
+              val a = r.getLong(0); val b = r.getLong(1)
+              cnt.add(1)
+              if (b == a + n && a % 50 == 0) planted.add((a, b))
+            }
+          totalPairs += cnt.value
+          planted.value.forEach(p => found += ((p._1, p._2)))
+          println(f"[scale] n=$n sharded m=8 w=8 shard $s/$shardCount: " +
+            f"${cnt.value} pairs in ${(System.nanoTime() - ts) / 1e9}%.1fs")
+          System.out.flush()
+        }
+        val sigs = docs.select(col("doc_id").as("id"),
+          Dedup.simhash(col("text")).as("sig"))
+        val truth = sigs.as("a").join(sigs.as("b"),
+            col("b.id") === col("a.id") + n && col("a.id") % 50 === 0)
+          .filter(graft.functions.GraftFunctions.hamming(
+            col("a.sig"), col("b.sig")) <= 3).count()
+        println(f"[scale] n=$n sharded m=8 w=8 x$shardCount TOTAL: " +
+          f"$totalPairs pairs, planted recall ${found.size}/$truth, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+        System.out.flush()
+      }
       time("quality metrics")(
         TextOps.qualityMetrics(docs, "text", "doc_id").count())
       // cluster-level dedup over the minhash pair graph: rounds =
