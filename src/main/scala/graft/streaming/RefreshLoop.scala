@@ -59,6 +59,8 @@ import graft.operators.{BucketedJoin, Dedup, Similarity}
   */
 object RefreshLoop {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** True if `epoch` already committed its absorb into `table`'s
     * ledger. */
   private def epochCommitted(spark: SparkSession, table: String,
@@ -217,8 +219,18 @@ object RefreshLoop {
             .localCheckpoint()
           onBatch(dups, novel, epoch)
           if (!committed) {
-            ivfTable.foreach(t =>
-              Similarity.ivfAppend(spark, t, novel, idCol, vecCol, nassign))
+            ivfTable.foreach { t =>
+              val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
+                nassign)
+              // surfaced, not auto-acted: ivfRetrain swaps tables this
+              // loop reads — run it from the maintenance cadence, like
+              // compaction
+              if (st.drifted) log.warn(
+                s"IVF serving index $t: batch mean top-1 cosine " +
+                  f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+                  s"at epoch $epoch — distribution drift; schedule " +
+                  s"Similarity.ivfRetrain($t)")
+            }
             Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
               nBits, nTables, seed)
             commitEpoch(spark, table, epoch, novel.select(idCol))
