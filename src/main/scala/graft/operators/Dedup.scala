@@ -102,11 +102,21 @@ object Dedup {
     * Jaccard). Shuffles only (bandId, bandHash, id) triples.
     *
     * Returns (ida, idb, est_jaccard) with ida < idb, est ≥ threshold.
+    *
+    * `shards`/`shard` bound peak shuffle exactly like the simhash dial
+    * (see [[simhashCandidates]]): pass S > 1 to restrict one run to
+    * band hashes with `pmod(bandhash, S) = shard`; the union of the S
+    * sequential passes (dedup (ida, idb) after) equals the unsharded
+    * pair set, since a colliding pair shares the full band hash. Each
+    * pass re-runs the map-only signature stage.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      shards: Int = 1, shard: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(shards >= 1 && shard >= 0 && shard < shards,
+      s"need 0 <= shard < shards, got shard=$shard shards=$shards")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val rowsPer = numHashes / bands
     // id-partitioned exchange: the signature computation (shingling + 64
@@ -119,10 +129,13 @@ object Dedup {
     // Band rows carry only (id, band, bandhash) — signatures are re-joined
     // by id AFTER candidate dedup, so the banding shuffle moves 24-byte
     // rows, not 64-long signatures.
-    val banded = sig.select(col("id"),
+    val bandedAll = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPer + 1, lit(rowsPer))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val banded = if (shards > 1)
+      bandedAll.filter(pmod(col("bandhash"), lit(shards.toLong)) === shard.toLong)
+    else bandedAll
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
@@ -197,7 +210,8 @@ object Dedup {
                          table: String, batch: DataFrame,
                          textCol: String, idCol: String,
                          k: Int = 3, numHashes: Int = 64,
-                         bands: Int = 16, checkIds: Boolean = false): Unit = {
+                         bands: Int = 16, checkIds: Boolean = false,
+                         repair: Boolean = false): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val sig = batch.select(col(idCol).as("id"),
@@ -206,10 +220,22 @@ object Dedup {
       if (checkIds)
         Similarity.failOnIndexedIds(spark, s"${table}_sigs", sig,
           "minhashIndexAppend")
-      BucketedJoin.appendBucketed(sig, s"${table}_sigs", "id")
+      // repair = re-run of an append that crashed partway: each table
+      // takes only ROWS it doesn't already hold (row-level anti-join —
+      // a crashed job can leave part of an id's band rows visible, so
+      // id-level would under-repair), completing the append exactly.
+      // Costs a key-column scan per table — recovery-path only.
+      def missing(df: DataFrame, t: String, keys: Seq[String]): DataFrame =
+        if (repair) df.join(spark.table(t).select(keys.map(col): _*),
+          keys, "left_anti")
+        else df
+      BucketedJoin.appendBucketed(missing(sig, s"${table}_sigs", Seq("id")),
+        s"${table}_sigs", "id")
       val banded = sig.select(col("id"),
         explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bandkey"))
-      BucketedJoin.appendBucketed(banded, s"${table}_bands", "bandkey")
+      BucketedJoin.appendBucketed(
+        missing(banded, s"${table}_bands", Seq("id", "bandkey")),
+        s"${table}_bands", "bandkey")
     } finally sig.unpersist()
   }
 

@@ -397,14 +397,22 @@ object Similarity {
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, table: String,
                 batch: DataFrame, idCol: String, vecCol: String,
-                nassign: Int = 2, driftTol: Double = 0.05): IvfAppendStats = {
+                nassign: Int = 2, driftTol: Double = 0.05,
+                repair: Boolean = false): IvfAppendStats = {
     GraftFunctions.ensureRegistered(spark)
     val c = batch.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec")).persist()
     try {
       val cents = spark.table(s"${table}_cents")
       val assigned = assignLists(c, cents, nassign)
-      BucketedJoin.appendBucketed(assigned, table, "cid")
+      // repair: complete a crashed multi-index absorb without
+      // duplicating rows that already landed (row-level anti-join,
+      // recovery-path only — see minhashIndexAppend)
+      val toAppend = if (repair)
+        assigned.join(spark.table(table).select("nid", "cid"),
+          Seq("nid", "cid"), "left_anti")
+      else assigned
+      BucketedJoin.appendBucketed(toAppend, table, "cid")
       val batchMean = meanTop1Cos(c, cents)
       val buildMean = {
         val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_stats")
@@ -604,17 +612,27 @@ object Similarity {
                      table: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      nBits: Int = 16, nTables: Int = 8,
-                     seed: Long = 42L, checkIds: Boolean = false): Unit = {
+                     seed: Long = 42L, checkIds: Boolean = false,
+                     repair: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(spark)
     val v = batch.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec")).persist()
     try {
       if (checkIds) failOnIndexedIds(spark, s"${table}_vecs", v, "lshIndexAppend")
-      BucketedJoin.appendBucketed(v, s"${table}_vecs", "id")
+      // see minhashIndexAppend: row-level anti-join on the
+      // crash-recovery replay, so a partially-landed append completes
+      // instead of duplicating
+      def missing(df: DataFrame, t: String, keys: Seq[String]): DataFrame =
+        if (repair) df.join(spark.table(t).select(keys.map(col): _*),
+          keys, "left_anti")
+        else df
+      BucketedJoin.appendBucketed(missing(v, s"${table}_vecs", Seq("id")),
+        s"${table}_vecs", "id")
       val b = v.select(col("id"),
           posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
         .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
-      BucketedJoin.appendBucketed(b, s"${table}_buckets", "bkey")
+      BucketedJoin.appendBucketed(missing(b, s"${table}_buckets", Seq("id", "bkey")),
+        s"${table}_buckets", "bkey")
     } finally v.unpersist()
   }
 

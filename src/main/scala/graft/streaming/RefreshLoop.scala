@@ -35,22 +35,22 @@ import graft.operators.{BucketedJoin, Dedup, Similarity}
   * The returned writer still needs a checkpoint/trigger/start from the
   * caller.
   *
-  * Restart semantics — EFFECTIVELY-ONCE absorb: foreachBatch may
-  * REPLAY the last epoch after a crash. Each completed absorb records
-  * its epoch and absorbed ids in a tiny `<table>_epochs` ledger
-  * (written AFTER the index appends); a replayed epoch found in the
-  * ledger skips the appends, and its index check EXCLUDES the rows
-  * that epoch absorbed — so the replay reproduces the original run's
-  * dup/novel split instead of self-matching against its own absorbed
-  * copies, and the index never holds a row twice. The residual
-  * at-least-once window is a crash BETWEEN the two table appends of
-  * one absorb (sigs landed, bands did not, no ledger row): the replay
-  * then re-appends both, duplicating the first table's rows until the
-  * next compaction — the standard foreachBatch side-effect window,
-  * now shrunk from "any crashed epoch" to "a crash inside the append
-  * itself". Route dups/novel with an epoch-keyed sink (e.g.
-  * overwrite-by-epoch partition) for the same property on the caller's
-  * side.
+  * Restart semantics — EFFECTIVELY-ONCE absorb at ANY crash point:
+  * foreachBatch may REPLAY the last epoch after a crash. The
+  * `<table>_epochs` ledger is two-phase: the epoch's admitted (novel)
+  * ids land BEFORE the index appends — the authoritative admission
+  * decision — and a `commit` marker lands after them. A replay of a
+  * decided epoch reconstructs `novel` from the recorded ids, excludes
+  * exactly those ids from its index check (so the dup/novel outputs
+  * reproduce the original run even when the crashed attempt partially
+  * landed), and re-runs any un-committed appends in REPAIR mode —
+  * row-level anti-joins that complete a partial append without
+  * duplicating rows (an index-key scan per table, paid only on the
+  * crash-recovery epoch). Committed replays skip the appends outright.
+  * The index therefore never holds a row twice, under any interleaving
+  * of crash and replay. Route dups/novel with an epoch-keyed sink
+  * (e.g. overwrite-by-epoch partition) for the same property on the
+  * caller's side.
   *
   * The appends run on the micro-batch's cloned session; any OTHER
   * session reading the index tables afterwards must
@@ -61,22 +61,42 @@ object RefreshLoop {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** True if `epoch` already committed its absorb into `table`'s
-    * ledger. */
-  private def epochCommitted(spark: SparkSession, table: String,
-                             epoch: Long): Boolean = {
+  /** Ledger phases for one epoch: (novel ids recorded, commit marker
+    * seen). The ledger is TWO-PHASE — the epoch's admitted (novel) ids
+    * land BEFORE the index appends as the authoritative admission
+    * decision, the `commit` marker lands after — so a replay can tell
+    * "never decided" (no rows: run normally), "decided, appends not
+    * known complete" (ids only: reconstruct novel from the recorded
+    * ids and run the appends in row-level repair mode), and
+    * "completed" (marker: skip appends) apart.
+    */
+  private def epochPhases(spark: SparkSession, table: String,
+                          epoch: Long): (Boolean, Boolean) = {
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
-    cat.tableExists(ident) &&
-      !spark.table(s"${table}_epochs")
-        .filter(col("epoch") === epoch).head(1).isEmpty
+    if (!cat.tableExists(ident)) (false, false)
+    else {
+      val phases = spark.table(s"${table}_epochs")
+        .filter(col("epoch") === epoch).select("phase").distinct()
+        .collect().map(_.getString(0)).toSet
+      (phases.contains("novel"), phases.contains("commit"))
+    }
   }
 
-  /** Ids absorbed by `epoch` (one column named `as`). */
+  /** Ids this epoch admitted (one column named `as`). */
   private def epochIds(spark: SparkSession, table: String, epoch: Long,
                        as: String): DataFrame =
     spark.table(s"${table}_epochs")
-      .filter(col("epoch") === epoch).select(col("id").as(as))
+      .filter(col("epoch") === epoch && col("phase") === "novel")
+      .select(col("id").as(as))
+
+  /** Phase 1: record `epoch`'s admission decision before any append. */
+  private def recordNovel(spark: SparkSession, table: String, epoch: Long,
+                          ids: DataFrame): Unit =
+    BucketedJoin.appendBucketed(
+      ids.select(lit(epoch).as("epoch"), lit("novel").as("phase"),
+        col(ids.columns.head).as("id")),
+      s"${table}_epochs", "epoch", defaultBuckets = 1)
 
   /** Compact the epoch ledger if it exists (it doesn't until the first
     * epoch with a non-empty novel set commits). */
@@ -86,15 +106,17 @@ object RefreshLoop {
       BucketedJoin.compactBucketed(spark, s"${table}_epochs", "epoch")
   }
 
-  /** Record `epoch`'s absorbed ids — the commit point of the absorb.
-    * Zero admitted rows write nothing: a replay re-deriving an empty
-    * novel set appends nothing either way, so the no-op epoch needs no
-    * ledger row.
-    */
+  /** Phase 2: mark `epoch`'s appends complete, so later replays skip
+    * the repair scans. One marker row (null id). */
   private def commitEpoch(spark: SparkSession, table: String, epoch: Long,
                           ids: DataFrame): Unit =
     BucketedJoin.appendBucketed(
-      ids.select(lit(epoch).as("epoch"), col(ids.columns.head).as("id")),
+      ids.limit(0)
+        .select(lit(epoch).as("epoch"), lit("commit").as("phase"),
+          col(ids.columns.head).as("id"))
+        .unionByName(spark.range(1)
+          .select(lit(epoch).as("epoch"), lit("commit").as("phase"),
+            lit(null).cast(ids.schema.head.dataType).as("id"))),
       s"${table}_epochs", "epoch", defaultBuckets = 1)
 
   /** The per-micro-batch body of [[minhashRefresh]], exposed so a
@@ -108,7 +130,7 @@ object RefreshLoop {
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
-      val committed = epochCommitted(spark, table, epoch)
+      val (decided, committed) = epochPhases(spark, table, epoch)
       // micro-batch sources re-read on every action; pin the batch once
       val b = batch.persist()
       try {
@@ -118,10 +140,11 @@ object RefreshLoop {
             col("est_jaccard"), lit("batch").as("source"))
         val inter0 = Dedup.minhashDedupAgainst(spark, table, b,
           textCol, idCol, threshold, k, numHashes, bands)
-        // a replayed committed epoch sees an index that already holds
-        // its own absorbed rows — exclude exactly those so the replay
-        // reproduces the original run's outputs
-        val interAdj = if (committed)
+        // a replay of a DECIDED epoch sees an index that may already
+        // hold rows this epoch absorbed — exclude exactly those, so the
+        // replay reproduces the original run's outputs at any crash
+        // point
+        val interAdj = if (decided)
           inter0.join(epochIds(spark, table, epoch, "corpus_id"),
             Seq("corpus_id"), "left_anti")
         else inter0
@@ -130,17 +153,25 @@ object RefreshLoop {
             col("est_jaccard"), lit("corpus").as("source"))
         val dups = inter.unionByName(intra).persist()
         try {
-          val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
+          // on replay the RECORDED ids are the admission decision;
           // localCheckpoint pins novel's ROWS, cutting its plan's
           // lineage to the index tables — the appends below can no
           // longer invalidate or recompute it (batch-sized data)
-          val novel = b.join(dupIds, Seq(idCol), "left_anti")
+          val novel = (if (decided)
+              b.join(epochIds(spark, table, epoch, idCol), Seq(idCol),
+                "left_semi")
+            else
+              b.join(dups.select(col("batch_id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti"))
             .localCheckpoint()
           onBatch(dups, novel, epoch)
           if (!committed) {
-            Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
-              k, numHashes, bands)
-            commitEpoch(spark, table, epoch, novel.select(idCol))
+            if (!novel.isEmpty) {
+              if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
+              Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
+                k, numHashes, bands, repair = decided)
+              commitEpoch(spark, table, epoch, novel.select(idCol))
+            }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
               BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
@@ -190,7 +221,7 @@ object RefreshLoop {
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
-      val committed = epochCommitted(spark, table, epoch)
+      val (decided, committed) = epochPhases(spark, table, epoch)
       val b = batch.persist()
       try {
         val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
@@ -199,7 +230,7 @@ object RefreshLoop {
             col("cos"), lit("batch").as("source"))
         val inter0 = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
           threshold, nBits, nTables, seed)
-        val interAdj = if (committed)
+        val interAdj = if (decided)
           inter0.join(epochIds(spark, table, epoch, "corpus_id"),
             Seq("corpus_id"), "left_anti")
         else inter0
@@ -208,32 +239,40 @@ object RefreshLoop {
             col("cos"), lit("corpus").as("source"))
         val dups = inter.unionByName(intra).persist()
         try {
-          val dupIds = dups.select(col("batch_id").as(idCol)).distinct()
           // localCheckpoint pins novel's ROWS independent of the index
           // tables, so NEITHER append below can invalidate the other's
           // input — the round-6 ordering hazard (append LSH first →
           // novel recomputes against the grown index, self-matches,
           // and the IVF absorb writes an empty frame) is structurally
-          // gone rather than comment-enforced
-          val novel = b.join(dupIds, Seq(idCol), "left_anti")
+          // gone rather than comment-enforced; on replay the RECORDED
+          // ids are the admission decision
+          val novel = (if (decided)
+              b.join(epochIds(spark, table, epoch, idCol), Seq(idCol),
+                "left_semi")
+            else
+              b.join(dups.select(col("batch_id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti"))
             .localCheckpoint()
           onBatch(dups, novel, epoch)
           if (!committed) {
-            ivfTable.foreach { t =>
-              val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
-                nassign)
-              // surfaced, not auto-acted: ivfRetrain swaps tables this
-              // loop reads — run it from the maintenance cadence, like
-              // compaction
-              if (st.drifted) log.warn(
-                s"IVF serving index $t: batch mean top-1 cosine " +
-                  f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
-                  s"at epoch $epoch — distribution drift; schedule " +
-                  s"Similarity.ivfRetrain($t)")
+            if (!novel.isEmpty) {
+              if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
+              ivfTable.foreach { t =>
+                val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
+                  nassign, repair = decided)
+                // surfaced, not auto-acted: ivfRetrain swaps tables this
+                // loop reads — run it from the maintenance cadence, like
+                // compaction
+                if (st.drifted) log.warn(
+                  s"IVF serving index $t: batch mean top-1 cosine " +
+                    f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+                    s"at epoch $epoch — distribution drift; schedule " +
+                    s"Similarity.ivfRetrain($t)")
+              }
+              Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
+                nBits, nTables, seed, repair = decided)
+              commitEpoch(spark, table, epoch, novel.select(idCol))
             }
-            Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
-              nBits, nTables, seed)
-            commitEpoch(spark, table, epoch, novel.select(idCol))
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
               BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")

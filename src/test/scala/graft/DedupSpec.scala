@@ -268,6 +268,27 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.sum >= whole.size && sizes.count(_ > 0) >= 2)
   }
 
+  test("sharded minhash: union of shard passes equals the unsharded pair set") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"document $i about distributed systems and query engines " +
+        s"with shared vocabulary across many entries ${i % 4}")
+    }.toDF("doc_id", "text")
+      .unionByName((0 until 40 by 8).map(i =>
+        (500L + i, s"document $i about distributed systems and query engines " +
+          s"with shared vocabulary across many entries ${i % 4}"))
+        .toDF("doc_id", "text"))
+    val whole = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(whole.nonEmpty)
+    val shards = 3
+    val sharded = (0 until shards).flatMap(s =>
+      Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.4,
+          shards = shards, shard = s)
+        .select("ida", "idb").as[(Long, Long)].collect()).toSet
+    assert(sharded == whole,
+      s"missing=${(whole -- sharded).take(5)} extra=${(sharded -- whole).take(5)}")
+  }
+
   test("hot-shingle cap drops high-frequency shingles from candidates") {
     // 3 docs sharing one hot shingle; cap=2 suppresses it entirely
     val hot = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))

@@ -202,6 +202,65 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(indexState()._2 == after1._2)
   }
 
+  test("mid-append crash: replay repairs the partial append, outputs reproduced") {
+    import graft.operators.BucketedJoin
+    Dedup.minhashIndexBuild(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "crash_spec_idx")
+
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+
+    // hand-build the crash state of epoch 5: admission decided
+    // (novel = {110} recorded), then the absorb died after the _sigs
+    // append landed but before _bands and the commit marker
+    BucketedJoin.appendBucketed(
+      Seq((5L, "novel", 110L)).toDF("epoch", "phase", "id"),
+      "crash_spec_idx_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(
+      batch.filter($"doc_id" === 110L)
+        .select(col("doc_id").as("id"),
+          Dedup.minhashSignature(col("text")).as("sig")),
+      "crash_spec_idx_sigs", "id")
+    spark.catalog.refreshTable("crash_spec_idx_sigs")
+    assert(spark.table("crash_spec_idx_sigs")
+      .filter($"id" === 110L).count() == 1, "crash state not built")
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = graft.streaming.RefreshLoop.minhashBatch(
+        "crash_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    // the replay: must reproduce the ORIGINAL epoch's outputs (110
+    // novel, 101 a corpus dup of identical doc 1 — NO self-match
+    // against the partially-landed 110 row) and complete the append
+    fn(batch, 5L)
+    assert(runs(0)._2 == Set(110L), s"novel not reconstructed: ${runs(0)._2}")
+    assert(runs(0)._1 == Set((101L, 1L, "corpus")),
+      s"replay outputs contaminated by the partial append: ${runs(0)._1}")
+    spark.catalog.refreshTable("crash_spec_idx_sigs")
+    spark.catalog.refreshTable("crash_spec_idx_bands")
+    assert(spark.table("crash_spec_idx_sigs")
+      .filter($"id" === 110L).count() == 1,
+      "repair duplicated the partially-landed sig row")
+    val bandRows = spark.table("crash_spec_idx_bands")
+      .filter($"id" === 110L).count()
+    assert(bandRows == 16L,
+      s"repair did not complete the missing band rows: $bandRows")
+    // and a dup of 110 is now findable end to end
+    runs.clear()
+    fn(Seq((201L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 6L)
+    assert(runs(0)._1.contains((201L, 110L, "corpus")))
+  }
+
   test("embedding replayed epoch is effectively-once across both indexes") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),
