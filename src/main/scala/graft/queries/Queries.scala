@@ -816,6 +816,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** dd7's graph through the OTHER algorithm: propagateRounds = 0
+    * forces the large-star/small-star contraction path (the O(log)
+    * fallback for adversarial long chains), gated against the same
+    * recursive-CTE oracle — both algorithms must agree with the exact
+    * transitive closure.
+    */
+  val dd8_components_star: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      k = 3, threshold = 0.8, maxShingleFreq = 5)
+    Dedup.connectedComponents(pairs, "ida", "idb", propagateRounds = 0)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental-dedup gate (index-once / dedup-batches, the sim5
     * pattern applied to MinHash): the corpus is indexed once
     * (minhashIndexBuild → persisted bucketed band/signature tables),
@@ -1467,6 +1481,7 @@ object Queries {
     "dd3_simhash" -> dd3_simhash, "dd4_ngram" -> dd4_ngram,
     "dd5_incdedup" -> dd5_incdedup, "dd6_incappend" -> dd6_incappend,
     "dd7_components" -> dd7_components,
+    "dd8_components_star" -> dd8_components_star,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -1870,6 +1885,28 @@ object Queries {
     // dd7: recursive transitive closure over dd4's pair set — min
     // reachable label per node == the component's min id
     "dd7_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 5),
+        |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id),
+        |p AS (SELECT ida, idb FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT ida AS a, idb AS b FROM p UNION ALL SELECT idb AS a, ida AS b FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // dd8: the star-contraction path must agree with the same closure
+    "dd8_components_star" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
         |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
