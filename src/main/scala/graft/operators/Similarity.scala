@@ -334,25 +334,31 @@ object Similarity {
     BucketedJoin.writeBucketed(assigned, table, "cid", buckets)
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
     // Build-time assignment-quality distribution — the drift reference
-    // point for [[ivfAppend]]'s frozen-centroid signal. One extra
-    // zero-shuffle assignment pass + a one-row aggregate.
-    val buildMean = meanTop1Cos(spark.table(table).dropDuplicates("nid")
-      .select("nid", "nvec"), spark.table(s"${table}_cents"))
+    // point for [[ivfAppend]]'s frozen-centroid signal. Computed from
+    // the WRITTEN lists (one bucketed scan, O(N·nassign) cosines): the
+    // top-1 centroid is always among a vector's assigned set, so the
+    // per-vector max over assigned cosines IS its top-1 cosine — a full
+    // re-assignment pass (O(N·nlist) cosines, as costly as the build's
+    // own assignment) is never paid.
+    val buildMean = meanTop1Cos(spark.table(table),
+      spark.table(s"${table}_cents"))
     import spark.implicits._
     BucketedJoin.writeBucketed(
       Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
       s"${table}_stats", "built_n", 1)
   }
 
-  /** Mean top-1-centroid cosine over `vecs` (nid, nvec) — the scalar
-    * that summarizes how well the coarse quantizer covers a
-    * distribution. NaN on an empty frame.
+  /** Mean top-1-centroid cosine from ASSIGNED list rows
+    * (cid, nid, nvec): per-vector max over its assigned centroids'
+    * cosines (= the top-1 cosine, which assignment always includes),
+    * averaged. NaN on an empty frame.
     */
-  private def meanTop1Cos(vecs: DataFrame, cents: DataFrame): Double = {
-    val r = assignLists(vecs, cents, nassign = 1)
-      .join(broadcast(cents), Seq("cid"))
-      .agg(avg(GraftFunctions.cosineSim(col("nvec"), col("cvec"))))
-      .head()
+  private def meanTop1Cos(assigned: DataFrame, cents: DataFrame): Double = {
+    val r = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("nid"),
+        GraftFunctions.cosineSim(col("nvec"), col("cvec")).as("c"))
+      .groupBy("nid").agg(max("c").as("c"))
+      .agg(avg("c")).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
@@ -413,7 +419,7 @@ object Similarity {
           Seq("nid", "cid"), "left_anti")
       else assigned
       BucketedJoin.appendBucketed(toAppend, table, "cid")
-      val batchMean = meanTop1Cos(c, cents)
+      val batchMean = meanTop1Cos(assigned, cents)
       val buildMean = {
         val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_stats")
         if (spark.sessionState.catalog.tableExists(ident))
