@@ -90,7 +90,18 @@ object BucketedJoin {
     * from the catalog (readers in that window retry after recovery);
     * data files are never at risk.
     */
-  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String, key: String): Unit =
+    rewriteBucketed(spark, table, key)(identity)
+
+  /** The compaction swap, generalized: replace a bucketed table with
+    * `transform` of itself through the same crash-safe
+    * stage → rename-aside → rename-in → drop-old sequence (see
+    * [[compactBucketed]] for the recovery states). Used for
+    * filtered rewrites — e.g. retention pruning of an append-only
+    * ledger — where the rewrite must never risk the only copy.
+    */
+  def rewriteBucketed(spark: SparkSession, table: String, key: String)
+                     (transform: DataFrame => DataFrame): Unit = {
     recoverCompacted(spark, table)
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
@@ -98,7 +109,7 @@ object BucketedJoin {
       .map(_.numBuckets).getOrElse(8)
     val tmp = s"${table}_compacting"
     val old = s"${table}_old"
-    writeBucketed(spark.table(table), tmp, key, n)
+    writeBucketed(transform(spark.table(table)), tmp, key, n)
     // clear stale debris (a forgotten catalog entry or orphaned dir
     // would make the rename-aside collide)
     dropWithLocation(spark, old)

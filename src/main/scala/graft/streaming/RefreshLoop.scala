@@ -98,12 +98,26 @@ object RefreshLoop {
         col(ids.columns.head).as("id")),
       s"${table}_epochs", "epoch", defaultBuckets = 1)
 
-  /** Compact the epoch ledger if it exists (it doesn't until the first
-    * epoch with a non-empty novel set commits). */
-  private def compactLedger(spark: SparkSession, table: String): Unit = {
+  /** How many recent epochs the ledger retains through compaction.
+    * Replay only ever consults the MOST RECENT epoch (offsets commit
+    * after foreachBatch returns, so older epochs can never re-fire);
+    * without pruning, the "novel" rows are a full admission log that
+    * grows with the corpus lifetime — at 10¹⁰ admitted docs that is
+    * hundreds of GB of ledger for a structure whose working set is one
+    * epoch. 8 is a deep safety margin over the required 1.
+    */
+  private val LedgerRetainEpochs = 8L
+
+  /** Fold AND prune the epoch ledger if it exists (it doesn't until
+    * the first epoch with a non-empty novel set commits): one
+    * crash-safe rewrite keeps only the last [[LedgerRetainEpochs]]
+    * epochs' rows, bounding the ledger to O(retained batches). */
+  private def compactLedger(spark: SparkSession, table: String,
+                            epoch: Long): Unit = {
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
     if (spark.sessionState.catalog.tableExists(ident))
-      BucketedJoin.compactBucketed(spark, s"${table}_epochs", "epoch")
+      BucketedJoin.rewriteBucketed(spark, s"${table}_epochs", "epoch")(
+        _.filter(col("epoch") >= epoch - LedgerRetainEpochs))
   }
 
   /** Phase 2: mark `epoch`'s appends complete, so later replays skip
@@ -175,7 +189,7 @@ object RefreshLoop {
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
               BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
-              compactLedger(spark, table)
+              compactLedger(spark, table, epoch)
             }
           }
         } finally dups.unpersist()
@@ -276,7 +290,7 @@ object RefreshLoop {
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
               BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")
-              compactLedger(spark, table)
+              compactLedger(spark, table, epoch)
               ivfTable.foreach(t =>
                 BucketedJoin.compactBucketed(spark, t, "cid"))
             }

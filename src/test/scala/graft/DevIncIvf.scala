@@ -25,7 +25,10 @@ object DevIncIvf {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(200000L)
     val spark = SparkSession.builder()
-      .master("local[32]")
+      // 4 task attempts: RawLocalFileSystem.mkdirs races under 32
+      // concurrent attempt-dir creations (observed at 1e7), and local
+      // mode defaults to maxFailures=1 — one spurious race kills the run
+      .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -49,7 +52,11 @@ object DevIncIvf {
         .write.mode("overwrite").parquet(dir)
       val corpus = spark.read.parquet(dir)
       // nBits tracks log2(N) — the sizing rule of the blocked self-join
-      val nBits = if (n >= 1000000) 20 else 16
+      // (frozen-nBits decay is MEASURED: 20 bits at 1e7 = 0.42 ms/doc
+      // lookup vs 0.16 at 5e6 — collisions grow once N passes 2^nBits;
+      // 24 bits restores the per-doc cost, validating the rule)
+      val nBits = if (n >= 8000000) 24
+                  else if (n >= 1000000) 20 else 16
 
       val table = s"devincivf_$n"
       val (_, tBuild) = timed {

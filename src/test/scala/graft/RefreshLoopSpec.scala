@@ -261,6 +261,33 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(runs(0)._1.contains((201L, 110L, "corpus")))
   }
 
+  test("ledger retention: compaction prunes epochs outside the retain window") {
+    Dedup.minhashIndexBuild(
+      Seq((1L, "seed doc one two three four five")).toDF("doc_id", "text"),
+      "text", "doc_id", "retain_spec_idx")
+    val fn = graft.streaming.RefreshLoop.minhashBatch(
+      "retain_spec_idx", "text", "doc_id", threshold = 0.3,
+      compactEvery = 1) { (_, _, _) => }
+    fn(Seq((10L, "first unique doc content here alpha"))
+      .toDF("doc_id", "text"), 0L)
+    spark.catalog.refreshTable("retain_spec_idx_epochs")
+    assert(spark.table("retain_spec_idx_epochs")
+      .filter($"epoch" === 0L).count() > 0)
+    // a much later epoch: its compaction must prune epoch 0's rows —
+    // the ledger is a replay structure whose working set is the most
+    // recent epoch, not an unbounded admission log
+    fn(Seq((20L, "totally different words sharing no shingles whatsoever beta"))
+      .toDF("doc_id", "text"), 100L)
+    spark.catalog.refreshTable("retain_spec_idx_epochs")
+    val epochs = spark.table("retain_spec_idx_epochs")
+      .select("epoch").distinct().as[Long].collect().toSet
+    assert(epochs == Set(100L), s"stale ledger epochs survived: $epochs")
+    // pruning is ledger-metadata only — the INDEX keeps everything
+    spark.catalog.refreshTable("retain_spec_idx_sigs")
+    assert(spark.table("retain_spec_idx_sigs").select("id")
+      .as[Long].collect().toSet == Set(1L, 10L, 20L))
+  }
+
   test("embedding replayed epoch is effectively-once across both indexes") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),
