@@ -792,6 +792,29 @@ object Queries {
       .select("ida", "idb", "hamming").orderBy("ida", "idb")
   }
 
+  /** dd3's planted-duplicate recall through the SHARDED execution
+    * path: three pmod(key)-restricted band passes unioned and deduped
+    * must find every planted pair the single pass finds — the
+    * spill-bounding dial (BASELINE.md's 1e7 wall-crossing) gated under
+    * the same rows+schema+hash oracle. (The query unions the passes in
+    * one plan; at scale they run sequentially — the gate is about the
+    * partition of the band-key space, which is execution-order
+    * independent.)
+    */
+  val dd9_simhash_sharded: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = base.unionByName(dup)
+    val shards = 3
+    (0 until shards)
+      .map(sh => Dedup.simhashPairs(all, "text", "doc_id",
+        shards = shards, shard = sh))
+      .reduce(_ unionByName _)
+      .dropDuplicates("ida", "idb")
+      .filter(col("idb") === col("ida") + 1000000L)
+      .select("ida", "idb", "hamming").orderBy("ida", "idb")
+  }
+
   /** Gated WITH the hot-shingle cap active (maxShingleFreq=5 suppresses
     * real shingles at sf0.01 — max observed freq there is 7), so the
     * oracle exercises the skew guard, not just the happy path.
@@ -1482,6 +1505,7 @@ object Queries {
     "dd5_incdedup" -> dd5_incdedup, "dd6_incappend" -> dd6_incappend,
     "dd7_components" -> dd7_components,
     "dd8_components_star" -> dd8_components_star,
+    "dd9_simhash_sharded" -> dd9_simhash_sharded,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -1865,6 +1889,11 @@ object Queries {
         |ORDER BY corpus_id, batch_id""".stripMargin,
 
     "dd3_simhash" ->
+      """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY ida, idb""".stripMargin,
+
+    // dd9: the sharded union must recover the same planted pairs
+    "dd9_simhash_sharded" ->
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
         |FROM documents ORDER BY ida, idb""".stripMargin,
 
