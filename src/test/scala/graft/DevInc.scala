@@ -14,7 +14,9 @@ object DevInc {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(200000L)
     val spark = SparkSession.builder()
-      .master("local[32]")
+      // 4 task attempts — see DevIncIvf: local-fs mkdirs races under
+      // 32 concurrent attempt-dir creations at the 1e7 scale
+      .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
