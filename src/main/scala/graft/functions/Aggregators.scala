@@ -104,8 +104,62 @@ object Aggregators {
       ExpressionEncoder[Seq[(String, Long)]]()
   }
 
+  /** Bounded deterministic top-k of (score, id) pairs — the ranking
+    * tail of the ANN family (brute-force / LSH / IVF top-k).
+    *
+    * Replaces `dropDuplicates + row_number().over(Window.partitionBy(qid)
+    * .orderBy(cos desc, nid))`: the window shape exchanges AND fully
+    * sorts every scored candidate row (at 10⁷ corpus / 100 queries
+    * that is ~5·10⁸ rows through two shuffles — measured as the
+    * ivfQuery scale wall in DevSimScale), where the aggregation holds
+    * O(k) state per query, combines map-side, and moves only
+    * partitions·queries·k rows.
+    *
+    * Determinism contract (identical to the window form): total order =
+    * (cos desc, nid asc); ties in cos break by id. Duplicate candidates
+    * — the same (qid, nid) surfacing via several lists/tables — carry
+    * the SAME rounded score, so pair-equality dedup inside the heap
+    * reproduces dropDuplicates exactly: a live duplicate is skipped by
+    * the equality check, and an evicted pair's duplicate cannot
+    * re-enter (eviction means k strictly-better entries exist —
+    * the order is strict on distinct pairs).
+    *
+    * Buffer entries are (cos, nid) best-first; the common candidate
+    * (worse than everything retained) is rejected without allocation.
+    */
+  final case class TopKByScore(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+    override def zero: Seq[(Double, Long)] = Vector.empty
+
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    private def insert(b: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
+      val i = b.indexWhere(x => !better(x, e))
+      if (i < 0) { if (b.size < k) b :+ e else b }
+      else if (b(i) == e) b
+      else {
+        val nb = (b.take(i) :+ e) ++ b.drop(i)
+        if (nb.size > k) nb.take(k) else nb
+      }
+    }
+
+    override def reduce(b: Seq[(Double, Long)], v: (Long, Double)): Seq[(Double, Long)] =
+      insert(b, (v._2, v._1))
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      y.foldLeft(x)(insert)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Column-ready UDAFs. */
   def cappedDistinct(cap: Int) = udaf(CappedDistinct(cap))
   val valueHistogram = udaf(new ValueHistogram)
   val valueHistogramDetail = udaf(new ValueHistogramDetail)
+  def topKByScore(k: Int) =
+    udaf(TopKByScore(k), ExpressionEncoder[(Long, Double)]())
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -155,6 +156,106 @@ object GraftFunctions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "lsh_sigs"
+  }
+
+  /** Int8 sketch of an `array<double>` vector for the candidate-refine
+    * stage of blocked near-dup search:
+    * `struct<q: binary, s: double, n: double, l1: double>` with
+    * `q(i) = round(x(i)/s)` ∈ [-127,127], `s = max|x|/127`, `n` the
+    * EXACT L2 norm of x, and `l1 = s·Σ|q(i)|` (the L1 norm of the
+    * reconstruction — the term [[QuantizedCosineUpper]]'s error bound
+    * needs). The sketch is `dim` bytes + 24, vs `8·dim` for the raw
+    * vector — the point is shrinking what candidate pairs carry
+    * through shuffles, not lossy scoring: the paired upper bound is
+    * sound, so a downstream exact rescore loses nothing.
+    */
+  case class QuantizeVector(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("q", BinaryType, nullable = false),
+      StructField("s", DoubleType, nullable = false),
+      StructField("n", DoubleType, nullable = false),
+      StructField("l1", DoubleType, nullable = false)))
+
+    /** Public so generated code can call back into this instance. */
+    def sketch(v: ArrayData): InternalRow = {
+      val d = v.numElements()
+      var maxAbs = 0.0; var n2 = 0.0; var i = 0
+      while (i < d) {
+        val x = v.getDouble(i)
+        val ax = math.abs(x)
+        if (ax > maxAbs) maxAbs = ax
+        n2 += x * x; i += 1
+      }
+      val s = maxAbs / 127.0
+      val q = new Array[Byte](d)
+      var sumAbsQ = 0L
+      if (s > 0.0) {
+        i = 0
+        while (i < d) {
+          val qi = math.round(v.getDouble(i) / s).toInt
+          q(i) = qi.toByte
+          sumAbsQ += math.abs(qi); i += 1
+        }
+      }
+      new GenericInternalRow(Array[Any](q, s, math.sqrt(n2), s * sumAbsQ))
+    }
+
+    override def nullSafeEval(v: Any): Any = sketch(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[QuantizeVector].getName
+      val ref = ctx.addReferenceObj("quantVec", this, cls)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.sketch($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "quantize_vec"
+  }
+
+  /** SOUND upper bound on `cosine(x, y)` from two [[QuantizeVector]]
+    * sketches alone. With `x(i) = q(i)·s + e(i)`, `|e(i)| ≤ s/2`
+    * (round-to-nearest), expanding the dot product gives
+    * `|dot(x,y) − sa·sb·Σ qa(i)·qb(i)|
+    *    ≤ (sb/2)·l1a + (sa/2)·l1b + d·sa·sb/4`,
+    * and the norms are exact, so
+    * `upper = (sa·sb·dotQ + bound)/(na·nb) ≥ cosine(x,y)` always:
+    * filtering `upper ≥ t` can never drop a pair the exact filter
+    * would keep. Zero-norm sketches return 1.0 (keep; the exact pass
+    * decides). The integer dot stays in a long (127²·d overflows only
+    * past d ≈ 5.7·10¹⁴).
+    */
+  case class QuantizedCosineUpper(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    /** Public so generated code can call back into this instance. */
+    def upper(a: InternalRow, b: InternalRow): Double = {
+      val qa = a.getBinary(0); val sa = a.getDouble(1)
+      val na = a.getDouble(2); val l1a = a.getDouble(3)
+      val qb = b.getBinary(0); val sb = b.getDouble(1)
+      val nb = b.getDouble(2); val l1b = b.getDouble(3)
+      if (na == 0.0 || nb == 0.0) return 1.0
+      val d = math.min(qa.length, qb.length)
+      var dot = 0L; var i = 0
+      while (i < d) { dot += qa(i).toLong * qb(i).toLong; i += 1 }
+      val bound = 0.5 * sb * l1a + 0.5 * sa * l1b + 0.25 * d * sa * sb
+      (sa * sb * dot + bound) / (na * nb)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      upper(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = classOf[QuantizedCosineUpper].getName
+      val ref = ctx.addReferenceObj("qcosUpper", this, cls)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.upper($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "qcos_upper"
   }
 
   /** Distinct word k-shingles of an `array<string>` of tokens in ONE
@@ -515,6 +616,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue(),
       es(3).eval().asInstanceOf[Number].longValue()))
+    put("quantize_vec")(es => QuantizeVector(es.head))
+    put("qcos_upper")(es => QuantizedCosineUpper(es.head, es(1)))
     put("ivf_top_cents")(es => IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
     put("cms_probe")(es => CmsProbe(es.head,
@@ -536,6 +639,8 @@ object GraftFunctions {
     call_function("word_shingles", tokens, lit(k))
   def lshSigs(vec: Column, nBits: Int, nTables: Int, seed: Long): Column =
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
+  def quantizeVec(vec: Column): Column = call_function("quantize_vec", vec)
+  def qcosUpper(a: Column, b: Column): Column = call_function("qcos_upper", a, b)
   def ivfTopCents(vec: Column, cents: Column, n: Int): Column =
     call_function("ivf_top_cents", vec, cents, lit(n))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {

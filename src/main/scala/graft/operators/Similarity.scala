@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -36,12 +35,28 @@ object Similarity {
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
-    // Rank on the rounded score with id tie-break → deterministic top-k.
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
+
+  /** The shared ranking tail of every top-k operator here: deterministic
+    * top-k of `scored` (qid, nid, cos) per qid under (cos desc, nid asc),
+    * duplicate (qid, nid) candidates collapsed. Emits (qid, nid, cos,
+    * rank 1..k) — exactly the old `dropDuplicates + row_number() window`
+    * output, but through [[graft.functions.Aggregators.TopKByScore]]:
+    * O(k) state per query with map-side partial aggregation, instead of
+    * exchanging and FULLY SORTING every scored candidate twice. At 10⁷
+    * corpus / 100 queries / probeFrac 0.5 the window form moved ~5·10⁸
+    * rows through two shuffles and died in the sort (DevSimScale,
+    * round 7); the aggregation moves partitions·queries·k rows.
+    * Id contract: nid must be integral (the ANN family keys on long
+    * ids throughout — testdata `vec_id` is bigint).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.Aggregators.topKByScore(k)(col("nid"), col("cos")).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col._2").as("nid"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Random-hyperplane LSH: signatures come from ONE native expression
     * (`GraftFunctions.lshSigs` — a codegen'd kernel that derives its
@@ -73,11 +88,9 @@ object Similarity {
         Seq("table", "sig")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
-      .dropDuplicates("qid", "nid")
-    cand
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
-      .filter(col("rank") <= k)
+    // duplicate (qid, nid) bucket collisions carry the same rounded cos
+    // — rankTopK's in-heap dedup replaces the dropDuplicates exchange
+    rankTopK(cand, k)
   }
 
   /** Deterministic centroid seed. Small corpora (n < 64·nlist) take the
@@ -255,17 +268,14 @@ object Similarity {
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qvec"),
         explode(topCentroids(col("qvec"), col("_cents"), nprobe)).as("cid"))
-    probes.join(assigned, Seq("cid"))
+    val scored = probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       // multi-assignment / multi-probe can surface a (qid, nid) pair via
       // several lists — score first (identical rounded cos on every
-      // duplicate), then dedup 24-byte rows before ranking
+      // duplicate); rankTopK dedups in the heap
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
-      .dropDuplicates("qid", "nid")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Scale-adaptive IVF: derives the index parameters from the corpus
@@ -510,20 +520,19 @@ object Similarity {
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qvec"),
         explode(topCentroids(col("qvec"), col("_cents"), np)).as("cid"))
-    probes.join(spark.table(table), Seq("cid"))
+    val scored = probes.join(spark.table(table), Seq("cid"))
       // excludeSelf drops a query's own indexed row (the corpus-as-
       // queries ANN idiom); pass false when the SAME id legitimately
       // sits on both sides — e.g. a refresh loop checking whether a
       // resubmitted id duplicates its standing indexed content
       .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
-      // score-then-dedup: cos is deterministic per (qid, nid), so the
-      // exchange moves 24-byte rows, not vector pairs
+      // score first: cos is deterministic per (qid, nid), so the agg
+      // input moves 24-byte rows, not vector pairs; rankTopK holds O(k)
+      // state per query (the window form sorted every scored candidate
+      // — ~5·10⁸ rows at 10⁷ corpus — and was the 1e7 query wall)
       .select(col("qid"), col("nid"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
-      .dropDuplicates("qid", "nid")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Persisted LSH bucket index — the EMBEDDING twin of the MinHash
@@ -686,12 +695,10 @@ object Similarity {
     // Candidate generation is NARROW: band rows carry (id, table, sig)
     // only — 24 bytes — through the (table, sig)-partitioned exchange
     // (reused by both sides of the bucket self-join) and the candidate
-    // distinct. Vectors re-join by id AFTER the distinct, so the wide
-    // payload moves O(N + candidates) times, never O(candidates) copies
-    // through a sort. (The first formulation carried both vectors on
-    // every candidate row; DevSimScale measured that as a ~70 GB
-    // spill at 10⁶ vectors — the candidate count is fine, the row
-    // WIDTH was the killer.)
+    // distinct. (The first formulation carried both vectors on every
+    // candidate row; DevSimScale measured that as a ~70 GB spill at
+    // 10⁶ vectors — the candidate count is fine, the row WIDTH was
+    // the killer.)
     val banded = v.select(col("id"),
         posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
@@ -701,9 +708,35 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .dropDuplicates("ida", "idb")
-    cand
-      .join(v.select(col("id").as("ida"), col("vec").as("va")), "ida")
-      .join(v.select(col("id").as("idb"), col("vec").as("vb")), "idb")
+    // Scoring is TWO-STAGE (quantize → refine → exact rescore), because
+    // even id-only candidate rows must eventually meet both vectors, and
+    // attaching a raw dim-64 vector to every candidate made the by-idb
+    // exchange the new wall: DevSimScale measured it at 45 GB of shuffle
+    // write for ~8·10⁷ candidates at 10⁷ vectors — the single largest
+    // stage of the whole probe by 9×. Candidates instead carry the
+    // dim+24-byte int8 sketch (~6× narrower here, ~30× at dim 768), are
+    // filtered by qcosUpper — a SOUND upper bound on cosine, so no true
+    // pair is ever dropped — and only the survivors (≈ the true near-dup
+    // pairs, vanishingly few by the time threshold is near 1) meet the
+    // raw vectors again, via broadcast joins that never exchange the
+    // corpus. The final cosine is computed by the same expression as
+    // before, so results are bit-identical to the one-stage form.
+    val vq = v.select(col("id"), GraftFunctions.quantizeVec(col("vec")).as("qv"))
+    val surv = cand
+      .join(vq.select(col("id").as("ida"), col("qv").as("qa")), "ida")
+      .join(vq.select(col("id").as("idb"), col("qv").as("qb")), "idb")
+      .filter(GraftFunctions.qcosUpper(col("qa"), col("qb")) >= threshold)
+      .select("ida", "idb")
+    // Gather each side's vector by broadcasting the narrow survivor pair
+    // list against a plain corpus scan (no corpus exchange, no wide
+    // broadcast); the two gathered sides are survivor-sized, so their
+    // final equi-join is trivial. Identical broadcast subplans are
+    // deduplicated by ReuseExchange.
+    val ga = v.select(col("id").as("ida"), col("vec").as("va"))
+      .join(broadcast(surv), "ida")
+    val gb = v.select(col("id").as("idb"), col("vec").as("vb"))
+      .join(broadcast(surv), "idb")
+    ga.join(gb, Seq("ida", "idb"))
       .select(col("ida"), col("idb"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("va"), col("vb"))).as("cos"))
       .filter(col("cos") >= threshold)

@@ -67,4 +67,31 @@ class AggregatorsSpec extends AnyFunSuite {
       .select("d").as[Seq[(String, Long)]].head()
     assert(r == Seq(("a", 2L), ("b", 3L), ("c", 1L)))
   }
+
+  test("TopKByScore: order, dedup, eviction-then-duplicate, tie-break") {
+    val a = Aggregators.TopKByScore(3)
+    def run(vs: Seq[(Long, Double)]): Seq[(Double, Long)] =
+      a.finish(vs.foldLeft(a.zero)(a.reduce))
+    // order: best-first under (cos desc, nid asc); ties break by nid asc
+    assert(run(Seq((5L, 0.1), (1L, 0.9), (2L, 0.9), (3L, 0.5))) ==
+      Seq((0.9, 1L), (0.9, 2L), (0.5, 3L)))
+    // live duplicate is skipped, not double-counted
+    assert(run(Seq((1L, 0.9), (1L, 0.9), (2L, 0.5))) ==
+      Seq((0.9, 1L), (0.5, 2L)))
+    // eviction then duplicate: (9, 0.1) is evicted by three better
+    // entries; its replayed copy must NOT re-enter
+    assert(run(Seq((9L, 0.1), (1L, 0.9), (2L, 0.8), (3L, 0.7), (9L, 0.1))) ==
+      Seq((0.9, 1L), (0.8, 2L), (0.7, 3L)))
+    // merge path: same invariants across partial buffers
+    val left = Seq((9L, 0.1), (1L, 0.9)).foldLeft(a.zero)(a.reduce)
+    val right = Seq((2L, 0.8), (3L, 0.7), (9L, 0.1)).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(a.merge(left, right)) ==
+      Seq((0.9, 1L), (0.8, 2L), (0.7, 3L)))
+    // agrees with the window form on a random stream (the contract the
+    // ANN operators rely on): top-3 of shuffled synthetic scores
+    val vs = (0L until 200L).map(i => (i, ((i * 37) % 101) / 100.0))
+    val byWindow = vs.sortBy { case (n, c) => (-c, n) }.take(3)
+      .map { case (n, c) => (c, n) }
+    assert(run(scala.util.Random.shuffle(vs)) == byWindow)
+  }
 }

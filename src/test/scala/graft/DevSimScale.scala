@@ -27,7 +27,9 @@ object DevSimScale {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L)
     val spark = SparkSession.builder()
-      .master("local[32]")
+      // 4 task attempts — local-fs mkdirs races under 32 concurrent
+      // attempt-dir creations at the 1e7 scale (see DevIncIvf)
+      .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -36,6 +38,22 @@ object DevSimScale {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+
+    // Per-stage disk accounting: at the fourth decade the failure mode
+    // is disk, and "which stage wrote it" is invisible from the error
+    // (the spill that HITS the wall is rarely the one that FILLED it).
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo; val m = si.taskMetrics
+        val w = m.shuffleWriteMetrics.bytesWritten
+        val sp = m.diskBytesSpilled
+        if (w > (1L << 28) || sp > (1L << 28))
+          println(f"[stage] id=${si.stageId} write=${w / 1e9}%.2fGB " +
+            f"spill=${sp / 1e9}%.2fGB ${si.name.linesIterator.next()}")
+        System.out.flush()
+      }
+    })
 
     val dim = 64
     sizes.foreach { n =>
@@ -48,7 +66,8 @@ object DevSimScale {
           transform(col("embedding"), (x, i) =>
             x + when(i === 0, 0.05).otherwise(0.0)).as("embedding"))
       val dir = s"/tmp/graft-scale/emb$n"
-      base.unionByName(planted).write.mode("overwrite").parquet(dir)
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        base.unionByName(planted).write.mode("overwrite").parquet(dir)
       val emb = spark.read.parquet(dir)
       val nPlanted = n / 50 + (if (n % 50 != 0) 1 else 0)
 
@@ -60,9 +79,12 @@ object DevSimScale {
 
       // ---- sim4: LSH-blocked near-dup pairs ----------------------------
       // candidates ≈ nTables·C(N,2)/2^nBits, so nBits tracks log2(N):
-      // 16 at 1e5, 20 at 1e6 (measured: holding 16 at 1e6 costs 127M
-      // candidates vs ~8M at 20 — the knob, demonstrated)
-      val nBits = if (n >= 1000000) 20 else if (n >= 100000) 16 else 8
+      // 16 at 1e5, 20 at 1e6, 24 at 1e7 (measured twice: holding 16 at
+      // 1e6 costs 127M candidates vs ~8M at 20; holding 20 at 1e7
+      // costs 0.42 ms/doc admission checks vs 0.053 at 24 — DevIncIvf)
+      val nBits = if (n >= 8000000) 24
+                  else if (n >= 1000000) 20
+                  else if (n >= 100000) 16 else 8
       val (nCand, tCand) = timed {
         val v = emb.select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("vec"))

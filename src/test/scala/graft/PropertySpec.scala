@@ -87,4 +87,36 @@ class PropertySpec extends AnyFunSuite {
       assert(kernel == composed)
     }
   }
+
+  test("qcos_upper is a sound, tight upper bound on cosine_sim") {
+    // Soundness (upper ≥ exact, ALWAYS) is what lets the quantized
+    // refine stage of cosineNearDupPairsBlocked discard candidates
+    // without ever dropping a true pair; tightness (small gap) is what
+    // makes the stage useful. Mixed magnitudes + near-colinear pairs +
+    // zero vectors probe the bound's edge cases.
+    val comp = Gen.chooseNum(-1.0, 1.0)
+    val scaleG = Gen.oneOf(1e-6, 1.0, 1e6)
+    val vec = Gen.zip(Gen.listOfN(24, comp), scaleG)
+      .map { case (xs, s) => xs.map(_ * s).toArray }
+    val pair = Gen.zip(vec, vec, Gen.oneOf(true, false)).map {
+      case (a, _, true)  => // near-colinear: nudge one component
+        (a, a.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01 else x })
+      case (a, b, false) => (a, b)
+    }
+    forAll(pair, n = 60) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val g = graft.functions.GraftFunctions
+      val Array(row) = df.select(
+        g.qcosUpper(g.quantizeVec(col("a")), g.quantizeVec(col("b"))),
+        g.cosineSim(col("a"), col("b"))).as[(Double, Double)].collect()
+      val (upper, exact) = row
+      assert(upper >= exact, s"unsound: upper=$upper < exact=$exact")
+      assert(upper - exact < 0.05, s"loose: upper=$upper exact=$exact")
+    }
+    // all-zero vectors: upper keeps the pair (1.0), exact path drops it
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    val g = graft.functions.GraftFunctions
+    assert(z.select(g.qcosUpper(g.quantizeVec(col("a")), g.quantizeVec(col("b"))))
+      .as[Double].head() == 1.0)
+  }
 }
