@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(3).eval().asInstanceOf[Number].longValue()))
     inject("quantize_vec", es => GraftFunctions.QuantizeVector(es.head))
     inject("qcos_upper", es => GraftFunctions.QuantizedCosineUpper(es.head, es(1)))
+    inject("topk_score", es => TopKScoreAgg(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue()))
     inject("ivf_top_cents", es => GraftFunctions.IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
     inject("cms_probe", es => GraftFunctions.CmsProbe(es.head,

@@ -618,6 +618,8 @@ object GraftFunctions {
       es(3).eval().asInstanceOf[Number].longValue()))
     put("quantize_vec")(es => QuantizeVector(es.head))
     put("qcos_upper")(es => QuantizedCosineUpper(es.head, es(1)))
+    put("topk_score")(es => TopKScoreAgg(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue()))
     put("ivf_top_cents")(es => IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
     put("cms_probe")(es => CmsProbe(es.head,
@@ -641,6 +643,8 @@ object GraftFunctions {
     call_function("lsh_sigs", vec, lit(nBits), lit(nTables), lit(seed))
   def quantizeVec(vec: Column): Column = call_function("quantize_vec", vec)
   def qcosUpper(a: Column, b: Column): Column = call_function("qcos_upper", a, b)
+  def topkScore(nid: Column, cos: Column, k: Int): Column =
+    call_function("topk_score", nid, cos, lit(k))
   def ivfTopCents(vec: Column, cents: Column, n: Int): Column =
     call_function("ivf_top_cents", vec, cents, lit(n))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {

@@ -42,20 +42,24 @@ object Similarity {
     * top-k of `scored` (qid, nid, cos) per qid under (cos desc, nid asc),
     * duplicate (qid, nid) candidates collapsed. Emits (qid, nid, cos,
     * rank 1..k) — exactly the old `dropDuplicates + row_number() window`
-    * output, but through [[graft.functions.Aggregators.TopKByScore]]:
+    * output, but through the native [[graft.functions.TopKScoreAgg]]:
     * O(k) state per query with map-side partial aggregation, instead of
     * exchanging and FULLY SORTING every scored candidate twice. At 10⁷
     * corpus / 100 queries / probeFrac 0.5 the window form moved ~5·10⁸
     * rows through two shuffles and died in the sort (DevSimScale,
     * round 7); the aggregation moves partitions·queries·k rows.
+    * (`Aggregators.TopKByScore` is the typed reference implementation —
+    * property-pinned and asserted equal to the native one; the native
+    * agg's primitive-array buffer avoids the udaf's per-row tuple
+    * encoding, a measured ~40% bench_ann tax at sf0.1.)
     * Id contract: nid must be integral (the ANN family keys on long
     * ids throughout — testdata `vec_id` is bigint).
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("qid")
-      .agg(graft.functions.Aggregators.topKByScore(k)(col("nid"), col("cos")).as("_tk"))
+      .agg(GraftFunctions.topkScore(col("nid").cast("long"), col("cos"), k).as("_tk"))
       .select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col._2").as("nid"), col("col._1").as("cos"),
+      .select(col("qid"), col("col.nid").as("nid"), col("col.cos").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
 
   /** Random-hyperplane LSH: signatures come from ONE native expression

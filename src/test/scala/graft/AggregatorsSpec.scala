@@ -94,4 +94,28 @@ class AggregatorsSpec extends AnyFunSuite {
       .map { case (n, c) => (c, n) }
     assert(run(scala.util.Random.shuffle(vs)) == byWindow)
   }
+
+  test("native topk_score ≡ typed TopKByScore reference on a DataFrame") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // multi-group stream with duplicates and ties, shuffled across
+    // partitions so partial/merge/serialize paths all run
+    val rows = for {
+      g <- 0L until 7L; i <- 0L until 300L
+      c = ((i * 37 + g * 11) % 101) / 100.0
+      copies <- 1 to (if (i % 50 == 0) 2 else 1) // planted duplicates
+    } yield (g, i, c)
+    val df = scala.util.Random.shuffle(rows).toDF("qid", "nid", "cos")
+      .repartition(8)
+    val native = df.groupBy("qid")
+      .agg(graft.functions.GraftFunctions.topkScore(col("nid"), col("cos"), 5).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.cos"), col("e.nid"))
+      .as[(Long, Double, Long)].collect().toSet
+    val reference = df.groupBy("qid")
+      .agg(Aggregators.topKByScore(5)(col("nid"), col("cos")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e._1"), col("e._2"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(native == reference && native.size == 35)
+  }
 }
