@@ -725,7 +725,12 @@ object Similarity {
     // raw vectors again, via broadcast joins that never exchange the
     // corpus. The final cosine is computed by the same expression as
     // before, so results are bit-identical to the one-stage form.
+    // shuffle_hash on the sketch side: the sort-merge form sorts the
+    // candidate stream twice (2×11 GB of spill at 10⁷ — the residual
+    // disk cost after narrowing the rows); hashing the per-partition
+    // sketch slice (~30 MB at 10⁷/32) streams candidates sort-free
     val vq = v.select(col("id"), GraftFunctions.quantizeVec(col("vec")).as("qv"))
+      .hint("shuffle_hash")
     val surv = cand
       .join(vq.select(col("id").as("ida"), col("qv").as("qa")), "ida")
       .join(vq.select(col("id").as("idb"), col("qv").as("qb")), "idb")
