@@ -145,8 +145,11 @@ object Aggregators {
       }
     }
 
+    // NaN scores are skipped (same contract as the native TopKScoreAgg:
+    // a non-finite score is not a ranking, and NaN breaks the strict
+    // total order the dedup/eviction proofs rely on)
     override def reduce(b: Seq[(Double, Long)], v: (Long, Double)): Seq[(Double, Long)] =
-      insert(b, (v._2, v._1))
+      if (v._2.isNaN) b else insert(b, (v._2, v._1))
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       y.foldLeft(x)(insert)
     override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b

@@ -229,14 +229,20 @@ object GraftFunctions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
-    /** Public so generated code can call back into this instance. */
+    /** Public so generated code can call back into this instance.
+      * Mixed-dimension pairs return 1.0 (keep): the stored norms are
+      * full-length while `cosine_sim` truncates BOTH dot and norms to
+      * the shorter vector, so a truncated bound would not be an upper
+      * bound on what the exact filter computes — ragged pairs skip the
+      * refine and let the exact pass decide.
+      */
     def upper(a: InternalRow, b: InternalRow): Double = {
       val qa = a.getBinary(0); val sa = a.getDouble(1)
       val na = a.getDouble(2); val l1a = a.getDouble(3)
       val qb = b.getBinary(0); val sb = b.getDouble(1)
       val nb = b.getDouble(2); val l1b = b.getDouble(3)
-      if (na == 0.0 || nb == 0.0) return 1.0
-      val d = math.min(qa.length, qb.length)
+      if (na == 0.0 || nb == 0.0 || qa.length != qb.length) return 1.0
+      val d = qa.length
       var dot = 0L; var i = 0
       while (i < d) { dot += qa(i).toLong * qb(i).toLong; i += 1 }
       val bound = 0.5 * sb * l1a + 0.5 * sa * l1b + 0.25 * d * sa * sb

@@ -41,11 +41,18 @@ case class TopKScoreAgg(nid: Expression, cos: Expression, k: Int,
   override def createAggregationBuffer(): TopKScoreAgg.Buf =
     new TopKScoreAgg.Buf(k)
 
+  // Null or NaN scores are SKIPPED, in both this and the typed
+  // reference: a non-finite score is not a ranking. (The replaced
+  // window form ranked NaN first — Spark orders NaN above any double —
+  // and primitive NaN != NaN would also break the heap's dedup and
+  // sorted-buffer invariants if admitted.)
   override def update(b: TopKScoreAgg.Buf, row: InternalRow): TopKScoreAgg.Buf = {
     val n = nid.eval(row)
     val c = cos.eval(row)
-    if (n != null && c != null)
-      b.insert(c.asInstanceOf[Double], n.asInstanceOf[Long])
+    if (n != null && c != null) {
+      val cd = c.asInstanceOf[Double]
+      if (!cd.isNaN) b.insert(cd, n.asInstanceOf[Long])
+    }
     b
   }
 

@@ -53,14 +53,21 @@ object Similarity {
     * agg's primitive-array buffer avoids the udaf's per-row tuple
     * encoding, a measured ~40% bench_ann tax at sf0.1.)
     * Id contract: nid must be integral (the ANN family keys on long
-    * ids throughout — testdata `vec_id` is bigint).
+    * ids throughout — testdata `vec_id` is bigint); checked loudly,
+    * because cast("long") on e.g. a string id would otherwise null
+    * every row and return an EMPTY result instead of an error. Null
+    * and NaN scores are skipped (see TopKScoreAgg).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val nidType = scored.schema("nid").dataType
+    require(Seq("byte", "short", "integer", "long").contains(nidType.typeName),
+      s"top-k ranking requires an integral id column, got $nidType")
     scored.groupBy("qid")
       .agg(GraftFunctions.topkScore(col("nid").cast("long"), col("cos"), k).as("_tk"))
       .select(col("qid"), posexplode(col("_tk")))
       .select(col("qid"), col("col.nid").as("nid"), col("col.cos").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Random-hyperplane LSH: signatures come from ONE native expression
     * (`GraftFunctions.lshSigs` — a codegen'd kernel that derives its
@@ -689,10 +696,23 @@ object Similarity {
     * blocked path against the brute-force pair set lives in
     * SimilaritySpec (the brute force is deliberately NOT a library
     * operator — at corpus scale its naive use is catastrophic).
+    *
+    * NEAR-dup contract: `threshold ≥ 0.8`, enforced. The exact-rescore
+    * stage broadcasts the survivor pair list (everything the sound
+    * upper-bound filter keeps), which is survivor-sized — near 1 that
+    * is ≈ the true near-dup pairs, but at loose thresholds it
+    * approaches the full candidate set and would blow the broadcast.
+    * For similarity SEARCH at loose thresholds use lshTopK/ivfQuery,
+    * whose ranking is bounded by k per query.
     */
   def cosineNearDupPairsBlocked(vecs: DataFrame, idCol: String, vecCol: String,
                                 threshold: Double, nBits: Int = 8,
                                 nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    require(threshold >= 0.8,
+      s"cosineNearDupPairsBlocked is a NEAR-duplicate operator (threshold >= 0.8, " +
+        s"got $threshold): its exact-rescore stage broadcasts the survivor pair " +
+        "set, which is only bounded when the threshold is high. For loose-" +
+        "threshold similarity search use lshTopK or ivfQuery.")
     GraftFunctions.ensureRegistered(vecs.sparkSession)
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))

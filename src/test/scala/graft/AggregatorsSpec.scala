@@ -118,4 +118,19 @@ class AggregatorsSpec extends AnyFunSuite {
       .as[(Long, Double, Long)].collect().toSet
     assert(native == reference && native.size == 35)
   }
+
+  test("topk_score and the typed reference both skip NaN scores") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 10L, Double.NaN),
+      (1L, 12L, 0.8)).toDF("qid", "nid", "cos")
+    val native = df.groupBy("qid")
+      .agg(graft.functions.GraftFunctions.topkScore(col("nid"), col("cos"), 3).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e.nid"))
+      .as[Long].collect().toSeq
+    val reference = df.groupBy("qid")
+      .agg(Aggregators.topKByScore(3)(col("nid"), col("cos")).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e._2"))
+      .as[Long].collect().toSeq
+    assert(native == Seq(11L, 12L) && reference == Seq(11L, 12L))
+  }
 }

@@ -354,6 +354,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.table("lshguard_idx_vecs").filter(col("id") === 7L).count() == 2)
   }
 
+  test("top-k operators fail loudly on non-integral ids; near-dup rejects loose thresholds") {
+    // cast("long") on a string id would null every nid and return an
+    // EMPTY result — the require turns that into an error
+    val strIds = Seq(("a", Array(1.0f, 2.0f)), ("b", Array(2.0f, 4.0f)))
+      .toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(strIds, strIds, "id", "v", 1).collect())
+    assert(e1.getMessage.contains("integral"))
+    // the survivor broadcast in the rescore stage is only bounded at
+    // near-dup thresholds
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.cosineNearDupPairsBlocked(vecs, "id", "v", 0.5))
+    assert(e2.getMessage.contains("0.8"))
+  }
+
+  test("qcos_upper keeps mixed-dimension pairs (bound undefined, exact pass decides)") {
+    val g = graft.functions.GraftFunctions
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0, 1000.0))).toDF("a", "b")
+    assert(df.select(g.qcosUpper(g.quantizeVec(col("a")), g.quantizeVec(col("b"))))
+      .as[Double].head() == 1.0)
+  }
+
   test("cosineNearDupPairsBlocked finds colinear vectors via LSH buckets") {
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
                    (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
