@@ -533,6 +533,227 @@ object GraftFunctions {
     override def prettyName: String = "ivf_top_cents"
   }
 
+  /** L2-nearest slot in a FLAT codebook: `cb` is `k` centroids of the
+    * vector's dimension laid out back to back (`k · dim` doubles), and
+    * the result is the index of the centroid minimizing squared
+    * euclidean distance (ties → lowest index). This is the k-means
+    * assignment kernel for product-quantizer TRAINING, where the
+    * objective is L2 over subvectors — `ivf_top_cents` ranks by cosine
+    * and cannot stand in. One fused loop, no per-centroid allocation.
+    */
+  case class L2Argmin(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    def argmin(vec: ArrayData, cb: ArrayData): Long = {
+      val dim = vec.numElements()
+      require(dim > 0 && cb.numElements() % dim == 0,
+        s"l2_argmin: codebook length ${cb.numElements()} is not a " +
+          s"multiple of the vector dimension $dim")
+      val k = cb.numElements() / dim
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { v(j) = vec.getDouble(j); j += 1 }
+      var best = 0L; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = c * dim
+        var d2 = 0.0; var i = 0
+        while (i < dim && d2 < bestD) {
+          val e = v(i) - cb.getDouble(base + i)
+          d2 += e * e; i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c.toLong }
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      argmin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("l2argmin", this, classOf[L2Argmin].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.argmin($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "l2_argmin"
+  }
+
+  /** Product-quantize one vector against a trained codebook (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): the vector splits into `m` subvectors of `dim/m`
+    * dimensions, each encoded as the index (one byte, `ksub ≤ 256`) of
+    * its L2-nearest sub-centroid in the flat codebook `cb` (laid out
+    * `[sub][code][dim]`, `m·ksub·dsub` doubles). Returns a struct of
+    * the `m`-byte code word AND the exact L2 norm of the input — the
+    * norm is what turns an ADC inner-product estimate back into a
+    * cosine at query time, and computing it here costs one extra
+    * multiply-add per element in a loop that is already touching every
+    * element. Dimension mismatches throw (a wrong-codebook join would
+    * otherwise corrupt every code silently).
+    */
+  case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+      extends BinaryExpression {
+    require(m > 0, "m must be positive")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", BinaryType, nullable = false),
+      StructField("nrm", DoubleType, nullable = false)))
+
+    def encode(vec: ArrayData, cb: ArrayData): InternalRow = {
+      val dim = vec.numElements()
+      require(dim % m == 0,
+        s"pq_encode: dimension $dim not divisible by m=$m")
+      val dsub = dim / m
+      require(cb.numElements() == m * ksub * dsub,
+        s"pq_encode: codebook length ${cb.numElements()} != " +
+          s"m*ksub*dsub = ${m * ksub * dsub}")
+      val v = new Array[Double](dim)
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = vec.getDouble(i)
+        v(i) = x; n2 += x * x; i += 1
+      }
+      val codes = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        val vbase = sub * dsub
+        val cbase = sub * ksub * dsub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val base = cbase + c * dsub
+          var d2 = 0.0; var j = 0
+          while (j < dsub && d2 < bestD) {
+            val e = v(vbase + j) - cb.getDouble(base + j)
+            d2 += e * e; j += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(sub) = best.toByte
+        sub += 1
+      }
+      new GenericInternalRow(Array[Any](codes, math.sqrt(n2)))
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.encode($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_encode"
+  }
+
+  /** Asymmetric-distance table for one query: `out[sub·ksub + code] =
+    * dot(q_sub, centroid[sub][code])` — `m·ksub` doubles computed once
+    * per query, so scoring a candidate ([[PqAdcDot]]) is `m` table
+    * lookups instead of `dim` multiplies. The "asymmetric" in ADC: the
+    * query stays EXACT (only the corpus side is quantized), which
+    * halves the quantization error vs coding both sides.
+    */
+  case class PqAdcTable(left: Expression, right: Expression, m: Int, ksub: Int)
+      extends BinaryExpression {
+    require(m > 0, "m must be positive")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+
+    def table(vec: ArrayData, cb: ArrayData): ArrayData = {
+      val dim = vec.numElements()
+      require(dim % m == 0,
+        s"pq_adc_table: dimension $dim not divisible by m=$m")
+      val dsub = dim / m
+      require(cb.numElements() == m * ksub * dsub,
+        s"pq_adc_table: codebook length ${cb.numElements()} != " +
+          s"m*ksub*dsub = ${m * ksub * dsub}")
+      val out = new Array[Double](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        val vbase = sub * dsub
+        val cbase = sub * ksub * dsub
+        var c = 0
+        while (c < ksub) {
+          val base = cbase + c * dsub
+          var dot = 0.0; var j = 0
+          while (j < dsub) {
+            dot += vec.getDouble(vbase + j) * cb.getDouble(base + j)
+            j += 1
+          }
+          out(sub * ksub + c) = dot
+          c += 1
+        }
+        sub += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      table(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqTab", this, classOf[PqAdcTable].getName)
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"(${classOf[ArrayData].getName}) $ref.table($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_adc_table"
+  }
+
+  /** ADC inner-product estimate: sum the query's distance table
+    * ([[PqAdcTable]]) at each of the candidate's `m` byte codes —
+    * `dot(q, x) ≈ Σ_sub table[sub·ksub + codes[sub]]`. This is the PQ
+    * scan kernel: per candidate it reads `m` bytes and does `m` array
+    * lookups, so a quantized inverted list scans ~`dim/m ·
+    * sizeof(double)`× less data than raw vectors at the same candidate
+    * count. Length mismatches throw (a table built with a different
+    * `ksub` would silently mis-index).
+    */
+  case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    override def dataType: DataType = DoubleType
+
+    def adc(codes: Array[Byte], table: ArrayData): Double = {
+      require(codes.length * ksub == table.numElements(),
+        s"pq_adc_dot: ${codes.length}-byte codes with ksub=$ksub need a " +
+          s"${codes.length * ksub}-entry table, got ${table.numElements()}")
+      var s = 0.0; var sub = 0
+      while (sub < codes.length) {
+        s += table.getDouble(sub * ksub + (codes(sub) & 0xFF))
+        sub += 1
+      }
+      s
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      adc(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDot].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.adc($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_adc_dot"
+  }
+
   /** Codegen'd probe into a driver-built Count-Min Sketch
     * (`df.stat.countMinSketch`): the serialized sketch rides in the plan
     * as a binary literal and is deserialized ONCE per executor through
@@ -628,6 +849,15 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Number].intValue()))
     put("ivf_top_cents")(es => IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
+    put("l2_argmin")(es => L2Argmin(es.head, es(1)))
+    put("pq_encode")(es => PqEncode(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].intValue()))
+    put("pq_adc_table")(es => PqAdcTable(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].intValue()))
+    put("pq_adc_dot")(es => PqAdcDot(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue()))
     put("cms_probe")(es => CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
@@ -653,6 +883,14 @@ object GraftFunctions {
     call_function("topk_score", nid, cos, lit(k))
   def ivfTopCents(vec: Column, cents: Column, n: Int): Column =
     call_function("ivf_top_cents", vec, cents, lit(n))
+  def l2Argmin(vec: Column, cb: Column): Column =
+    call_function("l2_argmin", vec, cb)
+  def pqEncode(vec: Column, cb: Column, m: Int, ksub: Int): Column =
+    call_function("pq_encode", vec, cb, lit(m), lit(ksub))
+  def pqAdcTable(qvec: Column, cb: Column, m: Int, ksub: Int): Column =
+    call_function("pq_adc_table", qvec, cb, lit(m), lit(ksub))
+  def pqAdcDot(codes: Column, table: Column, ksub: Int): Column =
+    call_function("pq_adc_dot", codes, table, lit(ksub))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(baos)

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Det, GraftFunctions}
+
+/** Product quantization (PQ) for embedding similarity at the scale where
+  * the RAW vectors are the bottleneck: a dim-`d` float vector stored as
+  * `array<double>` costs ~8·d bytes per inverted-list copy, so a 10⁹-row
+  * index at dim 768 is ~6 TB of hot list data. PQ (Jégou, Douze, Schmid,
+  * TPAMI 2011 — the public algorithm behind faiss's IVFPQ) splits each
+  * vector into `m` subvectors, k-means-quantizes each subspace to
+  * `ksub ≤ 256` centroids, and stores only the `m` byte codes plus the
+  * exact norm — ~(m + 8) bytes per row, a 30-100× reduction — while
+  * queries score candidates ASYMMETRICALLY: the query stays exact, a
+  * per-query table of `m · ksub` sub-dot-products is built once, and
+  * each candidate costs `m` table lookups ([[graft.functions
+  * .GraftFunctions.PqAdcDot]]).
+  *
+  * Spark shapes (nothing here is a driver loop):
+  *  - training = distributed Lloyd over (sub, subvector) rows from a
+  *    hash-threshold sample — the assignment pass is the codegen'd
+  *    `l2_argmin` against a per-sub broadcast codebook, the update a
+  *    (sub, code, pos)-keyed partial-agg shuffle, exactly the
+  *    [[Similarity.refineCentroids]] pattern with a subspace key;
+  *  - the codebook (m·ksub rows) folds into ONE flat broadcast array
+  *    for encode/query — same shape as [[Similarity.centroidArray]];
+  *  - [[ivfPqBuild]] persists cid-bucketed CODE lists (the scanned hot
+  *    path carries codes, never vectors) next to an id-bucketed raw
+  *    table used only to re-rank the top `refineK` ADC candidates
+  *    exactly — the standard IVFPQ+refine split: quantized scan, exact
+  *    tail.
+  *
+  * Reference anchor: the reference's ANN surface is brute-force
+  * (`SymbioticLab/hadoop` has no vector ops); this extends the engine's
+  * similarity family (sim1-sim8) with the published scale path, same
+  * recall-gate contract as sim3/sim5.
+  */
+object ProductQuant {
+
+  /** Train a product-quantizer codebook: `(sub, code, cvec)` rows with
+    * dense codes `0 until ksub` for every subspace. `ksub = 0` derives
+    * `min(256, max(4, ⌈√N⌉))` — small corpora get codebooks they can
+    * actually fill, large ones cap at the byte-code limit. Training runs
+    * on a ≈`sampleN`-row hash-threshold sample (one filter scan, the
+    * [[Similarity.seedCentroids]] pattern): k-means codebooks converge
+    * on a bounded sample regardless of corpus size, so the train cost
+    * does NOT grow with N — only encode does, and that pass is one
+    * map-only scan.
+    *
+    * Lloyd specifics: seeds are the hash-least `ksub` sampled subvectors
+    * per sub (deterministic); an iteration assigns every sampled
+    * subvector with `l2_argmin` (PQ trains on L2, the TPAMI objective)
+    * and recomputes per-(sub, code) means; a code whose cluster empties
+    * keeps its previous centroid, so codes stay dense and the flat
+    * codebook layout never develops holes.
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+              ksub: Int = 0, iters: Int = 3, seed: Long = 42L,
+              sampleN: Long = 1L << 16): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    GraftFunctions.ensureRegistered(vecs.sparkSession)
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val n = v.count()
+    require(n > 0, "pqTrain: empty corpus")
+    val dim = v.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"pqTrain: dimension $dim not divisible by m=$m")
+    val dsub = dim / m
+    val k = if (ksub > 0) ksub
+            else math.min(256L, math.max(4L,
+              math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    require(k <= 256, s"pqTrain: ksub=$k exceeds the byte-code range")
+    val sample = (if (n <= sampleN) v
+                  else {
+                    val den = 1L << 20
+                    val thr = math.max(1L, den * sampleN / n)
+                    v.filter(pmod(xxhash64(col("id"), lit(seed)), lit(den))
+                      < lit(thr))
+                  }).persist()
+    try {
+      val ns = sample.count()
+      require(ns >= k,
+        s"pqTrain: sample of $ns rows cannot seed ksub=$k codes " +
+          "(raise sampleN or lower ksub)")
+      // (sub, svec): m subvector rows per sampled vector
+      val subs = sample
+        .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("vec"))
+        .select(col("id"), col("sub"),
+          slice(col("vec"), col("sub") * lit(dsub) + lit(1), lit(dsub))
+            .as("svec"))
+        .persist()
+      try {
+        // deterministic seed: hash-least ksub subvectors per sub — the
+        // window runs over the BOUNDED sample (≤ sampleN·m rows)
+        val w = Window.partitionBy("sub")
+          .orderBy(xxhash64(col("id"), lit(seed + 1)), col("id"))
+        var cb = subs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+            col("svec").as("cvec"))
+          .persist()
+        cb.count() // materialize: each Lloyd pass re-reads the seed
+        for (_ <- 0 until iters) {
+          val assigned = subs.join(broadcast(subCodebookArrays(cb, dsub)),
+              Seq("sub"))
+            .select(col("sub"),
+              GraftFunctions.l2Argmin(col("svec"), col("_scb")).as("code"),
+              col("svec"))
+          val means = assigned
+            .select(col("sub"), col("code"), posexplode(col("svec")))
+            .groupBy("sub", "code", "pos").agg(avg("col").as("mv"))
+            .groupBy("sub", "code")
+            .agg(collect_list(struct(col("pos"), col("mv"))).as("pm"))
+            .select(col("sub"), col("code").cast("int").as("code"),
+              transform(array_sort(col("pm")), x => x("mv")).as("mvec"))
+          val next = cb.join(means, Seq("sub", "code"), "left")
+            .select(col("sub"), col("code"),
+              coalesce(col("mvec"), col("cvec")).as("cvec"))
+            .persist()
+          next.count()
+          cb.unpersist()
+          cb = next
+        }
+        // the codebook is BOUNDED control data (m·ksub ≤ 256·m rows) —
+        // materialize it off the sample lineage so callers can use it
+        // after the sample frames unpersist, without re-running Lloyd
+        val rows = cb.collect()
+        cb.unpersist()
+        vecs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), cb.schema)
+      } finally subs.unpersist()
+    } finally sample.unpersist()
+  }
+
+  /** The codebook folded per SUB into flat `[code][dim]` arrays —
+    * the broadcast side of the training assignment join.
+    */
+  private def subCodebookArrays(cb: DataFrame, dsub: Int): DataFrame =
+    cb.groupBy("sub")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("code"), col("cvec")))),
+        x => x("cvec"))).as("_scb"))
+
+  /** The whole codebook folded into ONE flat `[sub][code][dim]` array
+    * row (`m·ksub·dsub` doubles ≈ 128 KB at m=8, ksub=256, dim=64 — a
+    * trivial broadcast even at dim 768), the shape `pq_encode` /
+    * `pq_adc_table` consume. Struct sort order (sub, code) IS the slot
+    * order because codes are dense per sub.
+    */
+  private[graft] def codebookArray(cb: DataFrame): DataFrame =
+    cb.agg(flatten(transform(
+      array_sort(collect_list(struct(col("sub"), col("code"), col("cvec")))),
+      x => x("cvec"))).as("_cb"))
+
+  /** Number of codes per subspace of a trained codebook (tiny frame). */
+  private[graft] def codebookKsub(cb: DataFrame): Int =
+    cb.agg(max("code")).head().getInt(0) + 1
+
+  /** Encode a corpus: `(nid, codes binary, nrm double)` — one map-only
+    * scan against the broadcast codebook, `m` bytes + one double per
+    * row out.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               cb: DataFrame, m: Int, ksub: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(vecs.sparkSession)
+    vecs.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec"))
+      .crossJoin(broadcast(codebookArray(cb)))
+      .select(col("nid"),
+        GraftFunctions.pqEncode(col("nvec"), col("_cb"), m, ksub).as("_pq"))
+      .select(col("nid"), col("_pq.codes").as("codes"),
+        col("_pq.nrm").as("nrm"))
+  }
+
+  /** Flat (exhaustive-scan) PQ top-k with exact re-rank: train, encode,
+    * ADC-score every corpus row per query, keep the top `refineK` by
+    * estimated cosine, then re-rank those exactly from the raw vectors.
+    * The full-corpus pass moves only (qid, nid, score) rows and reads
+    * `m` bytes of codes per (query, row); the raw vectors are touched
+    * only for the `|Q|·refineK` survivors, gathered with a broadcast
+    * semi-join against the corpus scan (no corpus shuffle — the
+    * [[Similarity.cosineNearDupPairsBlocked]] gather shape). For
+    * index-once / query-many service use [[ivfPqBuild]]/[[ivfPqQuery]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 0,
+             iters: Int = 3, seed: Long = 42L, refineK: Int = 0,
+             excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val rk = if (refineK > 0) refineK else math.max(4 * k, 32)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, seed)
+    val ks = codebookKsub(cb)
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val enc = pqEncode(c, "nid", "nvec", cb, m, ks)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val tabs = q.crossJoin(broadcast(codebookArray(cb)))
+      .select(col("qid"), col("qvec"),
+        GraftFunctions.pqAdcTable(col("qvec"), col("_cb"), m, ks).as("_tab"),
+        sqrt(aggregate(col("qvec"), lit(0.0d),
+          (acc, x) => acc + x * x)).as("qnrm"))
+    val scored = enc.crossJoin(
+        broadcast(tabs.select(col("qid"), col("_tab"), col("qnrm"))))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .select(col("qid"), col("nid"),
+        Det.r6(when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+          .otherwise(GraftFunctions.pqAdcDot(col("codes"), col("_tab"), ks)
+            / (col("qnrm") * col("nrm")))).as("cos"))
+    val cand = Similarity.rankTopK(scored, rk).select("qid", "nid")
+    val exact = c.join(broadcast(cand), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+    Similarity.rankTopK(exact, k)
+  }
+
+  /** Persist an IVFPQ index — the 100 TB serving layout:
+    *  - `<table>`        (cid, nid, codes, nrm) BUCKETED by cid — the
+    *    scanned hot path, ~(m+8+8) bytes of payload per row instead of
+    *    the raw 8·dim;
+    *  - `<table>_vecs`   (nid, nvec) bucketed by nid — the exact-refine
+    *    source, read only at `refineK` rows per query, never scanned;
+    *  - `<table>_cents`  the coarse quantizer (ivfBuild's layout);
+    *  - `<table>_pq`     the trained codebook (m·ksub rows);
+    *  - `<table>_meta`   (m, ksub, built_n) — the query-side contract.
+    * Coarse parameters follow [[Similarity.ivfBuild]] (nlist=⌈√N⌉,
+    * double assignment); PQ parameters follow [[pqTrain]].
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 table: String, m: Int = 8, ksub: Int = 0, nlist: Int = 0,
+                 nassign: Int = 2, buckets: Int = 8, seed: Long = 42L,
+                 pqIters: Int = 3, lloydIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val n = c.count()
+    val nl = if (nlist > 0) nlist
+             else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val seeds = Similarity.seedCentroids(c, nl, n, seed)
+    val cents = if (lloydIters > 0)
+      Similarity.refineCentroids(c, seeds, lloydIters) else seeds
+    val cbook = pqTrain(c, "nid", "nvec", m, ksub, pqIters, seed)
+    val ks = codebookKsub(cbook)
+    val assigned = Similarity.assignLists(c, cents, nassign)
+    val enc = assigned.crossJoin(broadcast(codebookArray(cbook)))
+      .select(col("cid"), col("nid"),
+        GraftFunctions.pqEncode(col("nvec"), col("_cb"), m, ks).as("_pq"))
+      .select(col("cid"), col("nid"), col("_pq.codes").as("codes"),
+        col("_pq.nrm").as("nrm"))
+    BucketedJoin.writeBucketed(enc, table, "cid", buckets)
+    BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
+    BucketedJoin.writeBucketed(cbook, s"${table}_pq", "sub", 1)
+    BucketedJoin.writeBucketed(c, s"${table}_vecs", "nid", buckets)
+    import spark.implicits._
+    BucketedJoin.writeBucketed(
+      Seq((m, ks, n)).toDF("m", "ksub", "built_n"), s"${table}_meta", "m", 1)
+  }
+
+  /** Query a persisted IVFPQ index: probe `nprobe` lists exactly as
+    * [[Similarity.ivfQuery]] (probes shuffle TO the cid-bucketed lists;
+    * the index never moves), ADC-score the probed candidates off their
+    * byte codes (per-query distance tables ride a BROADCAST keyed by
+    * qid — `|Q| · m · ksub` doubles, the reason this path is for
+    * query-serving batches, not corpus-sized self-joins), keep the top
+    * `refineK` (default `max(4k, 32)`) per query by estimated cosine,
+    * and re-rank exactly against the id-bucketed raw table. With
+    * candidate recall from the ADC stage at gate level, the output IS
+    * the exact cosine top-k over the probed lists — quantization decides
+    * which tail gets pruned, not the final ranking.
+    */
+  def ivfPqQuery(spark: SparkSession, table: String, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nprobe: Int = 0,
+                 probeFrac: Double = 0.5, refineK: Int = 0,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(probeFrac > 0.0 && probeFrac <= 1.0,
+      s"probeFrac must be in (0, 1], got $probeFrac")
+    GraftFunctions.ensureRegistered(spark)
+    val meta = spark.table(s"${table}_meta").head()
+    val m = meta.getInt(0); val ks = meta.getInt(1)
+    val rk = if (refineK > 0) refineK else math.max(4 * k, 32)
+    val cents = spark.table(s"${table}_cents")
+    val np = if (nprobe > 0) nprobe
+             else math.max(1, math.ceil(probeFrac * cents.count()).toInt)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val cbArr = broadcast(codebookArray(spark.table(s"${table}_pq")))
+    val tabs = q.crossJoin(cbArr)
+      .select(col("qid"),
+        GraftFunctions.pqAdcTable(col("qvec"), col("_cb"), m, ks).as("_tab"),
+        sqrt(aggregate(col("qvec"), lit(0.0d),
+          (acc, x) => acc + x * x)).as("qnrm"))
+    val probes = q.crossJoin(broadcast(Similarity.centroidArray(cents)))
+      .select(col("qid"),
+        explode(GraftFunctions.ivfTopCents(col("qvec"), col("_cents"), np))
+          .as("cid"))
+    val scored = probes.join(spark.table(table), Seq("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+      .join(broadcast(tabs), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        Det.r6(when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+          .otherwise(GraftFunctions.pqAdcDot(col("codes"), col("_tab"), ks)
+            / (col("qnrm") * col("nrm")))).as("cos"))
+    val cand = Similarity.rankTopK(scored, rk).select("qid", "nid")
+    val exact = cand.join(spark.table(s"${table}_vecs"), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+    Similarity.rankTopK(exact, k)
+  }
+}

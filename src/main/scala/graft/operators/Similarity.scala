@@ -58,7 +58,7 @@ object Similarity {
     * every row and return an EMPTY result instead of an error. Null
     * and NaN scores are skipped (see TopKScoreAgg).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val nidType = scored.schema("nid").dataType
     require(Seq("byte", "short", "integer", "long").contains(nidType.typeName),
       s"top-k ranking requires an integral id column, got $nidType")
@@ -213,7 +213,7 @@ object Similarity {
     * 10⁶ it filled the disk. The fold keeps assignment zero-shuffle;
     * only the √N·dim-double array moves (≈0.5 MB at 10⁶ rows).
     */
-  private def centroidArray(cents: DataFrame): DataFrame =
+  private[graft] def centroidArray(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("_cents"))
 
   /** Top-`n` centroid ids for one vector — the native

@@ -1318,6 +1318,34 @@ object Queries {
       .orderBy("batch_id")
   }
 
+  /** IVFPQ gate (sim3/sim5's recall contract over the PRODUCT-QUANTIZED
+    * index): ivfPqBuild persists cid-bucketed byte-code lists + the
+    * id-bucketed raw refine table; ivfPqQuery ADC-scores the probed
+    * lists off `m` byte codes per candidate and exact-re-ranks the top
+    * `refineK`. Every query must keep ≥3/5 of the exact top-5 — so a
+    * codebook, encode, ADC-table, or refine defect fails the gate.
+    * Parameters are the measured floor for the hash-uniform testdata
+    * embeddings (the PQ WORST case — no cluster structure for the
+    * codebooks to exploit): m=16 (dsub=4) + refineK=50 holds min
+    * recall 5/5 at sf0.01 and 4/5 at sf0.1 (DevPq), while m=8 drops
+    * to 1/5 at sf0.1; real embedding corpora sit far above this floor.
+    */
+  val sim9_ivfpq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"sim9_idx_${d.hashCode & Int.MaxValue}"
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table, m = 16)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqQuery(s, table, q, "vec_id", "embedding",
+      5, refineK = 50)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1519,7 +1547,7 @@ object Queries {
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
-    "sim8_lshindex" -> sim8_lshindex,
+    "sim8_lshindex" -> sim8_lshindex, "sim9_ivfpq" -> sim9_ivfpq,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -2140,6 +2168,10 @@ object Queries {
     "sim8_lshindex" ->
       """SELECT vec_id + 1000000 AS batch_id, vec_id AS corpus_id, 1.0 AS cos
         |FROM embeddings ORDER BY batch_id""".stripMargin,
+
+    "sim9_ivfpq" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "sim7_ivfappend" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings

@@ -1,0 +1,202 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{ProductQuant, Similarity}
+
+class ProductQuantSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  /** 4 well-separated direction clusters in 8 dims, deterministic
+    * per-id jitter — the corpus every recall test here uses.
+    */
+  private def clustered(n: Int) = (0 until n).map { i =>
+    val c = i % 4
+    val base = Array.fill(8)(0.05)
+    base(c * 2) = 1.0
+    base(c * 2 + 1) = 0.7
+    val jit = Array.tabulate(8)(j => 0.01 * (((i * 31 + j * 7) % 11) - 5))
+    (i.toLong, base.zip(jit).map { case (a, b) => a + b })
+  }.toDF("vec_id", "embedding")
+
+  test("l2_argmin picks the euclidean-nearest flat slot, first on ties") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Array(0.0, 0.0), Array(1.0, 1.0, 0.1, 0.1, -1.0, -1.0)),
+      (Array(-0.9, -0.9), Array(1.0, 1.0, 0.1, 0.1, -1.0, -1.0)),
+      (Array(1.0, 0.0), Array(1.0, 0.0, 1.0, 0.0))).toDF("v", "cb")
+    val r = df.select(GraftFunctions.l2Argmin(col("v"), col("cb")))
+      .as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L, 0L))
+  }
+
+  test("pq_encode recovers exact codes and norm for on-centroid vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    // m=2 subspaces of dim 2, ksub=2: flat layout [sub][code][dim]
+    val cbFlat = Array(
+      1.0, 0.0, /* sub0 code0 */ 0.0, 1.0, /* sub0 code1 */
+      2.0, 0.0, /* sub1 code0 */ 0.0, 2.0 /* sub1 code1 */)
+    val df = Seq(
+      (Array(1.0, 0.0, 0.0, 2.0), cbFlat), // codes (0, 1)
+      (Array(0.0, 1.0, 2.0, 0.0), cbFlat)) // codes (1, 0)
+      .toDF("v", "cb")
+    val r = df.select(GraftFunctions.pqEncode(col("v"), col("cb"), 2, 2)
+        .as("pq"))
+      .select(col("pq.codes"), col("pq.nrm"))
+      .as[(Array[Byte], Double)].collect().toSeq
+    assert(r(0)._1.toSeq == Seq[Byte](0, 1))
+    assert(r(1)._1.toSeq == Seq[Byte](1, 0))
+    assert(math.abs(r(0)._2 - math.sqrt(5.0)) < 1e-12)
+  }
+
+  test("pq_adc_table + pq_adc_dot reproduce the exact dot for coded vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val cbFlat = Array(1.0, 0.0, 0.0, 1.0, 2.0, 0.0, 0.0, 2.0)
+    val q = Array(0.5, -0.25, 3.0, 1.0)
+    val tab = Seq((q, cbFlat)).toDF("q", "cb")
+      .select(GraftFunctions.pqAdcTable(col("q"), col("cb"), 2, 2))
+      .as[Seq[Double]].head()
+    // table = [dot(q0, c00), dot(q0, c01), dot(q1, c10), dot(q1, c11)]
+    assert(tab == Seq(0.5, -0.25, 6.0, 2.0))
+    // a vector encoded (0, 1) reconstructs exactly to (1, 0, 0, 2):
+    // ADC estimate must equal the exact dot q·x = 0.5 + 2.0
+    val d = Seq((Array[Byte](0, 1), tab)).toDF("codes", "tab")
+      .select(GraftFunctions.pqAdcDot(col("codes"), col("tab"), 2))
+      .as[Double].head()
+    assert(math.abs(d - 2.5) < 1e-12)
+  }
+
+  test("pqTrain: dense per-sub codes, dsub-length centroids, deterministic") {
+    val vecs = clustered(120)
+    val cb = ProductQuant.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+    val rows = cb.select("sub", "code", "cvec")
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+    assert(rows.size == 8) // 2 subs × 4 codes
+    assert(rows.forall(_._3.size == 4))
+    for (s <- 0 to 1)
+      assert(rows.filter(_._1 == s).map(_._2).sorted == Seq(0, 1, 2, 3))
+    val again = ProductQuant.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+      .select("sub", "code", "cvec").as[(Int, Int, Seq[Double])]
+      .collect().toSeq
+    assert(rows.sortBy(r => (r._1, r._2)) == again.sortBy(r => (r._1, r._2)))
+  }
+
+  test("pqTrain rejects a codebook the sample cannot seed") {
+    val tiny = clustered(8)
+    val e = intercept[IllegalArgumentException] {
+      ProductQuant.pqTrain(tiny, "vec_id", "embedding", m = 2, ksub = 64)
+    }
+    assert(e.getMessage.contains("sample"))
+  }
+
+  test("pqEncode emits m-byte codes with in-range values") {
+    val vecs = clustered(60)
+    val cb = ProductQuant.pqTrain(vecs, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1)
+    val enc = ProductQuant.pqEncode(vecs, "vec_id", "embedding", cb, 4, 4)
+    val rows = enc.select("nid", "codes", "nrm")
+      .as[(Long, Array[Byte], Double)].collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_._2.length == 4))
+    assert(rows.forall(_._2.forall(c => (c & 0xFF) < 4)))
+    assert(rows.forall(_._3 > 0.0))
+  }
+
+  test("pqTopK matches brute force on clustered data (exact refine tail)") {
+    val vecs = clustered(80)
+    val q = vecs.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = ProductQuant.pqTopK(vecs, q, "vec_id", "embedding", 3,
+      m = 2, ksub = 4, iters = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("ivfPqBuild/ivfPqQuery: full-probe query equals brute force; " +
+       "layout persisted; index never shuffles") {
+    val vecs = clustered(100)
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+    val table = "pq_spec_idx"
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", table,
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+    // layout: code lists carry binary codes + norm, raw vecs sit aside
+    val listSchema = spark.table(table).schema
+    assert(listSchema.fieldNames.toSeq ==
+      Seq("cid", "nid", "codes", "nrm"))
+    assert(listSchema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(spark.table(s"${table}_vecs").columns.toSeq == Seq("nid", "nvec"))
+    assert(spark.table(s"${table}_meta").as[(Int, Int, Long)].head() ==
+      ((2, 4, 100L)))
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(approx == exact)
+    // scale shape: no shuffle exchange over the quantized-list or
+    // raw-vec table scans (probes/candidates shuffle TO the bucketed
+    // layouts). Broadcast disabled so the big-index path is the one
+    // pinned; the explicit broadcast() hints on the query side survive.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = ProductQuant.ivfPqQuery(spark, table, q,
+        "vec_id", "embedding", 3, probeFrac = 1.0)
+      val plan = big.queryExecution.executedPlan
+      val offending = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectLeaves().exists(l =>
+            l.toString.contains(table) &&
+              !l.toString.contains(s"${table}_cents") &&
+              !l.toString.contains(s"${table}_pq") &&
+              !l.toString.contains(s"${table}_meta")) => e
+      }
+      assert(offending.isEmpty,
+        s"index-side shuffle found:\n${offending.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("sim9 parameters hold gate recall at the second scale (sf0.1)") {
+    // the sim3 lesson: parameters tuned to one scale factor silently rot
+    // at the next — pin the bigger SF here so rot fails a test, not a
+    // bigger cluster. m=16/refineK=50 is the measured floor for the
+    // hash-uniform (clusterless, PQ-worst-case) testdata embeddings.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = "pq_spec_sf01"
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table, m = 16)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 5, refineK = 50)
+      .select("qid", "nid")
+    val hits = exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    val nq = q.count()
+    assert(hits.count() == nq) // every query keeps at least one true hit
+    val minHits = hits.agg(min("h")).head().getLong(0)
+    assert(minHits >= 3, s"gate recall broke: minHits=$minHits")
+  }
+
+  test("ivfPqQuery excludeSelf=false lets a resubmitted id match itself") {
+    val vecs = clustered(40)
+    val table = "pq_spec_self"
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", table,
+      m = 2, ksub = 4, nlist = 3, buckets = 2)
+    val q = vecs.filter(col("vec_id") === 7L)
+    val withSelf = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 1, probeFrac = 1.0, excludeSelf = false)
+      .select("nid").as[Long].collect().toSeq
+    assert(withSelf == Seq(7L))
+    val noSelf = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 1, probeFrac = 1.0)
+      .select("nid").as[Long].collect().toSeq
+    assert(noSelf.nonEmpty && !noSelf.contains(7L))
+  }
+}
