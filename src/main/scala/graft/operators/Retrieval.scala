@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** BM25 term retrieval over a distributed inverted index — the lexical
+  * complement of the embedding ANN family (sim1-sim9): training-data
+  * pipelines rank documents against reference queries for quality
+  * scoring, dedup triage, and retrieval-augmented evals, and at corpus
+  * scale that is an inverted-index problem, not a scan problem.
+  *
+  * Index layout (BucketedJoin tables — the same index-never-moves
+  * discipline as the minhash/LSH/IVF indexes):
+  *  - `<table>`        postings `(term, doc_id, tf, dl)` BUCKETED by
+  *    term — document length is DENORMALIZED into the posting row
+  *    (+8 bytes) so scoring needs no per-doc join at all;
+  *  - `<table>_terms`  `(term, df)` delta rows bucketed by term —
+  *    document frequency is kept as APPENDABLE increments and summed
+  *    per term at query time (a zero-exchange aggregate over the
+  *    term-bucketed layout), so growing the corpus never rewrites the
+  *    dictionary;
+  *  - `<table>_stats`  `(n_docs, dl_sum)` delta rows — the corpus-level
+  *    BM25 inputs, folded to (N, avgdl) with a one-row aggregate.
+  *
+  * Query shape: query terms (a tiny frame) shuffle TO the term-bucketed
+  * postings/dictionary and join co-located; scoring emits 24-byte
+  * `(qid, doc_id, partial)` rows; the per-(qid, doc) sum and top-k run
+  * through the same O(k)-state native aggregate as the ANN rankers.
+  * Nothing index-sided ever shuffles.
+  *
+  * Scores are INTEGER micro-units: each term's BM25 contribution is
+  * rounded to 1e-6 and summed as a long (`score_milli`). Long addition
+  * is associative, so the total is independent of Spark's partial-agg
+  * order AND bit-identical to any other engine's sum of the same
+  * rounded partials — which is what makes the result oracle-checkable
+  * (a double sum would differ in the last ULP by summation order
+  * alone). Tokenization is lowercased whitespace splitting
+  * ([[TextOps.tokens]] semantics); empty documents index nothing and
+  * do not count toward N or avgdl.
+  *
+  * BM25 (Robertson-Sparck Jones; the Lucene-variant idf, always
+  * positive):
+  *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   w(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score  = Σ_t idf·w   with k1 = 1.2, b = 0.75.
+  * Query terms are DISTINCT (qtf = 1 — the standard short-query form).
+  */
+object Retrieval {
+
+  private def toks(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Per-batch index rows: postings (term, doc_id, tf, dl), dictionary
+    * deltas (term, df), one stats delta row (n_docs, dl_sum).
+    */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl via a window over the tf rows would re-shuffle; a second
+    // aggregate on the same exchange is cheaper and AQE-reusable
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val postings = tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfDelta = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val statsDelta = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+    (postings, dfDelta, statsDelta)
+  }
+
+  /** Build the persisted index. One tokenize scan; the postings land
+    * bucketed by term so every later query joins co-located.
+    */
+  def bm25Build(docs: DataFrame, idCol: String, textCol: String,
+                table: String, buckets: Int = 8): Unit = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
+    BucketedJoin.writeBucketed(postings, table, "term", buckets)
+    BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
+    BucketedJoin.writeBucketed(statsDelta, s"${table}_stats", "n_docs", 1)
+  }
+
+  /** Absorb a batch of NEW documents at O(batch) cost: postings and
+    * dictionary deltas re-bucket into the standing layout
+    * ([[BucketedJoin.appendBucketed]]), the stats delta appends one
+    * row. Nothing existing is rewritten — df and (N, avgdl) fold at
+    * query time. Id contract: append-only, doc ids immutable
+    * (re-submitting an indexed id double-counts it, exactly the
+    * [[Similarity.lshIndexAppend]] contract — run the dedup admission
+    * check first in refresh flows).
+    */
+  def bm25Append(spark: SparkSession, table: String, docs: DataFrame,
+                 idCol: String, textCol: String): Unit = {
+    val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
+    BucketedJoin.appendBucketed(postings, table, "term")
+    BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
+    BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
+  }
+
+  /** BM25 top-k over the persisted index. Output: (qid, doc_id,
+    * score_milli, rnk) — micro-unit integer scores (see the object doc),
+    * ranked (score desc, doc_id asc), ranks 1-based.
+    *
+    * Plan: the tokenized query terms shuffle TO the term buckets; the
+    * dictionary fold (sum of df deltas) and both index joins are
+    * zero-exchange over the index scans; partial scores move as
+    * 24-byte rows into the same bounded top-k aggregate the ANN path
+    * uses. The one driver-side action is the one-row stats fold.
+    */
+  def bm25Query(spark: SparkSession, table: String, queries: DataFrame,
+                qidCol: String, textCol: String, k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val st = spark.table(s"${table}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("dl_sum"), lit(0L)).as("s")).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, s"bm25Query: index $table is empty")
+    // exact long sum over exact long sum — both engines divide the
+    // same two numbers, so avgdl is bit-identical cross-engine
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val dict = spark.table(s"${table}_terms")
+      .groupBy("term").agg(sum("df").as("df"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val idf = log((lit(nDocs.toDouble) - dfD + lit(0.5))
+      / (dfD + lit(0.5)) + lit(1.0))
+    val w = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    val scored = qt.join(dict, Seq("term"))
+      .join(spark.table(table), Seq("term"))
+      .select(col("qid"), col("doc_id").as("nid"),
+        round(idf * w * lit(1000000.0)).cast("long").as("partial"))
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+    // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on
+    // the double view of the long loses nothing
+    Similarity.rankTopK(scored, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_milli"),
+        col("rank").as("rnk"))
+  }
+}

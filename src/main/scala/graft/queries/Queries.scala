@@ -1017,6 +1017,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval gate over the persisted inverted index
+    * (Retrieval.bm25Build/bm25Query): queries = every 50th document's
+    * first three tokens, k=5. Scores are integer micro-units (each
+    * term's contribution rounded to 1e-6 and summed as a long — long
+    * addition is associative, so the total is partial-agg-order
+    * independent AND bit-identical to DuckDB's sum of the same rounded
+    * partials; a double score would drift in the last ULP by summation
+    * order alone). The oracle recomputes full BM25 from the raw
+    * documents table, so a tokenizer, tf/df/dl, stats-fold, scoring, or
+    * ranking defect all surface as value mismatches.
+    */
+  val t16_bm25: Q = (s, d) => {
+    val table = s"bm25_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    Retrieval.bm25Query(s, table, bm25Queries(s, d), "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** BM25 APPEND gate (the dd6/sim7 grown-index contract for the
+    * lexical index): build on the even documents only, absorb the odd
+    * half via Retrieval.bm25Append — postings and df deltas re-bucket,
+    * stats fold at query time — and answer the SAME oracle as t16 (full
+    * BM25 over the whole corpus). Passing requires grown ≡ whole-built
+    * exactly: a df delta lost, a stats row missed, or a posting landed
+    * in the wrong bucket shifts scores or ranks.
+    */
+  val t17_bm25append: Q = (s, d) => {
+    val table = s"bm25a_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", table)
+    Retrieval.bm25Append(s, table,
+      docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    Retrieval.bm25Query(s, table, bm25Queries(s, d), "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Every 50th document's first three (lowercased) tokens as the query
+    * text — rejoined with single spaces so bm25Query's tokenizer
+    * recovers the identical terms.
+    */
+  private def bm25Queries(s: SparkSession, d: String) =
+    docs(s, d).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextOps.tokens(lower(col("text"))), 1, 3))
+          .as("qtext"))
+
   /** Deterministic corpus mixing (domain reweighting): per-source keep
     * probabilities applied through the stable md5-threshold filter —
     * src0 kept at 25%, src1 dropped, src2 fully kept, everything else
@@ -1543,7 +1589,8 @@ object Queries {
     "t9_shardpack" -> t9_shardpack, "t10_mix" -> t10_mix,
     "t11_decontam" -> t11_decontam, "t12_cms" -> t12_cms,
     "t13_stratified" -> t13_stratified, "t14_quantiles" -> t14_quantiles,
-    "t15_bloom" -> t15_bloom,
+    "t15_bloom" -> t15_bloom, "t16_bm25" -> t16_bm25,
+    "t17_bm25append" -> t17_bm25append,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -1552,6 +1599,49 @@ object Queries {
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
     "w2_sessions" -> w2_sessions)
+
+  /** Full BM25 recomputed from the raw documents table (shared by
+    * t16/t17 — the append gate answers the same whole-corpus oracle).
+    * Mirrors Retrieval.bm25Query op for op: same lowercased-whitespace
+    * tokenizer, same Lucene-variant idf, same k1=1.2/b=0.75 literals in
+    * the same association order, per-term contributions rounded to
+    * micro-units and summed as exact integers (DuckDB SUM(BIGINT) is
+    * HUGEINT — cast back), ranked (score desc, doc_id asc).
+    */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT DISTINCT qid, term FROM (
+      |  SELECT doc_id AS qid,
+      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> length(x) > 0), 1, 3)) AS term
+      |  FROM documents WHERE doc_id % 50 = 0)),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    CAST(sum(CAST(round(
+      |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2
+      |          / (CAST(tf.tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_milli
+      |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  GROUP BY qt.qid, tf.doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_milli,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT qid, doc_id, score_milli, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** Shared CTEs for t5: per-doc tokens + corpus token frequencies. */
   private val wordsSql2 =
@@ -2114,6 +2204,10 @@ object Queries {
       """SELECT DISTINCT o_orderkey FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "t16_bm25" -> bm25OracleSql,
+
+    "t17_bm25append" -> bm25OracleSql,
 
     "f4_split" ->
       """SELECT doc_id,

@@ -76,11 +76,6 @@ object DevPq {
         val qStep = math.max(1L, n / 100)
         val q = emb.filter(col("vec_id") % qStep === 0 && col("vec_id") < n)
         val nq = q.count()
-        val table = s"pq_scale_$n"
-        val (_, tBuild) = timed {
-          ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table,
-            m = 8, buckets = 32)
-        }
         def tblBytes(t: String): Long = {
           val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
             .filter(col("col_name") === "Location").head().getString(1)
@@ -88,26 +83,36 @@ object DevPq {
           Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
             .getOrElse(0L)
         }
-        val codeBytes = tblBytes(table)
-        val rawBytes = tblBytes(s"${table}_vecs")
-        println(f"[pqscale] n=$n build=${tBuild}%.1fs lists=${codeBytes / 1e6}%.1fMB " +
-          f"raw=${rawBytes / 1e6}%.1fMB ratio=${rawBytes.toDouble / math.max(codeBytes, 1)}%.1fx")
-        System.out.flush()
-        // quantized vs raw serving at the measured throughput point
-        for (frac <- Seq(0.125)) {
-          recallReport(f"scale n=$n frac=$frac%.3f", table, emb, q, nq,
-            frac, 0)
-          val rawTable = s"ivf_scale_$n"
-          if (spark.sessionState.catalog.tableExists(
-              org.apache.spark.sql.catalyst.TableIdentifier(rawTable))) {
-            val (c, tRaw) = timed {
-              Similarity.ivfQuery(spark, rawTable, q, "vec_id", "embedding",
-                5, probeFrac = frac).count()
-            }
-            println(f"[pqscale] n=$n raw-ivfQuery frac=$frac%.3f rows=$c ${tRaw}%.1fs")
-            System.out.flush()
+        for (m <- Seq(8, 16)) {
+          val table = s"pq_scale_${n}_$m"
+          val (_, tBuild) = timed {
+            ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table,
+              m = m, buckets = 32)
+          }
+          val codeBytes = tblBytes(table)
+          val rawBytes = tblBytes(s"${table}_vecs")
+          println(f"[pqscale] n=$n m=$m build=${tBuild}%.1fs lists=${codeBytes / 1e6}%.1fMB " +
+            f"raw=${rawBytes / 1e6}%.1fMB ratio=${rawBytes.toDouble / math.max(codeBytes, 1)}%.1fx")
+          System.out.flush()
+          for (frac <- Seq(0.125); rk <- Seq(50, 250)) {
+            recallReport(f"scale n=$n m=$m frac=$frac%.3f refineK=$rk",
+              table, emb, q, nq, frac, rk)
           }
         }
+        // raw-vector ivfQuery at the same probeFrac — the serving
+        // baseline the quantized scan is traded against
+        val rawTable = s"pqraw_scale_$n"
+        val (_, tRawBuild) = timed {
+          Similarity.ivfBuild(emb, "vec_id", "embedding", rawTable,
+            buckets = 32)
+        }
+        val (c, tRaw) = timed {
+          Similarity.ivfQuery(spark, rawTable, q, "vec_id", "embedding",
+            5, probeFrac = 0.125).count()
+        }
+        println(f"[pqscale] n=$n raw-ivfQuery build=${tRawBuild}%.1fs " +
+          f"frac=0.125 rows=$c ${tRaw}%.1fs lists=${tblBytes(rawTable) / 1e6}%.1fMB")
+        System.out.flush()
       }
     } else sys.error(s"unknown mode $mode")
     spark.stop()

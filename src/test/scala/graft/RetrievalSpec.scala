@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "cat cat cat"),
+    (4L, "a completely different document entirely"),
+    (5L, "")).toDF("doc_id", "text")
+
+  /** Reference BM25 in plain Scala for the hand-check: same formula,
+    * same micro-unit rounding.
+    */
+  private def refScore(terms: Seq[String],
+                       docs: Map[Long, Seq[String]]): Map[Long, Long] = {
+    val indexed = docs.filter(_._2.nonEmpty)
+    val n = indexed.size.toDouble
+    val avgdl = indexed.values.map(_.size).sum.toDouble / n
+    val dfm = indexed.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val out = for ((id, toks) <- indexed) yield {
+      val s = terms.distinct.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else {
+          val df = dfm(t)
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          val w = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl))
+          math.round(idf * w * 1e6)
+        }
+      }.sum
+      id -> s
+    }
+    out.filter(_._2 != 0L)
+  }
+
+  test("bm25Query matches the hand formula; empty docs excluded from N/avgdl") {
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec", buckets = 2)
+    val q = Seq((100L, "cat sat")).toDF("qid", "qtext")
+    val got = Retrieval.bm25Query(spark, "bm25_spec", q, "qid", "qtext", 10)
+      .select("doc_id", "score_milli", "rnk")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    val docsMap = corpus.as[(Long, String)].collect().toMap
+      .map { case (k, v) => k -> v.split("\\s+").filter(_.nonEmpty).toSeq }
+    val expect = refScore(Seq("cat", "sat"), docsMap)
+    assert(got.map(r => r._1 -> r._2).toMap == expect)
+    // ranked (score desc, doc_id asc), ranks contiguous from 1
+    assert(got.map(_._3) == (1 to got.size))
+    assert(got.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("append-built index answers identically to whole-built") {
+    Retrieval.bm25Build(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "bm25_spec_app", buckets = 2)
+    Retrieval.bm25Append(spark, "bm25_spec_app",
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_whole",
+      buckets = 2)
+    val q = Seq((1L, "cat sat"), (2L, "different dog")).toDF("qid", "qtext")
+    def run(t: String) =
+      Retrieval.bm25Query(spark, t, q, "qid", "qtext", 10)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(run("bm25_spec_app") == run("bm25_spec_whole"))
+  }
+
+  test("unknown query terms score nothing; empty index throws") {
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_unk",
+      buckets = 2)
+    val q = Seq((1L, "zzzz qqqq")).toDF("qid", "qtext")
+    assert(Retrieval.bm25Query(spark, "bm25_spec_unk", q,
+      "qid", "qtext", 5).count() == 0)
+    Retrieval.bm25Build(corpus.filter(col("doc_id") < 0),
+      "doc_id", "text", "bm25_spec_empty", buckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Query(spark, "bm25_spec_empty", q, "qid", "qtext", 5)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("index never shuffles: no exchange over the postings/dictionary scans") {
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_plan",
+      buckets = 2)
+    val q = Seq((1L, "cat sat the")).toDF("qid", "qtext")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = Retrieval.bm25Query(spark, "bm25_spec_plan", q,
+        "qid", "qtext", 5)
+      val plan = r.queryExecution.executedPlan
+      val offending = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectLeaves().exists(l =>
+            l.toString.contains("bm25_spec_plan") &&
+              !l.toString.contains("bm25_spec_plan_stats")) => e
+      }
+      assert(offending.isEmpty,
+        s"index-side shuffle found:\n${offending.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+}
