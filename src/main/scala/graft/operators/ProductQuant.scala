@@ -261,6 +261,133 @@ object ProductQuant {
     import spark.implicits._
     BucketedJoin.writeBucketed(
       Seq((m, ks, n)).toDF("m", "ksub", "built_n"), s"${table}_meta", "m", 1)
+    // Build-time coarse-assignment quality — [[ivfPqAppend]]'s drift
+    // reference, as in [[Similarity.ivfBuild]]. The code lists carry no
+    // vectors, so the WRITTEN (cid, nid) keys rejoin the id-bucketed raw
+    // table: tiny key rows shuffle to the vectors, never the reverse.
+    val buildMean = Similarity.meanTop1Cos(
+      spark.table(table).select("cid", "nid")
+        .join(spark.table(s"${table}_vecs"), Seq("nid")),
+      spark.table(s"${table}_cents"))
+    BucketedJoin.writeBucketed(
+      Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
+      s"${table}_stats", "built_n", 1)
+  }
+
+  /** Absorb a batch of NEW vectors into a persisted [[ivfPqBuild]] index
+    * at O(batch) cost: assign against the STANDING centroids, encode
+    * with the STANDING codebook (both frozen — the [[Similarity
+    * .ivfAppend]] discipline, extended to the quantizer), and re-bucket
+    * the code rows and raw rows into the standing layouts. Nothing
+    * existing is rewritten.
+    *
+    * Returned [[Similarity.IvfAppendStats]] compares the batch's mean
+    * top-1-centroid cosine against the build-time reference — the
+    * coarse-drift signal. A drifting batch degrades LIST recall (the
+    * right vectors stop being in the probed lists); codebook staleness
+    * only blurs ADC scores, which the exact refine tail absorbs — so
+    * coarse drift is the one signal that matters, and the cure for
+    * either is [[ivfPqRetrain]].
+    *
+    * Id contract: append-only, ids immutable (re-submitting an indexed
+    * id double-counts it — run the dedup admission check first, as in
+    * the refresh loops). `repair = true` completes a crashed absorb
+    * without duplicating rows that already landed (row-level anti-join
+    * on both tables, recovery-path only).
+    */
+  def ivfPqAppend(spark: SparkSession, table: String, batch: DataFrame,
+                  idCol: String, vecCol: String, nassign: Int = 2,
+                  driftTol: Double = 0.05,
+                  repair: Boolean = false): Similarity.IvfAppendStats = {
+    GraftFunctions.ensureRegistered(spark)
+    val meta = spark.table(s"${table}_meta").head()
+    val m = meta.getInt(0); val ks = meta.getInt(1)
+    val c = batch.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec")).persist()
+    try {
+      val cents = spark.table(s"${table}_cents")
+      val assigned = Similarity.assignLists(c, cents, nassign)
+      val enc = assigned.crossJoin(
+          broadcast(codebookArray(spark.table(s"${table}_pq"))))
+        .select(col("cid"), col("nid"),
+          GraftFunctions.pqEncode(col("nvec"), col("_cb"), m, ks).as("_pq"))
+        .select(col("cid"), col("nid"), col("_pq.codes").as("codes"),
+          col("_pq.nrm").as("nrm"))
+      val codeRows = if (repair)
+        enc.join(spark.table(table).select("nid", "cid"),
+          Seq("nid", "cid"), "left_anti")
+      else enc
+      BucketedJoin.appendBucketed(codeRows, table, "cid")
+      val rawRows = if (repair)
+        c.join(spark.table(s"${table}_vecs").select("nid"),
+          Seq("nid"), "left_anti")
+      else c
+      BucketedJoin.appendBucketed(rawRows, s"${table}_vecs", "nid")
+      val batchMean = Similarity.meanTop1Cos(assigned, cents)
+      val buildMean = {
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_stats")
+        if (spark.sessionState.catalog.tableExists(ident))
+          spark.table(s"${table}_stats").head().getDouble(1)
+        else Double.NaN
+      }
+      Similarity.IvfAppendStats(c.count(), batchMean, buildMean,
+        drifted = !buildMean.isNaN && !batchMean.isNaN &&
+          batchMean < buildMean - driftTol)
+    } finally c.unpersist()
+  }
+
+  /** Re-train a persisted IVFPQ index from its CURRENT corpus — the cure
+    * for [[Similarity.IvfAppendStats]]`.drifted`: coarse centroids AND
+    * the PQ codebook re-seed from everything absorbed so far, nlist
+    * re-derives as ⌈√N⌉, and every vector re-encodes. O(corpus) — run on
+    * the drift signal or a slow cadence, not per batch.
+    *
+    * The id-bucketed `_vecs` table is the full raw copy, so the rebuild
+    * reads it through a rename-aside (`<table>_vecs_retrainsrc`,
+    * [[Similarity.ivfRetrain]]'s crash discipline): a crash mid-rebuild
+    * leaves either the renamed source (re-run to resume) or the finished
+    * index — never neither. Bucket count and `m` are preserved from the
+    * existing index unless overridden.
+    */
+  def ivfPqRetrain(spark: SparkSession, table: String, m: Int = 0,
+                   nassign: Int = 2, seed: Long = 42L,
+                   pqIters: Int = 3, lloydIters: Int = 0): Unit = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val vecs = s"${table}_vecs"
+    val src = s"${vecs}_retrainsrc"
+    // resume a crashed retrain: the raw corpus lives under the rename-aside
+    if (exists(vecs) && exists(src)) BucketedJoin.dropWithLocation(spark, src)
+    // capture m while _meta still exists — a resumed run may find the old
+    // derived tables already dropped, so the explicit parameter is the
+    // only source then
+    val mEff = if (m > 0) m
+               else if (exists(s"${table}_meta"))
+                 spark.table(s"${table}_meta").head().getInt(0)
+               else sys.error(s"ivfPqRetrain: ${table}_meta is gone " +
+                 "(resumed run) — pass m explicitly")
+    if (exists(vecs)) {
+      spark.sql(s"ALTER TABLE $vecs RENAME TO $src")
+    } else require(exists(src),
+      s"ivfPqRetrain: neither $vecs nor $src exists")
+    val buckets = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(src))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    try {
+      for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
+                    s"${table}_meta", s"${table}_stats"); if exists(t))
+        BucketedJoin.dropWithLocation(spark, t)
+      ivfPqBuild(spark.table(src), "nid", "nvec", table, m = mEff,
+        nassign = nassign, buckets = buckets, seed = seed,
+        pqIters = pqIters, lloydIters = lloydIters)
+    } catch {
+      case t: Throwable =>
+        // roll back only when the rebuilt raw table didn't land
+        if (!exists(vecs)) spark.sql(s"ALTER TABLE $src RENAME TO $vecs")
+        throw t
+    }
+    BucketedJoin.dropWithLocation(spark, src)
   }
 
   /** Query a persisted IVFPQ index: probe `nprobe` lists exactly as

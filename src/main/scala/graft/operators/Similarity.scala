@@ -374,7 +374,7 @@ object Similarity {
     * cosines (= the top-1 cosine, which assignment always includes),
     * averaged. NaN on an empty frame.
     */
-  private def meanTop1Cos(assigned: DataFrame, cents: DataFrame): Double = {
+  private[operators] def meanTop1Cos(assigned: DataFrame, cents: DataFrame): Double = {
     val r = assigned.join(broadcast(cents), Seq("cid"))
       .select(col("nid"),
         GraftFunctions.cosineSim(col("nvec"), col("cvec")).as("c"))

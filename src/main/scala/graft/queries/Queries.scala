@@ -1392,6 +1392,39 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** IVFPQ APPEND gate (sim7's grown-index contract for the quantized
+    * index): build on the even vec_ids only — coarse centroids AND the
+    * PQ codebook train on half the corpus — then absorb the odd half
+    * via ProductQuant.ivfPqAppend (standing centroids, standing
+    * codebook, code rows and raw rows re-bucket, O(batch)). The grown
+    * index must answer sim9's recall oracle over the WHOLE corpus: an
+    * appended row that misses the code lists, the refine table, or
+    * lands encoded against the wrong codebook drops hits and fails the
+    * gate. Half-corpus training costs no recall here because the
+    * testdata embeddings are hash-uniform — both halves are draws from
+    * the same distribution, the frozen-quantizer append's design
+    * assumption.
+    */
+  val sim10_pqappend: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"sim10_idx_${d.hashCode & Int.MaxValue}"
+    ProductQuant.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", table, m = 16)
+    val stats = ProductQuant.ivfPqAppend(s, table,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    require(stats.batchN > 0, "sim10: empty append batch")
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqQuery(s, table, q, "vec_id", "embedding",
+      5, refineK = 50)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1595,6 +1628,7 @@ object Queries {
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
     "sim8_lshindex" -> sim8_lshindex, "sim9_ivfpq" -> sim9_ivfpq,
+    "sim10_pqappend" -> sim10_pqappend,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -2264,6 +2298,10 @@ object Queries {
         |FROM embeddings ORDER BY batch_id""".stripMargin,
 
     "sim9_ivfpq" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim10_pqappend" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 

@@ -184,6 +184,81 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(minHits >= 3, s"gate recall broke: minHits=$minHits")
   }
 
+  test("ivfPqAppend: grown index answers full-probe queries exactly; " +
+       "stats row and drift signal sane") {
+    val vecs = clustered(100)
+    val table = "pq_spec_app"
+    // split by RANGE: clusters cycle with i % 4, so an even/odd id split
+    // would give the build half only clusters 0 and 2 — real drift, not
+    // the same-distribution case this test pins
+    ProductQuant.ivfPqBuild(vecs.filter(col("vec_id") < 50),
+      "vec_id", "embedding", table, m = 2, ksub = 4, nlist = 5, buckets = 2)
+    val st = ProductQuant.ivfPqAppend(spark, table,
+      vecs.filter(col("vec_id") >= 50), "vec_id", "embedding")
+    assert(st.batchN == 50)
+    // same distribution as the build half — the frozen quantizer fits
+    assert(!st.drifted)
+    assert(!st.buildMeanTop1Cos.isNaN)
+    assert(spark.table(s"${table}_vecs").count() == 100)
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(approx == exact)
+  }
+
+  test("ivfPqAppend repair=true completes a crashed absorb without dups") {
+    val vecs = clustered(60)
+    val table = "pq_spec_repair"
+    ProductQuant.ivfPqBuild(vecs.filter(col("vec_id") < 40),
+      "vec_id", "embedding", table, m = 2, ksub = 4, nlist = 4, buckets = 2)
+    val batch = vecs.filter(col("vec_id") >= 40)
+    ProductQuant.ivfPqAppend(spark, table, batch, "vec_id", "embedding")
+    val codesAfter = spark.table(table).count()
+    val vecsAfter = spark.table(s"${table}_vecs").count()
+    // replaying the SAME batch through the repair path adds nothing
+    ProductQuant.ivfPqAppend(spark, table, batch, "vec_id", "embedding",
+      repair = true)
+    assert(spark.table(table).count() == codesAfter)
+    assert(spark.table(s"${table}_vecs").count() == vecsAfter)
+  }
+
+  test("ivfPqAppend flags a drifting batch; ivfPqRetrain cures it") {
+    val vecs = clustered(80)
+    val table = "pq_spec_drift"
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", table,
+      m = 2, ksub = 4, nlist = 4, buckets = 2)
+    // flat all-ones vectors sit far from every direction-cluster
+    // centroid: mean top-1 cosine drops well past the 0.05 tolerance
+    val shifted = (1000 until 1040).map { i =>
+      (i.toLong, Array.tabulate(8)(j => 1.0 + 0.01 * ((i + j) % 5)))
+    }.toDF("vec_id", "embedding")
+    val st = ProductQuant.ivfPqAppend(spark, table, shifted,
+      "vec_id", "embedding")
+    assert(st.drifted,
+      s"expected drift: batch=${st.batchMeanTop1Cos} build=${st.buildMeanTop1Cos}")
+    ProductQuant.ivfPqRetrain(spark, table)
+    // retrained index serves the grown corpus exactly at full probe,
+    // meta m preserved, stats re-anchored to the grown corpus
+    assert(spark.table(s"${table}_meta").head().getInt(0) == 2)
+    assert(spark.table(s"${table}_stats").head().getLong(0) == 120L)
+    val all = vecs.unionByName(shifted)
+    val q = all.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(approx == exact)
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_vecs")))
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${table}_vecs_retrainsrc")))
+  }
+
   test("ivfPqQuery excludeSelf=false lets a resubmitted id match itself") {
     val vecs = clustered(40)
     val table = "pq_spec_self"
