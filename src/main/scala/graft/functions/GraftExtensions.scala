@@ -43,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(2).eval().asInstanceOf[Number].intValue()))
     inject("ivf_top_cents", es => GraftFunctions.IvfTopCents(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
+    inject("l2_argmin", es => GraftFunctions.L2Argmin(es.head, es(1)))
+    inject("pq_encode", es => GraftFunctions.PqEncode(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].intValue()))
+    inject("pq_adc_table", es => GraftFunctions.PqAdcTable(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].intValue()))
+    inject("pq_adc_dot", es => GraftFunctions.PqAdcDot(es.head, es(1),
+      es(2).eval().asInstanceOf[Number].intValue()))
     inject("cms_probe", es => GraftFunctions.CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     inject("bloom_probe", es => GraftFunctions.BloomProbe(es.head,

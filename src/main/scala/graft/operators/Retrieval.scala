@@ -31,7 +31,7 @@ import graft.functions.GraftFunctions
   * Nothing index-sided ever shuffles.
   *
   * Scores are INTEGER micro-units: each term's BM25 contribution is
-  * rounded to 1e-6 and summed as a long (`score_milli`). Long addition
+  * rounded to 1e-6 and summed as a long (`score_micro`). Long addition
   * is associative, so the total is independent of Spark's partial-agg
   * order AND bit-identical to any other engine's sum of the same
   * rounded partials — which is what makes the result oracle-checkable
@@ -49,8 +49,12 @@ import graft.functions.GraftFunctions
   */
 object Retrieval {
 
+  /** Lowercased [[TextOps.tokens]] — ONE shared tokenizer definition, so
+    * the oracle constraint on t1/a1 (whitespace splitting) and on
+    * t16/t17 (this analyzer) can never drift apart silently.
+    */
   private def toks(text: org.apache.spark.sql.Column) =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    TextOps.tokens(lower(text))
 
   /** Per-batch index rows: postings (term, doc_id, tf, dl), dictionary
     * deltas (term, df), one stats delta row (n_docs, dl_sum).
@@ -101,7 +105,7 @@ object Retrieval {
   }
 
   /** BM25 top-k over the persisted index. Output: (qid, doc_id,
-    * score_milli, rnk) — micro-unit integer scores (see the object doc),
+    * score_micro, rnk) — micro-unit integer scores (see the object doc),
     * ranked (score desc, doc_id asc), ranks 1-based.
     *
     * Plan: the tokenized query terms shuffle TO the term buckets; the
@@ -144,7 +148,7 @@ object Retrieval {
     // the double view of the long loses nothing
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
-        col("cos").cast("long").as("score_milli"),
+        col("cos").cast("long").as("score_micro"),
         col("rank").as("rnk"))
   }
 }

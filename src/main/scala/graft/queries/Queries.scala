@@ -1665,16 +1665,16 @@ object Queries {
       |      * (CAST(tf.tf AS DOUBLE) * 2.2
       |          / (CAST(tf.tf AS DOUBLE)
       |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_milli
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
       |  FROM qt JOIN df USING (term) JOIN tf USING (term)
       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
       |  GROUP BY qt.qid, tf.doc_id),
       |ranked AS (
-      |  SELECT qid, doc_id, score_milli,
+      |  SELECT qid, doc_id, score_micro,
       |    CAST(row_number() OVER (PARTITION BY qid
-      |      ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rnk
+      |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
       |  FROM scored)
-      |SELECT qid, doc_id, score_milli, rnk FROM ranked
+      |SELECT qid, doc_id, score_micro, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** Shared CTEs for t5: per-doc tokens + corpus token frequencies. */

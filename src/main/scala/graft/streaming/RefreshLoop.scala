@@ -61,17 +61,35 @@ object RefreshLoop {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Ledger phases for one epoch: (novel ids recorded, commit marker
-    * seen). The ledger is TWO-PHASE — the epoch's admitted (novel) ids
-    * land BEFORE the index appends as the authoritative admission
-    * decision, the `commit` marker lands after — so a replay can tell
-    * "never decided" (no rows: run normally), "decided, appends not
-    * known complete" (ids only: reconstruct novel from the recorded
+  /** Ledger phases for one epoch: (novel ids recorded COMPLETELY,
+    * commit marker seen). The ledger is TWO-PHASE — the epoch's
+    * admitted (novel) ids land BEFORE the index appends as the
+    * authoritative admission decision, the `commit` marker lands after
+    * — so a replay can tell "never decided" (run normally), "decided,
+    * appends not known complete" (reconstruct novel from the recorded
     * ids and run the appends in row-level repair mode), and
     * "completed" (marker: skip appends) apart.
+    *
+    * "Decided" is gated on phase 1's OWN completeness marker
+    * (`noveldone`, written after the id rows), not on the presence of
+    * id rows: an append can crash with rows partially visible, and a
+    * replay that trusted a partial id set would silently drop the
+    * missing ids from `novel` and never index them. Without the marker
+    * the replay re-runs the admission decision from scratch (the index
+    * is untouched at that point — phase 1 precedes every index append —
+    * so the decision is reproducible) and [[recordNovel]] completes the
+    * partial id set row-level.
+    *
+    * Also rolls forward/back any compaction swap a previous run left
+    * mid-flight on the ledger itself ([[compactLedger]] crash between
+    * renames): without the recovery, a replayed epoch would read an
+    * ABSENT ledger as (false, false) and re-run a committed epoch as
+    * undecided — against the grown index every previously-novel id
+    * self-matches and the replay emits wrong dup/novel output.
     */
   private def epochPhases(spark: SparkSession, table: String,
                           epoch: Long): (Boolean, Boolean) = {
+    BucketedJoin.recoverCompacted(spark, s"${table}_epochs")
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
     if (!cat.tableExists(ident)) (false, false)
@@ -79,7 +97,7 @@ object RefreshLoop {
       val phases = spark.table(s"${table}_epochs")
         .filter(col("epoch") === epoch).select("phase").distinct()
         .collect().map(_.getString(0)).toSet
-      (phases.contains("novel"), phases.contains("commit"))
+      (phases.contains("noveldone"), phases.contains("commit"))
     }
   }
 
@@ -90,13 +108,37 @@ object RefreshLoop {
       .filter(col("epoch") === epoch && col("phase") === "novel")
       .select(col("id").as(as))
 
-  /** Phase 1: record `epoch`'s admission decision before any append. */
+  /** One marker row (null id) for `phase`, typed off the id frame. */
+  private def markerRow(spark: SparkSession, ids: DataFrame, epoch: Long,
+                        phase: String): DataFrame =
+    ids.limit(0)
+      .select(lit(epoch).as("epoch"), lit(phase).as("phase"),
+        col(ids.columns.head).as("id"))
+      .unionByName(spark.range(1)
+        .select(lit(epoch).as("epoch"), lit(phase).as("phase"),
+          lit(null).cast(ids.schema.head.dataType).as("id")))
+
+  /** Phase 1: record `epoch`'s admission decision before any append —
+    * the id rows, then a `noveldone` completeness marker. A re-run
+    * after a crash mid-phase-1 (ids partially visible, no marker)
+    * anti-joins the rows that already landed, so the ledger never holds
+    * an id twice and the completed set is exactly the decision.
+    */
   private def recordNovel(spark: SparkSession, table: String, epoch: Long,
-                          ids: DataFrame): Unit =
+                          ids: DataFrame): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
+    val idName = ids.columns.head
+    val fresh = if (cat.tableExists(ident))
+      ids.join(epochIds(spark, table, epoch, idName), Seq(idName), "left_anti")
+    else ids
     BucketedJoin.appendBucketed(
-      ids.select(lit(epoch).as("epoch"), lit("novel").as("phase"),
-        col(ids.columns.head).as("id")),
+      fresh.select(lit(epoch).as("epoch"), lit("novel").as("phase"),
+        col(idName).as("id")),
       s"${table}_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(markerRow(spark, ids, epoch, "noveldone"),
+      s"${table}_epochs", "epoch", defaultBuckets = 1)
+  }
 
   /** How many recent epochs the ledger retains through compaction.
     * Replay only ever consults the MOST RECENT epoch (offsets commit
@@ -124,13 +166,7 @@ object RefreshLoop {
     * the repair scans. One marker row (null id). */
   private def commitEpoch(spark: SparkSession, table: String, epoch: Long,
                           ids: DataFrame): Unit =
-    BucketedJoin.appendBucketed(
-      ids.limit(0)
-        .select(lit(epoch).as("epoch"), lit("commit").as("phase"),
-          col(ids.columns.head).as("id"))
-        .unionByName(spark.range(1)
-          .select(lit(epoch).as("epoch"), lit("commit").as("phase"),
-            lit(null).cast(ids.schema.head.dataType).as("id"))),
+    BucketedJoin.appendBucketed(markerRow(spark, ids, epoch, "commit"),
       s"${table}_epochs", "epoch", defaultBuckets = 1)
 
   /** The per-micro-batch body of [[minhashRefresh]], exposed so a
@@ -144,6 +180,10 @@ object RefreshLoop {
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
+      // heal any compaction swap a crash left mid-flight on the index
+      // tables before the first read (epochPhases does the ledger's)
+      BucketedJoin.recoverCompacted(spark, s"${table}_sigs")
+      BucketedJoin.recoverCompacted(spark, s"${table}_bands")
       val (decided, committed) = epochPhases(spark, table, epoch)
       // micro-batch sources re-read on every action; pin the batch once
       val b = batch.persist()
@@ -235,6 +275,9 @@ object RefreshLoop {
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
+      BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
+      BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
+      ivfTable.foreach(t => BucketedJoin.recoverCompacted(spark, t))
       val (decided, committed) = epochPhases(spark, table, epoch)
       val b = batch.persist()
       try {

@@ -217,10 +217,12 @@ class RefreshLoopSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
 
     // hand-build the crash state of epoch 5: admission decided
-    // (novel = {110} recorded), then the absorb died after the _sigs
-    // append landed but before _bands and the commit marker
+    // (novel = {110} recorded AND phase-1 marker written), then the
+    // absorb died after the _sigs append landed but before _bands and
+    // the commit marker
     BucketedJoin.appendBucketed(
-      Seq((5L, "novel", 110L)).toDF("epoch", "phase", "id"),
+      Seq((5L, "novel", Some(110L)), (5L, "noveldone", None))
+        .toDF("epoch", "phase", "id"),
       "crash_spec_idx_epochs", "epoch", defaultBuckets = 1)
     BucketedJoin.appendBucketed(
       batch.filter($"doc_id" === 110L)
@@ -259,6 +261,59 @@ class RefreshLoopSpec extends AnyFunSuite {
     fn(Seq((201L, "entirely novel content that matches nothing else here"))
       .toDF("doc_id", "text"), 6L)
     assert(runs(0)._1.contains((201L, 110L, "corpus")))
+  }
+
+  test("crash inside phase 1: partial novel ids without the marker replay as undecided") {
+    Dedup.minhashIndexBuild(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "p1crash_spec_idx")
+
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"),
+      (111L, "another brand new document with its own unique words"))
+      .toDF("doc_id", "text")
+
+    // crash state: recordNovel died with only ONE of the two novel ids
+    // visible and no `noveldone` marker. Phase 1 precedes every index
+    // append, so the index is untouched — the replay must NOT trust the
+    // partial id set (that would silently drop 111 from novel forever).
+    graft.operators.BucketedJoin.appendBucketed(
+      Seq((7L, "novel", 110L)).toDF("epoch", "phase", "id"),
+      "p1crash_spec_idx_epochs", "epoch", defaultBuckets = 1)
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = graft.streaming.RefreshLoop.minhashBatch(
+        "p1crash_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    fn(batch, 7L)
+    assert(runs(0)._2 == Set(110L, 111L),
+      s"replay trusted the partial phase-1 id set: ${runs(0)._2}")
+    assert(runs(0)._1 == Set((101L, 1L, "corpus")), runs(0)._1.toString)
+    // the completed ledger holds each id ONCE (row-level phase-1 repair)
+    spark.catalog.refreshTable("p1crash_spec_idx_epochs")
+    val ledger = spark.table("p1crash_spec_idx_epochs")
+      .filter($"epoch" === 7L && $"phase" === "novel")
+      .select("id").as[Long].collect().toList
+    assert(ledger.sorted == List(110L, 111L),
+      s"phase-1 repair duplicated or dropped ledger ids: $ledger")
+    // both novel docs are fully indexed
+    spark.catalog.refreshTable("p1crash_spec_idx_sigs")
+    assert(spark.table("p1crash_spec_idx_sigs").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 110L, 111L))
+    // and a committed replay reproduces the outputs without re-appending
+    runs.clear()
+    fn(batch, 7L)
+    assert(runs(0)._2 == Set(110L, 111L))
+    assert(runs(0)._1 == Set((101L, 1L, "corpus")))
+    spark.catalog.refreshTable("p1crash_spec_idx_sigs")
+    assert(spark.table("p1crash_spec_idx_sigs")
+      .filter($"id" === 110L).count() == 1)
   }
 
   test("ledger retention: compaction prunes epochs outside the retain window") {

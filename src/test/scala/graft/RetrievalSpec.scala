@@ -45,7 +45,7 @@ class RetrievalSpec extends AnyFunSuite {
     Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec", buckets = 2)
     val q = Seq((100L, "cat sat")).toDF("qid", "qtext")
     val got = Retrieval.bm25Query(spark, "bm25_spec", q, "qid", "qtext", 10)
-      .select("doc_id", "score_milli", "rnk")
+      .select("doc_id", "score_micro", "rnk")
       .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
     val docsMap = corpus.as[(Long, String)].collect().toMap
       .map { case (k, v) => k -> v.split("\\s+").filter(_.nonEmpty).toSeq }
