@@ -220,6 +220,21 @@ object ProductQuant {
     Similarity.rankTopK(exact, k)
   }
 
+  /** Residual rows for assigned (cid, nid, nvec): `rvec = nvec −
+    * centroid(cid)` (the IVFADC encoding input, Jégou-Douze-Schmid
+    * TPAMI 2011 §IV) plus the RAW vector's norm (the cosine
+    * denominator — the codes quantize the residual, the norm is the
+    * document's). The centroid table is ≈√N rows — a broadcast join.
+    * Multi-assigned rows get one residual PER list copy, each relative
+    * to its own centroid.
+    */
+  private def withResiduals(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("cid"), col("nid"), col("nvec"),
+        zip_with(col("nvec"), col("cvec"), (a, b) => a - b).as("rvec"),
+        sqrt(aggregate(col("nvec"), lit(0.0d),
+          (acc, x) => acc + x * x)).as("nrm"))
+
   /** Persist an IVFPQ index — the 100 TB serving layout:
     *  - `<table>`        (cid, nid, codes, nrm) BUCKETED by cid — the
     *    scanned hot path, ~(m+8+8) bytes of payload per row instead of
@@ -228,9 +243,19 @@ object ProductQuant {
     *    source, read only at `refineK` rows per query, never scanned;
     *  - `<table>_cents`  the coarse quantizer (ivfBuild's layout);
     *  - `<table>_pq`     the trained codebook (m·ksub rows);
-    *  - `<table>_meta`   (m, ksub, built_n) — the query-side contract.
+    *  - `<table>_meta`   (m, ksub, built_n, resid) — the query-side
+    *    contract.
     * Coarse parameters follow [[Similarity.ivfBuild]] (nlist=⌈√N⌉,
     * double assignment); PQ parameters follow [[pqTrain]].
+    *
+    * Encoding is RESIDUAL (IVFADC proper, TPAMI 2011 §IV): the codes
+    * quantize `nvec − centroid(cid)`, and the codebook trains on those
+    * residuals — so the quantizer spends its 8·m bits on the
+    * within-list displacement (norm ≪ ‖nvec‖ once the coarse step has
+    * explained the bulk), not on re-describing the coarse structure.
+    * This is what lets m=8 hold gate recall where raw-vector encoding
+    * needed m=16 (DevPq measures the recovery; the query side adds the
+    * exact `q·centroid(cid)` term back per probed list).
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  table: String, m: Int = 8, ksub: Int = 0, nlist: Int = 0,
@@ -246,21 +271,29 @@ object ProductQuant {
     val seeds = Similarity.seedCentroids(c, nl, n, seed)
     val cents = if (lloydIters > 0)
       Similarity.refineCentroids(c, seeds, lloydIters) else seeds
-    val cbook = pqTrain(c, "nid", "nvec", m, ksub, pqIters, seed)
-    val ks = codebookKsub(cbook)
     val assigned = Similarity.assignLists(c, cents, nassign)
-    val enc = assigned.crossJoin(broadcast(codebookArray(cbook)))
+    val res = withResiduals(assigned, cents)
+    // train on the residual distribution (a multi-assigned vector
+    // contributes one residual per list copy — each is a draw from the
+    // distribution the codes must cover); the synthetic id only drives
+    // deterministic sampling/seeding inside pqTrain
+    val cbook = pqTrain(
+      res.select(xxhash64(col("cid"), col("nid")).as("rid"), col("rvec")),
+      "rid", "rvec", m, ksub, pqIters, seed)
+    val ks = codebookKsub(cbook)
+    val enc = res.crossJoin(broadcast(codebookArray(cbook)))
       .select(col("cid"), col("nid"),
-        GraftFunctions.pqEncode(col("nvec"), col("_cb"), m, ks).as("_pq"))
-      .select(col("cid"), col("nid"), col("_pq.codes").as("codes"),
-        col("_pq.nrm").as("nrm"))
+        GraftFunctions.pqEncode(col("rvec"), col("_cb"), m, ks)
+          .getField("codes").as("codes"),
+        col("nrm"))
     BucketedJoin.writeBucketed(enc, table, "cid", buckets)
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
     BucketedJoin.writeBucketed(cbook, s"${table}_pq", "sub", 1)
     BucketedJoin.writeBucketed(c, s"${table}_vecs", "nid", buckets)
     import spark.implicits._
     BucketedJoin.writeBucketed(
-      Seq((m, ks, n)).toDF("m", "ksub", "built_n"), s"${table}_meta", "m", 1)
+      Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
+      s"${table}_meta", "m", 1)
     // Build-time coarse-assignment quality — [[ivfPqAppend]]'s drift
     // reference, as in [[Similarity.ivfBuild]]. The code lists carry no
     // vectors, so the WRITTEN (cid, nid) keys rejoin the id-bucketed raw
@@ -302,17 +335,22 @@ object ProductQuant {
     GraftFunctions.ensureRegistered(spark)
     val meta = spark.table(s"${table}_meta").head()
     val m = meta.getInt(0); val ks = meta.getInt(1)
+    require(metaResid(meta),
+      s"ivfPqAppend: $table is a pre-residual (raw-encoded) index — " +
+        "rebuild it with ivfPqBuild/ivfPqRetrain before appending")
     val c = batch.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec")).persist()
     try {
       val cents = spark.table(s"${table}_cents")
       val assigned = Similarity.assignLists(c, cents, nassign)
-      val enc = assigned.crossJoin(
-          broadcast(codebookArray(spark.table(s"${table}_pq"))))
+      // STANDING centroids, STANDING codebook — the frozen-quantizer
+      // append; residuals are vs the same centroids the batch assigned to
+      val enc = withResiduals(assigned, cents)
+        .crossJoin(broadcast(codebookArray(spark.table(s"${table}_pq"))))
         .select(col("cid"), col("nid"),
-          GraftFunctions.pqEncode(col("nvec"), col("_cb"), m, ks).as("_pq"))
-        .select(col("cid"), col("nid"), col("_pq.codes").as("codes"),
-          col("_pq.nrm").as("nrm"))
+          GraftFunctions.pqEncode(col("rvec"), col("_cb"), m, ks)
+            .getField("codes").as("codes"),
+          col("nrm"))
       val codeRows = if (repair)
         enc.join(spark.table(table).select("nid", "cid"),
           Seq("nid", "cid"), "left_anti")
@@ -390,55 +428,102 @@ object ProductQuant {
     BucketedJoin.dropWithLocation(spark, src)
   }
 
+  /** Does this index hold residual-encoded codes? (Pre-residual tables
+    * have no `resid` meta column.) */
+  private def metaResid(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("resid") &&
+      meta.getAs[Boolean]("resid")
+
   /** Query a persisted IVFPQ index: probe `nprobe` lists exactly as
     * [[Similarity.ivfQuery]] (probes shuffle TO the cid-bucketed lists;
     * the index never moves), ADC-score the probed candidates off their
-    * byte codes (per-query distance tables ride a BROADCAST keyed by
-    * qid — `|Q| · m · ksub` doubles, the reason this path is for
-    * query-serving batches, not corpus-sized self-joins), keep the top
-    * `refineK` (default `max(4k, 32)`) per query by estimated cosine,
-    * and re-rank exactly against the id-bucketed raw table. With
-    * candidate recall from the ADC stage at gate level, the output IS
-    * the exact cosine top-k over the probed lists — quantization decides
-    * which tail gets pruned, not the final ranking.
+    * byte codes, keep the top `refineK` (default `max(4k, 32)`) per
+    * query by estimated cosine, and re-rank exactly against the
+    * id-bucketed raw table. With candidate recall from the ADC stage at
+    * gate level, the output IS the exact cosine top-k over the probed
+    * lists — quantization decides which tail gets pruned, not the final
+    * ranking.
+    *
+    * Residual scoring (IVFADC): the codes quantize `nvec −
+    * centroid(cid)`, so the inner-product estimate decomposes exactly as
+    * `q·nvec = q·centroid(cid) + q·residual` — the first term is
+    * computed EXACTLY per (query, probed list) on the tiny probes frame
+    * (|Q|·nprobe rows), the second is the ADC table sum. The table
+    * itself is built once per query from the raw `qvec` (residual
+    * centroids live in displacement space; no per-list tables needed).
+    *
+    * The per-query distance tables ride a BROADCAST keyed by qid —
+    * `|Q| · m · ksub` doubles, which is why this path serves QUERY
+    * BATCHES, not corpus-sized self-joins. That boundary is enforced:
+    * when the table broadcast would exceed `maxAdcBroadcastBytes`
+    * (default 256 MB), the query frame is processed in hash-partitioned
+    * CHUNKS sized back under the cap — each chunk runs the full
+    * probe→score→refine pipeline and the per-query top-k union is
+    * exact, because chunking partitions by qid and every scoring row
+    * carries exactly one qid. A corpus-sized caller degrades to a
+    * sequence of bounded broadcasts instead of an executor OOM.
     */
   def ivfPqQuery(spark: SparkSession, table: String, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, nprobe: Int = 0,
                  probeFrac: Double = 0.5, refineK: Int = 0,
-                 excludeSelf: Boolean = true): DataFrame = {
+                 excludeSelf: Boolean = true,
+                 maxAdcBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(probeFrac > 0.0 && probeFrac <= 1.0,
       s"probeFrac must be in (0, 1], got $probeFrac")
+    require(maxAdcBroadcastBytes > 0,
+      s"maxAdcBroadcastBytes must be positive, got $maxAdcBroadcastBytes")
     GraftFunctions.ensureRegistered(spark)
     val meta = spark.table(s"${table}_meta").head()
     val m = meta.getInt(0); val ks = meta.getInt(1)
+    val resid = metaResid(meta)
     val rk = if (refineK > 0) refineK else math.max(4 * k, 32)
     val cents = spark.table(s"${table}_cents")
     val np = if (nprobe > 0) nprobe
              else math.max(1, math.ceil(probeFrac * cents.count()).toInt)
-    val q = queries.select(col(idCol).as("qid"),
+    val q0 = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val cbArr = broadcast(codebookArray(spark.table(s"${table}_pq")))
-    val tabs = q.crossJoin(cbArr)
-      .select(col("qid"),
-        GraftFunctions.pqAdcTable(col("qvec"), col("_cb"), m, ks).as("_tab"),
-        sqrt(aggregate(col("qvec"), lit(0.0d),
-          (acc, x) => acc + x * x)).as("qnrm"))
-    val probes = q.crossJoin(broadcast(Similarity.centroidArray(cents)))
-      .select(col("qid"),
-        explode(GraftFunctions.ivfTopCents(col("qvec"), col("_cents"), np))
-          .as("cid"))
-    val scored = probes.join(spark.table(table), Seq("cid"))
-      .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
-      .join(broadcast(tabs), Seq("qid"))
-      .select(col("qid"), col("nid"),
-        Det.r6(when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
-          .otherwise(GraftFunctions.pqAdcDot(col("codes"), col("_tab"), ks)
-            / (col("qnrm") * col("nrm")))).as("cos"))
-    val cand = Similarity.rankTopK(scored, rk).select("qid", "nid")
-    val exact = cand.join(spark.table(s"${table}_vecs"), Seq("nid"))
-      .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("nid"),
-        Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
-    Similarity.rankTopK(exact, k)
+
+    def run(q: DataFrame): DataFrame = {
+      val tabs = q.crossJoin(cbArr)
+        .select(col("qid"),
+          GraftFunctions.pqAdcTable(col("qvec"), col("_cb"), m, ks).as("_tab"),
+          sqrt(aggregate(col("qvec"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("qnrm"))
+      val probes0 = q.crossJoin(broadcast(Similarity.centroidArray(cents)))
+        .select(col("qid"), col("qvec"),
+          explode(GraftFunctions.ivfTopCents(col("qvec"), col("_cents"), np))
+            .as("cid"))
+      // the exact q·centroid(cid) term, on |Q|·nprobe rows BEFORE the
+      // join against the code lists (zero per-candidate cost)
+      val probes = if (resid)
+        probes0.join(broadcast(cents), Seq("cid"))
+          .select(col("qid"), col("cid"),
+            aggregate(zip_with(col("qvec"), col("cvec"), (a, b) => a * b),
+              lit(0.0d), (acc, x) => acc + x).as("qc"))
+      else probes0.select(col("qid"), col("cid"), lit(0.0d).as("qc"))
+      val scored = probes.join(spark.table(table), Seq("cid"))
+        .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
+        .join(broadcast(tabs), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          Det.r6(when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+            .otherwise((col("qc")
+              + GraftFunctions.pqAdcDot(col("codes"), col("_tab"), ks))
+              / (col("qnrm") * col("nrm")))).as("cos"))
+      val cand = Similarity.rankTopK(scored, rk).select("qid", "nid")
+      val exact = cand.join(spark.table(s"${table}_vecs"), Seq("nid"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          Det.r6(GraftFunctions.cosineSim(col("qvec"), col("nvec"))).as("cos"))
+      Similarity.rankTopK(exact, k)
+    }
+
+    val qn = q0.count()
+    val nChunks = math.max(1L, math.ceil(
+      (qn.toDouble * m * ks * 8.0) / maxAdcBroadcastBytes).toLong).toInt
+    if (nChunks == 1) run(q0)
+    else (0 until nChunks).map(i =>
+        run(q0.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i)))
+      .reduce(_.unionByName(_))
   }
 }

@@ -131,8 +131,8 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(listSchema("codes").dataType ==
       org.apache.spark.sql.types.BinaryType)
     assert(spark.table(s"${table}_vecs").columns.toSeq == Seq("nid", "nvec"))
-    assert(spark.table(s"${table}_meta").as[(Int, Int, Long)].head() ==
-      ((2, 4, 100L)))
+    assert(spark.table(s"${table}_meta").select("m", "ksub", "built_n", "resid")
+      .as[(Int, Int, Long, Boolean)].head() == ((2, 4, 100L, true)))
     val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val approx = ProductQuant.ivfPqQuery(spark, table, q,
