@@ -115,14 +115,18 @@ object Aggregators {
     * O(k) state per query, combines map-side, and moves only
     * partitions·queries·k rows.
     *
-    * Determinism contract (identical to the window form): total order =
-    * (cos desc, nid asc); ties in cos break by id. Duplicate candidates
-    * — the same (qid, nid) surfacing via several lists/tables — carry
-    * the SAME rounded score, so pair-equality dedup inside the heap
-    * reproduces dropDuplicates exactly: a live duplicate is skipped by
-    * the equality check, and an evicted pair's duplicate cannot
-    * re-enter (eviction means k strictly-better entries exist —
-    * the order is strict on distinct pairs).
+    * Determinism contract: total order = (cos desc, nid asc); ties in
+    * cos break by id; each nid appears AT MOST ONCE, retained at its
+    * MAX observed score. Duplicate candidates — the same (qid, nid)
+    * surfacing via several lists/tables — usually carry the SAME
+    * rounded score (per-nid max ≡ the old pair dedup ≡ dropDuplicates),
+    * but residual-encoded ivfPqQuery gives a multi-assigned doc a
+    * DIFFERENT ADC estimate per probed list, and per-nid max keeps that
+    * doc from eating two of the candidate slots. The bounded buffer is
+    * exact for "top-k distinct nids by per-nid max": rejection requires
+    * k better distinct-nid entries whose scores only improve, so the
+    * admission threshold is monotone and a rejected row can never be in
+    * the final answer.
     *
     * Buffer entries are (cos, nid) best-first; the common candidate
     * (worse than everything retained) is rejected without allocation.
@@ -137,10 +141,13 @@ object Aggregators {
 
     private def insert(b: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
       val i = b.indexWhere(x => !better(x, e))
-      if (i < 0) { if (b.size < k) b :+ e else b }
+      val ahead = if (i < 0) b else b.take(i)
+      if (ahead.exists(_._2 == e._2)) b // n retained with a better entry
+      else if (i < 0) { if (b.size < k) b :+ e else b }
       else if (b(i) == e) b
       else {
-        val nb = (b.take(i) :+ e) ++ b.drop(i)
+        // a worse retained entry for this nid is superseded, not kept
+        val nb = (ahead :+ e) ++ b.drop(i).filterNot(_._2 == e._2)
         if (nb.size > k) nb.take(k) else nb
       }
     }

@@ -11,12 +11,19 @@ import org.apache.spark.sql.types._
   *
   * Semantics are EXACTLY [[Aggregators.TopKByScore]] (the typed
   * reference implementation, property-pinned in AggregatorsSpec and
-  * asserted equal to this one): keep the k best pairs under the strict
-  * total order (cos desc, nid asc), deduplicating identical pairs —
-  * duplicate candidates carry the same rounded score, so pair equality
-  * is exact dedup, a live duplicate is skipped by the equality probe,
-  * and an evicted pair's replay cannot re-enter (k strictly-better
-  * entries exist).
+  * asserted equal to this one): the k best DISTINCT nids under the
+  * strict total order (cos desc, nid asc), each retained at its MAX
+  * observed score. Per-nid max dedup (not pair-equality dedup) matters
+  * for exactly one caller: residual-encoded ivfPqQuery, where a
+  * multi-assigned doc probed via both its lists carries two DIFFERENT
+  * ADC estimates — pair dedup would let one nid eat two of the refineK
+  * candidate slots and shrink the distinct pool. Every other caller's
+  * duplicates carry the same rounded score, for which per-nid max is
+  * identical to the old pair dedup. The bounded buffer stays exact:
+  * a row is rejected only when k better distinct-nid entries are
+  * retained, each of whose final per-nid max only improves, so the
+  * admission threshold is monotone and a rejected row can never belong
+  * to the final top-k of per-nid maxes.
   *
   * Why not the udaf: `ScalaAggregator` deserializes every input row to
   * a Scala tuple and the immutable buffer reallocates per accepted
@@ -115,17 +122,27 @@ object TopKScoreAgg {
       c1 > c2 || (c1 == c2 && n1 < n2)
 
     def insert(c: Double, n: Long): Unit = {
-      // fast reject: full and the worst retained entry beats (c, n)
+      // fast reject: full and the worst retained entry beats (c, n) —
+      // if n is already retained, its entry also beats (c, n), so the
+      // skip is correct whether or not n is present
       if (size == k && better(cos(size - 1), nid(size - 1), c, n)) return
       var i = 0
-      while (i < size && better(cos(i), nid(i), c, n)) i += 1
-      if (i < size && cos(i) == c && nid(i) == n) return // duplicate pair
+      while (i < size && better(cos(i), nid(i), c, n)) {
+        if (nid(i) == n) return // n retained with a better entry: keep max
+        i += 1
+      }
+      if (i < size && cos(i) == c && nid(i) == n) return // identical pair
       if (i >= k) return // all retained entries are better, buffer full
-      val last = math.min(size, k - 1)
+      // a WORSE retained entry for n (at or below i) is superseded —
+      // shift it out instead of evicting the tail, so size is unchanged
+      var dup = -1
+      var p = i
+      while (p < size && dup < 0) { if (nid(p) == n) dup = p; p += 1 }
+      val last = if (dup >= 0) dup else math.min(size, k - 1)
       var j = last
       while (j > i) { cos(j) = cos(j - 1); nid(j) = nid(j - 1); j -= 1 }
       cos(i) = c; nid(i) = n
-      if (size < k) size += 1
+      if (dup < 0 && size < k) size += 1
     }
   }
 }

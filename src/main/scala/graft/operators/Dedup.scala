@@ -260,7 +260,11 @@ object Dedup {
       .repartition(col("bid"))
     val bband = bsig.select(col("bid"),
       explode(bandKeys(col("bsig"), bands, numHashes / bands)).as("bandkey"))
-    val cand = bband.join(spark.table(s"${table}_bands"), "bandkey")
+    // tombstoned corpus ids stop matching immediately (broadcast
+    // anti-join over the band scan — no new exchange)
+    val bandRows = Tombstones.filterOut(spark, table,
+      spark.table(s"${table}_bands"), "id")
+    val cand = bband.join(bandRows, "bandkey")
       .select(col("bid"), col("id").as("cid"))
       .dropDuplicates("bid", "cid")
     cand.join(spark.table(s"${table}_sigs"), col("cid") === col("id"))
@@ -273,6 +277,15 @@ object Dedup {
       .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
+
+  /** Physically fold [[Tombstones]] into a [[minhashIndexBuild]] index:
+    * signature and band rows rewritten without the tombstoned ids
+    * (crash-safe swap per table, idempotent), set cleared after.
+    */
+  def minhashFoldTombstones(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Unit =
+    Tombstones.fold(spark, table, Seq(
+      (s"${table}_sigs", "id", "id"), (s"${table}_bands", "id", "bandkey")))
 
   /** Connected components over a near-dup pair graph — cluster-level
     * dedup: the pairwise drop-the-larger-id policy used by the cleaning

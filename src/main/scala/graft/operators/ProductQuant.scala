@@ -428,6 +428,16 @@ object ProductQuant {
     BucketedJoin.dropWithLocation(spark, src)
   }
 
+  /** Physically fold [[Tombstones]] into an [[ivfPqBuild]] index: the
+    * code lists and the raw-vector table are rewritten without the
+    * tombstoned rows (crash-safe swap per table, idempotent), and the
+    * set is cleared. `_meta.built_n` / `_stats` keep their build-time
+    * values — they are drift references, not row counts.
+    */
+  def ivfPqFoldTombstones(spark: SparkSession, table: String): Unit =
+    Tombstones.fold(spark, table, Seq(
+      (table, "nid", "cid"), (s"${table}_vecs", "nid", "nid")))
+
   /** Does this index hold residual-encoded codes? (Pre-residual tables
     * have no `resid` meta column.) */
   private def metaResid(meta: org.apache.spark.sql.Row): Boolean =
@@ -453,10 +463,13 @@ object ProductQuant {
     * centroids live in displacement space; no per-list tables needed).
     *
     * The per-query distance tables ride a BROADCAST keyed by qid —
-    * `|Q| · m · ksub` doubles, which is why this path serves QUERY
-    * BATCHES, not corpus-sized self-joins. That boundary is enforced:
-    * when the table broadcast would exceed `maxAdcBroadcastBytes`
-    * (default 256 MB), the query frame is processed in hash-partitioned
+    * `|Q| · m · ksub` doubles — and the refine stage broadcasts the raw
+    * query vectors (`|Q| · dim` doubles), which is why this path serves
+    * QUERY BATCHES, not corpus-sized self-joins. That boundary is
+    * enforced: when either per-query broadcast (sized as
+    * `(m·ksub + dim) · 8` bytes/query) would exceed
+    * `maxAdcBroadcastBytes` (default 256 MB), the query frame is
+    * processed in hash-partitioned
     * CHUNKS sized back under the cap — each chunk runs the full
     * probe→score→refine pipeline and the per-query top-k union is
     * exact, because chunking partitions by qid and every scoring row
@@ -483,6 +496,10 @@ object ProductQuant {
     val q0 = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val cbArr = broadcast(codebookArray(spark.table(s"${table}_pq")))
+    // tombstoned docs leave results immediately (broadcast anti-join
+    // over the code-list scan; cand is derived from it, so the refine
+    // join never resurrects a deleted id). Physical rows go at fold.
+    val lists = Tombstones.filterOut(spark, table, spark.table(table), "nid")
 
     def run(q: DataFrame): DataFrame = {
       val tabs = q.crossJoin(cbArr)
@@ -502,7 +519,7 @@ object ProductQuant {
             aggregate(zip_with(col("qvec"), col("cvec"), (a, b) => a * b),
               lit(0.0d), (acc, x) => acc + x).as("qc"))
       else probes0.select(col("qid"), col("cid"), lit(0.0d).as("qc"))
-      val scored = probes.join(spark.table(table), Seq("cid"))
+      val scored = probes.join(lists, Seq("cid"))
         .filter(if (excludeSelf) col("qid") =!= col("nid") else lit(true))
         .join(broadcast(tabs), Seq("qid"))
         .select(col("qid"), col("nid"),
@@ -510,6 +527,10 @@ object ProductQuant {
             .otherwise((col("qc")
               + GraftFunctions.pqAdcDot(col("codes"), col("_tab"), ks))
               / (col("qnrm") * col("nrm")))).as("cos"))
+      // rankTopK keeps the MAX estimate per (qid, nid), so a
+      // multi-assigned doc (two lists ⇒ two DIFFERENT residual ADC
+      // estimates) holds exactly one of the rk candidate slots — the
+      // distinct candidate pool is genuinely rk wide
       val cand = Similarity.rankTopK(scored, rk).select("qid", "nid")
       val exact = cand.join(spark.table(s"${table}_vecs"), Seq("nid"))
         .join(broadcast(q), Seq("qid"))
@@ -518,9 +539,19 @@ object ProductQuant {
       Similarity.rankTopK(exact, k)
     }
 
-    val qn = q0.count()
+    // chunk sizing counts BOTH per-query broadcasts: the ADC table
+    // (m·ksub doubles) and the raw qvec the refine stage re-broadcasts
+    // (dim doubles — dominant when dim > m·ksub, e.g. dim=768 at m=8).
+    // One agg job yields count and dim together. Hash chunks hit the
+    // cap in expectation, not worst-case — the 256 MB default leaves
+    // ample headroom against qid-hash skew.
+    val stats = q0.agg(count(lit(1)).as("n"),
+      max(size(col("qvec"))).as("d")).head()
+    val qn = stats.getLong(0)
+    val dim = if (qn == 0) 0 else stats.getInt(1)
+    val perQueryBytes = (m.toLong * ks + dim) * 8.0
     val nChunks = math.max(1L, math.ceil(
-      (qn.toDouble * m * ks * 8.0) / maxAdcBroadcastBytes).toLong).toInt
+      (qn.toDouble * perQueryBytes) / maxAdcBroadcastBytes).toLong).toInt
     if (nChunks == 1) run(q0)
     else (0 until nChunks).map(i =>
         run(q0.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i)))

@@ -95,14 +95,94 @@ object Retrieval {
     * (re-submitting an indexed id double-counts it, exactly the
     * [[Similarity.lshIndexAppend]] contract — run the dedup admission
     * check first in refresh flows).
+    *
+    * `repair = true` completes a CRASHED absorb of this same batch
+    * (recovery path only, the refresh-loop replay contract): postings
+    * append only the (term, doc_id) rows not already landed, and the
+    * derived dictionary/stats tables are then REBUILT from the
+    * postings ([[rebuildDerived]]) — a crashed run can leave a posting
+    * row landed with its df delta missing or vice versa, and deltas
+    * are not row-level repairable (the same term legitimately carries
+    * one delta per epoch), so recomputing the derived state from the
+    * one authoritative table is the only exact completion. O(index),
+    * paid only on the crash-recovery epoch.
     */
   def bm25Append(spark: SparkSession, table: String, docs: DataFrame,
-                 idCol: String, textCol: String): Unit = {
+                 idCol: String, textCol: String,
+                 repair: Boolean = false): Unit = {
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
-    BucketedJoin.appendBucketed(postings, table, "term")
-    BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
-    BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
+    if (repair && spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))) {
+      val missing = postings.join(
+        spark.table(table).select("term", "doc_id"),
+        Seq("term", "doc_id"), "left_anti")
+      BucketedJoin.appendBucketed(missing, table, "term")
+      rebuildDerived(spark, table)
+    } else {
+      BucketedJoin.appendBucketed(postings, table, "term")
+      BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
+      BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
+    }
   }
+
+  /** Rebuild the derived dictionary/stats tables from the postings —
+    * df = posting rows per term, stats = distinct (doc, dl) — exactly
+    * what the accumulated deltas sum to. Tombstoned rows (if any) stay
+    * INCLUDED, matching the delta tables' convention: the query-time
+    * correction subtracts `postings ∩ tombstones` from either form
+    * consistently. Crash-safe per table; idempotent.
+    */
+  private def rebuildDerived(spark: SparkSession, table: String): Unit = {
+    BucketedJoin.rewriteBucketed(spark, s"${table}_terms", "term") { _ =>
+      spark.table(table).groupBy("term").agg(count(lit(1)).as("df"))
+    }
+    BucketedJoin.rewriteBucketed(spark, s"${table}_stats", "n_docs") { _ =>
+      spark.table(table).select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+    }
+  }
+
+  /** Delete documents from the index: records their ids in the
+    * [[Tombstones]] set — nothing else is written, which is the whole
+    * crash story (see the query-side note on [[bm25Query]]: df/N/avgdl
+    * corrections derive from `postings ∩ tombstones` at query time, so
+    * any kill leaves queries consistent). Ids not in the index are
+    * inert. Returns the number of newly tombstoned ids.
+    */
+  def bm25Delete(spark: SparkSession, table: String, ids: DataFrame,
+                 idCol: String): Long =
+    Tombstones.add(spark, table, ids, idCol)
+
+  /** Physically fold the tombstones: the dictionary and stats tables
+    * are RECOMPUTED from the retained postings (df = posting rows per
+    * term; stats = distinct (doc, dl) — identical to what the deltas
+    * sum to, minus the deleted docs), then the postings rewrite drops
+    * the tombstoned rows, then the set clears. The recompute-then-
+    * filter order is what makes a kill at any point re-runnable: every
+    * derived table is a pure function of (postings, tombstones), and
+    * re-running after the postings rewrite sees an empty intersection.
+    * O(index) like any compaction — run on the compaction cadence.
+    */
+  def bm25FoldTombstones(spark: SparkSession, table: String): Unit =
+    Tombstones.idSet(spark, table) match {
+      case None => ()
+      case Some(_) =>
+        def retained() = Tombstones.filterOut(spark, table,
+          spark.table(table), "doc_id")
+        BucketedJoin.rewriteBucketed(spark, s"${table}_terms", "term") { _ =>
+          retained().groupBy("term").agg(count(lit(1)).as("df"))
+        }
+        BucketedJoin.rewriteBucketed(spark, s"${table}_stats", "n_docs") { _ =>
+          retained().select("doc_id", "dl").distinct()
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+        }
+        BucketedJoin.rewriteBucketed(spark, table, "term") { df =>
+          Tombstones.filterOut(spark, table, df, "doc_id")
+        }
+        Tombstones.clear(spark, table)
+    }
 
   /** BM25 top-k over the persisted index. Output: (qid, doc_id,
     * score_micro, rnk) — micro-unit integer scores (see the object doc),
@@ -118,19 +198,44 @@ object Retrieval {
                 qidCol: String, textCol: String, k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
+    // Deletion support: when a tombstone set exists, df/N/avgdl are
+    // corrected at QUERY time from `postings ∩ tombstones` (one extra
+    // broadcast semi-join scan of the term-bucketed postings; the df
+    // correction aggregate is term-bucketed too, so the dictionary
+    // join stays exchange-free) and the scoring join reads the
+    // anti-joined postings. Deriving everything from the id set alone
+    // is what makes bm25Delete crash-correct: there are no stored
+    // negative deltas to land or lose — bm25FoldTombstones restores
+    // the zero-extra-scan fast path.
+    val deleted = Tombstones.idSet(spark, table).map(ts =>
+      spark.table(table).join(broadcast(ts),
+        col("doc_id") === col("id")).drop("id"))
     val st = spark.table(s"${table}_stats")
       .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
         coalesce(sum("dl_sum"), lit(0L)).as("s")).head()
-    val nDocs = st.getLong(0)
+    val corr = deleted.map(_.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+        .head())
+      .getOrElse(org.apache.spark.sql.Row(0L, 0L))
+    val nDocs = st.getLong(0) - corr.getLong(0)
     require(nDocs > 0, s"bm25Query: index $table is empty")
     // exact long sum over exact long sum — both engines divide the
     // same two numbers, so avgdl is bit-identical cross-engine
-    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val avgdl = (st.getLong(1) - corr.getLong(1)).toDouble / nDocs.toDouble
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    val dict = spark.table(s"${table}_terms")
+    val dict0 = spark.table(s"${table}_terms")
       .groupBy("term").agg(sum("df").as("df"))
+    val dict = deleted match {
+      case Some(del) =>
+        val dcorr = del.groupBy("term").agg(count(lit(1)).as("ddf"))
+        dict0.join(dcorr, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+      case None => dict0
+    }
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val dlD = col("dl").cast("double")
@@ -138,8 +243,10 @@ object Retrieval {
       / (dfD + lit(0.5)) + lit(1.0))
     val w = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    val postings = Tombstones.filterOut(spark, table,
+      spark.table(table), "doc_id")
     val scored = qt.join(dict, Seq("term"))
-      .join(spark.table(table), Seq("term"))
+      .join(postings, Seq("term"))
       .select(col("qid"), col("doc_id").as("nid"),
         round(idf * w * lit(1000000.0)).cast("long").as("partial"))
       .groupBy("qid", "nid")

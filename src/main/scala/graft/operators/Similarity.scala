@@ -40,7 +40,9 @@ object Similarity {
 
   /** The shared ranking tail of every top-k operator here: deterministic
     * top-k of `scored` (qid, nid, cos) per qid under (cos desc, nid asc),
-    * duplicate (qid, nid) candidates collapsed. Emits (qid, nid, cos,
+    * duplicate (qid, nid) candidates collapsed to their MAX score (ties
+    * in most callers — residual ADC estimates genuinely differ per list
+    * copy, see TopKScoreAgg). Emits (qid, nid, cos,
     * rank 1..k) — exactly the old `dropDuplicates + row_number() window`
     * output, but through the native [[graft.functions.TopKScoreAgg]]:
     * O(k) state per query with map-side partial aggregation, instead of
@@ -531,7 +533,10 @@ object Similarity {
     val probes = q.crossJoin(broadcast(centroidArray(cents)))
       .select(col("qid"), col("qvec"),
         explode(topCentroids(col("qvec"), col("_cents"), np)).as("cid"))
-    val scored = probes.join(spark.table(table), Seq("cid"))
+    // tombstoned docs leave results immediately (broadcast anti-join
+    // over the list scan); the physical rows go at the next fold
+    val lists = Tombstones.filterOut(spark, table, spark.table(table), "nid")
+    val scored = probes.join(lists, Seq("cid"))
       // excludeSelf drops a query's own indexed row (the corpus-as-
       // queries ANN idiom); pass false when the SAME id legitimately
       // sits on both sides — e.g. a refresh loop checking whether a
@@ -606,7 +611,11 @@ object Similarity {
     val bb = bv.select(col("bid"),
         posexplode(GraftFunctions.lshSigs(col("bvec"), nBits, nTables, seed)))
       .select(col("bid"), xxhash64(col("pos"), col("col")).as("bkey"))
-    val cand = bb.join(spark.table(s"${table}_buckets"), "bkey")
+    // tombstoned corpus ids stop matching immediately (broadcast
+    // anti-join over the bucket scan — no new exchange)
+    val bucketRows = Tombstones.filterOut(spark, table,
+      spark.table(s"${table}_buckets"), "id")
+    val cand = bb.join(bucketRows, "bkey")
       .select(col("bid"), col("id").as("cid"))
       .dropDuplicates("bid", "cid")
     cand.join(spark.table(s"${table}_vecs"), col("cid") === col("id"))
@@ -661,6 +670,23 @@ object Similarity {
         s"${table}_buckets", "bkey")
     } finally v.unpersist()
   }
+
+  /** Physically fold [[Tombstones]] into an [[lshIndexBuild]] index:
+    * vectors and bucket rows rewritten without the tombstoned ids
+    * (crash-safe swap per table, idempotent), set cleared after.
+    */
+  def lshFoldTombstones(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit =
+    Tombstones.fold(spark, table, Seq(
+      (s"${table}_vecs", "id", "id"), (s"${table}_buckets", "id", "bkey")))
+
+  /** Physically fold [[Tombstones]] into an [[ivfBuild]] index. The
+    * `_stats` build reference keeps its build-time value — it is a
+    * drift anchor, not a row count.
+    */
+  def ivfFoldTombstones(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit =
+    Tombstones.fold(spark, table, Seq((table, "nid", "cid")))
 
   /** Fail an append whose batch carries ids already present in the
     * id-bucketed side table — the `checkIds` guard shared by the

@@ -908,6 +908,51 @@ object Queries {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Tombstone-DELETION gate (dd6 inverted): the index holds the whole
+    * corpus, then every 20th document is taken down via Tombstones.add.
+    * The batch re-submits every 10th document verbatim under id+1e6;
+    * an identical resubmission finds its source with certainty
+    * (identical signature ⇒ same band keys, est_jaccard 1.0), so
+    * restricted to (corpus_id + 1e6 = batch_id) pairs the result is
+    * DETERMINISTIC: exactly the non-deleted sources. A deleted doc
+    * still matching ADDS a row (hash mismatch); an index/lookup defect
+    * DROPS one. The oracle is pure SQL over the documents table.
+    */
+  val dd10_tombstone: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val table = s"dd10_idx_${d.hashCode & Int.MaxValue}"
+    Dedup.minhashIndexBuild(base, "text", "doc_id", table)
+    Tombstones.add(s, table,
+      base.filter(col("doc_id") % 20 === 0).select("doc_id"), "doc_id")
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.minhashDedupAgainst(s, table, batch, "text", "doc_id")
+      .filter(col("corpus_id") + 1000000L === col("batch_id"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id")
+  }
+
+  /** dd10 after the PHYSICAL fold (grown-with-tombstones ≡ rebuilt-
+    * without): same takedown, but minhashFoldTombstones rewrites the
+    * band/signature tables and clears the set before the check — the
+    * same oracle passing proves the fold preserves query semantics
+    * exactly and the consulted set is gone.
+    */
+  val dd11_tombfold: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val table = s"dd11_idx_${d.hashCode & Int.MaxValue}"
+    Dedup.minhashIndexBuild(base, "text", "doc_id", table)
+    Tombstones.add(s, table,
+      base.filter(col("doc_id") % 20 === 0).select("doc_id"), "doc_id")
+    Dedup.minhashFoldTombstones(s, table)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.minhashDedupAgainst(s, table, batch, "text", "doc_id")
+      .filter(col("corpus_id") + 1000000L === col("batch_id"))
+      .select(col("corpus_id"), col("batch_id"))
+      .orderBy("corpus_id")
+  }
+
   /** Flagship training-data composition: the full cleaning pipeline a
     * corpus pass runs — exact dedup (keep the smallest id per content
     * digest) → near-dup removal (word-3-gram Jaccard ≥ 0.8 with the
@@ -1049,6 +1094,39 @@ object Queries {
       "doc_id", "text", table)
     Retrieval.bm25Append(s, table,
       docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    Retrieval.bm25Query(s, table, bm25Queries(s, d), "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** BM25 DELETION gate: the index holds the whole corpus, every 5th
+    * document is deleted via bm25Delete (tombstones only — df/N/avgdl
+    * corrections derive at query time from postings ∩ tombstones), and
+    * the oracle indexes only the retained slice: scores must be
+    * BIT-identical to a fresh build without the deleted docs. Note the
+    * query docs (doc_id % 50 = 0) are all themselves deleted — they
+    * still query, against an index that no longer ranks them.
+    */
+  val t18_bm25delete: Q = (s, d) => {
+    val table = s"bm25d_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    Retrieval.bm25Delete(s, table,
+      docs(s, d).filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+    Retrieval.bm25Query(s, table, bm25Queries(s, d), "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** t18 after the PHYSICAL fold: bm25FoldTombstones recomputes the
+    * dictionary/stats from the retained postings, rewrites the postings
+    * without the deleted rows, and clears the set — the same oracle
+    * passing proves the folded index ≡ rebuilt-without, with the
+    * query-time correction path no longer involved.
+    */
+  val t19_bm25dfold: Q = (s, d) => {
+    val table = s"bm25f_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    Retrieval.bm25Delete(s, table,
+      docs(s, d).filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+    Retrieval.bm25FoldTombstones(s, table)
     Retrieval.bm25Query(s, table, bm25Queries(s, d), "qid", "qtext", 5)
       .orderBy("qid", "rnk")
   }
@@ -1613,6 +1691,7 @@ object Queries {
     "dd7_components" -> dd7_components,
     "dd8_components_star" -> dd8_components_star,
     "dd9_simhash_sharded" -> dd9_simhash_sharded,
+    "dd10_tombstone" -> dd10_tombstone, "dd11_tombfold" -> dd11_tombfold,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -1624,6 +1703,7 @@ object Queries {
     "t13_stratified" -> t13_stratified, "t14_quantiles" -> t14_quantiles,
     "t15_bloom" -> t15_bloom, "t16_bm25" -> t16_bm25,
     "t17_bm25append" -> t17_bm25append,
+    "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -1635,18 +1715,23 @@ object Queries {
     "w2_sessions" -> w2_sessions)
 
   /** Full BM25 recomputed from the raw documents table (shared by
-    * t16/t17 — the append gate answers the same whole-corpus oracle).
+    * t16/t17 — the append gate answers the same whole-corpus oracle —
+    * and, with `corpusWhere`, by the t18/t19 DELETION gates: the oracle
+    * simply indexes the retained slice, which IS the deletion contract
+    * — grown-with-tombstones ≡ rebuilt-without. Queries always come
+    * from the full documents table; a deleted doc may still query).
     * Mirrors Retrieval.bm25Query op for op: same lowercased-whitespace
     * tokenizer, same Lucene-variant idf, same k1=1.2/b=0.75 literals in
     * the same association order, per-term contributions rounded to
     * micro-units and summed as exact integers (DuckDB SUM(BIGINT) is
     * HUGEINT — cast back), ranked (score desc, doc_id asc).
     */
-  private val bm25OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+  private def bm25OracleSql(corpusWhere: String = ""): String = {
+    val where = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |    x -> length(x) > 0)) AS term
-      |  FROM documents),
+      |  FROM documents$where),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
       |stats AS (SELECT count(*) AS n,
@@ -1654,7 +1739,7 @@ object Queries {
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |qt AS (SELECT DISTINCT qid, term FROM (
       |  SELECT doc_id AS qid,
-      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |      x -> length(x) > 0), 1, 3)) AS term
       |  FROM documents WHERE doc_id % 50 = 0)),
       |scored AS (
@@ -1676,6 +1761,7 @@ object Queries {
       |  FROM scored)
       |SELECT qid, doc_id, score_micro, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
 
   /** Shared CTEs for t5: per-doc tokens + corpus token frequencies. */
   private val wordsSql2 =
@@ -2049,6 +2135,20 @@ object Queries {
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
         |FROM documents ORDER BY ida, idb""".stripMargin,
 
+    // dd10/dd11: identical resubmissions find their source with
+    // certainty, so restricted to (source, source+1e6) pairs the
+    // result is exactly the NON-DELETED sources — a deleted doc still
+    // matching adds a row, a lookup defect drops one
+    "dd10_tombstone" ->
+      """SELECT doc_id AS corpus_id, doc_id + 1000000 AS batch_id
+        |FROM documents WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0
+        |ORDER BY corpus_id""".stripMargin,
+
+    "dd11_tombfold" ->
+      """SELECT doc_id AS corpus_id, doc_id + 1000000 AS batch_id
+        |FROM documents WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0
+        |ORDER BY corpus_id""".stripMargin,
+
     "dd4_ngram" ->
       """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
@@ -2239,9 +2339,13 @@ object Queries {
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
 
-    "t16_bm25" -> bm25OracleSql,
+    "t16_bm25" -> bm25OracleSql(),
 
-    "t17_bm25append" -> bm25OracleSql,
+    "t17_bm25append" -> bm25OracleSql(),
+
+    "t18_bm25delete" -> bm25OracleSql("doc_id % 5 <> 0"),
+
+    "t19_bm25dfold" -> bm25OracleSql("doc_id % 5 <> 0"),
 
     "f4_split" ->
       """SELECT doc_id,

@@ -82,9 +82,20 @@ class AggregatorsSpec extends AnyFunSuite {
     // entries; its replayed copy must NOT re-enter
     assert(run(Seq((9L, 0.1), (1L, 0.9), (2L, 0.8), (3L, 0.7), (9L, 0.1))) ==
       Seq((0.9, 1L), (0.8, 2L), (0.7, 3L)))
-    // merge path: same invariants across partial buffers
+    // per-nid MAX: a nid re-surfacing with a DIFFERENT score (residual
+    // ADC estimates differ per list copy) upgrades its retained entry
+    // in place — it never eats a second slot
+    assert(run(Seq((1L, 0.5), (2L, 0.6), (1L, 0.9))) ==
+      Seq((0.9, 1L), (0.6, 2L)))
+    // ...and a WORSE replay of a retained nid is skipped, so the third
+    // distinct nid still fits
+    assert(run(Seq((1L, 0.9), (2L, 0.8), (1L, 0.7), (3L, 0.6))) ==
+      Seq((0.9, 1L), (0.8, 2L), (0.6, 3L)))
+    // merge path: same invariants across partial buffers, including a
+    // cross-buffer different-score duplicate (1 ↦ 0.9 left, 0.4 right)
     val left = Seq((9L, 0.1), (1L, 0.9)).foldLeft(a.zero)(a.reduce)
-    val right = Seq((2L, 0.8), (3L, 0.7), (9L, 0.1)).foldLeft(a.zero)(a.reduce)
+    val right = Seq((2L, 0.8), (3L, 0.7), (9L, 0.1), (1L, 0.4))
+      .foldLeft(a.zero)(a.reduce)
     assert(a.finish(a.merge(left, right)) ==
       Seq((0.9, 1L), (0.8, 2L), (0.7, 3L)))
     // agrees with the window form on a random stream (the contract the
@@ -103,7 +114,9 @@ class AggregatorsSpec extends AnyFunSuite {
       g <- 0L until 7L; i <- 0L until 300L
       c = ((i * 37 + g * 11) % 101) / 100.0
       copies <- 1 to (if (i % 50 == 0) 2 else 1) // planted duplicates
-    } yield (g, i, c)
+      // half the planted duplicates carry a DIFFERENT (worse) score —
+      // the residual-ADC shape; per-nid max must keep the best copy
+    } yield (g, i, if (copies == 2 && i % 100 == 0) c * 0.5 else c)
     val df = scala.util.Random.shuffle(rows).toDF("qid", "nid", "cos")
       .repartition(8)
     val native = df.groupBy("qid")

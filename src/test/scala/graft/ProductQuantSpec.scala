@@ -117,6 +117,15 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(pq == exact)
   }
 
+  // Round-8 regression diagnosis (this test + the append twin below):
+  // switching to residual encoding made a multi-assigned doc's two list
+  // copies carry DIFFERENT ADC estimates (per-copy codes + per-list
+  // q·centroid term), and the candidate top-k then deduped only
+  // identical (cos, nid) pairs — one doc ate two of the refineK=32
+  // slots, halving the distinct candidate pool and dropping true top-3
+  // neighbors below the refine cut. A residual-path defect (ADVICE r8
+  // item 1), not intrinsic quantization error: fixed by per-nid-max
+  // dedup inside TopKScoreAgg, which restores the full rk-wide pool.
   test("ivfPqBuild/ivfPqQuery: full-probe query equals brute force; " +
        "layout persisted; index never shuffles") {
     val vecs = clustered(100)
@@ -184,6 +193,9 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(minHits >= 3, s"gate recall broke: minHits=$minHits")
   }
 
+  // See the residual-encoding diagnosis comment on the build/query test
+  // above — this twin failed for the same multi-assign candidate-slot
+  // reason and is pinned by the same per-nid-max dedup fix.
   test("ivfPqAppend: grown index answers full-probe queries exactly; " +
        "stats row and drift signal sane") {
     val vecs = clustered(100)
@@ -257,6 +269,28 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(!spark.sessionState.catalog.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(
         s"${table}_vecs_retrainsrc")))
+  }
+
+  test("ivfPqQuery chunks an oversized query frame; chunked union is " +
+       "bit-equal to the unchunked result") {
+    val vecs = clustered(100)
+    val table = "pq_spec_chunk"
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", table,
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+    val q = vecs.filter(col("vec_id") % 10 === 0) // 10 queries
+    def results(cap: Long) = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0,
+      maxAdcBroadcastBytes = cap)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // per-query bytes = (m·ksub + dim)·8 = (8 + 8)·8 = 128; ten queries
+    // = 1280 bytes, so a 300-byte cap forces ⌈1280/300⌉ = 5 chunks —
+    // the guard must fire, and chunking by qid-hash must be invisible
+    // in the output (every scoring row carries exactly one qid)
+    val unchunked = results(256L << 20)
+    val chunked = results(300L)
+    assert(chunked == unchunked)
+    assert(unchunked.nonEmpty)
   }
 
   test("ivfPqQuery excludeSelf=false lets a resubmitted id match itself") {
