@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.{BucketedJoin, Dedup, Similarity}
+import graft.operators.{BucketedJoin, Dedup, Retrieval, Similarity}
 
 /** Continuous corpus refresh — the streaming form of the incremental
   * dedup loop (dd5 check + dd6 absorb), lifted onto Structured
@@ -62,7 +62,8 @@ object RefreshLoop {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Ledger phases for one epoch: (novel ids recorded COMPLETELY,
-    * commit marker seen). The ledger is TWO-PHASE — the epoch's
+    * commit marker seen, any novel id rows present). The ledger is
+    * TWO-PHASE — the epoch's
     * admitted (novel) ids land BEFORE the index appends as the
     * authoritative admission decision, the `commit` marker lands after
     * — so a replay can tell "never decided" (run normally), "decided,
@@ -88,16 +89,26 @@ object RefreshLoop {
     * self-matches and the replay emits wrong dup/novel output.
     */
   private def epochPhases(spark: SparkSession, table: String,
-                          epoch: Long): (Boolean, Boolean) = {
+                          epoch: Long): (Boolean, Boolean, Boolean) = {
     BucketedJoin.recoverCompacted(spark, s"${table}_epochs")
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_epochs")
-    if (!cat.tableExists(ident)) (false, false)
+    if (!cat.tableExists(ident)) (false, false, false)
     else {
       val phases = spark.table(s"${table}_epochs")
         .filter(col("epoch") === epoch).select("phase").distinct()
         .collect().map(_.getString(0)).toSet
-      (phases.contains("noveldone"), phases.contains("commit"))
+      // Legacy-ledger upgrade: epochs written before the `noveldone`
+      // marker existed carry only novel/commit rows. `commit` lands
+      // strictly AFTER the id rows, so it implies the decision
+      // completed — without this, a replayed committed legacy epoch
+      // would re-run admission against the grown index (previously
+      // admitted ids self-match → wrong dup/novel routing). The third
+      // flag (any novel rows) drives append REPAIR mode for an
+      // uncommitted legacy epoch, whose appends may have partially
+      // landed even though `decided` reads false.
+      (phases.contains("noveldone") || phases.contains("commit"),
+        phases.contains("commit"), phases.contains("novel"))
     }
   }
 
@@ -176,6 +187,7 @@ object RefreshLoop {
   def minhashBatch(table: String, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 64, bands: Int = 16,
+                   bm25Table: Option[String] = None,
                    compactEvery: Int = 0)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
@@ -184,7 +196,16 @@ object RefreshLoop {
       // tables before the first read (epochPhases does the ledger's)
       BucketedJoin.recoverCompacted(spark, s"${table}_sigs")
       BucketedJoin.recoverCompacted(spark, s"${table}_bands")
-      val (decided, committed) = epochPhases(spark, table, epoch)
+      bm25Table.foreach { t =>
+        BucketedJoin.recoverCompacted(spark, t)
+        BucketedJoin.recoverCompacted(spark, s"${t}_terms")
+        BucketedJoin.recoverCompacted(spark, s"${t}_stats")
+      }
+      val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
+      // repair whenever the ledger holds id rows for this epoch, even
+      // if the completeness marker is missing (legacy pre-noveldone
+      // ledgers): appends may have partially landed either way
+      val repairMode = decided || hasNovelRows
       // micro-batch sources re-read on every action; pin the batch once
       val b = batch.persist()
       try {
@@ -222,14 +243,23 @@ object RefreshLoop {
           if (!committed) {
             if (!novel.isEmpty) {
               if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
+              // lexical serving index first, admission index last,
+              // commit marker after both (the embeddingBatch ordering)
+              bm25Table.foreach(t => Retrieval.bm25Append(spark, t, novel,
+                idCol, textCol, repair = repairMode))
               Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
-                k, numHashes, bands, repair = decided)
+                k, numHashes, bands, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
               BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
               compactLedger(spark, table, epoch)
+              bm25Table.foreach { t =>
+                BucketedJoin.compactBucketed(spark, t, "term")
+                BucketedJoin.compactBucketed(spark, s"${t}_terms", "term")
+                BucketedJoin.compactBucketed(spark, s"${t}_stats", "n_docs")
+              }
             }
           }
         } finally dups.unpersist()
@@ -243,6 +273,14 @@ object RefreshLoop {
     * subset of the batch, already absorbed into the index by the time
     * the call returns the next epoch.
     *
+    * `bm25Table`: also absorb the admitted documents into a standing
+    * BM25 index ([[graft.operators.Retrieval.bm25Append]]) — the
+    * lexical twin of embeddingRefresh's `ivfTable`: the serving index
+    * stays fresh as a side effect of admission, under the same
+    * effectively-once ledger (replayed epochs re-run the absorb in
+    * repair mode, which completes partial postings row-level and
+    * recomputes the derived df/stats tables from the postings).
+    *
     * `compactEvery` > 0 folds the accumulated per-append files back to
     * one per bucket ([[graft.operators.BucketedJoin.compactBucketed]])
     * after every Nth epoch — the slow-cadence maintenance that keeps
@@ -255,10 +293,11 @@ object RefreshLoop {
                      textCol: String, idCol: String,
                      threshold: Double = 0.5, k: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
+                     bm25Table: Option[String] = None,
                      compactEvery: Int = 0)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
-      numHashes, bands, compactEvery)(onBatch)
+      numHashes, bands, bm25Table, compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }
@@ -278,7 +317,8 @@ object RefreshLoop {
       BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
       BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
       ivfTable.foreach(t => BucketedJoin.recoverCompacted(spark, t))
-      val (decided, committed) = epochPhases(spark, table, epoch)
+      val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
+      val repairMode = decided || hasNovelRows
       val b = batch.persist()
       try {
         val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
@@ -316,7 +356,7 @@ object RefreshLoop {
               if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
               ivfTable.foreach { t =>
                 val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
-                  nassign, repair = decided)
+                  nassign, repair = repairMode)
                 // surfaced, not auto-acted: ivfRetrain swaps tables this
                 // loop reads — run it from the maintenance cadence, like
                 // compaction
@@ -327,7 +367,7 @@ object RefreshLoop {
                     s"Similarity.ivfRetrain($t)")
               }
               Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
-                nBits, nTables, seed, repair = decided)
+                nBits, nTables, seed, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {

@@ -316,6 +316,140 @@ class RefreshLoopSpec extends AnyFunSuite {
       .filter($"id" === 110L).count() == 1)
   }
 
+  test("bm25 twin: admitted docs absorbed into the lexical index, " +
+       "grown-through-the-loop ≡ whole-built, replay effectively-once") {
+    import graft.operators.Retrieval
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "bm25tw_idx")
+    Retrieval.bm25Build(base, "doc_id", "text", "bm25tw_bm")
+
+    val fn = RefreshLoop.minhashBatch("bm25tw_idx", "text", "doc_id",
+      threshold = 0.3, bm25Table = Some("bm25tw_bm")) { (_, _, _) => }
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup: stays out
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    fn(batch, 2L)
+
+    val queries = Seq((1L, "entirely novel content")).toDF("qid", "qtext")
+    def results(t: String): Set[(Long, Long, Long, Int)] = {
+      Seq(t, s"${t}_terms", s"${t}_stats").foreach { x =>
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(x)))
+          spark.catalog.refreshTable(x)
+      }
+      Retrieval.bm25Query(spark, t, queries, "qid", "qtext", 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    }
+    val grown = results("bm25tw_bm")
+    assert(grown.exists(_._2 == 110L), "admitted doc not searchable")
+    assert(!grown.exists(_._2 == 101L), "rejected dup reached the index")
+    // the absorb must leave the index scoring EXACTLY like one built
+    // whole on base + admitted (df deltas, stats row, postings buckets)
+    Retrieval.bm25Build(base.unionByName(batch.filter($"doc_id" === 110L)),
+      "doc_id", "text", "bm25tw_oracle")
+    assert(grown == results("bm25tw_oracle"))
+    // replay of the committed epoch: no growth, same scores
+    fn(batch, 2L)
+    assert(results("bm25tw_bm") == grown)
+    spark.catalog.refreshTable("bm25tw_bm_stats")
+    assert(spark.table("bm25tw_bm_stats").agg(sum("n_docs"))
+      .as[Long].head() == 3L, "replay double-counted the stats delta")
+  }
+
+  test("bm25 twin crash: partial postings repaired to whole-built equality") {
+    import graft.operators.{BucketedJoin, Retrieval}
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "bm25cr_idx")
+    Retrieval.bm25Build(base, "doc_id", "text", "bm25cr_bm")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    // crash state of epoch 5: decision recorded (novel = {110} +
+    // marker), then the bm25 absorb died after ONE posting row landed —
+    // no df delta, no stats delta, nothing in the minhash index
+    BucketedJoin.appendBucketed(
+      Seq((5L, "novel", Some(110L)), (5L, "noveldone", None))
+        .toDF("epoch", "phase", "id"),
+      "bm25cr_idx_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(
+      Seq(("entirely", 110L, 1L, 8L)).toDF("term", "doc_id", "tf", "dl"),
+      "bm25cr_bm", "term")
+
+    val fn = RefreshLoop.minhashBatch("bm25cr_idx", "text", "doc_id",
+      threshold = 0.3, bm25Table = Some("bm25cr_bm")) { (_, _, _) => }
+    fn(batch, 5L)
+
+    val queries = Seq((1L, "entirely novel content"),
+      (2L, "spark query engines")).toDF("qid", "qtext")
+    def results(t: String): Set[(Long, Long, Long, Int)] = {
+      Seq(t, s"${t}_terms", s"${t}_stats").foreach { x =>
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(x)))
+          spark.catalog.refreshTable(x)
+      }
+      Retrieval.bm25Query(spark, t, queries, "qid", "qtext", 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    }
+    Retrieval.bm25Build(base.unionByName(batch.filter($"doc_id" === 110L)),
+      "doc_id", "text", "bm25cr_oracle")
+    assert(results("bm25cr_bm") == results("bm25cr_oracle"),
+      "repaired bm25 index diverges from whole-built")
+    // the partially-landed posting row was not duplicated, and the
+    // derived tables were rebuilt consistent with the postings
+    spark.catalog.refreshTable("bm25cr_bm")
+    assert(spark.table("bm25cr_bm")
+      .filter($"doc_id" === 110L && $"term" === "entirely").count() == 1)
+    assert(spark.table("bm25cr_bm").filter($"doc_id" === 110L).count() == 8)
+  }
+
+  test("legacy ledger (pre-noveldone): commit implies decided on replay") {
+    import graft.operators.BucketedJoin
+    Dedup.minhashIndexBuild(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "legacy_spec_idx")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    // a round-7-format ledger: novel rows and a commit marker, but NO
+    // noveldone row — and the index already holds the committed absorb
+    BucketedJoin.appendBucketed(
+      Seq((4L, "novel", Some(110L)), (4L, "commit", None))
+        .toDF("epoch", "phase", "id"),
+      "legacy_spec_idx_epochs", "epoch", defaultBuckets = 1)
+    Dedup.minhashIndexAppend(spark, "legacy_spec_idx",
+      batch.filter($"doc_id" === 110L), "text", "doc_id")
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = RefreshLoop.minhashBatch(
+        "legacy_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    // replay: commit must imply decided — the recorded id is excluded
+    // from the index check (no 110 self-match), novel reconstructs from
+    // the ledger, and the committed appends are skipped
+    fn(batch, 4L)
+    assert(runs(0)._2 == Set(110L),
+      s"legacy committed epoch re-ran admission: novel=${runs(0)._2}")
+    assert(runs(0)._1 == Set((101L, 1L, "corpus")),
+      s"legacy replay self-matched its own absorb: ${runs(0)._1}")
+    spark.catalog.refreshTable("legacy_spec_idx_sigs")
+    assert(spark.table("legacy_spec_idx_sigs")
+      .filter($"id" === 110L).count() == 1, "legacy replay re-appended")
+  }
+
   test("ledger retention: compaction prunes epochs outside the retain window") {
     Dedup.minhashIndexBuild(
       Seq((1L, "seed doc one two three four five")).toDF("doc_id", "text"),
