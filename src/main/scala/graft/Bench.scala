@@ -39,6 +39,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val Q = queries.Queries
+    import org.apache.spark.sql.functions._
+    // Serving-path kernels time the QUERY side over a standing index —
+    // the index builds once (lazily, inside the first timed lambda's
+    // warm-up) and every run reuses it, so a regression here is a
+    // serving-path regression, not build noise.
+    lazy val bm25Table = {
+      val t = "bench_bm25_idx"
+      operators.Retrieval.bm25Build(Tables.documents(spark, sfDir),
+        "doc_id", "text", t)
+      t
+    }
+    lazy val bm25Queries = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(operators.TextOps.tokens(lower(col("text"))),
+          1, 3)).as("qtext"))
+    lazy val pqTable = {
+      val t = "bench_pq_idx"
+      // m=16: the sim9 gate floor for hash-uniform embeddings (DevPq r9)
+      operators.ProductQuant.ivfPqBuild(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", t, m = 16)
+      t
+    }
+    lazy val pqQueries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 0)
     // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
     // + tiny-job latency probe (MRBench analog) + dedup skew kernel
     // (dd4 with the hot-shingle cap active — the 100 TB skew-guard path).
@@ -52,6 +77,10 @@ object Bench {
       "bench_simhash" -> (() => Q.dd3_simhash(spark, sfDir)),
       "bench_ann" -> (() => Q.sim1_knn(spark, sfDir)),
       "bench_clean" -> (() => Q.p1_clean(spark, sfDir)),
+      "bench_bm25" -> (() => operators.Retrieval.bm25Query(spark,
+        bm25Table, bm25Queries, "qid", "qtext", 5)),
+      "bench_pq" -> (() => operators.ProductQuant.ivfPqQuery(spark,
+        pqTable, pqQueries, "vec_id", "embedding", 5, refineK = 50)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
     val results = kernels.map { case (name, mk) =>

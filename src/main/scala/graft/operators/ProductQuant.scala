@@ -252,10 +252,15 @@ object ProductQuant {
     * quantize `nvec − centroid(cid)`, and the codebook trains on those
     * residuals — so the quantizer spends its 8·m bits on the
     * within-list displacement (norm ≪ ‖nvec‖ once the coarse step has
-    * explained the bulk), not on re-describing the coarse structure.
-    * This is what lets m=8 hold gate recall where raw-vector encoding
-    * needed m=16 (DevPq measures the recovery; the query side adds the
-    * exact `q·centroid(cid)` term back per probed list).
+    * explained the bulk), not on re-describing the coarse structure;
+    * the query side adds the exact `q·centroid(cid)` term back per
+    * probed list. MEASURED recovery (DevPq round 9, BASELINE.md): on
+    * the hash-uniform testdata embeddings — the PQ worst case — m=8 at
+    * sf0.1 went from 1/20 gate queries pre-residual to 15-17/20, a
+    * real but PARTIAL recovery: still under the ≥3/5-per-query gate,
+    * so the oracle gates stay at the m=16 floor (20/20, minHits 3).
+    * Clustered corpora sit far above this floor (m=8 holds 5/5 at
+    * sf0.01 and in every clustered spec here).
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  table: String, m: Int = 8, ksub: Int = 0, nlist: Int = 0,

@@ -194,9 +194,22 @@ object Retrieval {
     * 24-byte rows into the same bounded top-k aggregate the ANN path
     * uses. The one driver-side action is the one-row stats fold.
     */
+  /** `maxDfFrac` (default 1.0 = exact scoring over every query term):
+    * query terms whose df exceeds `maxDfFrac · N` are PRUNED before the
+    * postings join — static stop-term pruning, the classic lexical-
+    * serving scale dial (the dynamic form is WAND). A term with df ≈ N
+    * forces an O(N) scoring pass and contributes near-zero idf to the
+    * final ranking; at 10⁷+ corpora a handful of such terms in a query
+    * batch is the difference between a bounded postings join and an
+    * executor OOM (measured: DevRetrieval 1e7). Results for a query
+    * whose terms are ALL under the cap are bit-identical to exact.
+    */
   def bm25Query(spark: SparkSession, table: String, queries: DataFrame,
                 qidCol: String, textCol: String, k: Int,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k1: Double = 1.2, b: Double = 0.75,
+                maxDfFrac: Double = 1.0): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
     // Deletion support: when a tombstone set exists, df/N/avgdl are
     // corrected at QUERY time from `postings ∩ tombstones` (one extra
@@ -227,7 +240,7 @@ object Retrieval {
       .distinct()
     val dict0 = spark.table(s"${table}_terms")
       .groupBy("term").agg(sum("df").as("df"))
-    val dict = deleted match {
+    val dict1 = deleted match {
       case Some(del) =>
         val dcorr = del.groupBy("term").agg(count(lit(1)).as("ddf"))
         dict0.join(dcorr, Seq("term"), "left")
@@ -236,6 +249,11 @@ object Retrieval {
           .filter(col("df") > 0)
       case None => dict0
     }
+    // stop-term pruning (see param doc): a dict-side filter, so the
+    // pruned terms never reach the postings join at all
+    val dict = if (maxDfFrac < 1.0)
+      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
+    else dict1
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val dlD = col("dl").cast("double")

@@ -1450,9 +1450,11 @@ object Queries {
     * codebook, encode, ADC-table, or refine defect fails the gate.
     * Parameters are the measured floor for the hash-uniform testdata
     * embeddings (the PQ WORST case — no cluster structure for the
-    * codebooks to exploit): m=16 (dsub=4) + refineK=50 holds min
-    * recall 5/5 at sf0.01 and 4/5 at sf0.1 (DevPq), while m=8 drops
-    * to 1/5 at sf0.1; real embedding corpora sit far above this floor.
+    * codebooks to exploit): m=16 (dsub=4) + refineK=50 holds minHits 3
+    * across all 20 sf0.1 queries (DevPq round 9, with residual
+    * encoding), while m=8 passes only 15-17/20 — residual encoding
+    * recovered m=8 from its pre-residual 1/20 but not to gate level,
+    * so the floor stays m=16; real embedding corpora sit far above it.
     */
   val sim9_ivfpq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)

@@ -89,4 +89,47 @@ object Generators {
       }
     }.toDF("id", "text")
   }
+
+  /** Zipf-vocabulary text: n rows of `wordsMin..wordsMax` words, each
+    * word drawn Zipf(1)-distributed over a `vocab`-term synthetic
+    * vocabulary (`w<rank>`). Real text is Zipfian — the fixed 40-word
+    * [[randomText]] lexicon makes every term a stop word at corpus
+    * scale (df ≈ N), which turns inverted-index benchmarks degenerate;
+    * this generator gives the realistic df spectrum (few hot terms,
+    * a long moderate-df tail).
+    *
+    * Zipf(1) sampling is closed-form: with u uniform in (0, 1],
+    * `rank = ⌊vocab^u⌋` has P(rank ≤ r) = ln r / ln vocab, i.e. density
+    * ∝ 1/rank — no rejection loop, pure per-row arithmetic, and
+    * deterministic from (seed, row, position).
+    */
+  def zipfText(spark: SparkSession, n: Long, vocab: Int = 1 << 17,
+               seed: Long = 42L, wordsMin: Int = 30, wordsMax: Int = 80,
+               partitions: Int = 0): DataFrame = {
+    require(vocab > 1, s"vocab must be > 1, got $vocab")
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+                else spark.sessionState.conf.numShufflePartitions
+    val v = vocab
+    spark.range(0L, n, 1L, parts).mapPartitions { it =>
+      it.map { i =>
+        val h = mix(seed ^ i)
+        val nWords = wordsMin + ((h >>> 4) % (wordsMax - wordsMin + 1)).toInt
+        val sb = new StringBuilder
+        var j = 0
+        var s = h
+        val lnV = math.log(v.toDouble)
+        while (j < nWords) {
+          s = mix(s)
+          // u in (0, 1]: 53-bit mantissa, never exactly 0
+          val u = ((s >>> 11) + 1).toDouble / (1L << 53).toDouble
+          val rank = math.max(1L, math.min(v.toLong, math.exp(u * lnV).toLong))
+          if (j > 0) sb.append(' ')
+          sb.append('w').append(rank)
+          j += 1
+        }
+        (i, sb.toString)
+      }
+    }.toDF("id", "text")
+  }
 }

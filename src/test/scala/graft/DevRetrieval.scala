@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 scale probe (the DevInc protocol for the lexical index):
+  * bm25Build an N-doc ZIPF-vocabulary corpus ONCE ([[graft.sources
+  * .Generators.zipfText]] — the 40-word randomText lexicon makes every
+  * term a stop word at corpus scale, df ≈ N, and the scoring join
+  * degenerates to 100 full-corpus scans; real text is Zipfian), absorb
+  * a 1% batch via bm25Append, and serve a ~100-query batch — exact,
+  * and with the `maxDfFrac` stop-term pruning dial engaged. The
+  * numbers that matter: append flat vs corpus growth (O(batch)),
+  * query wall growing with the QUERY TERMS' posting lists (not the
+  * corpus), and the pruning dial's effect when hot terms land in the
+  * query batch. `sbt "Test/runMain graft.DevRetrieval [nDocs...]"`.
+  */
+object DevRetrieval {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[32,4]") // see DevInc: attempt-dir races at 1e7
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    sizes.foreach { n =>
+      val dir = s"/tmp/graft-scale/zdocs$n"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        sources.Generators.zipfText(spark, n, seed = 11L, partitions = 32)
+          .select(col("id").as("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val corpus = spark.read.parquet(dir)
+      val table = s"devret_$n"
+      val (_, tBuild) = timed {
+        Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 32)
+      }
+      val queries = corpus.filter(col("doc_id") % (n / 100) === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+      val nq = queries.count()
+      def serve(tag: String, dfFrac: Double): Unit = {
+        val (rows, tQ) = timed {
+          Retrieval.bm25Query(spark, table, queries, "qid", "qtext", 5,
+            maxDfFrac = dfFrac).count()
+        }
+        println(f"[ret] n=$n $tag query=${tQ}%.1fs rows=$rows nq=$nq " +
+          f"(${tQ / nq * 1000}%.0f ms/q)")
+        System.out.flush()
+      }
+      println(f"[ret] n=$n build=${tBuild}%.1fs")
+      System.out.flush()
+      serve("built-exact", 1.0)
+      serve("built-pruned(df<=1%)", 0.01)
+      // 1% batch of NEW docs (fresh ids, fresh generator slice)
+      val batch = sources.Generators.zipfText(spark, n / 100, seed = 77L,
+          partitions = 32)
+        .select((col("id") + n).as("doc_id"), col("text"))
+      val (_, tAppend) = timed {
+        Retrieval.bm25Append(spark, table, batch, "doc_id", "text")
+      }
+      println(f"[ret] n=$n append(1%%)=${tAppend}%.1fs")
+      System.out.flush()
+      serve("grown-exact", 1.0)
+      // absorb exactness: the stats fold sees every appended doc
+      // (rank-level grown≡whole-built is oracle-gated at t17)
+      val nd = spark.table(s"${table}_stats")
+        .agg(sum("n_docs")).head().getLong(0)
+      println(f"[ret] n=$n statsDocs=$nd expected=${n + n / 100}")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

@@ -41,6 +41,26 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(a.map(_._1.toSeq).toSet == b.map(_._1.toSeq).toSet)
   }
 
+  test("zipfText: Zipf-shaped vocabulary, ranks in range, deterministic") {
+    val rows = Generators.zipfText(spark, 2000, vocab = 1024, seed = 5L,
+      wordsMin = 20, wordsMax = 40).as[(Long, String)].collect()
+    assert(rows.length == 2000)
+    val words = rows.flatMap(_._2.split(" "))
+    assert(words.forall(_.startsWith("w")))
+    val ranks = words.map(_.drop(1).toInt)
+    assert(ranks.forall(r => r >= 1 && r <= 1024))
+    // Zipf(1): P(rank ≤ r) = ln r / ln V — the hottest term is ~V/ln V
+    // times more frequent than a tail term, and low ranks dominate:
+    // ranks ≤ 32 should carry ≈ ln 32 / ln 1024 = 50% of the mass
+    val lowMass = ranks.count(_ <= 32).toDouble / ranks.length
+    assert(lowMass > 0.40 && lowMass < 0.60, s"lowMass=$lowMass")
+    // distinct vocabulary actually spreads (not the 40-word lexicon)
+    assert(ranks.distinct.length > 500)
+    val again = Generators.zipfText(spark, 2000, vocab = 1024, seed = 5L,
+      wordsMin = 20, wordsMax = 40).as[(Long, String)].collect()
+    assert(rows.toSeq.sortBy(_._1) == again.toSeq.sortBy(_._1))
+  }
+
   test("randomText: word counts in range, words from lexicon, deterministic") {
     val rows = Generators.randomText(spark, 300, seed = 3L, wordsMin = 4, wordsMax = 9)
       .as[(Long, String)].collect()

@@ -175,7 +175,10 @@ class ProductQuantSpec extends AnyFunSuite {
     // the sim3 lesson: parameters tuned to one scale factor silently rot
     // at the next — pin the bigger SF here so rot fails a test, not a
     // bigger cluster. m=16/refineK=50 is the measured floor for the
-    // hash-uniform (clusterless, PQ-worst-case) testdata embeddings.
+    // hash-uniform (clusterless, PQ-worst-case) testdata embeddings —
+    // re-measured with residual encoding (DevPq round 9): m=16 holds
+    // 20/20 at minHits 3; m=8 recovered from its pre-residual 1/20 to
+    // 15-17/20 but remains below gate, so the floor stands.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val q = emb.filter(col("vec_id") % 100 === 0)
     val table = "pq_spec_sf01"

@@ -85,6 +85,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("maxDfFrac prunes stop terms; under-cap queries stay exact") {
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_prune",
+      buckets = 2)
+    // "the" has df 2/4; "cat" df 2/4; with maxDfFrac = 0.4 both prune
+    // (df cap = floor(0.4·4) = 1) and only df-1 terms score
+    val q = Seq((1L, "the cat mat")).toDF("qid", "qtext")
+    val exact = Retrieval.bm25Query(spark, "bm25_spec_prune", q,
+      "qid", "qtext", 10).select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L)) // the/cat reach docs 1-3
+    val pruned = Retrieval.bm25Query(spark, "bm25_spec_prune", q,
+      "qid", "qtext", 10, maxDfFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pruned == Set(1L)) // only "mat" (df 1) survives the cap
+    // a query whose terms are all under the cap is bit-identical
+    val rare = Seq((2L, "different entirely")).toDF("qid", "qtext")
+    def run(frac: Double) = Retrieval.bm25Query(spark, "bm25_spec_prune",
+      rare, "qid", "qtext", 10, maxDfFrac = frac)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run(1.0) == run(0.4) && run(1.0).nonEmpty)
+  }
+
   test("index never shuffles: no exchange over the postings/dictionary scans") {
     Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_plan",
       buckets = 2)
