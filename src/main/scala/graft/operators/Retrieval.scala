@@ -163,11 +163,30 @@ object Retrieval {
     * derived table is a pure function of (postings, tombstones), and
     * re-running after the postings rewrite sees an empty intersection.
     * O(index) like any compaction — run on the compaction cadence.
+    *
+    * Crash window: between the first derived-table rewrite and the
+    * postings rewrite, the derived tables already EXCLUDE the deleted
+    * docs while [[bm25Query]]'s query-time correction would subtract
+    * `postings ∩ tombstones` a second time (double-subtracted
+    * df/N/avgdl → wrong scores). A `<table>_foldlock` marker brackets
+    * the fold; [[bm25Query]] heals an abandoned lock by completing the
+    * idempotent fold before serving — the [[BucketedJoin
+    * .recoverCompacted]] heal-on-first-read discipline, lifted to the
+    * multi-table fold.
     */
-  def bm25FoldTombstones(spark: SparkSession, table: String): Unit =
+  def bm25FoldTombstones(spark: SparkSession, table: String): Unit = {
+    val lock = s"${table}_foldlock"
+    def lockExists = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(lock))
     Tombstones.idSet(spark, table) match {
-      case None => ()
+      case None =>
+        // a fold that died between clearing the set and releasing the
+        // lock already rewrote everything — just release
+        if (lockExists) BucketedJoin.dropWithLocation(spark, lock)
       case Some(_) =>
+        if (!lockExists)
+          BucketedJoin.writeBucketed(
+            spark.range(1).toDF("locked"), lock, "locked", 1)
         def retained() = Tombstones.filterOut(spark, table,
           spark.table(table), "doc_id")
         BucketedJoin.rewriteBucketed(spark, s"${table}_terms", "term") { _ =>
@@ -182,7 +201,9 @@ object Retrieval {
           Tombstones.filterOut(spark, table, df, "doc_id")
         }
         Tombstones.clear(spark, table)
+        BucketedJoin.dropWithLocation(spark, lock)
     }
+  }
 
   /** BM25 top-k over the persisted index. Output: (qid, doc_id,
     * score_micro, rnk) — micro-unit integer scores (see the object doc),
@@ -211,6 +232,15 @@ object Retrieval {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
+    // heal a crashed tombstone fold before serving (see
+    // [[bm25FoldTombstones]]'s crash-window note): an abandoned
+    // foldlock means the derived tables may already exclude deleted
+    // docs — combining them with the query-time correction would
+    // double-subtract. Completing the idempotent fold restores the
+    // consistent (and faster) state.
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_foldlock")))
+      bm25FoldTombstones(spark, table)
     // Deletion support: when a tombstone set exists, df/N/avgdl are
     // corrected at QUERY time from `postings ∩ tombstones` (one extra
     // broadcast semi-join scan of the term-bucketed postings; the df

@@ -215,11 +215,17 @@ object RefreshLoop {
             col("est_jaccard"), lit("batch").as("source"))
         val inter0 = Dedup.minhashDedupAgainst(spark, table, b,
           textCol, idCol, threshold, k, numHashes, bands)
-        // a replay of a DECIDED epoch sees an index that may already
-        // hold rows this epoch absorbed — exclude exactly those, so the
-        // replay reproduces the original run's outputs at any crash
-        // point
-        val interAdj = if (decided)
+        // a replay of an epoch whose ledger holds id rows sees an index
+        // that may already hold rows this epoch absorbed — exclude
+        // exactly those, so the replay reproduces the original run's
+        // outputs at any crash point. Gated on repairMode, NOT decided:
+        // a legacy (pre-noveldone) uncommitted epoch has no completeness
+        // marker but its appends may have partially landed, and without
+        // the exclusion those docs self-match, route as dups, drop out
+        // of novel, and their partial index rows are never repaired.
+        // Safe when the ids never reached the index (new-format
+        // phase-1 crash): the anti-join is a no-op there.
+        val interAdj = if (repairMode)
           inter0.join(epochIds(spark, table, epoch, "corpus_id"),
             Seq("corpus_id"), "left_anti")
         else inter0
@@ -327,7 +333,9 @@ object RefreshLoop {
             col("cos"), lit("batch").as("source"))
         val inter0 = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
           threshold, nBits, nTables, seed)
-        val interAdj = if (decided)
+        // repairMode, not decided — see the minhashBatch note (legacy
+        // uncommitted epochs must exclude recorded ids too)
+        val interAdj = if (repairMode)
           inter0.join(epochIds(spark, table, epoch, "corpus_id"),
             Seq("corpus_id"), "left_anti")
         else inter0
