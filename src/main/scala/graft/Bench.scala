@@ -83,20 +83,32 @@ object Bench {
         pqTable, pqQueries, "vec_id", "embedding", 5, refineK = 50)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
+    // A crashed kernel must be LOUD: it records -1.0 (excluded from the
+    // total, visibly negative in the queries map), lands in "failed",
+    // and fails the process exit code — a silent drop would read as a
+    // speedup.
     val results = kernels.map { case (name, mk) =>
-      val t = try timeMedian(mk()) catch { case _: Throwable => -1.0 }
+      val t = try timeMedian(mk()) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] KERNEL FAILED: $name — $e")
+          e.printStackTrace()
+          -1.0
+      }
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // stdout for humans, a file for the driver (sbt log noise makes the
     // stdout line hard to machine-parse)
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

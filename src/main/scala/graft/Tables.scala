@@ -24,18 +24,28 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond TimestampType. The division MUST be exact integer
-    * division (`div`): `/` promotes to double, and epoch nanos (~1.7e18)
-    * exceed double's 2^53 exact range, so the truncated quotient can be
-    * off by 1 µs near boundaries.
+  /** `events.ts` lands as a session-zone micro-precision TimestampType
+    * whatever the file's physical type — the generator has shipped BOTH:
+    *  - parquet TIMESTAMP(NANOS) (rounds ≤11), which the vectorized
+    *    reader rejects: read nanos as long and convert. The division
+    *    MUST be exact integer division (`div`): `/` promotes to double,
+    *    and epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
+    *    the truncated quotient can be off by 1 µs near boundaries;
+    *  - parquet TIMESTAMP(MICROS) without UTC adjustment (round 12+),
+    *    which Spark 4 infers as TIMESTAMP_NTZ: cast to the session-zone
+    *    type (UTC sessions — a pure re-tag, values untouched), so every
+    *    downstream window/join behaves identically across vintages.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -175,6 +175,9 @@ object Dedup {
                         bands: Int = 16, buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name, or its stale ids would vanish from the new corpus
+    Tombstones.clear(docs.sparkSession, table)
     val sig = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
     BucketedJoin.writeBucketed(sig, s"${table}_sigs", "id", buckets)

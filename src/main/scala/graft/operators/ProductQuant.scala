@@ -268,6 +268,9 @@ object ProductQuant {
                  pqIters: Int = 3, lloydIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.ensureRegistered(spark)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name, or its stale ids would vanish from the new corpus
+    Tombstones.clear(spark, table)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
@@ -553,6 +556,10 @@ object ProductQuant {
     val stats = q0.agg(count(lit(1)).as("n"),
       max(size(col("qvec"))).as("d")).head()
     val qn = stats.getLong(0)
+    // max(size(qvec)) is null when every qvec is null — surface that as
+    // a caller error, not a driver NPE
+    require(qn == 0 || !stats.isNullAt(1),
+      s"ivfPqQuery: every $vecCol in the query frame is null")
     val dim = if (qn == 0) 0 else stats.getInt(1)
     val perQueryBytes = (m.toLong * ks + dim) * 8.0
     val nChunks = math.max(1L, math.ceil(

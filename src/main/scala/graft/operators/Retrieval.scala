@@ -76,11 +76,15 @@ object Retrieval {
   }
 
   /** Build the persisted index. One tokenize scan; the postings land
-    * bucketed by term so every later query joins co-located.
+    * bucketed by term so every later query joins co-located. A build is
+    * a fresh index: any tombstone set left by a PRIOR index under the
+    * same name is cleared first — otherwise stale tombstones would
+    * silently delete ids from the new corpus at query time.
     */
   def bm25Build(docs: DataFrame, idCol: String, textCol: String,
                 table: String, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
+    Tombstones.clear(docs.sparkSession, table)
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
     BucketedJoin.writeBucketed(postings, table, "term", buckets)
     BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
@@ -220,10 +224,16 @@ object Retrieval {
     * postings join — static stop-term pruning, the classic lexical-
     * serving scale dial (the dynamic form is WAND). A term with df ≈ N
     * forces an O(N) scoring pass and contributes near-zero idf to the
-    * final ranking; at 10⁷+ corpora a handful of such terms in a query
-    * batch is the difference between a bounded postings join and an
-    * executor OOM (measured: DevRetrieval 1e7). Results for a query
-    * whose terms are ALL under the cap are bit-identical to exact.
+    * final ranking. MEASURED (DevRetrieval, BASELINE.md round-12
+    * serving curve): on a worst-case all-stop-word corpus, exact
+    * serving costs 288 ms/q at 10⁶ docs and 3,966 ms/q at 10⁷ (the
+    * posting scans grow with N), while df≤1% pruning serves at 66 and
+    * 323 ms/q — a 4.4× win that widens to 12.3× at 10⁷, because the
+    * pruned cost tracks the surviving posting lists, not the corpus.
+    * No OOM at 10⁷ under a 4.6 GiB heap; treat the dial as the
+    * latency/cost control, with memory exhaustion the expected failure
+    * mode only at 10⁸+ df≈N posting lists. Results for a query whose
+    * terms are ALL under the cap are bit-identical to exact.
     */
   def bm25Query(spark: SparkSession, table: String, queries: DataFrame,
                 qidCol: String, textCol: String, k: Int,

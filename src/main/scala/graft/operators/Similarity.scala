@@ -343,6 +343,9 @@ object Similarity {
                lloydIters: Int = 0, twoLevel: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val spark = corpus.sparkSession
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name, or its stale ids would vanish from the new corpus
+    Tombstones.clear(spark, table)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
@@ -579,6 +582,9 @@ object Similarity {
                     table: String, nBits: Int = 16, nTables: Int = 8,
                     seed: Long = 42L, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(vecs.sparkSession)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name, or its stale ids would vanish from the new corpus
+    Tombstones.clear(vecs.sparkSession, table)
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     BucketedJoin.writeBucketed(v, s"${table}_vecs", "id", buckets)

@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions._
   *    or fold first;
   *  - the set rides a broadcast on every consult, so fold before it
   *    grows past broadcast size (the same dial as compaction: a few
-  *    10⁷ ids between folds is fine, mass takedowns should fold after).
+  *    10⁷ ids between folds is fine, mass takedowns should fold after);
+  *  - deleted CONTENT is re-admittable immediately, before any fold:
+  *    admission/dedup checks consult the set, so a copy of a deleted
+  *    doc arriving under a NEW id matches nothing, admits as novel,
+  *    and re-indexes (pinned by RefreshLoopSpec's takedown-mid-loop
+  *    case) — takedown suppresses the old rows, it does not ban the
+  *    content;
+  *  - a BUILD under a reused table name is a fresh index: every index
+  *    build clears any pre-existing tombstone set first, so a new
+  *    corpus never silently loses ids deleted from a prior index.
   *
   * Reference anchor: the reference has no index deletion surface at
   * all (its job outputs are immutable files); the tombstone-and-fold

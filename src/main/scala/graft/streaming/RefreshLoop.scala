@@ -316,6 +316,7 @@ object RefreshLoop {
                      nBits: Int = 16, nTables: Int = 8,
                      seed: Long = 42L,
                      ivfTable: Option[String] = None, nassign: Int = 2,
+                     pqTable: Option[String] = None,
                      compactEvery: Int = 0)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
@@ -323,6 +324,10 @@ object RefreshLoop {
       BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
       BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
       ivfTable.foreach(t => BucketedJoin.recoverCompacted(spark, t))
+      pqTable.foreach { t =>
+        BucketedJoin.recoverCompacted(spark, t)
+        BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
+      }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       val repairMode = decided || hasNovelRows
       val b = batch.persist()
@@ -374,6 +379,15 @@ object RefreshLoop {
                     s"at epoch $epoch — distribution drift; schedule " +
                     s"Similarity.ivfRetrain($t)")
               }
+              pqTable.foreach { t =>
+                val st = graft.operators.ProductQuant.ivfPqAppend(spark, t,
+                  novel, idCol, vecCol, nassign, repair = repairMode)
+                if (st.drifted) log.warn(
+                  s"IVFPQ serving index $t: batch mean top-1 cosine " +
+                    f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+                    s"at epoch $epoch — distribution drift; schedule " +
+                    s"ProductQuant.ivfPqRetrain($t)")
+              }
               Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
                 nBits, nTables, seed, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
@@ -384,6 +398,10 @@ object RefreshLoop {
               compactLedger(spark, table, epoch)
               ivfTable.foreach(t =>
                 BucketedJoin.compactBucketed(spark, t, "cid"))
+              pqTable.foreach { t =>
+                BucketedJoin.compactBucketed(spark, t, "cid")
+                BucketedJoin.compactBucketed(spark, s"${t}_vecs", "nid")
+              }
             }
           }
         } finally dups.unpersist()
@@ -402,6 +420,13 @@ object RefreshLoop {
     * `ivfTable` to also absorb admitted vectors into a standing IVF
     * QUERY-serving index ([[Similarity.ivfAppend]], frozen centroids),
     * keeping the serving index fresh as a side effect of admission.
+    * `pqTable` is the IVFPQ twin: admitted vectors absorb into a
+    * standing [[graft.operators.ProductQuant.ivfPqBuild]] index
+    * ([[graft.operators.ProductQuant.ivfPqAppend]] — frozen coarse
+    * centroids AND frozen codebook), under the same effectively-once
+    * ledger (replays re-run the absorb in row-level repair mode) and
+    * the same drift warning (cure: `ProductQuant.ivfPqRetrain`, from
+    * the maintenance cadence).
     *
     * `dups` rows are (batch_id, match_id, cos, source ∈ batch|corpus);
     * a resubmitted id matches its own indexed row (no self-filter,
@@ -415,10 +440,11 @@ object RefreshLoop {
                        nBits: Int = 16, nTables: Int = 8,
                        seed: Long = 42L,
                        ivfTable: Option[String] = None, nassign: Int = 2,
+                       pqTable: Option[String] = None,
                        compactEvery: Int = 0)
                       (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
-      nTables, seed, ivfTable, nassign, compactEvery)(onBatch)
+      nTables, seed, ivfTable, nassign, pqTable, compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

@@ -477,6 +477,176 @@ class RefreshLoopSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 10L, 20L))
   }
 
+  test("legacy ledger UNCOMMITTED: partially-landed appends excluded from the check and repaired") {
+    import graft.operators.BucketedJoin
+    Dedup.minhashIndexBuild(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text about spark query engines today"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "legacyu_spec_idx")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    // round-7-format crash state: novel id rows but NO noveldone AND NO
+    // commit marker — and the absorb FULLY landed before the crash (the
+    // worst partial: everything visible, nothing committed). Without
+    // gating repair on the id rows' presence, the replay would let 110
+    // self-match against its own landed rows (routed dup, never novel)
+    // and/or re-append them.
+    BucketedJoin.appendBucketed(
+      Seq((4L, "novel", 110L)).toDF("epoch", "phase", "id"),
+      "legacyu_spec_idx_epochs", "epoch", defaultBuckets = 1)
+    Dedup.minhashIndexAppend(spark, "legacyu_spec_idx",
+      batch.filter($"doc_id" === 110L), "text", "doc_id")
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = RefreshLoop.minhashBatch(
+        "legacyu_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    // the replay: dup/novel routing must equal the committed-path oracle
+    fn(batch, 4L)
+    assert(runs(0)._2 == Set(110L),
+      s"legacy uncommitted replay dropped the recorded id from novel: ${runs(0)._2}")
+    assert(runs(0)._1 == Set((101L, 1L, "corpus")),
+      s"legacy uncommitted replay self-matched its own landed rows: ${runs(0)._1}")
+    // row-level repair: nothing duplicated, everything complete
+    spark.catalog.refreshTable("legacyu_spec_idx_sigs")
+    spark.catalog.refreshTable("legacyu_spec_idx_bands")
+    assert(spark.table("legacyu_spec_idx_sigs")
+      .filter($"id" === 110L).count() == 1, "repair duplicated the sig row")
+    assert(spark.table("legacyu_spec_idx_bands")
+      .filter($"id" === 110L).count() == 16L, "band rows not exactly complete")
+    // phase-1 completion did not duplicate the ledger id either
+    spark.catalog.refreshTable("legacyu_spec_idx_epochs")
+    assert(spark.table("legacyu_spec_idx_epochs")
+      .filter($"epoch" === 4L && $"phase" === "novel").count() == 1)
+    // grown ≡ whole-built: the next epoch finds the absorbed doc once
+    fn(Seq((201L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 5L)
+    assert(runs(1)._1 == Set((201L, 110L, "corpus")))
+    assert(runs(1)._2.isEmpty)
+  }
+
+  test("ivfpq twin: admitted vectors absorbed, grown ≡ whole-built, crash mid-absorb repaired") {
+    import graft.operators.{BucketedJoin, ProductQuant, Similarity}
+    def mkVecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    def clustered(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.7
+      Array.tabulate(8)(j => base(j) + 0.01 * (((i * 31 + j * 7) % 11) - 5)).toSeq
+    }
+    val v110 = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val v111 = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val v112 = Seq(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3)
+    val base = mkVecs((0L until 40L).map(i => (i, clustered(i))))
+    Similarity.lshIndexBuild(base, "vec_id", "embedding", "pqtw_lsh")
+    ProductQuant.ivfPqBuild(base, "vec_id", "embedding", "pqtw_pq",
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = RefreshLoop.embeddingBatch("pqtw_lsh", "vec_id", "embedding",
+        pqTable = Some("pqtw_pq")) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("vec_id").as[Long].collect().toSet))
+    }
+    // epoch 2: an exact dup of corpus vec 1 plus two novel directions
+    val batch = mkVecs(Seq((101L, clustered(1L)), (110L, v110), (111L, v111)))
+    fn(batch, 2L)
+    assert(runs(0)._1.contains((101L, 1L, "corpus")))
+    assert(runs(0)._2 == Set(110L, 111L))
+    // the PQ serving index grew by exactly the admitted ids
+    spark.catalog.refreshTable("pqtw_pq")
+    spark.catalog.refreshTable("pqtw_pq_vecs")
+    assert(spark.table("pqtw_pq_vecs").select("nid").as[Long].collect().toSet
+      == (0L until 40L).toSet + 110L + 111L)
+    // grown ≡ whole-built: with every list probed and refineK covering
+    // the corpus, BOTH reduce to the exact cosine top-k (the refine
+    // re-rank is exact), so the frozen-codebook absorb must answer
+    // identically to an index trained whole on base + admitted
+    val queries = base.filter($"vec_id" % 10 === 3)
+    def top(t: String): Set[(Long, Long)] =
+      ProductQuant.ivfPqQuery(spark, t, queries, "vec_id", "embedding", 3,
+        probeFrac = 1.0, refineK = 64)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+    ProductQuant.ivfPqBuild(
+      base.unionByName(mkVecs(Seq((110L, v110), (111L, v111)))),
+      "vec_id", "embedding", "pqtw_oracle",
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+    assert(top("pqtw_pq") == top("pqtw_oracle"),
+      "grown-through-the-loop PQ index diverges from whole-built")
+    // replay of the committed epoch: neither table grows
+    val counts = (spark.table("pqtw_pq").count(),
+      spark.table("pqtw_pq_vecs").count())
+    fn(batch, 2L)
+    spark.catalog.refreshTable("pqtw_pq")
+    spark.catalog.refreshTable("pqtw_pq_vecs")
+    assert((spark.table("pqtw_pq").count(),
+      spark.table("pqtw_pq_vecs").count()) == counts,
+      "replayed epoch grew the PQ index")
+    assert(runs(1) == runs(0))
+
+    // crash mid-PQ-absorb at epoch 3: decision recorded, the raw-vector
+    // append landed, the code-list append did not
+    BucketedJoin.appendBucketed(
+      Seq((3L, "novel", Some(112L)), (3L, "noveldone", None))
+        .toDF("epoch", "phase", "id"),
+      "pqtw_lsh_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(
+      mkVecs(Seq((112L, v112))).select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nvec")),
+      "pqtw_pq_vecs", "nid")
+    fn(mkVecs(Seq((112L, v112))), 3L)
+    spark.catalog.refreshTable("pqtw_pq")
+    spark.catalog.refreshTable("pqtw_pq_vecs")
+    assert(spark.table("pqtw_pq_vecs").filter($"nid" === 112L).count() == 1,
+      "repair duplicated the partially-landed raw row")
+    val codeRows = spark.table("pqtw_pq").filter($"nid" === 112L)
+    assert(codeRows.count() >= 1 &&
+      codeRows.count() == codeRows.select("cid").distinct().count(),
+      "repair did not complete the code rows exactly once per list")
+  }
+
+  test("takedown mid-loop: a duplicate of a deleted doc re-admits as novel") {
+    import graft.operators.Tombstones
+    Dedup.minhashIndexBuild(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "readmit_spec_idx")
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long, String)], Set[Long])]()
+    val fn = RefreshLoop.minhashBatch(
+        "readmit_spec_idx", "text", "doc_id", threshold = 0.3) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id", "source")
+          .as[(Long, Long, String)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    fn(Seq((110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 0L)
+    assert(runs(0)._2 == Set(110L))
+    // takedown mid-loop: the admitted doc is deleted from the index
+    Tombstones.add(spark, "readmit_spec_idx", Seq(110L).toDF("id"), "id")
+    // a DUPLICATE of the deleted doc (new id) must be admitted as novel
+    // — the admission check consults the tombstone set, so deleted
+    // content is re-admittable immediately, before any fold
+    fn(Seq((201L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 1L)
+    assert(runs(1)._1.isEmpty,
+      s"duplicate of a DELETED doc still matched: ${runs(1)._1}")
+    assert(runs(1)._2 == Set(201L),
+      "duplicate of a deleted doc was not re-admitted as novel")
+    // and the re-admitted copy is itself indexed and findable
+    fn(Seq((301L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 2L)
+    assert(runs(2)._1 == Set((301L, 201L, "corpus")),
+      s"re-admitted copy not findable (or deleted id resurfaced): ${runs(2)._1}")
+    assert(runs(2)._2.isEmpty)
+  }
+
   test("embedding replayed epoch is effectively-once across both indexes") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),

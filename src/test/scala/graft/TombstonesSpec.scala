@@ -173,6 +173,92 @@ class TombstonesSpec extends AnyFunSuite {
     assert(stats(table) == stats(table2))
   }
 
+  test("rebuild under a reused name clears stale tombstones (all five families)") {
+    val d = docs(60)
+    val v = vecs(60)
+    // bm25: build → tombstone → rebuild — the new index must not
+    // inherit the old index's deletions
+    val bt = "ts_rb_bm"
+    Retrieval.bm25Build(d, "doc_id", "text", bt)
+    Tombstones.add(spark, bt, Seq(0L, 10L).toDF("id"), "id")
+    Retrieval.bm25Build(d, "doc_id", "text", bt)
+    assert(!exists(s"${bt}_tombstones"),
+      "bm25Build left a stale tombstone set")
+    val q = d.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+    assert(Retrieval.bm25Query(spark, bt, q, "qid", "qtext", 5)
+      .select("doc_id").as[Long].collect().toSet.contains(0L),
+      "a doc tombstoned under the PRIOR index is missing from the rebuild")
+    // the other four families: same mechanism, assert the set is gone
+    val mt = "ts_rb_mh"
+    Dedup.minhashIndexBuild(d, "text", "doc_id", mt)
+    Tombstones.add(spark, mt, Seq(0L).toDF("id"), "id")
+    Dedup.minhashIndexBuild(d, "text", "doc_id", mt)
+    assert(!exists(s"${mt}_tombstones"))
+    val lt = "ts_rb_lsh"
+    Similarity.lshIndexBuild(v, "vec_id", "embedding", lt)
+    Tombstones.add(spark, lt, Seq(0L).toDF("id"), "id")
+    Similarity.lshIndexBuild(v, "vec_id", "embedding", lt)
+    assert(!exists(s"${lt}_tombstones"))
+    val it = "ts_rb_ivf"
+    Similarity.ivfBuild(v, "vec_id", "embedding", it, nlist = 5, buckets = 2)
+    Tombstones.add(spark, it, Seq(0L).toDF("id"), "id")
+    Similarity.ivfBuild(v, "vec_id", "embedding", it, nlist = 5, buckets = 2)
+    assert(!exists(s"${it}_tombstones"))
+    val pt = "ts_rb_pq"
+    ProductQuant.ivfPqBuild(v, "vec_id", "embedding", pt,
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+    Tombstones.add(spark, pt, Seq(0L).toDF("id"), "id")
+    ProductQuant.ivfPqBuild(v, "vec_id", "embedding", pt,
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+    assert(!exists(s"${pt}_tombstones"))
+  }
+
+  test("bm25 fold crash between derived rewrites and postings rewrite heals on query") {
+    import graft.operators.BucketedJoin
+    val d = docs(100)
+    val table = "ts_fc_bm"
+    Retrieval.bm25Build(d, "doc_id", "text", table)
+    Retrieval.bm25Delete(spark, table,
+      d.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+    // hand-build bm25FoldTombstones's crash window: lock written, BOTH
+    // derived tables already rewritten WITHOUT the deleted docs, the
+    // postings untouched, the tombstone set still present. Serving this
+    // state raw would double-subtract df/N/avgdl (the derived tables
+    // exclude the docs AND the query-time correction subtracts them
+    // again) — the exact scenario the foldlock exists for.
+    BucketedJoin.writeBucketed(spark.range(1).toDF("locked"),
+      s"${table}_foldlock", "locked", 1)
+    def retained = spark.table(table).join(
+      broadcast(spark.table(s"${table}_tombstones")),
+      col("doc_id") === col("id"), "left_anti")
+    BucketedJoin.rewriteBucketed(spark, s"${table}_terms", "term") { _ =>
+      retained.groupBy("term").agg(count(lit(1)).as("df"))
+    }
+    BucketedJoin.rewriteBucketed(spark, s"${table}_stats", "n_docs") { _ =>
+      retained.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+    }
+    // bm25Query must complete the abandoned fold before serving
+    val queries = d.filter(col("doc_id") % 25 === 1)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+    val healed = Retrieval.bm25Query(spark, table, queries, "qid", "qtext", 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(!exists(s"${table}_foldlock"), "heal did not release the lock")
+    assert(!exists(s"${table}_tombstones"), "heal did not complete the fold")
+    assert(spark.table(table).filter(col("doc_id") % 5 === 0).count() == 0,
+      "heal did not rewrite the postings")
+    // scores bit-identical to an index rebuilt without the deleted docs
+    val t2 = "ts_fc_oracle"
+    Retrieval.bm25Build(d.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", t2)
+    assert(healed == Retrieval.bm25Query(spark, t2, queries,
+      "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet)
+  }
+
   test("fold is idempotent and a no-op without tombstones") {
     val v = vecs(40)
     val table = "ts_noop_idx"
