@@ -31,15 +31,55 @@ object DevPlans {
       // identical plans minus the streaming sink)
       "t19_bm25dfold", "dd11_tombfold", "w1_tumbling", "w2_sessions",
       "w3_sliding", "w4_statefulsessions", "w5_intervaljoin")
+    // Per-plan "why this is the 100× plan" note — the one property that
+    // makes the plan survive a 100× scale-up, stated so a reviewer can
+    // check it against the formatted plan below it.
+    val notes: Map[String, String] = Map(
+      "a1_wordcount" -> "Partial-agg before the exchange: the shuffle carries (word, count) partials, not tokens — shuffle volume tracks vocabulary, not corpus.",
+      "j1_join" -> "Both scans prune to the join/agg columns; at sf0.01 the dim side broadcasts, and at ×10 AQE flips to SMJ (appendix) — no plan rewrite needed at scale.",
+      "j5_bucketed" -> "Zero Exchange on either side: both tables are bucketed on the key, so the 100 TB join is a per-bucket zip, not a corpus shuffle.",
+      "j6_asof" -> "Union+window as-of: one sort-within-partitions keyed by (symbol), no per-row subquery — cost is one shuffle of both inputs regardless of time density.",
+      "j7_range" -> "Bucketized range join: events land in coarse time buckets and join bucket-to-bucket — the candidate set per row is O(bucket), never O(N) (no BroadcastNestedLoop).",
+      "o1_sort" -> "Range-partitioned global sort (sampled bounds): each of the 32 partitions sorts independently; at 1000 executors the same plan holds with more range splits.",
+      "o2_secsort" -> "One exchange on the grouping key with an intra-partition composite sort — the secondary order rides the same shuffle, never a second one.",
+      "dd3_simhash" -> "Codegen'd simhash64 + band explode: candidates come from band-bucket joins (sort-free), pairs verified by Hamming popcount — never all-pairs.",
+      "dd4_ngram" -> "Inverted-index join on shingles with the hot-shingle cap: the skew guard bounds any single shingle's candidate blowup, so worst-case documents can't quadratic the join.",
+      "dd2_minhash" -> "minhash_sigs is a single codegen'd kernel (hashing fused in); LSH band keys bucket-join so the shuffle carries (id, bandkey) pairs, not signatures×signatures.",
+      "sim2_lsh" -> "LSH buckets prune the candidate space; the cosine verify touches only colliding pairs — query cost tracks collisions, flat in corpus size.",
+      "sim3_ivf" -> "Probes shuffle TO the cid-bucketed lists (index never moves); scoring is per-probed-list, so query cost is probeFrac×corpus at worst, not corpus.",
+      "sim4_neardup" -> "LSH-blocked near-dup with quantized refine: blocking keys bound candidates, the exact cosine runs only inside blocks — measured to 1e7 vectors.",
+      "sim8_lshindex" -> "Persisted admission index: the batch's bucket keys re-bucket into the standing layout, checks are co-located bucket joins — O(batch), flat as the corpus grows.",
+      "mf1_lookup" -> "The IN-list pushes into the parquet scan (PushedFilters) — a point lookup reads row-group stats, not the table.",
+      "p1_clean" -> "One corpus scan, one digest shuffle: the winner row rides min_by inside the digest aggregation (no join-back), so the pipeline is two stages at any scale.",
+      "t5_commonality" -> "Token explode → partial agg → broadcast the tiny dictionary back: the per-doc rarity join broadcasts vocabulary stats, never re-shuffles the corpus.",
+      "sim9_ivfpq" -> "ADC tables ride a qid-keyed broadcast (chunked under a byte cap), code lists stay cid-bucketed; refine re-ranks only refineK rows/query from the id-bucketed raw table.",
+      "sim10_pqappend" -> "Frozen-quantizer absorb: batch rows encode against standing centroids+codebook and re-bucket into the standing layout — O(batch), nothing existing rewrites.",
+      "t16_bm25" -> "Query terms shuffle TO the term-bucketed postings; df fold and both index joins are zero-exchange; integer micro-unit scores make the sum order-independent.",
+      "t17_bm25append" -> "Postings/dictionary deltas re-bucket into the standing layout; df and (N, avgdl) fold at query time — growing the corpus never rewrites the dictionary.",
+      "t18_bm25delete" -> "Deletion is one broadcast anti-join over the index scan (the tombstone set), df/N/avgdl corrected from postings∩tombstones — no negative deltas to lose.",
+      "t19_bm25dfold" -> "The fold recomputes derived tables from retained postings then rewrites postings — every table a pure function of (postings, tombstones), re-runnable at any kill point.",
+      "dd8_components_star" -> "Large/small-star contraction: O(log n) rounds each a bounded groupBy — a diameter-200 chain converges without 200 propagation rounds.",
+      "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
+      "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",
+      "dd11_tombfold" -> "Physical fold rewrites each bucketed table in place (crash-safe swap) and drops the set — compaction-cadence O(index), queries stay zero-extra-scan after.",
+      "w1_tumbling" -> "Tumbling windows are a pure groupBy(window(ts)) — partial-agg before the exchange, one shuffle keyed by (window, key) at any rate.",
+      "w2_sessions" -> "session_window gaps merge inside the aggregate — state is per live session, not per event; the same plan runs streaming with a watermark bounding state.",
+      "w3_sliding" -> "Sliding windows explode each event into window copies BEFORE the partial agg — shuffle carries per-window partials (slides/step × keys), not raw events.",
+      "w4_statefulsessions" -> "flatMapGroupsWithState form of w2: one exchange on the key, per-group sorted iteration, explicit state eviction — the custom-semantics escape hatch at the same shuffle cost.",
+      "w5_intervaljoin" -> "Event-time interval join with watermarks on both sides: the range condition bounds state retention, so stream-stream state is O(interval), not O(history).")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
-    sb.append("Generated by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
+    sb.append("Regenerated round 12 by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
     sb.append("Things to check per plan: `PushedFilters`/pruned `ReadSchema` on scans, ")
     sb.append("ReusedExchange for self-joined derived tables, broadcast vs shuffle join ")
-    sb.append("choices, and the absence of cartesian products / unexpected exchanges.\n")
+    sb.append("choices, and the absence of cartesian products / unexpected exchanges. ")
+    sb.append("Each entry opens with the property that makes it the 100× plan — ")
+    sb.append("check the claim against the plan printed under it.\n")
     names.foreach { n =>
       val df = queries.Queries.all(n)(spark, sfDir)
-      sb.append(s"\n## $n\n\n```\n")
+      sb.append(s"\n## $n\n\n")
+      notes.get(n).foreach(note => sb.append(s"**100× plan:** $note\n\n"))
+      sb.append("```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
