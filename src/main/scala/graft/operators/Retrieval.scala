@@ -75,21 +75,51 @@ object Retrieval {
     (postings, dfDelta, statsDelta)
   }
 
+  /** Per-batch positional rows `(term, doc_id, positions)` — sorted
+    * 0-based token offsets, the payload of the OPTIONAL `<table>_pos`
+    * table behind [[bm25PhraseQuery]]. Kept separate from the scoring
+    * postings (a positional row costs ~4·tf extra bytes) so bag-of-words
+    * indexes never pay for phrases they don't serve.
+    */
+  private def posRows(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"), posexplode(toks(col(textCol))))
+      .groupBy(col("col"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("col").as("term"), col("doc_id"), col("positions"))
+
   /** Build the persisted index. One tokenize scan; the postings land
     * bucketed by term so every later query joins co-located. A build is
     * a fresh index: any tombstone set left by a PRIOR index under the
     * same name is cleared first — otherwise stale tombstones would
     * silently delete ids from the new corpus at query time.
+    *
+    * `positions = true` additionally writes the `<table>_pos` positional
+    * table (term-bucketed like the postings), enabling
+    * [[bm25PhraseQuery]]; [[bm25Append]] and [[bm25FoldTombstones]]
+    * maintain it automatically once present.
     */
   def bm25Build(docs: DataFrame, idCol: String, textCol: String,
-                table: String, buckets: Int = 8): Unit = {
+                table: String, buckets: Int = 8,
+                positions: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     Tombstones.clear(docs.sparkSession, table)
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
     BucketedJoin.writeBucketed(postings, table, "term", buckets)
     BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
     BucketedJoin.writeBucketed(statsDelta, s"${table}_stats", "n_docs", 1)
+    if (positions)
+      BucketedJoin.writeBucketed(posRows(docs, idCol, textCol),
+        s"${table}_pos", "term", buckets)
+    else if (tableExists(docs.sparkSession, s"${table}_pos"))
+      // a rebuild WITHOUT positions must not leave the prior index's
+      // positional table answering for the new corpus
+      BucketedJoin.dropWithLocation(docs.sparkSession, s"${table}_pos")
   }
+
+  private def tableExists(spark: SparkSession, t: String): Boolean =
+    spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
 
   /** Absorb a batch of NEW documents at O(batch) cost: postings and
     * dictionary deltas re-bucket into the standing layout
@@ -115,8 +145,7 @@ object Retrieval {
                  idCol: String, textCol: String,
                  repair: Boolean = false): Unit = {
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
-    if (repair && spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))) {
+    if (repair && tableExists(spark, table)) {
       val missing = postings.join(
         spark.table(table).select("term", "doc_id"),
         Seq("term", "doc_id"), "left_anti")
@@ -126,6 +155,17 @@ object Retrieval {
       BucketedJoin.appendBucketed(postings, table, "term")
       BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
       BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
+    }
+    // positional twin rides the same absorb (row-level anti-join under
+    // repair — positions are per-(term, doc) facts, not deltas, so
+    // partial landings repair like postings, no derived rebuild needed)
+    if (tableExists(spark, s"${table}_pos")) {
+      val pr = posRows(docs, idCol, textCol)
+      val rows = if (repair)
+        pr.join(spark.table(s"${table}_pos").select("term", "doc_id"),
+          Seq("term", "doc_id"), "left_anti")
+      else pr
+      BucketedJoin.appendBucketed(rows, s"${table}_pos", "term")
     }
   }
 
@@ -204,6 +244,10 @@ object Retrieval {
         BucketedJoin.rewriteBucketed(spark, table, "term") { df =>
           Tombstones.filterOut(spark, table, df, "doc_id")
         }
+        if (tableExists(spark, s"${table}_pos"))
+          BucketedJoin.rewriteBucketed(spark, s"${table}_pos", "term") { df =>
+            Tombstones.filterOut(spark, table, df, "doc_id")
+          }
         Tombstones.clear(spark, table)
         BucketedJoin.dropWithLocation(spark, lock)
     }
@@ -242,15 +286,35 @@ object Retrieval {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
-    // heal a crashed tombstone fold before serving (see
-    // [[bm25FoldTombstones]]'s crash-window note): an abandoned
-    // foldlock means the derived tables may already exclude deleted
-    // docs — combining them with the query-time correction would
-    // double-subtract. Completing the idempotent fold restores the
-    // consistent (and faster) state.
-    if (spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_foldlock")))
+    healFold(spark, table)
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    Similarity.rankTopK(bm25Scored(spark, table, qt, k1, b, maxDfFrac), k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** Heal a crashed tombstone fold before serving (see
+    * [[bm25FoldTombstones]]'s crash-window note): an abandoned foldlock
+    * means the derived tables may already exclude deleted docs —
+    * combining them with the query-time correction would
+    * double-subtract. Completing the idempotent fold restores the
+    * consistent (and faster) state.
+    */
+  private def healFold(spark: SparkSession, table: String): Unit =
+    if (tableExists(spark, s"${table}_foldlock"))
       bm25FoldTombstones(spark, table)
+
+  /** The shared scoring pipeline behind [[bm25Query]] and
+    * [[bm25PhraseQuery]]: `qt` is the distinct (qid, term) frame;
+    * returns (qid, nid, cos) where cos is the double view of the exact
+    * micro-unit long sum (see the object doc).
+    */
+  private def bm25Scored(spark: SparkSession, table: String, qt: DataFrame,
+                         k1: Double, b: Double,
+                         maxDfFrac: Double): DataFrame = {
     // Deletion support: when a tombstone set exists, df/N/avgdl are
     // corrected at QUERY time from `postings ∩ tombstones` (one extra
     // broadcast semi-join scan of the term-bucketed postings; the df
@@ -275,9 +339,6 @@ object Retrieval {
     // exact long sum over exact long sum — both engines divide the
     // same two numbers, so avgdl is bit-identical cross-engine
     val avgdl = (st.getLong(1) - corr.getLong(1)).toDouble / nDocs.toDouble
-    val qt = queries
-      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
-      .distinct()
     val dict0 = spark.table(s"${table}_terms")
       .groupBy("term").agg(sum("df").as("df"))
     val dict1 = deleted match {
@@ -303,14 +364,65 @@ object Retrieval {
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
     val postings = Tombstones.filterOut(spark, table,
       spark.table(table), "doc_id")
-    val scored = qt.join(dict, Seq("term"))
+    // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on
+    // the double view of the long loses nothing
+    qt.join(dict, Seq("term"))
       .join(postings, Seq("term"))
       .select(col("qid"), col("doc_id").as("nid"),
         round(idf * w * lit(1000000.0)).cast("long").as("partial"))
       .groupBy("qid", "nid")
       .agg(sum("partial").cast("double").as("cos"))
-    // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on
-    // the double view of the long loses nothing
+  }
+
+  /** Exact-phrase BM25 top-k over a POSITIONAL index ([[bm25Build]]
+    * with `positions = true`): a document matches iff the query's
+    * tokens occur CONSECUTIVELY, in order (the classic positional-
+    * postings intersection), and matching docs rank by the standard
+    * [[bm25Query]] score of the phrase's DISTINCT terms — same integer
+    * micro-unit contract, same output schema (qid, doc_id, score_micro,
+    * rnk). Queries with no tokens or no matching document emit nothing.
+    *
+    * Plan: the phrase's (offset, term) pairs shuffle TO the
+    * term-bucketed `<table>_pos` lists; each posting explodes to
+    * candidate START positions (pos − offset) and a doc matches when
+    * one start collects ALL the phrase's offsets — the intersection
+    * shuffles (qid, doc_id, start) triples bounded by the query terms'
+    * positions, never the corpus. Scoring reuses the [[bm25Query]]
+    * machinery restricted to matched docs by a semi-join. Tombstoned
+    * docs leave results immediately (the positional scan anti-joins the
+    * set like every other consult). Stop-term pruning is deliberately
+    * NOT offered: dropping a phrase term changes which documents MATCH
+    * (unlike bag-of-words scoring, where it only perturbs a near-zero
+    * idf contribution), so phrase serving pays the full posting lists —
+    * budget by the BASELINE.md round-12 serving-curve magnitudes.
+    */
+  def bm25PhraseQuery(spark: SparkSession, table: String,
+                      queries: DataFrame, qidCol: String, textCol: String,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    healFold(spark, table)
+    require(tableExists(spark, s"${table}_pos"),
+      s"bm25PhraseQuery: $table has no positional table — " +
+        "build the index with positions = true")
+    val qoff = queries
+      .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
+      .select(col("qid"), col("pos").as("off"), col("col").as("term"))
+    val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val pos = Tombstones.filterOut(spark, table,
+      spark.table(s"${table}_pos"), "doc_id")
+    val starts = qoff.join(pos, Seq("term"))
+      .select(col("qid"), col("doc_id"), col("off"),
+        explode(col("positions")).as("p"))
+      .select(col("qid"), col("doc_id"),
+        (col("p") - col("off")).as("start"), col("off"))
+      .groupBy("qid", "doc_id", "start")
+      .agg(count_distinct(col("off")).as("nhit"))
+    val matched = starts.join(broadcast(qlen), Seq("qid"))
+      .filter(col("nhit") === col("qlen"))
+      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    val qt = qoff.select("qid", "term").distinct()
+    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0)
+      .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),

@@ -1131,6 +1131,25 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** BM25 PHRASE gate over the positional index (bm25Build positions =
+    * true + bm25PhraseQuery): the same every-50th-doc 3-token queries,
+    * but a document scores only if it contains the three tokens
+    * CONSECUTIVELY. The oracle restates phrase membership as substring
+    * containment over single-space-normalized token text (exactly
+    * consecutive-token occurrence under the shared whitespace
+    * tokenizer) and recomputes the BM25 scores of the matched docs —
+    * so the positional intersection (start alignment across offsets),
+    * the positions payload itself, and the restricted scoring all gate
+    * together.
+    */
+  val t20_bm25phrase: Q = (s, d) => {
+    val table = s"bm25p_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    Retrieval.bm25PhraseQuery(s, table, bm25Queries(s, d),
+      "qid", "qtext", 5).orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1706,6 +1725,7 @@ object Queries {
     "t15_bloom" -> t15_bloom, "t16_bm25" -> t16_bm25,
     "t17_bm25append" -> t17_bm25append,
     "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
+    "t20_bm25phrase" -> t20_bm25phrase,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2348,6 +2368,55 @@ object Queries {
     "t18_bm25delete" -> bm25OracleSql("doc_id % 5 <> 0"),
 
     "t19_bm25dfold" -> bm25OracleSql("doc_id % 5 <> 0"),
+
+    // Phrase membership restated WITHOUT positions: a doc contains the
+    // 3-token phrase iff ' '||phrase||' ' is a substring of the doc's
+    // single-space-joined token list (exact consecutive-token
+    // occurrence under the same tokenizer; position() does no wildcard
+    // matching). Scoring is the t16 pipeline restricted to matches.
+    "t20_bm25phrase" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS qid,
+        |        array_to_string(list_slice(toklist, 1, 3), ' ') AS phrase,
+        |        list_slice(toklist, 1, 3) AS qtoks
+        |      FROM docs0 WHERE doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT qid, unnest(qtoks) AS term FROM q)),
+        |matched AS (
+        |  SELECT q.qid, d.doc_id
+        |  FROM q JOIN docs0 d
+        |    ON length(q.phrase) > 0
+        |   AND position((' ' || q.phrase || ' ') IN
+        |        (' ' || array_to_string(d.toklist, ' ') || ' ')) > 0),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT qid, doc_id, score_micro, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

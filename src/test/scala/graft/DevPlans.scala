@@ -29,8 +29,8 @@ object DevPlans {
       // r12 surface: the bm25/minhash tombstone FOLD paths and the
       // windowed/streaming family (w1-w5 run as batch frames here —
       // identical plans minus the streaming sink)
-      "t19_bm25dfold", "dd11_tombfold", "w1_tumbling", "w2_sessions",
-      "w3_sliding", "w4_statefulsessions", "w5_intervaljoin")
+      "t19_bm25dfold", "dd11_tombfold", "t20_bm25phrase", "w1_tumbling",
+      "w2_sessions", "w3_sliding", "w4_statefulsessions", "w5_intervaljoin")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -58,6 +58,7 @@ object DevPlans {
       "t17_bm25append" -> "Postings/dictionary deltas re-bucket into the standing layout; df and (N, avgdl) fold at query time — growing the corpus never rewrites the dictionary.",
       "t18_bm25delete" -> "Deletion is one broadcast anti-join over the index scan (the tombstone set), df/N/avgdl corrected from postings∩tombstones — no negative deltas to lose.",
       "t19_bm25dfold" -> "The fold recomputes derived tables from retained postings then rewrites postings — every table a pure function of (postings, tombstones), re-runnable at any kill point.",
+      "t20_bm25phrase" -> "Phrase (offset, term) pairs shuffle TO the term-bucketed positional lists; the start-alignment intersection moves (qid, doc_id, start) triples bounded by the query terms' positions, never the corpus; scoring semi-joins the matched docs.",
       "dd8_components_star" -> "Large/small-star contraction: O(log n) rounds each a bounded groupBy — a diameter-200 chain converges without 200 propagation rounds.",
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
       "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",

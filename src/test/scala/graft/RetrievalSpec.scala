@@ -107,6 +107,91 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1.0) == run(0.4) && run(1.0).nonEmpty)
   }
 
+  test("bm25PhraseQuery: consecutive-in-order matches only, scored like bm25Query") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // contains "alpha beta gamma"
+      (2L, "alpha beta xx gamma"),      // tokens present, NOT consecutive
+      (3L, "gamma beta alpha"),         // tokens present, wrong order
+      (4L, "zz alpha beta gamma"),      // phrase at a later offset
+      (5L, "alpha beta")).toDF("doc_id", "text") // incomplete phrase
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph", buckets = 2,
+      positions = true)
+    val q = Seq((9L, "alpha beta gamma")).toDF("qid", "qtext")
+    val got = Retrieval.bm25PhraseQuery(spark, "bm25_ph", q,
+      "qid", "qtext", 10).select("doc_id", "score_micro")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 4L), s"phrase matched: ${got.keySet}")
+    // scores equal the bag-of-words scores of the same docs
+    val bag = Retrieval.bm25Query(spark, "bm25_ph", q, "qid", "qtext", 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(got == bag.view.filterKeys(got.keySet).toMap)
+  }
+
+  test("bm25PhraseQuery: duplicate-term phrases align per-offset") {
+    val docs = Seq(
+      (1L, "go stop go run"),     // "go stop go" consecutive
+      (2L, "go stop run go"),     // both gos present, not aligned
+      (3L, "stop go go")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph2", buckets = 2,
+      positions = true)
+    val q = Seq((9L, "go stop go")).toDF("qid", "qtext")
+    val got = Retrieval.bm25PhraseQuery(spark, "bm25_ph2", q,
+      "qid", "qtext", 10).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), s"duplicate-term phrase matched: $got")
+  }
+
+  test("bm25PhraseQuery: append + delete maintain the positional table") {
+    val base = Seq(
+      (1L, "one two three four"),
+      (2L, "unrelated text entirely")).toDF("doc_id", "text")
+    Retrieval.bm25Build(base, "doc_id", "text", "bm25_ph3", buckets = 2,
+      positions = true)
+    Retrieval.bm25Append(spark, "bm25_ph3",
+      Seq((3L, "zz one two three")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val q = Seq((9L, "one two three")).toDF("qid", "qtext")
+    def hits() = Retrieval.bm25PhraseQuery(spark, "bm25_ph3", q,
+      "qid", "qtext", 10).select("doc_id").as[Long].collect().toSet
+    assert(hits() == Set(1L, 3L), "appended doc not phrase-findable")
+    // grown ≡ whole-built, including scores
+    Retrieval.bm25Build(
+      base.unionByName(Seq((3L, "zz one two three")).toDF("doc_id", "text")),
+      "doc_id", "text", "bm25_ph3w", buckets = 2, positions = true)
+    def full(t: String) = Retrieval.bm25PhraseQuery(spark, t, q,
+      "qid", "qtext", 10).as[(Long, Long, Long, Int)].collect().toSet
+    assert(full("bm25_ph3") == full("bm25_ph3w"))
+    // tombstoned doc leaves phrase results immediately; fold rewrites
+    // the positional table physically and answers stay fixed
+    Retrieval.bm25Delete(spark, "bm25_ph3",
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set(3L), "tombstoned doc still phrase-matched")
+    Retrieval.bm25FoldTombstones(spark, "bm25_ph3")
+    assert(spark.table("bm25_ph3_pos")
+      .filter(col("doc_id") === 1L).count() == 0,
+      "fold did not rewrite the positional table")
+    assert(hits() == Set(3L))
+  }
+
+  test("bm25PhraseQuery requires a positional index; plain build drops a stale one") {
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2)
+    val q = Seq((9L, "aa bb")).toDF("qid", "qtext")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25PhraseQuery(spark, "bm25_ph4", q, "qid", "qtext", 5)
+    }
+    assert(e.getMessage.contains("positions"))
+    // positional build then a positions-less REBUILD: the stale _pos
+    // table must not survive to answer for the new corpus
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2,
+      positions = true)
+    assert(Retrieval.bm25PhraseQuery(spark, "bm25_ph4", q,
+      "qid", "qtext", 5).count() == 1)
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2)
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("bm25_ph4_pos")),
+      "rebuild without positions left the stale positional table")
+  }
+
   test("index never shuffles: no exchange over the postings/dictionary scans") {
     Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_plan",
       buckets = 2)
