@@ -385,16 +385,24 @@ object Retrieval {
     * Plan: the phrase's (offset, term) pairs shuffle TO the
     * term-bucketed `<table>_pos` lists; each posting explodes to
     * candidate START positions (pos − offset) and a doc matches when
-    * one start collects ALL the phrase's offsets — the intersection
-    * shuffles (qid, doc_id, start) triples bounded by the query terms'
-    * positions, never the corpus. Scoring reuses the [[bm25Query]]
-    * machinery restricted to matched docs by a semi-join. Tombstoned
-    * docs leave results immediately (the positional scan anti-joins the
-    * set like every other consult). Stop-term pruning is deliberately
-    * NOT offered: dropping a phrase term changes which documents MATCH
-    * (unlike bag-of-words scoring, where it only perturbs a near-zero
-    * idf contribution), so phrase serving pays the full posting lists —
-    * budget by the BASELINE.md round-12 serving-curve magnitudes.
+    * one start collects ALL the phrase's offsets. Before any explode, a
+    * RAREST-TERM candidate pass (the classic phrase-intersection
+    * ordering, done set-at-a-time): every match must contain each
+    * phrase term, so the docs on the lowest-df term's posting list are
+    * a complete candidate set, and the other terms' position lists are
+    * semi-joined down to it — the intersection then shuffles (qid,
+    * doc_id, start) triples bounded by the RAREST term's postings, not
+    * the largest. A phrase containing an unindexed term prunes to zero
+    * candidates outright. Scoring reuses the [[bm25Query]] machinery
+    * restricted to matched docs by a semi-join. Tombstoned docs leave
+    * results immediately (the positional scan anti-joins the set like
+    * every other consult). Stop-term DROPPING is deliberately not
+    * offered — removing a phrase term changes which documents MATCH —
+    * so an all-stop-word phrase still pays its full posting lists.
+    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addendum):
+    * on the all-stop-word worst case at 10⁶ docs, phrase serving costs
+    * 659 ms/q (≈2.2× exact bag-of-words on the same corpus) and the
+    * positional table adds +8% build wall.
     */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
@@ -410,7 +418,20 @@ object Retrieval {
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val pos = Tombstones.filterOut(spark, table,
       spark.table(s"${table}_pos"), "doc_id")
+    // rarest-term candidates: df from the folded dictionary (raw df is
+    // fine here — candidates only need to be a SUPERSET of matches, and
+    // the tombstone filter on `pos` already keeps deleted docs out)
+    val qdf = qoff.select("qid", "term").distinct()
+      .join(spark.table(s"${table}_terms")
+        .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
+      .select(col("qid"), col("term"), coalesce(col("df"), lit(0L)).as("df"))
+    val rarest = qdf.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("df"), col("term"))))
+      .filter(col("rn") === 1).select("qid", "term")
+    val cand = rarest.join(pos, Seq("term")).select("qid", "doc_id")
     val starts = qoff.join(pos, Seq("term"))
+      .join(cand, Seq("qid", "doc_id"), "left_semi")
       .select(col("qid"), col("doc_id"), col("off"),
         explode(col("positions")).as("p"))
       .select(col("qid"), col("doc_id"),

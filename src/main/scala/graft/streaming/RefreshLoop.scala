@@ -200,6 +200,7 @@ object RefreshLoop {
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_terms")
         BucketedJoin.recoverCompacted(spark, s"${t}_stats")
+        BucketedJoin.recoverCompacted(spark, s"${t}_pos")
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       // repair whenever the ledger holds id rows for this epoch, even
@@ -265,6 +266,11 @@ object RefreshLoop {
                 BucketedJoin.compactBucketed(spark, t, "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_terms", "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_stats", "n_docs")
+                // positional twin (present only for positions = true
+                // indexes; bm25Append maintains it automatically)
+                if (spark.sessionState.catalog.tableExists(
+                    org.apache.spark.sql.catalyst.TableIdentifier(s"${t}_pos")))
+                  BucketedJoin.compactBucketed(spark, s"${t}_pos", "term")
               }
             }
           }

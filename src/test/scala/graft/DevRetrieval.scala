@@ -79,6 +79,32 @@ object DevRetrieval {
         .agg(sum("n_docs")).head().getLong(0)
       println(f"[ret] n=$n statsDocs=$nd expected=${n + n / 100}")
       System.out.flush()
+      // positional twin (opt-in: SPARK_GRAFT_PHRASE=1): build the
+      // positions = true sibling index and serve a ~20-query phrase
+      // batch — 3-token consecutive phrases drawn from the corpus, on
+      // the all-stop-word vocabulary (every term df ≈ 0.2-0.9·N), the
+      // phrase-serving worst case: rarest-term pruning has little to
+      // prune, so this measures the full intersection cost.
+      if (sys.env.contains("SPARK_GRAFT_PHRASE")) {
+        val ptable = s"devretp_$n"
+        val (_, tPB) = timed {
+          Retrieval.bm25Build(corpus, "doc_id", "text", ptable,
+            buckets = 32, positions = true)
+        }
+        println(f"[ret] n=$n posbuild=${tPB}%.1fs")
+        System.out.flush()
+        val pq = corpus.filter(col("doc_id") % (n / 20) === 0)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+        val npq = pq.count()
+        val (prows, tP) = timed {
+          Retrieval.bm25PhraseQuery(spark, ptable, pq,
+            "qid", "qtext", 5).count()
+        }
+        println(f"[ret] n=$n phrase query=${tP}%.1fs rows=$prows " +
+          f"nq=$npq (${tP / npq * 1000}%.0f ms/q)")
+        System.out.flush()
+      }
     }
     spark.stop()
   }
