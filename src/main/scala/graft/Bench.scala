@@ -55,6 +55,12 @@ object Bench {
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(operators.TextOps.tokens(lower(col("text"))),
           1, 3)).as("qtext"))
+    lazy val phraseTable = {
+      val t = "bench_phrase_idx"
+      operators.Retrieval.bm25Build(Tables.documents(spark, sfDir),
+        "doc_id", "text", t, positions = true)
+      t
+    }
     lazy val pqTable = {
       val t = "bench_pq_idx"
       // m=16: the sim9 gate floor for hash-uniform embeddings (DevPq r9)
@@ -79,6 +85,8 @@ object Bench {
       "bench_clean" -> (() => Q.p1_clean(spark, sfDir)),
       "bench_bm25" -> (() => operators.Retrieval.bm25Query(spark,
         bm25Table, bm25Queries, "qid", "qtext", 5)),
+      "bench_phrase" -> (() => operators.Retrieval.bm25PhraseQuery(spark,
+        phraseTable, bm25Queries, "qid", "qtext", 5)),
       "bench_pq" -> (() => operators.ProductQuant.ivfPqQuery(spark,
         pqTable, pqQueries, "vec_id", "embedding", 5, refineK = 50)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))

@@ -58,7 +58,7 @@ object DevPlans {
       "t17_bm25append" -> "Postings/dictionary deltas re-bucket into the standing layout; df and (N, avgdl) fold at query time — growing the corpus never rewrites the dictionary.",
       "t18_bm25delete" -> "Deletion is one broadcast anti-join over the index scan (the tombstone set), df/N/avgdl corrected from postings∩tombstones — no negative deltas to lose.",
       "t19_bm25dfold" -> "The fold recomputes derived tables from retained postings then rewrites postings — every table a pure function of (postings, tombstones), re-runnable at any kill point.",
-      "t20_bm25phrase" -> "Phrase (offset, term) pairs shuffle TO the term-bucketed positional lists; the start-alignment intersection moves (qid, doc_id, start) triples bounded by the query terms' positions, never the corpus; scoring semi-joins the matched docs.",
+      "t20_bm25phrase" -> "Phrase (offset, term) pairs shuffle TO the term-bucketed positional lists; a rarest-term candidate semi-join bounds the start-alignment intersection by the lowest-df term's postings before any explode; scoring semi-joins the matched docs.",
       "dd8_components_star" -> "Large/small-star contraction: O(log n) rounds each a bounded groupBy — a diameter-200 chain converges without 200 propagation rounds.",
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
       "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",
