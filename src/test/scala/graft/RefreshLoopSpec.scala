@@ -612,6 +612,57 @@ class RefreshLoopSpec extends AnyFunSuite {
       "repair did not complete the code rows exactly once per list")
   }
 
+  test("bm25 twin with positions: admitted docs phrase-findable, grown ≡ whole-built") {
+    import graft.operators.Retrieval
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "bm25pos_idx")
+    Retrieval.bm25Build(base, "doc_id", "text", "bm25pos_bm",
+      positions = true)
+    // compactEvery = 1 also exercises the positional table's compaction
+    val fn = RefreshLoop.minhashBatch("bm25pos_idx", "text", "doc_id",
+      threshold = 0.3, bm25Table = Some("bm25pos_bm"),
+      compactEvery = 1) { (_, _, _) => }
+    fn(Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup: out
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 2L)
+
+    val q = Seq((9L, "novel content that")).toDF("qid", "qtext")
+    def phrase(t: String): Set[(Long, Long, Long, Int)] = {
+      Seq(t, s"${t}_terms", s"${t}_stats", s"${t}_pos").foreach { x =>
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(x)))
+          spark.catalog.refreshTable(x)
+      }
+      Retrieval.bm25PhraseQuery(spark, t, q, "qid", "qtext", 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    }
+    val grown = phrase("bm25pos_bm")
+    assert(grown.map(_._2) == Set(110L),
+      s"admitted doc not phrase-findable through the loop: $grown")
+    // the loop-grown positional index answers exactly like whole-built
+    Retrieval.bm25Build(
+      base.unionByName(Seq(
+        (110L, "entirely novel content that matches nothing else here"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", "bm25pos_oracle", positions = true)
+    assert(grown == phrase("bm25pos_oracle"))
+    // replay of the committed epoch leaves the positional table fixed
+    spark.catalog.refreshTable("bm25pos_bm_pos")
+    val posRows = spark.table("bm25pos_bm_pos").count()
+    fn(Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 2L)
+    spark.catalog.refreshTable("bm25pos_bm_pos")
+    assert(spark.table("bm25pos_bm_pos").count() == posRows,
+      "replay grew the positional table")
+    assert(phrase("bm25pos_bm") == grown)
+  }
+
   test("takedown mid-loop: a duplicate of a deleted doc re-admits as novel") {
     import graft.operators.Tombstones
     Dedup.minhashIndexBuild(
