@@ -399,10 +399,13 @@ object Retrieval {
     * every other consult). Stop-term DROPPING is deliberately not
     * offered — removing a phrase term changes which documents MATCH —
     * so an all-stop-word phrase still pays its full posting lists.
-    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addendum):
-    * on the all-stop-word worst case at 10⁶ docs, phrase serving costs
-    * 659 ms/q (≈2.2× exact bag-of-words on the same corpus) and the
-    * positional table adds +8% build wall.
+    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addenda):
+    * on the all-stop-word worst case — which defeats rarest-term
+    * pruning by construction — phrase serving costs 659 ms/q at 10⁶
+    * docs and 10,642 ms/q at 10⁷ (the candidate set IS the corpus
+    * there); the positional table adds +8% build wall at 10⁶, +40% at
+    * 10⁷. Real Zipfian text bounds the intersection by the rarest
+    * term's df instead.
     */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
