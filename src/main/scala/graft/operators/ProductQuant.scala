@@ -262,10 +262,18 @@ object ProductQuant {
     * Clustered corpora sit far above this floor (m=8 holds 5/5 at
     * sf0.01 and in every clustered spec here).
     */
+  /** `twoLevel = true` routes the corpus-assignment pass through the
+    * super-quantizer ([[Similarity.assignListsTwoLevel]], sim6's scale
+    * path): ≈(1+√nlist)·√nlist cosines per vector instead of nlist —
+    * the dial for the extreme-nlist regime (nlist=⌈√N⌉ is itself 10⁵+
+    * at 10¹⁰ vectors), identical table layout, so queries and appends
+    * are unchanged.
+    */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  table: String, m: Int = 8, ksub: Int = 0, nlist: Int = 0,
                  nassign: Int = 2, buckets: Int = 8, seed: Long = 42L,
-                 pqIters: Int = 3, lloydIters: Int = 0): Unit = {
+                 pqIters: Int = 3, lloydIters: Int = 0,
+                 twoLevel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.ensureRegistered(spark)
     // fresh index: drop any tombstone set left by a prior index under
@@ -279,7 +287,9 @@ object ProductQuant {
     val seeds = Similarity.seedCentroids(c, nl, n, seed)
     val cents = if (lloydIters > 0)
       Similarity.refineCentroids(c, seeds, lloydIters) else seeds
-    val assigned = Similarity.assignLists(c, cents, nassign)
+    val assigned = if (twoLevel)
+      Similarity.assignListsTwoLevel(c, cents, nassign, nlist = nl.toLong)
+    else Similarity.assignLists(c, cents, nassign)
     val res = withResiduals(assigned, cents)
     // train on the residual distribution (a multi-assigned vector
     // contributes one residual per list copy — each is a draw from the

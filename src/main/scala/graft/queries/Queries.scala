@@ -1524,6 +1524,32 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** Two-level IVFPQ gate (sim6's super-quantizer assignment × sim9's
+    * quantized serving): ivfPqBuild with `twoLevel = true` — the
+    * corpus-assignment pass ranks ≈√nlist supers then only their
+    * members, the 10¹²-extreme build path, over the SAME persisted
+    * layout. Same recall contract as sim9 (every query keeps ≥3/5 of
+    * the exact top-5 at m=16/refineK=50), certifying the approximate
+    * assignment costs no gate-level recall through the ADC+refine
+    * serving chain.
+    */
+  val sim11_pq2level: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"sim11_idx_${d.hashCode & Int.MaxValue}"
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table, m = 16,
+      twoLevel = true)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqQuery(s, table, q, "vec_id", "embedding",
+      5, refineK = 50)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -1730,7 +1756,7 @@ object Queries {
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
     "sim8_lshindex" -> sim8_lshindex, "sim9_ivfpq" -> sim9_ivfpq,
-    "sim10_pqappend" -> sim10_pqappend,
+    "sim10_pqappend" -> sim10_pqappend, "sim11_pq2level" -> sim11_pq2level,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -2477,6 +2503,10 @@ object Queries {
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "sim10_pqappend" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "sim11_pq2level" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 

@@ -199,6 +199,38 @@ class ProductQuantSpec extends AnyFunSuite {
   // See the residual-encoding diagnosis comment on the build/query test
   // above — this twin failed for the same multi-assign candidate-slot
   // reason and is pinned by the same per-nid-max dedup fix.
+  test("ivfPqBuild twoLevel: full-probe query equals brute force; layout identical") {
+    val vecs = clustered(100)
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+    val table = "pq_spec_2l"
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", table,
+      m = 2, ksub = 4, nlist = 5, buckets = 2, twoLevel = true)
+    // identical table layout — queries and appends are agnostic to how
+    // the assignment pass ranked the coarse centroids
+    assert(spark.table(table).schema.fieldNames.toSeq ==
+      Seq("cid", "nid", "codes", "nrm"))
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(approx == exact)
+    // an append against the two-level-built index stays exact at full
+    // probe (flat batch assignment over the same frozen centroids —
+    // placement may differ, probing covers every list)
+    val extra = clustered(120).filter(col("vec_id") >= 100)
+    val st = ProductQuant.ivfPqAppend(spark, table, extra,
+      "vec_id", "embedding")
+    assert(st.batchN == 20)
+    val all = clustered(120)
+    val exact2 = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx2 = ProductQuant.ivfPqQuery(spark, table, q,
+      "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(approx2 == exact2)
+  }
+
   test("ivfPqAppend: grown index answers full-probe queries exactly; " +
        "stats row and drift signal sane") {
     val vecs = clustered(100)
