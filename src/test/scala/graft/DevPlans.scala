@@ -29,8 +29,9 @@ object DevPlans {
       // r12 surface: the bm25/minhash tombstone FOLD paths and the
       // windowed/streaming family (w1-w5 run as batch frames here —
       // identical plans minus the streaming sink)
-      "t19_bm25dfold", "dd11_tombfold", "t20_bm25phrase", "w1_tumbling",
-      "w2_sessions", "w3_sliding", "w4_statefulsessions", "w5_intervaljoin")
+      "t19_bm25dfold", "dd11_tombfold", "t20_bm25phrase", "sim11_pq2level",
+      "w1_tumbling", "w2_sessions", "w3_sliding", "w4_statefulsessions",
+      "w5_intervaljoin")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -59,6 +60,7 @@ object DevPlans {
       "t18_bm25delete" -> "Deletion is one broadcast anti-join over the index scan (the tombstone set), df/N/avgdl corrected from postings∩tombstones — no negative deltas to lose.",
       "t19_bm25dfold" -> "The fold recomputes derived tables from retained postings then rewrites postings — every table a pure function of (postings, tombstones), re-runnable at any kill point.",
       "t20_bm25phrase" -> "Phrase (offset, term) pairs shuffle TO the term-bucketed positional lists; a rarest-term candidate semi-join bounds the start-alignment intersection by the lowest-df term's postings before any explode; scoring semi-joins the matched docs.",
+      "sim11_pq2level" -> "Two-level coarse assignment ranks ~sqrt(nlist) supers then only their member centroids — the build pass stays linear when nlist itself is 1e5+; the persisted layout and the zero-shuffle query path are identical to sim9.",
       "dd8_components_star" -> "Large/small-star contraction: O(log n) rounds each a bounded groupBy — a diameter-200 chain converges without 200 propagation rounds.",
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
       "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",
