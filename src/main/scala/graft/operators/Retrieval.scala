@@ -269,11 +269,13 @@ object Retrieval {
     * serving scale dial (the dynamic form is WAND). A term with df ≈ N
     * forces an O(N) scoring pass and contributes near-zero idf to the
     * final ranking. MEASURED (DevRetrieval, BASELINE.md round-12
-    * serving curve): on a worst-case all-stop-word corpus, exact
-    * serving costs 288 ms/q at 10⁶ docs and 3,966 ms/q at 10⁷ (the
-    * posting scans grow with N), while df≤1% pruning serves at 66 and
-    * 323 ms/q — a 4.4× win that widens to 12.3× at 10⁷, because the
-    * pruned cost tracks the surviving posting lists, not the corpus.
+    * serving curve + pushdown supersession): on a log-uniform
+    * 131k-word corpus (stop-word head, df ≈ N), exact serving costs
+    * 205 ms/q at 10⁶ docs and 3,394 ms/q at 10⁷ — bound by the head
+    * terms' posting mass — while df≤1% pruning serves at 36 and
+    * 109 ms/q, because with the dial engaged the query-term scan
+    * pushdown narrows the index read to the surviving terms' row
+    * groups and the cost tracks those posting lists, not the corpus.
     * No OOM at 10⁷ under a 4.6 GiB heap; treat the dial as the
     * latency/cost control, with memory exhaustion the expected failure
     * mode only at 10⁸+ df≈N posting lists. Results for a query whose
@@ -307,6 +309,34 @@ object Retrieval {
     if (tableExists(spark, s"${table}_foldlock"))
       bm25FoldTombstones(spark, table)
 
+  /** The query batch's distinct terms as literals for scan pruning, or
+    * None past `maxPushTerms` (adversarially huge batches fall back to
+    * the full-scan plan). The index tables are bucketed AND sorted by
+    * term, so a pushed IN filter lets parquet skip every row group
+    * whose term range misses the batch — serving cost then tracks the
+    * query terms' posting lists instead of the index scan. The collect
+    * is a bounded control value (≤ maxPushTerms + 1 rows), the mf1
+    * point-lookup discipline; `inFilterThreshold` is raised so the
+    * filter reaches parquet as per-value predicates rather than a
+    * min/max range (query terms are vocabulary-scattered, so a range
+    * filter would skip nothing).
+    */
+  private def pushableTerms(spark: SparkSession, qt: DataFrame,
+                            maxPushTerms: Int = 1 << 12): Option[Seq[String]] = {
+    val terms = qt.select("term").distinct().limit(maxPushTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (terms.size > maxPushTerms) None
+    else {
+      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+        (maxPushTerms + 1).toString)
+      Some(terms)
+    }
+  }
+
+  private def pruneToTerms(df: DataFrame,
+                           terms: Option[Seq[String]]): DataFrame =
+    terms.map(ts => df.filter(col("term").isin(ts: _*))).getOrElse(df)
+
   /** The shared scoring pipeline behind [[bm25Query]] and
     * [[bm25PhraseQuery]]: `qt` is the distinct (qid, term) frame;
     * returns (qid, nid, cos) where cos is the double view of the exact
@@ -339,7 +369,12 @@ object Retrieval {
     // exact long sum over exact long sum — both engines divide the
     // same two numbers, so avgdl is bit-identical cross-engine
     val avgdl = (st.getLong(1) - corr.getLong(1)).toDouble / nDocs.toDouble
-    val dict0 = spark.table(s"${table}_terms")
+    // scan pruning: only the scoring-side scans narrow to the query
+    // terms — the `deleted` frame above stays UNFILTERED because the
+    // N/avgdl corrections are corpus-level facts (per-term df sums are
+    // term-local, so pruning the dictionary scan is exact)
+    val qterms = pushableTerms(spark, qt)
+    val dict0 = pruneToTerms(spark.table(s"${table}_terms"), qterms)
       .groupBy("term").agg(sum("df").as("df"))
     val dict1 = deleted match {
       case Some(del) =>
@@ -363,7 +398,7 @@ object Retrieval {
     val w = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
     val postings = Tombstones.filterOut(spark, table,
-      spark.table(table), "doc_id")
+      pruneToTerms(spark.table(table), qterms), "doc_id")
     // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on
     // the double view of the long loses nothing
     qt.join(dict, Seq("term"))
@@ -399,13 +434,12 @@ object Retrieval {
     * every other consult). Stop-term DROPPING is deliberately not
     * offered — removing a phrase term changes which documents MATCH —
     * so an all-stop-word phrase still pays its full posting lists.
-    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addenda):
-    * on the all-stop-word worst case — which defeats rarest-term
-    * pruning by construction — phrase serving costs 659 ms/q at 10⁶
-    * docs and 10,642 ms/q at 10⁷ (the candidate set IS the corpus
-    * there); the positional table adds +8% build wall at 10⁶, +40% at
-    * 10⁷. Real Zipfian text bounds the intersection by the rarest
-    * term's df instead.
+    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addenda +
+    * supersession): on the log-uniform 131k-word corpus, 3-token
+    * head-heavy phrases serve at 471 ms/q at 10⁶ docs and 7,860 ms/q
+    * at 10⁷ — bound by the HEAD terms' position mass (a df≈N term in
+    * the phrase forces its full list through the intersection); the
+    * positional table adds +8% build wall at 10⁶, +40% at 10⁷.
     */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
@@ -420,7 +454,8 @@ object Retrieval {
       .select(col("qid"), col("pos").as("off"), col("col").as("term"))
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val pos = Tombstones.filterOut(spark, table,
-      spark.table(s"${table}_pos"), "doc_id")
+      pruneToTerms(spark.table(s"${table}_pos"),
+        pushableTerms(spark, qoff)), "doc_id")
     // rarest-term candidates: df from the folded dictionary (raw df is
     // fine here — candidates only need to be a SUPERSET of matches, and
     // the tombstone filter on `pos` already keeps deleted docs out)

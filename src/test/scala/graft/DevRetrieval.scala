@@ -81,10 +81,10 @@ object DevRetrieval {
       System.out.flush()
       // positional twin (opt-in: SPARK_GRAFT_PHRASE=1): build the
       // positions = true sibling index and serve a ~20-query phrase
-      // batch — 3-token consecutive phrases drawn from the corpus, on
-      // the all-stop-word vocabulary (every term df ≈ 0.2-0.9·N), the
-      // phrase-serving worst case: rarest-term pruning has little to
-      // prune, so this measures the full intersection cost.
+      // batch — 3-token consecutive phrases drawn from document heads
+      // on the log-uniform vocabulary, so most phrases carry at least
+      // one stop-head term (df ≈ N): a head-heavy batch that measures
+      // the intersection near its upper bound.
       if (sys.env.contains("SPARK_GRAFT_PHRASE")) {
         val ptable = s"devretp_$n"
         val (_, tPB) = timed {
