@@ -55,11 +55,11 @@ object DevPlans {
       "t5_commonality" -> "Token explode → partial agg → broadcast the tiny dictionary back: the per-doc rarity join broadcasts vocabulary stats, never re-shuffles the corpus.",
       "sim9_ivfpq" -> "ADC tables ride a qid-keyed broadcast (chunked under a byte cap), code lists stay cid-bucketed; refine re-ranks only refineK rows/query from the id-bucketed raw table.",
       "sim10_pqappend" -> "Frozen-quantizer absorb: batch rows encode against standing centroids+codebook and re-bucket into the standing layout — O(batch), nothing existing rewrites.",
-      "t16_bm25" -> "Query terms shuffle TO the term-bucketed postings; df fold and both index joins are zero-exchange; integer micro-unit scores make the sum order-independent.",
+      "t16_bm25" -> "Query terms push into the postings/dictionary scans as a parquet IN filter (term-sorted buckets -> row-group skip; check PushedFilters on the index scans); df fold and both index joins are zero-exchange; integer micro-unit scores make the sum order-independent.",
       "t17_bm25append" -> "Postings/dictionary deltas re-bucket into the standing layout; df and (N, avgdl) fold at query time — growing the corpus never rewrites the dictionary.",
       "t18_bm25delete" -> "Deletion is one broadcast anti-join over the index scan (the tombstone set), df/N/avgdl corrected from postings∩tombstones — no negative deltas to lose.",
       "t19_bm25dfold" -> "The fold recomputes derived tables from retained postings then rewrites postings — every table a pure function of (postings, tombstones), re-runnable at any kill point.",
-      "t20_bm25phrase" -> "Phrase (offset, term) pairs shuffle TO the term-bucketed positional lists; a rarest-term candidate semi-join bounds the start-alignment intersection by the lowest-df term's postings before any explode; scoring semi-joins the matched docs.",
+      "t20_bm25phrase" -> "Phrase terms push into the positional scan (PushedFilters) and a rarest-term candidate semi-join bounds the start-alignment intersection by the lowest-df term's postings before any explode; scoring semi-joins the matched docs.",
       "sim11_pq2level" -> "Two-level coarse assignment ranks ~sqrt(nlist) supers then only their member centroids — the build pass stays linear when nlist itself is 1e5+; the persisted layout and the zero-shuffle query path are identical to sim9.",
       "dd8_components_star" -> "Large/small-star contraction: O(log n) rounds each a bounded groupBy — a diameter-200 chain converges without 200 propagation rounds.",
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
