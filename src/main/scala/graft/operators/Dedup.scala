@@ -175,9 +175,6 @@ object Dedup {
                         bands: Int = 16, buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // fresh index: drop any tombstone set left by a prior index under
-    // this name, or its stale ids would vanish from the new corpus
-    Tombstones.clear(docs.sparkSession, table)
     val sig = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
     BucketedJoin.writeBucketed(sig, s"${table}_sigs", "id", buckets)
@@ -185,6 +182,11 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes / bands))
         .as("bandkey"))
     BucketedJoin.writeBucketed(banded, s"${table}_bands", "bandkey", buckets)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name (stale ids would vanish from the new corpus) — cleared
+    // AFTER the tables land, so an aborted build can never un-delete
+    // docs on the still-standing old index
+    Tombstones.clear(docs.sparkSession, table)
   }
 
   /** Absorb `batch` into a standing [[minhashIndexBuild]] index at

@@ -276,9 +276,6 @@ object ProductQuant {
                  twoLevel: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.ensureRegistered(spark)
-    // fresh index: drop any tombstone set left by a prior index under
-    // this name, or its stale ids would vanish from the new corpus
-    Tombstones.clear(spark, table)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
@@ -323,6 +320,11 @@ object ProductQuant {
     BucketedJoin.writeBucketed(
       Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
       s"${table}_stats", "built_n", 1)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name (stale ids would vanish from the new corpus) — cleared
+    // AFTER the tables land, so an aborted build can never un-delete
+    // docs on the still-standing old index
+    Tombstones.clear(spark, table)
   }
 
   /** Absorb a batch of NEW vectors into a persisted [[ivfPqBuild]] index

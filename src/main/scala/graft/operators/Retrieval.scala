@@ -91,8 +91,15 @@ object Retrieval {
   /** Build the persisted index. One tokenize scan; the postings land
     * bucketed by term so every later query joins co-located. A build is
     * a fresh index: any tombstone set left by a PRIOR index under the
-    * same name is cleared first — otherwise stale tombstones would
-    * silently delete ids from the new corpus at query time.
+    * same name is cleared AFTER the new tables have landed — otherwise
+    * stale tombstones would silently delete ids from the new corpus at
+    * query time. Clearing last (not first) means a build that FAILS
+    * midway — a malformed corpus frame, a write error — cannot
+    * un-delete documents on the still-standing old index: the old
+    * tables and their tombstones survive an aborted build together.
+    * (A failed build can leave partially rewritten index tables, as any
+    * non-transactional multi-table overwrite can — re-run the build;
+    * the deletion state is never the casualty.)
     *
     * `positions = true` additionally writes the `<table>_pos` positional
     * table (term-bucketed like the postings), enabling
@@ -103,7 +110,6 @@ object Retrieval {
                 table: String, buckets: Int = 8,
                 positions: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    Tombstones.clear(docs.sparkSession, table)
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
     BucketedJoin.writeBucketed(postings, table, "term", buckets)
     BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
@@ -115,6 +121,7 @@ object Retrieval {
       // a rebuild WITHOUT positions must not leave the prior index's
       // positional table answering for the new corpus
       BucketedJoin.dropWithLocation(docs.sparkSession, s"${table}_pos")
+    Tombstones.clear(docs.sparkSession, table)
   }
 
   private def tableExists(spark: SparkSession, t: String): Boolean =
@@ -218,7 +225,25 @@ object Retrieval {
     * .recoverCompacted]] heal-on-first-read discipline, lifted to the
     * multi-table fold.
     */
-  def bm25FoldTombstones(spark: SparkSession, table: String): Unit = {
+  def bm25FoldTombstones(spark: SparkSession, table: String): Unit =
+    foldTombstonesImpl(spark, table, failAt = -1)
+
+  /** Crash injected by [[foldTombstonesImpl]]'s test seam. */
+  private[graft] final class InjectedFoldCrash(val at: Int)
+    extends RuntimeException(s"injected fold crash after boundary $at")
+
+  /** [[bm25FoldTombstones]] with a crash-injection seam: `failAt` ≥ 0
+    * throws [[InjectedFoldCrash]] immediately AFTER the numbered
+    * rewrite boundary — 0 lock write, 1 `_terms` rewrite, 2 `_stats`
+    * rewrite, 3 postings rewrite, 4 `_pos` rewrite, 5 tombstone clear
+    * (before lock release). The chaos spec drives every boundary in a
+    * loop and asserts [[bm25Query]] heals to bit-identical scores;
+    * production calls pass -1 (no injection).
+    */
+  private[graft] def foldTombstonesImpl(spark: SparkSession, table: String,
+                                        failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new InjectedFoldCrash(i)
     val lock = s"${table}_foldlock"
     def lockExists = spark.sessionState.catalog.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(lock))
@@ -231,24 +256,30 @@ object Retrieval {
         if (!lockExists)
           BucketedJoin.writeBucketed(
             spark.range(1).toDF("locked"), lock, "locked", 1)
+        boundary(0)
         def retained() = Tombstones.filterOut(spark, table,
           spark.table(table), "doc_id")
         BucketedJoin.rewriteBucketed(spark, s"${table}_terms", "term") { _ =>
           retained().groupBy("term").agg(count(lit(1)).as("df"))
         }
+        boundary(1)
         BucketedJoin.rewriteBucketed(spark, s"${table}_stats", "n_docs") { _ =>
           retained().select("doc_id", "dl").distinct()
             .agg(count(lit(1)).as("n_docs"),
               coalesce(sum("dl"), lit(0L)).as("dl_sum"))
         }
+        boundary(2)
         BucketedJoin.rewriteBucketed(spark, table, "term") { df =>
           Tombstones.filterOut(spark, table, df, "doc_id")
         }
+        boundary(3)
         if (tableExists(spark, s"${table}_pos"))
           BucketedJoin.rewriteBucketed(spark, s"${table}_pos", "term") { df =>
             Tombstones.filterOut(spark, table, df, "doc_id")
           }
+        boundary(4)
         Tombstones.clear(spark, table)
+        boundary(5)
         BucketedJoin.dropWithLocation(spark, lock)
     }
   }
@@ -292,7 +323,9 @@ object Retrieval {
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    Similarity.rankTopK(bm25Scored(spark, table, qt, k1, b, maxDfFrac), k)
+    val qterms = pushableTerms(spark, qt)
+    Similarity.rankTopK(
+        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms), k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),
         col("rank").as("rnk"))
@@ -320,6 +353,19 @@ object Retrieval {
     * filter reaches parquet as per-value predicates rather than a
     * min/max range (query terms are vocabulary-scattered, so a range
     * filter would skip nothing).
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: the raised
+    * `spark.sql.parquet.pushdown.inFilterThreshold` is NOT restored.
+    * The term list is pushed into a plan the CALLER executes later
+    * (lazily), so a save-and-restore here would revert the conf before
+    * the scan ever plans — the raise must outlive this call. It is
+    * monotone (only ever raises, never lowers, so repeated/concurrent
+    * callers compose) and affects plan SHAPE only: unrelated queries in
+    * the same session with 10..4096-value IN lists now push them as
+    * per-value parquet predicates instead of a min/max range —
+    * correctness unchanged, row-group skipping usually better, filter
+    * evaluation marginally wider. Callers who need the default back can
+    * reset the conf after their query has RUN.
     */
   private def pushableTerms(spark: SparkSession, qt: DataFrame,
                             maxPushTerms: Int = 1 << 12): Option[Seq[String]] = {
@@ -327,8 +373,10 @@ object Retrieval {
       .collect().map(_.getString(0)).toSeq
     if (terms.size > maxPushTerms) None
     else {
-      spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
-        (maxPushTerms + 1).toString)
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val target = maxPushTerms + 1
+      if (spark.conf.getOption(key).map(_.toInt).getOrElse(10) < target)
+        spark.conf.set(key, target.toString)
       Some(terms)
     }
   }
@@ -341,10 +389,25 @@ object Retrieval {
     * [[bm25PhraseQuery]]: `qt` is the distinct (qid, term) frame;
     * returns (qid, nid, cos) where cos is the double view of the exact
     * micro-unit long sum (see the object doc).
+    *
+    * `qterms` is the caller's ONE [[pushableTerms]] result (both public
+    * entry points collect it exactly once and thread it everywhere —
+    * the positional scan, the dictionary scan, and this scoring pass
+    * all narrow to the same pushed term list). `docFilter` restricts
+    * the scored postings to a document set BEFORE the aggregate — the
+    * phrase path passes its rarest-term candidate docs so the partial-
+    * score shuffle is bounded by the candidate set, not by the head
+    * terms' full posting lists; `broadcastDocs` picks the broadcast
+    * form when the caller knows the set is small. Scores for the docs
+    * that survive the filter are bit-identical to the unfiltered run
+    * (the aggregate is per-(qid, doc); dropping other docs' groups
+    * changes nothing).
     */
   private def bm25Scored(spark: SparkSession, table: String, qt: DataFrame,
-                         k1: Double, b: Double,
-                         maxDfFrac: Double): DataFrame = {
+                         k1: Double, b: Double, maxDfFrac: Double,
+                         qterms: Option[Seq[String]],
+                         docFilter: Option[DataFrame] = None,
+                         broadcastDocs: Boolean = false): DataFrame = {
     // Deletion support: when a tombstone set exists, df/N/avgdl are
     // corrected at QUERY time from `postings ∩ tombstones` (one extra
     // broadcast semi-join scan of the term-bucketed postings; the df
@@ -373,7 +436,6 @@ object Retrieval {
     // terms — the `deleted` frame above stays UNFILTERED because the
     // N/avgdl corrections are corpus-level facts (per-term df sums are
     // term-local, so pruning the dictionary scan is exact)
-    val qterms = pushableTerms(spark, qt)
     val dict0 = pruneToTerms(spark.table(s"${table}_terms"), qterms)
       .groupBy("term").agg(sum("df").as("df"))
     val dict1 = deleted match {
@@ -397,8 +459,14 @@ object Retrieval {
       / (dfD + lit(0.5)) + lit(1.0))
     val w = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
-    val postings = Tombstones.filterOut(spark, table,
+    val postings0 = Tombstones.filterOut(spark, table,
       pruneToTerms(spark.table(table), qterms), "doc_id")
+    val postings = docFilter match {
+      case Some(docIds) =>
+        val f = if (broadcastDocs) broadcast(docIds) else docIds
+        postings0.join(f, Seq("doc_id"), "left_semi")
+      case None => postings0
+    }
     // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on
     // the double view of the long loses nothing
     qt.join(dict, Seq("term"))
@@ -420,30 +488,36 @@ object Retrieval {
     * Plan: the phrase's (offset, term) pairs shuffle TO the
     * term-bucketed `<table>_pos` lists; each posting explodes to
     * candidate START positions (pos − offset) and a doc matches when
-    * one start collects ALL the phrase's offsets. Before any explode, a
-    * RAREST-TERM candidate pass (the classic phrase-intersection
-    * ordering, done set-at-a-time): every match must contain each
-    * phrase term, so the docs on the lowest-df term's posting list are
-    * a complete candidate set, and the other terms' position lists are
-    * semi-joined down to it — the intersection then shuffles (qid,
-    * doc_id, start) triples bounded by the RAREST term's postings, not
-    * the largest. A phrase containing an unindexed term prunes to zero
-    * candidates outright. Scoring reuses the [[bm25Query]] machinery
-    * restricted to matched docs by a semi-join. Tombstoned docs leave
+    * one start collects ALL the phrase's offsets. Before ANYTHING
+    * explodes, a RAREST-TERM candidate pass (the classic phrase-
+    * intersection ordering, done set-at-a-time): every match must
+    * contain each phrase term, so the docs on the lowest-df term's
+    * posting list are a complete candidate set, and every other term's
+    * position rows are DOC-GATED down to that set — first a doc-level
+    * semi-join against the distinct candidate ids (broadcast while the
+    * candidate bound Σ_q min_t df(t) stays under `maxCandBroadcast`,
+    * shuffle semi-join past it — both exact, the dial only picks the
+    * plan), then the per-qid (qid, doc) semi-join. The (qid, doc_id,
+    * start) intersection shuffle is therefore bounded by the RAREST
+    * term's postings even when the phrase carries df≈N head terms:
+    * their position lists are cut to candidate docs BEFORE the explode
+    * and the aggregate, which is what retires the round-12 superlinear
+    * worst case (head-term position mass used to flow through both). A
+    * phrase containing an unindexed term prunes to zero candidates
+    * outright. Scoring reuses the [[bm25Query]] machinery with the
+    * same candidate-doc gate on its postings (`docFilter`), then a
+    * semi-join to the exactly-matched docs. Tombstoned docs leave
     * results immediately (the positional scan anti-joins the set like
     * every other consult). Stop-term DROPPING is deliberately not
     * offered — removing a phrase term changes which documents MATCH —
-    * so an all-stop-word phrase still pays its full posting lists.
-    * MEASURED (DevRetrieval phrase leg, BASELINE.md round-12 addenda +
-    * supersession): on the log-uniform 131k-word corpus, 3-token
-    * head-heavy phrases serve at 471 ms/q at 10⁶ docs and 7,860 ms/q
-    * at 10⁷ — bound by the HEAD terms' position mass (a df≈N term in
-    * the phrase forces its full list through the intersection); the
-    * positional table adds +8% build wall at 10⁶, +40% at 10⁷.
+    * so results are bit-identical to the unpruned plan in every
+    * regime; an all-head phrase still pays its rarest term's df, the
+    * floor any positional intersection has.
     */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
-                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k: Int, k1: Double = 1.2, b: Double = 0.75,
+                      maxCandBroadcast: Long = 4L << 20): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     healFold(spark, table)
     require(tableExists(spark, s"${table}_pos"),
@@ -453,14 +527,16 @@ object Retrieval {
       .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
       .select(col("qid"), col("pos").as("off"), col("col").as("term"))
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    // ONE pushable-term collect serves the positional scan, the
+    // dictionary scan, and the scoring pass below
+    val qterms = pushableTerms(spark, qoff)
     val pos = Tombstones.filterOut(spark, table,
-      pruneToTerms(spark.table(s"${table}_pos"),
-        pushableTerms(spark, qoff)), "doc_id")
+      pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
     // rarest-term candidates: df from the folded dictionary (raw df is
     // fine here — candidates only need to be a SUPERSET of matches, and
     // the tombstone filter on `pos` already keeps deleted docs out)
     val qdf = qoff.select("qid", "term").distinct()
-      .join(spark.table(s"${table}_terms")
+      .join(pruneToTerms(spark.table(s"${table}_terms"), qterms)
         .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
       .select(col("qid"), col("term"), coalesce(col("df"), lit(0L)).as("df"))
     val rarest = qdf.withColumn("rn",
@@ -468,8 +544,17 @@ object Retrieval {
           .partitionBy("qid").orderBy(col("df"), col("term"))))
       .filter(col("rn") === 1).select("qid", "term")
     val cand = rarest.join(pos, Seq("term")).select("qid", "doc_id")
-    val starts = qoff.join(pos, Seq("term"))
-      .join(cand, Seq("qid", "doc_id"), "left_semi")
+    // candidate-set size bound Σ_q min_t df(t), from the (pruned)
+    // dictionary — one tiny control job deciding broadcast vs shuffle
+    val candBound = qdf.groupBy("qid").agg(min("df").as("mdf"))
+      .agg(coalesce(sum("mdf"), lit(0L))).head().getLong(0)
+    val bcast = candBound <= maxCandBroadcast
+    val candDocs = cand.select("doc_id").distinct()
+    val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
+      Seq("doc_id"), "left_semi")
+    val starts = qoff.join(posCand, Seq("term"))
+      .join(if (bcast) broadcast(cand) else cand,
+        Seq("qid", "doc_id"), "left_semi")
       .select(col("qid"), col("doc_id"), col("off"),
         explode(col("positions")).as("p"))
       .select(col("qid"), col("doc_id"),
@@ -480,7 +565,8 @@ object Retrieval {
       .filter(col("nhit") === col("qlen"))
       .select(col("qid"), col("doc_id").as("nid")).distinct()
     val qt = qoff.select("qid", "term").distinct()
-    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0)
+    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
+        qterms, docFilter = Some(candDocs), broadcastDocs = bcast)
       .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),

@@ -343,9 +343,6 @@ object Similarity {
                lloydIters: Int = 0, twoLevel: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val spark = corpus.sparkSession
-    // fresh index: drop any tombstone set left by a prior index under
-    // this name, or its stale ids would vanish from the new corpus
-    Tombstones.clear(spark, table)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
@@ -372,6 +369,11 @@ object Similarity {
     BucketedJoin.writeBucketed(
       Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
       s"${table}_stats", "built_n", 1)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name (stale ids would vanish from the new corpus) — cleared
+    // AFTER the tables land, so an aborted build can never un-delete
+    // docs on the still-standing old index
+    Tombstones.clear(spark, table)
   }
 
   /** Mean top-1-centroid cosine from ASSIGNED list rows
@@ -582,9 +584,6 @@ object Similarity {
                     table: String, nBits: Int = 16, nTables: Int = 8,
                     seed: Long = 42L, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(vecs.sparkSession)
-    // fresh index: drop any tombstone set left by a prior index under
-    // this name, or its stale ids would vanish from the new corpus
-    Tombstones.clear(vecs.sparkSession, table)
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     BucketedJoin.writeBucketed(v, s"${table}_vecs", "id", buckets)
@@ -593,6 +592,11 @@ object Similarity {
         posexplode(GraftFunctions.lshSigs(col("vec"), nBits, nTables, seed)))
       .select(col("id"), xxhash64(col("pos"), col("col")).as("bkey"))
     BucketedJoin.writeBucketed(b, s"${table}_buckets", "bkey", buckets)
+    // fresh index: drop any tombstone set left by a prior index under
+    // this name (stale ids would vanish from the new corpus) — cleared
+    // AFTER the tables land, so an aborted build can never un-delete
+    // docs on the still-standing old index
+    Tombstones.clear(vecs.sparkSession, table)
   }
 
   /** Check `batch` against a standing [[lshIndexBuild]] index: returns

@@ -39,8 +39,11 @@ import org.apache.spark.sql.functions._
   *    case) — takedown suppresses the old rows, it does not ban the
   *    content;
   *  - a BUILD under a reused table name is a fresh index: every index
-  *    build clears any pre-existing tombstone set first, so a new
-  *    corpus never silently loses ids deleted from a prior index.
+  *    build clears any pre-existing tombstone set once its new tables
+  *    have LANDED, so a new corpus never silently loses ids deleted
+  *    from a prior index — and a build that fails early leaves the old
+  *    index with its deletions intact (clearing first would un-delete
+  *    docs on the still-serving old index the moment a build aborts).
   *
   * Reference anchor: the reference has no index deletion surface at
   * all (its job outputs are immutable files); the tombstone-and-fold
