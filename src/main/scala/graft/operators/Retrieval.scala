@@ -514,10 +514,35 @@ object Retrieval {
     * regime; an all-head phrase still pays its rarest term's df, the
     * floor any positional intersection has.
     */
+  /** `maxDfFrac` (default 1.0 = exact matching for every phrase): the
+    * phrase analog of [[bm25Query]]'s stop-term dial, with a DIFFERENT
+    * contract because phrase terms cannot be dropped. A phrase whose
+    * rarest term's df is ≤ `maxDfFrac · N` is always EXACT — its
+    * candidate set (the rarest term's postings) is complete, and the
+    * dial changes nothing. A phrase whose EVERY term exceeds the cap
+    * (an all-stop-word phrase — the measured worst case, where the
+    * candidate set IS the corpus) gets TRUNCATED MATCHING: its
+    * candidates are restricted to a deterministic uniform hash-sample
+    * of ≈ `maxDfFrac · N` docs from the rarest term's postings, and
+    * matches outside the sample are missed — ranked results are a
+    * top-k over that sampled candidate set (scores of returned docs
+    * are still exact). The truncation is deterministic (xxhash64 of
+    * doc_id against a df-scaled threshold), so repeated queries return
+    * the same subset; it exists for the same reason the bag-of-words
+    * dial does — an all-head phrase otherwise forces an O(df≈N)
+    * intersection per query, the one cost no exact positional
+    * intersection can avoid. Pick the dial per workload: exact
+    * (default) for correctness gates and offline audits, a 1e-2-ish
+    * cap for interactive serving where an all-stop-word phrase should
+    * degrade gracefully instead of scanning the corpus.
+    */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
+                      maxDfFrac: Double = 1.0,
                       maxCandBroadcast: Long = 4L << 20): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
     healFold(spark, table)
     require(tableExists(spark, s"${table}_pos"),
@@ -542,13 +567,47 @@ object Retrieval {
     val rarest = qdf.withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("df"), col("term"))))
-      .filter(col("rn") === 1).select("qid", "term")
-    val cand = rarest.join(pos, Seq("term")).select("qid", "doc_id")
-    // candidate-set size bound Σ_q min_t df(t), from the (pruned)
-    // dictionary — one tiny control job deciding broadcast vs shuffle
-    val candBound = qdf.groupBy("qid").agg(min("df").as("mdf"))
-      .agg(coalesce(sum("mdf"), lit(0L))).head().getLong(0)
+      .filter(col("rn") === 1).select("qid", "term", "df")
+    // the rarest terms are bounded control data (one row per qid, the
+    // pushableTerms discipline): collecting them (a) prunes the
+    // candidate-generation scan to ONLY the rarest terms' row groups —
+    // without this the subplan reads every query term's position list,
+    // head terms included, just to derive the candidates it exists to
+    // bound — and (b) yields the candidate-set size bound Σ_q min_t
+    // df(t) for the broadcast decision without a second control job.
+    // Batches past the cap keep the frame-only plan (no collect).
+    // truncation cap in documents (Long.MaxValue = exact, no stats read)
+    val capDocs: Long = if (maxDfFrac < 1.0) {
+      val n = spark.table(s"${table}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      math.max(1L, (maxDfFrac * n).toLong)
+    } else Long.MaxValue
+    val maxRarestCollect = 1 << 12
+    val rarestRows = rarest.limit(maxRarestCollect + 1).collect()
+    val collected = rarestRows.length <= maxRarestCollect
+    val rarestTerms: Option[Seq[String]] =
+      if (collected) Some(rarestRows.map(_.getString(1)).toSeq.distinct)
+      else None
+    val candBound =
+      if (collected) rarestRows.map(r => math.min(r.getLong(2), capDocs)).sum
+      else qdf.groupBy("qid").agg(min("df").as("mdf"))
+        .agg(coalesce(sum(least(col("mdf"), lit(capDocs))), lit(0L)))
+        .head().getLong(0)
     val bcast = candBound <= maxCandBroadcast
+    val posRarest = Tombstones.filterOut(spark, table,
+      pruneToTerms(spark.table(s"${table}_pos"),
+        rarestTerms.orElse(qterms)), "doc_id")
+    val cand0 = rarest.join(posRarest, Seq("term"))
+      .select(col("qid"), col("doc_id"), col("df"))
+    // truncated matching for over-cap phrases (see the maxDfFrac doc):
+    // a deterministic per-doc hash sample at rate capDocs/df — map-only,
+    // no shuffle, and under-cap phrases pass the filter untouched
+    val sampleDen = 1L << 20
+    val cand = (if (capDocs == Long.MaxValue) cand0
+      else cand0.filter(col("df") <= lit(capDocs) ||
+        pmod(xxhash64(col("doc_id")), lit(sampleDen)).cast("double") <
+          lit((sampleDen * capDocs).toDouble) / col("df").cast("double")))
+      .select("qid", "doc_id")
     val candDocs = cand.select("doc_id").distinct()
     val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
       Seq("doc_id"), "left_semi")

@@ -42,7 +42,9 @@ object DevRetrieval {
           .write.mode("overwrite").parquet(dir)
       }
       val corpus = spark.read.parquet(dir)
+      val phraseOnly = sys.env.get("SPARK_GRAFT_PHRASE").contains("only")
       val table = s"devret_$n"
+      if (!phraseOnly) {
       val (_, tBuild) = timed {
         Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 32)
       }
@@ -79,6 +81,7 @@ object DevRetrieval {
         .agg(sum("n_docs")).head().getLong(0)
       println(f"[ret] n=$n statsDocs=$nd expected=${n + n / 100}")
       System.out.flush()
+      } // !phraseOnly
       // positional twin (opt-in: SPARK_GRAFT_PHRASE=1): build the
       // positions = true sibling index and serve a ~20-query phrase
       // batch — 3-token consecutive phrases drawn from document heads
@@ -103,6 +106,16 @@ object DevRetrieval {
         }
         println(f"[ret] n=$n phrase query=${tP}%.1fs rows=$prows " +
           f"nq=$npq (${tP / npq * 1000}%.0f ms/q)")
+        System.out.flush()
+        // the truncation dial engaged (over-cap phrases get sampled
+        // candidates — see the maxDfFrac scaladoc): the interactive-
+        // serving configuration on the same head-heavy batch
+        val (prowsT, tPT) = timed {
+          Retrieval.bm25PhraseQuery(spark, ptable, pq,
+            "qid", "qtext", 5, maxDfFrac = 0.01).count()
+        }
+        println(f"[ret] n=$n phrase-trunc(df<=1%%) query=${tPT}%.1fs " +
+          f"rows=$prowsT nq=$npq (${tPT / npq * 1000}%.0f ms/q)")
         System.out.flush()
       }
     }

@@ -172,6 +172,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hits() == Set(3L))
   }
 
+  test("bm25PhraseQuery maxDfFrac: under-cap phrases exact, all-head phrases truncate deterministically") {
+    // df: the=10, of=10 (head), cat=2, rare=1 (tail), fillers df 1
+    val docs = Seq(
+      (1L, "the of aa"), (2L, "the of bb"), (3L, "the of cc"),
+      (4L, "the of dd"), (5L, "the of ee"), (6L, "the of ff"),
+      (7L, "the of gg"), (8L, "of the cat"), (9L, "the xx of cat"),
+      (10L, "the of rare")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph5", buckets = 2,
+      positions = true)
+    def run(qtext: String, frac: Double) =
+      Retrieval.bm25PhraseQuery(spark, "bm25_ph5",
+        Seq((9L, qtext)).toDF("qid", "qtext"), "qid", "qtext", 10,
+        maxDfFrac = frac)
+        .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    // mixed phrase (rarest term "cat" df 2 ≤ cap 3): dial is a no-op
+    assert(run("the cat", 0.3) == run("the cat", 1.0) &&
+      run("the cat", 1.0).keySet == Set(8L))
+    // tail phrase: likewise exact
+    assert(run("of rare", 0.3) == run("of rare", 1.0) &&
+      run("of rare", 1.0).keySet == Set(10L))
+    // all-head phrase (min df 10 > cap 3): truncated matching — a
+    // deterministic SUBSET of the exact matches, scores of returned
+    // docs exact
+    val exact = run("the of", 1.0)
+    assert(exact.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L))
+    val trunc = run("the of", 0.3)
+    assert(trunc.keySet.subsetOf(exact.keySet),
+      s"truncated matches ${trunc.keySet} not a subset")
+    assert(trunc == run("the of", 0.3), "truncation not deterministic")
+    assert(trunc.forall { case (d, s) => exact(d) == s },
+      "truncated scores diverge from exact")
+  }
+
   test("bm25PhraseQuery requires a positional index; plain build drops a stale one") {
     val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2)

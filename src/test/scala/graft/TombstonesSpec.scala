@@ -259,6 +259,50 @@ class TombstonesSpec extends AnyFunSuite {
       "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet)
   }
 
+  test("bm25 fold chaos: a kill after EVERY rewrite boundary heals to exact scores") {
+    val d = docs(100)
+    val retainedDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val queries = d.filter(col("doc_id") % 25 === 1)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+    // reference: a positional index rebuilt without the deleted docs
+    val oracle = "ts_chaos_oracle"
+    Retrieval.bm25Build(retainedDocs, "doc_id", "text", oracle,
+      positions = true)
+    val refBag = Retrieval.bm25Query(spark, oracle, queries,
+      "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet
+    val refPhrase = Retrieval.bm25PhraseQuery(spark, oracle, queries,
+      "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet
+    assert(refBag.nonEmpty && refPhrase.nonEmpty)
+    // boundaries: 0 lock, 1 _terms, 2 _stats, 3 postings, 4 _pos,
+    // 5 tombstone clear — kill after each, then serve and compare
+    for (b <- 0 to 5) {
+      val table = s"ts_chaos_$b"
+      Retrieval.bm25Build(d, "doc_id", "text", table, positions = true)
+      Retrieval.bm25Delete(spark, table,
+        d.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+      val e = intercept[Retrieval.InjectedFoldCrash] {
+        Retrieval.foldTombstonesImpl(spark, table, failAt = b)
+      }
+      assert(e.at == b)
+      assert(exists(s"${table}_foldlock"), s"boundary $b: lock missing")
+      val healedBag = Retrieval.bm25Query(spark, table, queries,
+        "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet
+      assert(healedBag == refBag, s"boundary $b: bag scores diverge")
+      assert(!exists(s"${table}_foldlock"),
+        s"boundary $b: heal did not release the lock")
+      assert(!exists(s"${table}_tombstones"),
+        s"boundary $b: heal did not complete the fold")
+      assert(spark.table(table).filter(col("doc_id") % 5 === 0).count() == 0
+        && spark.table(s"${table}_pos")
+          .filter(col("doc_id") % 5 === 0).count() == 0,
+        s"boundary $b: physical rows survived the healed fold")
+      val healedPhrase = Retrieval.bm25PhraseQuery(spark, table, queries,
+        "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet
+      assert(healedPhrase == refPhrase, s"boundary $b: phrase diverges")
+    }
+  }
+
   test("fold is idempotent and a no-op without tombstones") {
     val v = vecs(40)
     val table = "ts_noop_idx"
