@@ -32,9 +32,14 @@ object Tables {
     *    and epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
     *    the truncated quotient can be off by 1 µs near boundaries;
     *  - parquet TIMESTAMP(MICROS) without UTC adjustment (round 12+),
-    *    which Spark 4 infers as TIMESTAMP_NTZ: cast to the session-zone
-    *    type (UTC sessions — a pure re-tag, values untouched), so every
-    *    downstream window/join behaves identically across vintages.
+    *    which Spark 4 infers as TIMESTAMP_NTZ. The stored wall-clock is
+    *    UTC, so the NTZ value is first CONVERTED to the session zone's
+    *    wall-clock (`convert_timezone`) and only then re-tagged as the
+    *    session-zone type — the resulting INSTANT is the stored UTC
+    *    one under ANY session timezone. (A bare cast would re-interpret
+    *    the UTC wall-clock in the session zone, silently shifting every
+    *    event for non-UTC callers; in-repo entry points all run UTC,
+    *    where both forms agree.)
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -44,7 +49,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        val zone = spark.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(zone), col("ts"))
+            .cast(TimestampType))
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")

@@ -308,6 +308,70 @@ object GraftFunctions {
     override def prettyName: String = "word_shingles"
   }
 
+  /** Gap-encode a sorted `array<int>`: first element absolute, every
+    * later element the delta to its predecessor. The positional-postings
+    * storage transform ([[graft.operators.Retrieval]] `<table>_pos`):
+    * token offsets are near-unique ints that defeat parquet dictionary
+    * encoding, while their gaps are small and heavily repeated — the
+    * classic inverted-index d-gap trick — so the dominant write volume
+    * of a positional build drops without changing a single query
+    * result ([[DeltaDecode]] restores the absolute offsets exactly).
+    */
+  case class DeltaEncode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    /** Public so generated code can call it. */
+    def enc(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val out = new Array[Int](n)
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = a.getInt(i)
+        out(i) = v - prev
+        prev = v
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(v: Any): Any = enc(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("denc", this, classOf[DeltaEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.enc($a);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "delta_enc"
+  }
+
+  /** Inverse of [[DeltaEncode]]: running sum restores the absolute
+    * sorted offsets. */
+  case class DeltaDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    /** Public so generated code can call it. */
+    def dec(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val out = new Array[Int](n)
+      var acc = 0
+      var i = 0
+      while (i < n) {
+        acc += a.getInt(i)
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(v: Any): Any = dec(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ddec", this, classOf[DeltaDecode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.dec($a);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "delta_dec"
+  }
+
   /** MinHash signatures in one pass over an `array<long>` of base
     * shingle hashes: `numHashes` universal-hash permutations
     * h_j(x) = a_j·x + b_j (odd a_j, both seeded), min per permutation.
@@ -858,6 +922,8 @@ object GraftFunctions {
       es(3).eval().asInstanceOf[Number].intValue()))
     put("pq_adc_dot")(es => PqAdcDot(es.head, es(1),
       es(2).eval().asInstanceOf[Number].intValue()))
+    put("delta_enc")(es => DeltaEncode(es.head))
+    put("delta_dec")(es => DeltaDecode(es.head))
     put("cms_probe")(es => CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
@@ -891,6 +957,8 @@ object GraftFunctions {
     call_function("pq_adc_table", qvec, cb, lit(m), lit(ksub))
   def pqAdcDot(codes: Column, table: Column, ksub: Int): Column =
     call_function("pq_adc_dot", codes, table, lit(ksub))
+  def deltaEnc(sortedInts: Column): Column = call_function("delta_enc", sortedInts)
+  def deltaDec(gaps: Column): Column = call_function("delta_dec", gaps)
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(baos)

@@ -417,14 +417,20 @@ object ProductQuant {
     val src = s"${vecs}_retrainsrc"
     // resume a crashed retrain: the raw corpus lives under the rename-aside
     if (exists(vecs) && exists(src)) BucketedJoin.dropWithLocation(spark, src)
-    // capture m while _meta still exists — a resumed run may find the old
-    // derived tables already dropped, so the explicit parameter is the
-    // only source then
+    // capture m while _meta still exists; a resumed run may find the old
+    // derived tables already dropped, so the previous attempt's
+    // `_retrainmeta` stash (written below, dropped only on success) is
+    // the fallback — resume never needs the explicit parameter
     val mEff = if (m > 0) m
                else if (exists(s"${table}_meta"))
                  spark.table(s"${table}_meta").head().getInt(0)
-               else sys.error(s"ivfPqRetrain: ${table}_meta is gone " +
-                 "(resumed run) — pass m explicitly")
+               else if (exists(s"${table}_retrainmeta"))
+                 spark.table(s"${table}_retrainmeta").head().getInt(0)
+               else sys.error(s"ivfPqRetrain: ${table}_meta is gone and no " +
+                 "retrain stash exists — pass m explicitly")
+    import spark.implicits._
+    BucketedJoin.writeBucketed(Seq(mEff).toDF("m"),
+      s"${table}_retrainmeta", "m", 1)
     if (exists(vecs)) {
       spark.sql(s"ALTER TABLE $vecs RENAME TO $src")
     } else require(exists(src),
@@ -446,6 +452,7 @@ object ProductQuant {
         throw t
     }
     BucketedJoin.dropWithLocation(spark, src)
+    BucketedJoin.dropWithLocation(spark, s"${table}_retrainmeta")
   }
 
   /** Physically fold [[Tombstones]] into an [[ivfPqBuild]] index: the

@@ -76,16 +76,24 @@ object Retrieval {
   }
 
   /** Per-batch positional rows `(term, doc_id, positions)` — sorted
-    * 0-based token offsets, the payload of the OPTIONAL `<table>_pos`
-    * table behind [[bm25PhraseQuery]]. Kept separate from the scoring
-    * postings (a positional row costs ~4·tf extra bytes) so bag-of-words
-    * indexes never pay for phrases they don't serve.
+    * 0-based token offsets stored DELTA-ENCODED (first element
+    * absolute, rest gaps — [[GraftFunctions.DeltaEncode]]), the payload
+    * of the OPTIONAL `<table>_pos` table behind [[bm25PhraseQuery]].
+    * Raw offsets are near-unique ints that defeat parquet dictionary
+    * encoding; their gaps are small and repetitive, cutting the
+    * positional build's dominant write volume (the measured +40%
+    * positions tax at 10⁷ docs, BASELINE.md round-12 addendum). The
+    * phrase query decodes with [[GraftFunctions.DeltaDecode]] — results
+    * are bit-identical to the absolute-offset format. Kept separate
+    * from the scoring postings so bag-of-words indexes never pay for
+    * phrases they don't serve.
     */
   private def posRows(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     docs.select(col(idCol).as("doc_id"), posexplode(toks(col(textCol))))
       .groupBy(col("col"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .agg(GraftFunctions.deltaEnc(sort_array(collect_list(col("pos"))))
+        .as("positions"))
       .select(col("col").as("term"), col("doc_id"), col("positions"))
 
   /** Build the persisted index. One tokenize scan; the postings land
@@ -615,7 +623,7 @@ object Retrieval {
       .join(if (bcast) broadcast(cand) else cand,
         Seq("qid", "doc_id"), "left_semi")
       .select(col("qid"), col("doc_id"), col("off"),
-        explode(col("positions")).as("p"))
+        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
       .select(col("qid"), col("doc_id"),
         (col("p") - col("off")).as("start"), col("off"))
       .groupBy("qid", "doc_id", "start")

@@ -1605,18 +1605,36 @@ object Queries {
       .orderBy("id")
   }
 
-  /** Frame-sampling gate (Multimodal.sampleFrames 1→N explode): every
-    * 2nd 1 KiB chunk of each binary payload, gated on BOTH the offsets
-    * and the exact frame CONTENT (the corpus is ASCII, so the oracle
-    * reproduces each frame as a text substring) — a boundary or copy
-    * bug in the binary chunking fails the hash compare.
+  /** REAL keyframe-extraction gate (mm2's encode→decode discipline,
+    * lifted to multi-frame media): per-doc animated GIFs are rendered
+    * distributedly (frame count, dims, and per-frame colors derived
+    * from doc_id), then every frame is decoded with javax.imageio's
+    * sequence reader — the gated frame_index/width/height/px00 values
+    * exist ONLY inside the encoded GIF container, so a green row
+    * certifies genuine per-frame decoding (frame count AND pixels),
+    * not an echoed formula or a byte-chunking stub. (The stride stub
+    * `sampleFrames` remains the fallback for codec-less containers and
+    * is spec-verified as a stub contract.)
     */
   val mm3_frames: Q = (s, d) => {
-    val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "video")
-    Multimodal.sampleFrames(media, stride = 2)
-      .select(col("id"), col("frame_offset"),
-        decode(col("frame_bytes"), "UTF-8").as("frame"))
-      .orderBy("id", "frame_offset")
+    import s.implicits._
+    val ids = docs(s, d).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 5 + 1).toInt
+        val h = (id % 3 + 1).toInt
+        val rgbs = (0L until (1 + id % 4)).map { f =>
+          ((((id * 31 + f * 17) % 256) << 16) |
+            (((id * 7 + f * 29) % 256) << 8) |
+            ((id * 13 + f * 37) % 256)).toInt
+        }
+        Multimodal.MediaRow(id, Multimodal.gifBytes(w, h, rgbs), "gif")
+      }
+    }
+    Multimodal.keyframes(media).toDF()
+      .select(col("id"), col("frame_index"), col("width"), col("height"),
+        col("px00"))
+      .orderBy("id", "frame_index")
   }
 
   /** REAL audio decode gate: per-doc 16-bit PCM WAVs are rendered
@@ -2535,11 +2553,15 @@ object Queries {
         |FROM documents ORDER BY id""".stripMargin,
 
     "mm3_frames" ->
-      """SELECT doc_id AS id, CAST(off AS INTEGER) AS frame_offset,
-        |  substr(text, CAST(off AS INTEGER) + 1, 1024) AS frame
-        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 2048)) AS off
-        |      FROM documents WHERE length(text) > 0)
-        |ORDER BY id, frame_offset""".stripMargin,
+      """SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_index,
+        |  CAST(doc_id % 5 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 3 + 1 AS INTEGER) AS height,
+        |  CAST(((doc_id * 31 + f * 17) % 256) * 65536
+        |     + ((doc_id * 7 + f * 29) % 256) * 256
+        |     + ((doc_id * 13 + f * 37) % 256) AS BIGINT) AS px00
+        |FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS f
+        |      FROM documents)
+        |ORDER BY id, frame_index""".stripMargin,
 
     "w1_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS ws,

@@ -315,6 +315,36 @@ object RefreshLoop {
     }
   }
 
+  /** Complete a retrain a previous run left mid-flight on a serving
+    * index (the heal-on-read discipline, lifted to the retrain's
+    * rename-aside): a crashed [[graft.operators.Similarity.ivfRetrain]]
+    * / [[graft.operators.ProductQuant.ivfPqRetrain]] leaves the corpus
+    * under `<renamed>_retrainsrc`. If the rebuilt table also landed
+    * (killed between the final build step and the source drop), only
+    * the stale source needs dropping; otherwise the retrain resumes
+    * from the rename-aside — O(corpus), paid only on the
+    * crash-recovery epoch, and REQUIRED before any append: the append
+    * reads tables the crashed retrain may have removed.
+    */
+  private def healCrashedRetrain(spark: SparkSession, table: String,
+                                 pq: Boolean, nassign: Int): Unit = {
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val renamed = if (pq) s"${table}_vecs" else table
+    val src = s"${renamed}_retrainsrc"
+    if (exists(src)) {
+      if (exists(renamed)) BucketedJoin.dropWithLocation(spark, src)
+      else if (pq) {
+        log.warn(s"IVFPQ index $table: resuming a crashed retrain")
+        graft.operators.ProductQuant.ivfPqRetrain(spark, table,
+          nassign = nassign)
+      } else {
+        log.warn(s"IVF index $table: resuming a crashed retrain")
+        Similarity.ivfRetrain(spark, table, nassign)
+      }
+    }
+  }
+
   /** The per-micro-batch body of [[embeddingRefresh]], exposed like
     * [[minhashBatch]]. */
   def embeddingBatch(table: String, idCol: String, vecCol: String,
@@ -323,16 +353,21 @@ object RefreshLoop {
                      seed: Long = 42L,
                      ivfTable: Option[String] = None, nassign: Int = 2,
                      pqTable: Option[String] = None,
+                     retrainOnDrift: Boolean = false,
                      compactEvery: Int = 0)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
       BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
       BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
-      ivfTable.foreach(t => BucketedJoin.recoverCompacted(spark, t))
+      ivfTable.foreach { t =>
+        BucketedJoin.recoverCompacted(spark, t)
+        healCrashedRetrain(spark, t, pq = false, nassign)
+      }
       pqTable.foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
+        healCrashedRetrain(spark, t, pq = true, nassign)
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       val repairMode = decided || hasNovelRows
@@ -376,23 +411,44 @@ object RefreshLoop {
               ivfTable.foreach { t =>
                 val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
                   nassign, repair = repairMode)
-                // surfaced, not auto-acted: ivfRetrain swaps tables this
-                // loop reads — run it from the maintenance cadence, like
-                // compaction
-                if (st.drifted) log.warn(
-                  s"IVF serving index $t: batch mean top-1 cosine " +
-                    f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
-                    s"at epoch $epoch — distribution drift; schedule " +
-                    s"Similarity.ivfRetrain($t)")
+                // default: surfaced, not auto-acted (ivfRetrain swaps
+                // tables this loop reads — the maintenance cadence is
+                // the safe place). retrainOnDrift closes the loop
+                // in-epoch; a kill mid-retrain heals on the replay
+                // (healCrashedRetrain above).
+                if (st.drifted) {
+                  if (retrainOnDrift) {
+                    log.warn(
+                      s"IVF serving index $t: batch mean top-1 cosine " +
+                        f"${st.batchMeanTop1Cos}%.4f vs build " +
+                        f"${st.buildMeanTop1Cos}%.4f at epoch $epoch — " +
+                        "drift; retraining in-epoch (retrainOnDrift)")
+                    Similarity.ivfRetrain(spark, t, nassign)
+                  } else log.warn(
+                    s"IVF serving index $t: batch mean top-1 cosine " +
+                      f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+                      s"at epoch $epoch — distribution drift; schedule " +
+                      s"Similarity.ivfRetrain($t)")
+                }
               }
               pqTable.foreach { t =>
                 val st = graft.operators.ProductQuant.ivfPqAppend(spark, t,
                   novel, idCol, vecCol, nassign, repair = repairMode)
-                if (st.drifted) log.warn(
-                  s"IVFPQ serving index $t: batch mean top-1 cosine " +
-                    f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
-                    s"at epoch $epoch — distribution drift; schedule " +
-                    s"ProductQuant.ivfPqRetrain($t)")
+                if (st.drifted) {
+                  if (retrainOnDrift) {
+                    log.warn(
+                      s"IVFPQ serving index $t: batch mean top-1 cosine " +
+                        f"${st.batchMeanTop1Cos}%.4f vs build " +
+                        f"${st.buildMeanTop1Cos}%.4f at epoch $epoch — " +
+                        "drift; retraining in-epoch (retrainOnDrift)")
+                    graft.operators.ProductQuant.ivfPqRetrain(spark, t,
+                      nassign = nassign)
+                  } else log.warn(
+                    s"IVFPQ serving index $t: batch mean top-1 cosine " +
+                      f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+                      s"at epoch $epoch — distribution drift; schedule " +
+                      s"ProductQuant.ivfPqRetrain($t)")
+                }
               }
               Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
                 nBits, nTables, seed, repair = repairMode)
@@ -439,6 +495,25 @@ object RefreshLoop {
     * like the minhash twin). `nBits`/`nTables`/`seed` must match the
     * index build. Same effectively-once restart contract (epoch
     * ledger) and `compactEvery` cadence as [[minhashRefresh]].
+    *
+    * `retrainOnDrift = true` closes the drift loop: when an absorb's
+    * coarse-drift signal fires ([[graft.operators.Similarity
+    * .IvfAppendStats]]`.drifted` — the DevDrift-measured recall-decay
+    * mode, 1.00 → 0.19 under frozen centroids), the epoch immediately
+    * retrains the affected serving index
+    * ([[graft.operators.Similarity.ivfRetrain]] /
+    * [[graft.operators.ProductQuant.ivfPqRetrain]]) so the NEXT batch
+    * assigns against centroids that cover the drifted region. The
+    * retrain is O(corpus) — the drifting epoch stalls for it, which is
+    * the point of the opt-in (default false keeps the warn-only
+    * behavior for operators who retrain from a maintenance cadence). A
+    * kill mid-retrain heals on the replayed epoch before any append
+    * (the rename-aside is resumed or its leftover dropped), so the
+    * effectively-once contract is unchanged. Cadence interaction with
+    * `compactEvery`: a retrain REWRITES the index one-file-per-bucket,
+    * so the next scheduled compaction of that table is a near-no-op —
+    * the two cadences compose without coordination; drift does not
+    * reset the compaction counter.
     */
   def embeddingRefresh(stream: DataFrame, table: String,
                        idCol: String, vecCol: String,
@@ -447,10 +522,12 @@ object RefreshLoop {
                        seed: Long = 42L,
                        ivfTable: Option[String] = None, nassign: Int = 2,
                        pqTable: Option[String] = None,
+                       retrainOnDrift: Boolean = false,
                        compactEvery: Int = 0)
                       (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
-      nTables, seed, ivfTable, nassign, pqTable, compactEvery)(onBatch)
+      nTables, seed, ivfTable, nassign, pqTable, retrainOnDrift,
+      compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

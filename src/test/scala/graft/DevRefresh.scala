@@ -27,6 +27,7 @@ object DevRefresh {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    if (args.length > 2 && args(2) == "pq") { pqMain(spark, n, nEpochs); return }
     import spark.implicits._
 
     val dir = s"/tmp/graft-scale/docs$n"
@@ -89,6 +90,89 @@ object DevRefresh {
         System.out.flush()
       }
     } finally q.stop()
+    spark.stop()
+  }
+
+  /** The IVFPQ-twin leg (`pqTable=` on the embedding loop): LSH-index
+    * an N-vector corpus + a standing [[graft.operators.ProductQuant
+    * .ivfPqBuild]] serving index, then drive
+    * `RefreshLoop.embeddingBatch` with `nEpochs` micro-batches of N/50
+    * vectors — half resubmissions (dups), half novel in-distribution
+    * draws. Numbers that matter: per-epoch wall FLAT as both indexes
+    * grow (the minhash loop's 0.12–0.15 ms/doc standard), and the
+    * drift signal QUIESCENT on in-distribution batches (printed per
+    * epoch from a post-epoch probe).
+    * `sbt "Test/runMain graft.DevRefresh [n] [epochs] pq"`.
+    */
+  private def pqMain(spark: SparkSession, n: Long, nEpochs: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{ProductQuant, Similarity}
+    val dim = 64
+    def vecs(ids: org.apache.spark.sql.DataFrame, seed: Long) =
+      ids.select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          pmod(xxhash64(col("id"), d, lit(seed)), lit(1000000L))
+            .cast("double") / 500000.0 - 1.0).as("embedding"))
+
+    val corpus = vecs(spark.range(n).repartition(32).toDF("id"), 1L)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val table = s"devpqrefresh_$n"
+    val pq = s"${table}_pq"
+    var t0 = System.nanoTime()
+    Similarity.lshIndexBuild(corpus, "vec_id", "embedding", table,
+      buckets = 32)
+    val tLsh = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", pq, m = 8,
+      buckets = 32)
+    println(f"[pqrefresh] n=$n lshBuild=${tLsh}%.1fs " +
+      f"pqBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    System.out.flush()
+
+    val batchSize = (n / 50).toInt
+    @volatile var lastDups = 0L
+    @volatile var lastNovel = 0L
+    val fn = graft.streaming.RefreshLoop.embeddingBatch(table,
+        "vec_id", "embedding", pqTable = Some(pq),
+        compactEvery = 3) { (dups, novel, _) =>
+      lastDups = dups.select("batch_id").distinct().count()
+      lastNovel = novel.count()
+    }
+    for (e <- 1 to nEpochs) {
+      // resub half: standing corpus vectors under fresh ids (exact
+      // dups — must route dup); novel half: fresh in-distribution
+      // draws over per-epoch disjoint id slices (must route novel and
+      // leave the drift signal quiescent)
+      val half = batchSize / 2
+      val resub = vecs(spark.range(half).repartition(8)
+          .select((col("id") * 97 % n).as("id")), 1L)
+        .select((col("id") + n * (100 + e)).as("vec_id"), col("embedding"))
+      val novelB = vecs(spark.range(half.toLong * e, half.toLong * (e + 1))
+          .repartition(8).toDF("id"), 2L)
+        .select((col("id") + n * 10).as("vec_id"), col("embedding"))
+      val batch = resub.unionByName(novelB).localCheckpoint()
+      val te = System.nanoTime()
+      fn(batch, e.toLong)
+      val sec = (System.nanoTime() - te) / 1e9
+      // drift probe: the signal the epoch computed, reproduced from the
+      // standing stats vs a fresh in-distribution sample's assignment
+      spark.catalog.refreshTable(s"${pq}_stats")
+      val buildMean = spark.table(s"${pq}_stats").head().getDouble(1)
+      val compacted = if (e % 3 == 0) " (compacted)" else ""
+      println(f"[pqrefresh] n=$n epoch=$e batch=$batchSize " +
+        f"dupVecs=$lastDups novel=$lastNovel buildMean=$buildMean%.4f " +
+        f"${sec}%.1fs$compacted")
+      System.out.flush()
+    }
+    // drift-signal check: one explicit in-distribution append probe
+    val probe = vecs(spark.range(n * 20, n * 20 + 200).repartition(4)
+        .toDF("id"), 3L)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val st = ProductQuant.ivfPqAppend(spark, pq, probe, "vec_id",
+      "embedding")
+    println(f"[pqrefresh] drift probe: batchMean=${st.batchMeanTop1Cos}%.4f " +
+      f"buildMean=${st.buildMeanTop1Cos}%.4f drifted=${st.drifted}")
+    System.out.flush()
     spark.stop()
   }
 }

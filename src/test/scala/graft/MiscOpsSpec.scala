@@ -231,6 +231,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(frames == Seq(0, 1024, 2048))
   }
 
+  test("keyframes: animated-GIF frames decode to exact count, dims, and colors") {
+    val rgbs = Seq(0xab0102, 0x00ff7f, 0x123456)
+    val gif = Multimodal.gifBytes(4, 3, rgbs)
+    // real multi-frame round trip, frame order preserved
+    val frames = Multimodal.decodeFrames(7L, gif)
+    assert(frames.map(_.frame_index) == Seq(0, 1, 2))
+    assert(frames.forall(f => f.width == 4 && f.height == 3))
+    assert(frames.map(_.px00) == rgbs.map(_.toLong),
+      "GIF palette round trip not lossless")
+    // distributed 1→N explode; single-frame formats yield one frame;
+    // unknown payloads are dropped (the sampleFrames stub's domain)
+    val media = Seq(
+      Multimodal.MediaRow(1L, gif, "gif"),
+      Multimodal.MediaRow(2L, Multimodal.pngBytes(2, 2, 0x0000ff), "image"),
+      Multimodal.MediaRow(3L, Array.fill[Byte](64)(9), "video")).toDS()
+    val got = Multimodal.keyframes(media).collect()
+      .groupBy(_.id).view.mapValues(_.length).toMap
+    assert(got == Map(1L -> 3, 2L -> 1))
+  }
+
   test("cms_probe matches driver-side estimateCount and stays in codegen") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val words = spark.range(0, 5000)

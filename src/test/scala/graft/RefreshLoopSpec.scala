@@ -698,6 +698,120 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(runs(2)._2.isEmpty)
   }
 
+  // DevDrift's decay scenario, miniaturized: corpus clustered in dims
+  // 0..3, drifted batch clustered in dims 4..7 — orthogonal to every
+  // trained centroid, so the absorb's batch-mean top-1 cosine ≈ 0 and
+  // the drift signal must fire.
+  private def lowVec(i: Long): Seq[Double] = {
+    val v = Array.fill(8)(0.0)
+    v((i % 4).toInt) = 1.0
+    v(((i + 1) % 4).toInt) = 0.1 + 0.01 * (i % 7)
+    v.toSeq
+  }
+  // 8 pairwise well-separated directions in the high subspace (max
+  // pairwise cosine ≈ 0.84, far under the 0.999 admission threshold,
+  // so every drifted vector is admitted as novel deterministically)
+  private def highVec(i: Long): Seq[Double] = {
+    val v = Array.fill(8)(0.0)
+    v(4 + (i % 4).toInt) = 1.0
+    v(4 + ((i + 1) % 4).toInt) = if (i < 4) 0.3 else -0.3
+    v.toSeq
+  }
+
+  test("retrainOnDrift: drifted batch auto-retrains the serving index, recall restored") {
+    import graft.operators.Similarity
+    val corpus = (0L until 40L).map(i => (i, lowVec(i))).toDF("vec_id", "embedding")
+    Similarity.lshIndexBuild(corpus, "vec_id", "embedding", "drift_lsh")
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", "drift_ivf")
+
+    val fn = RefreshLoop.embeddingBatch("drift_lsh", "vec_id", "embedding",
+      ivfTable = Some("drift_ivf"), retrainOnDrift = true) { (_, _, _) => }
+    val drifted = (0L until 8L).map(i => (100L + i, highVec(i)))
+      .toDF("vec_id", "embedding")
+    fn(drifted, 0L)
+
+    // the retrain swapped in an index rebuilt from the GROWN corpus:
+    // built_n re-derives as 48, and the stats row is the retrained one
+    spark.catalog.refreshTable("drift_ivf_stats")
+    assert(spark.table("drift_ivf_stats").head().getLong(0) == 48L,
+      "drift did not trigger an in-epoch retrain")
+    // recall restored (the DevDrift contract): a JITTERED drifted-
+    // direction query under the standard probe budget finds its
+    // neighbor — pre-retrain the drifted subspace is orthogonal to
+    // every centroid, so a jittered query's list ranking is noise
+    spark.catalog.refreshTable("drift_ivf")
+    spark.catalog.refreshTable("drift_ivf_cents")
+    val jittered = highVec(3L).zipWithIndex
+      .map { case (x, d) => x + (if (d == 0) 0.01 else 0.0) }
+    val q = Seq((9000L, jittered)).toDF("vec_id", "embedding")
+    val got = Similarity.ivfQuery(spark, "drift_ivf", q, "vec_id",
+        "embedding", 3, probeFrac = 0.5)
+      .select("nid").as[Long].collect().toSet
+    assert(got.contains(103L),
+      s"drifted neighbor not served after auto-retrain: $got")
+    // control: the default (warn-only) loop leaves the build reference
+    Similarity.lshIndexBuild(corpus, "vec_id", "embedding", "driftc_lsh")
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", "driftc_ivf")
+    val fnWarn = RefreshLoop.embeddingBatch("driftc_lsh", "vec_id",
+      "embedding", ivfTable = Some("driftc_ivf")) { (_, _, _) => }
+    fnWarn(drifted, 0L)
+    spark.catalog.refreshTable("driftc_ivf_stats")
+    assert(spark.table("driftc_ivf_stats").head().getLong(0) == 40L,
+      "warn-only loop must not retrain")
+  }
+
+  test("kill mid-retrain: the replayed epoch heals before appending (IVF and IVFPQ stash)") {
+    import graft.operators.{BucketedJoin, ProductQuant, Similarity}
+    val corpus = (0L until 40L).map(i => (i, lowVec(i))).toDF("vec_id", "embedding")
+    Similarity.lshIndexBuild(corpus, "vec_id", "embedding", "rcrash_lsh")
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", "rcrash_ivf")
+    ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", "rcrash_pq",
+      m = 2, ksub = 4, nlist = 5, buckets = 2)
+
+    // crash state A (IVF): killed right after the rename-aside — the
+    // index table is GONE, only the renamed source remains
+    spark.sql("ALTER TABLE rcrash_ivf RENAME TO rcrash_ivf_retrainsrc")
+    // crash state B (IVFPQ): killed after the rename AND the derived
+    // drops — only the raw corpus under the rename-aside and the m
+    // stash survive (the worst resumable state)
+    spark.sql("ALTER TABLE rcrash_pq_vecs RENAME TO rcrash_pq_vecs_retrainsrc")
+    for (t <- Seq("rcrash_pq", "rcrash_pq_cents", "rcrash_pq_pq",
+                  "rcrash_pq_meta", "rcrash_pq_stats"))
+      BucketedJoin.dropWithLocation(spark, t)
+    BucketedJoin.writeBucketed(Seq(2).toDF("m"), "rcrash_pq_retrainmeta", "m", 1)
+
+    val runs = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val fn = RefreshLoop.embeddingBatch("rcrash_lsh", "vec_id", "embedding",
+      ivfTable = Some("rcrash_ivf"), pqTable = Some("rcrash_pq")) { (_, novel, _) =>
+      runs += novel.select("vec_id").as[Long].collect().toSet
+    }
+    val batch = Seq((200L, highVec(0L))).toDF("vec_id", "embedding")
+    fn(batch, 0L) // must heal BOTH crashed retrains, then absorb 200
+    assert(runs(0) == Set(200L))
+    for (t <- Seq("rcrash_ivf", "rcrash_pq", "rcrash_pq_vecs",
+                  "rcrash_pq_meta"))
+      assert(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)),
+        s"heal did not restore $t")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("rcrash_ivf_retrainsrc")))
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("rcrash_pq_vecs_retrainsrc")))
+    // both healed indexes hold the full corpus PLUS the new absorb
+    spark.catalog.refreshTable("rcrash_ivf")
+    spark.catalog.refreshTable("rcrash_pq_vecs")
+    assert(spark.table("rcrash_ivf").select("nid").distinct().count() == 41L)
+    assert(spark.table("rcrash_pq_vecs").select("nid").distinct().count() == 41L)
+    // and both serve: the absorbed vector is findable through each
+    val q = Seq((9000L, highVec(0L))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfQuery(spark, "rcrash_ivf", q, "vec_id",
+        "embedding", 1, probeFrac = 1.0)
+      .select("nid").as[Long].head() == 200L)
+    assert(ProductQuant.ivfPqQuery(spark, "rcrash_pq", q, "vec_id",
+        "embedding", 1, probeFrac = 1.0, refineK = 64)
+      .select("nid").as[Long].head() == 200L)
+  }
+
   test("embedding replayed epoch is effectively-once across both indexes") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),

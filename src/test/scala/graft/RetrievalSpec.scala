@@ -225,6 +225,31 @@ class RetrievalSpec extends AnyFunSuite {
       "rebuild without positions left the stale positional table")
   }
 
+  test("positional table stores delta-encoded gaps; decode restores exact offsets") {
+    import graft.functions.GraftFunctions
+    // "rep" occurs at offsets 0, 2, 5 — gaps (0, 2, 3)
+    val docs = Seq((1L, "rep xx rep yy zz rep")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_delta", buckets = 2,
+      positions = true)
+    spark.catalog.refreshTable("bm25_delta_pos")
+    val stored = spark.table("bm25_delta_pos")
+      .filter($"term" === "rep").select("positions")
+      .as[Seq[Int]].head()
+    assert(stored == Seq(0, 2, 3),
+      s"positions not gap-encoded on disk: $stored")
+    val decoded = spark.table("bm25_delta_pos")
+      .filter($"term" === "rep")
+      .select(GraftFunctions.deltaDec($"positions"))
+      .as[Seq[Int]].head()
+    assert(decoded == Seq(0, 2, 5))
+    // and the phrase intersection reads the decoded offsets: a phrase
+    // spanning the gap-encoded occurrences matches at the right starts
+    val q = Seq((9L, "zz rep")).toDF("qid", "qtext")
+    val hit = Retrieval.bm25PhraseQuery(spark, "bm25_delta", q,
+      "qid", "qtext", 5).select("doc_id").as[Long].collect().toSeq
+    assert(hit == Seq(1L))
+  }
+
   test("index never shuffles: no exchange over the postings/dictionary scans") {
     Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_spec_plan",
       buckets = 2)
