@@ -381,12 +381,17 @@ object Retrieval {
       .collect().map(_.getString(0)).toSeq
     if (terms.size > maxPushTerms) None
     else {
-      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-      val target = maxPushTerms + 1
-      if (spark.conf.getOption(key).map(_.toInt).getOrElse(10) < target)
-        spark.conf.set(key, target.toString)
+      raiseInFilterThreshold(spark, maxPushTerms + 1)
       Some(terms)
     }
+  }
+
+  /** Monotone raise of the parquet IN-pushdown threshold (see the
+    * session-wide-side-effect note on [[pushableTerms]]). */
+  private def raiseInFilterThreshold(spark: SparkSession, target: Int): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.getOption(key).map(_.toInt).getOrElse(10) < target)
+      spark.conf.set(key, target.toString)
   }
 
   private def pruneToTerms(df: DataFrame,
@@ -496,21 +501,28 @@ object Retrieval {
     * Plan: the phrase's (offset, term) pairs shuffle TO the
     * term-bucketed `<table>_pos` lists; each posting explodes to
     * candidate START positions (pos − offset) and a doc matches when
-    * one start collects ALL the phrase's offsets. Before ANYTHING
-    * explodes, a RAREST-TERM candidate pass (the classic phrase-
-    * intersection ordering, done set-at-a-time): every match must
-    * contain each phrase term, so the docs on the lowest-df term's
-    * posting list are a complete candidate set, and every other term's
-    * position rows are DOC-GATED down to that set — first a doc-level
-    * semi-join against the distinct candidate ids (broadcast while the
-    * candidate bound Σ_q min_t df(t) stays under `maxCandBroadcast`,
-    * shuffle semi-join past it — both exact, the dial only picks the
-    * plan), then the per-qid (qid, doc) semi-join. The (qid, doc_id,
-    * start) intersection shuffle is therefore bounded by the RAREST
+    * one start collects ALL the phrase's offsets. ONE bounded control
+    * collect (the per-(qid, term) df frame) drives the whole control
+    * plane: the pushed-term scan pruning, the rarest term per phrase,
+    * and a COST GATE choosing between two exact plans. When the gate
+    * engages, a RAREST-TERM candidate pass runs before anything
+    * explodes (the classic phrase-intersection ordering, done
+    * set-at-a-time): every match must contain each phrase term, so the
+    * docs on the lowest-df term's posting list are a complete
+    * candidate set, and every other term's position rows are DOC-GATED
+    * down to that set — first a doc-level semi-join against the
+    * distinct candidate ids (broadcast while the candidate bound
+    * Σ_q min_t df(t) stays under `maxCandBroadcast`, shuffle semi-join
+    * past it), then the per-qid (qid, doc) semi-join. The (qid,
+    * doc_id, start) intersection shuffle is then bounded by the RAREST
     * term's postings even when the phrase carries df≈N head terms:
     * their position lists are cut to candidate docs BEFORE the explode
     * and the aggregate, which is what retires the round-12 superlinear
-    * worst case (head-term position mass used to flow through both). A
+    * worst case (head-term position mass used to flow through both).
+    * When the gate does NOT engage (small direct posting mass AND a
+    * rarest term that barely prunes — the measured regime where the
+    * semi-join overhead exceeds its saving), the intersection runs
+    * directly on the pruned position scans, bit-identical results. A
     * phrase containing an unindexed term prunes to zero candidates
     * outright. Scoring reuses the [[bm25Query]] machinery with the
     * same candidate-doc gate on its postings (`docFilter`), then a
@@ -544,11 +556,19 @@ object Retrieval {
     * cap for interactive serving where an all-stop-word phrase should
     * degrade gracefully instead of scanning the corpus.
     */
+  /** `gateMinPosMass`: the direct-vs-gated cost switch (see the COST
+    * GATE comment in the body) — the total query-term posting mass
+    * above which the rarest-term doc-gating engages. Both plans are
+    * exact; gating wins at every measured material scale (443 vs 693
+    * ms/q at 10⁶, 5.2 vs 7.9 s/q at 10⁷), so the default 2²² only
+    * spares genuinely tiny batches the extra semi-join stages.
+    */
   def bm25PhraseQuery(spark: SparkSession, table: String,
                       queries: DataFrame, qidCol: String, textCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
                       maxDfFrac: Double = 1.0,
-                      maxCandBroadcast: Long = 4L << 20): DataFrame = {
+                      maxCandBroadcast: Long = 4L << 20,
+                      gateMinPosMass: Long = 1L << 22): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
@@ -560,68 +580,108 @@ object Retrieval {
       .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
       .select(col("qid"), col("pos").as("off"), col("col").as("term"))
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    // ONE pushable-term collect serves the positional scan, the
-    // dictionary scan, and the scoring pass below
-    val qterms = pushableTerms(spark, qoff)
-    val pos = Tombstones.filterOut(spark, table,
-      pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
-    // rarest-term candidates: df from the folded dictionary (raw df is
-    // fine here — candidates only need to be a SUPERSET of matches, and
-    // the tombstone filter on `pos` already keeps deleted docs out)
-    val qdf = qoff.select("qid", "term").distinct()
-      .join(pruneToTerms(spark.table(s"${table}_terms"), qterms)
+    val qt = qoff.select("qid", "term").distinct()
+    // ---- ONE bounded control read: the per-(qid, term) df frame.
+    // Everything the control plane needs — the pushdown term list, the
+    // rarest term per phrase, the candidate-set bound Σ_q min_t df(t),
+    // the total posting mass Σ df, and the broadcast decision — derives
+    // from this single collect (≤ maxControlRows rows, the mf1
+    // point-lookup discipline). The dictionary aggregate it reads is
+    // term-bucketed and tiny relative to any posting scan. Batches past
+    // the cap fall back to frame-only plans (no collect, no pushdown).
+    val qdf = qt
+      .join(spark.table(s"${table}_terms")
         .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
       .select(col("qid"), col("term"), coalesce(col("df"), lit(0L)).as("df"))
-    val rarest = qdf.withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("df"), col("term"))))
-      .filter(col("rn") === 1).select("qid", "term", "df")
-    // the rarest terms are bounded control data (one row per qid, the
-    // pushableTerms discipline): collecting them (a) prunes the
-    // candidate-generation scan to ONLY the rarest terms' row groups —
-    // without this the subplan reads every query term's position list,
-    // head terms included, just to derive the candidates it exists to
-    // bound — and (b) yields the candidate-set size bound Σ_q min_t
-    // df(t) for the broadcast decision without a second control job.
-    // Batches past the cap keep the frame-only plan (no collect).
+    val maxControlRows = 1 << 13
+    val qdfRows = qdf.limit(maxControlRows + 1).collect()
+    val collected = qdfRows.length <= maxControlRows
+    val maxPushTerms = 1 << 12
+    val qterms: Option[Seq[String]] = if (collected) {
+      val ts = qdfRows.map(_.getString(1)).toSeq.distinct
+      if (ts.size <= maxPushTerms) {
+        raiseInFilterThreshold(spark, maxPushTerms + 1)
+        Some(ts)
+      } else None
+    } else None
     // truncation cap in documents (Long.MaxValue = exact, no stats read)
     val capDocs: Long = if (maxDfFrac < 1.0) {
       val n = spark.table(s"${table}_stats")
         .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
       math.max(1L, (maxDfFrac * n).toLong)
     } else Long.MaxValue
-    val maxRarestCollect = 1 << 12
-    val rarestRows = rarest.limit(maxRarestCollect + 1).collect()
-    val collected = rarestRows.length <= maxRarestCollect
-    val rarestTerms: Option[Seq[String]] =
-      if (collected) Some(rarestRows.map(_.getString(1)).toSeq.distinct)
-      else None
-    val candBound =
-      if (collected) rarestRows.map(r => math.min(r.getLong(2), capDocs)).sum
+    val perQid = qdfRows.groupBy(_.get(0))
+    val candBound: Long =
+      if (collected)
+        perQid.valuesIterator.map(rs =>
+          math.min(rs.iterator.map(_.getLong(2)).min, capDocs)).sum
       else qdf.groupBy("qid").agg(min("df").as("mdf"))
         .agg(coalesce(sum(least(col("mdf"), lit(capDocs))), lit(0L)))
         .head().getLong(0)
+    val totalBound: Long =
+      if (collected) qdfRows.iterator.map(_.getLong(2)).sum
+      else Long.MaxValue
+    // ---- COST GATE on the rarest-term doc-gating. The gating plan
+    // (doc-level + per-qid semi-joins bounding the intersection by the
+    // rarest term's postings) and the direct plan (intersect every
+    // term's position lists) are EXACT — this is a cost decision only.
+    // Gate when: the truncation dial is engaged (truncation is defined
+    // on the candidate set); the batch overflowed the control collect
+    // (conservative at unknown scale); or the direct intersection's
+    // posting mass passes `gateMinPosMass`. MEASURED (DevRetrieval
+    // warm legs, both plans forced, all-head 3-token phrases): at 10⁶
+    // docs (mass ≈ 3·10⁷) gated serves 443 vs direct 693 ms/q; at 10⁷
+    // (mass ≈ 3·10⁸) gated 5.2 vs direct 7.9 s/q — gating wins
+    // wherever the position mass is material, and the default 2²² only
+    // routes genuinely tiny workloads (e.g. a 6·10³-doc index, mass
+    // ≈ 10⁵, where the extra semi-join stages are the dominant cost)
+    // around the candidate machinery.
+    val useGate = capDocs != Long.MaxValue || !collected ||
+      totalBound > gateMinPosMass
+    val pos = Tombstones.filterOut(spark, table,
+      pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
     val bcast = candBound <= maxCandBroadcast
-    val posRarest = Tombstones.filterOut(spark, table,
-      pruneToTerms(spark.table(s"${table}_pos"),
-        rarestTerms.orElse(qterms)), "doc_id")
-    val cand0 = rarest.join(posRarest, Seq("term"))
-      .select(col("qid"), col("doc_id"), col("df"))
-    // truncated matching for over-cap phrases (see the maxDfFrac doc):
-    // a deterministic per-doc hash sample at rate capDocs/df — map-only,
-    // no shuffle, and under-cap phrases pass the filter untouched
-    val sampleDen = 1L << 20
-    val cand = (if (capDocs == Long.MaxValue) cand0
-      else cand0.filter(col("df") <= lit(capDocs) ||
-        pmod(xxhash64(col("doc_id")), lit(sampleDen)).cast("double") <
-          lit((sampleDen * capDocs).toDouble) / col("df").cast("double")))
-      .select("qid", "doc_id")
-    val candDocs = cand.select("doc_id").distinct()
-    val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
-      Seq("doc_id"), "left_semi")
-    val starts = qoff.join(posCand, Seq("term"))
-      .join(if (bcast) broadcast(cand) else cand,
-        Seq("qid", "doc_id"), "left_semi")
+    val (startsInput, candFilter) =
+      if (useGate) {
+        // rarest-term candidates: df from the folded dictionary (raw df
+        // is fine — candidates only need to be a SUPERSET of matches,
+        // and the tombstone filter on `pos` keeps deleted docs out)
+        val rarest = qdf.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("df"), col("term"))))
+          .filter(col("rn") === 1).select("qid", "term", "df")
+        // collected rarest terms prune the candidate-generation scan to
+        // ONLY the rarest terms' row groups — without this the subplan
+        // reads every query term's position list, head terms included,
+        // just to derive the candidates it exists to bound
+        val rarestTerms: Option[Seq[String]] =
+          if (collected) Some(perQid.valuesIterator.map(rs =>
+            rs.minBy(r => (r.getLong(2), r.getString(1))).getString(1))
+            .toSeq.distinct)
+          else None
+        val posRarest = Tombstones.filterOut(spark, table,
+          pruneToTerms(spark.table(s"${table}_pos"),
+            rarestTerms.orElse(qterms)), "doc_id")
+        val cand0 = rarest.join(posRarest, Seq("term"))
+          .select(col("qid"), col("doc_id"), col("df"))
+        // truncated matching for over-cap phrases (see the maxDfFrac
+        // doc): a deterministic per-doc hash sample at rate capDocs/df —
+        // map-only, no shuffle; under-cap phrases pass untouched
+        val sampleDen = 1L << 20
+        val cand = (if (capDocs == Long.MaxValue) cand0
+          else cand0.filter(col("df") <= lit(capDocs) ||
+            pmod(xxhash64(col("doc_id")), lit(sampleDen)).cast("double") <
+              lit((sampleDen * capDocs).toDouble) / col("df").cast("double")))
+          .select("qid", "doc_id")
+        val candDocs = cand.select("doc_id").distinct()
+        val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
+          Seq("doc_id"), "left_semi")
+        (qoff.join(posCand, Seq("term"))
+          .join(if (bcast) broadcast(cand) else cand,
+            Seq("qid", "doc_id"), "left_semi"),
+          Some(candDocs))
+      } else (qoff.join(pos, Seq("term")), None)
+    val starts = startsInput
       .select(col("qid"), col("doc_id"), col("off"),
         explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
       .select(col("qid"), col("doc_id"),
@@ -631,9 +691,8 @@ object Retrieval {
     val matched = starts.join(broadcast(qlen), Seq("qid"))
       .filter(col("nhit") === col("qlen"))
       .select(col("qid"), col("doc_id").as("nid")).distinct()
-    val qt = qoff.select("qid", "term").distinct()
     val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
-        qterms, docFilter = Some(candDocs), broadcastDocs = bcast)
+        qterms, docFilter = candFilter, broadcastDocs = bcast)
       .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),

@@ -100,12 +100,30 @@ object DevRetrieval {
           .select(col("doc_id").as("qid"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
         val npq = pq.count()
+        // one untimed warm-up so the first timed leg doesn't carry the
+        // JIT/page-cache cold start the later legs skip
+        Retrieval.bm25PhraseQuery(spark, ptable, pq, "qid", "qtext", 5)
+          .count()
         val (prows, tP) = timed {
           Retrieval.bm25PhraseQuery(spark, ptable, pq,
             "qid", "qtext", 5).count()
         }
         println(f"[ret] n=$n phrase query=${tP}%.1fs rows=$prows " +
           f"nq=$npq (${tP / npq * 1000}%.0f ms/q)")
+        System.out.flush()
+        // the two exact plans, each forced, bracketing the cost gate
+        val (prowsD, tPD) = timed {
+          Retrieval.bm25PhraseQuery(spark, ptable, pq, "qid", "qtext", 5,
+            gateMinPosMass = Long.MaxValue).count()
+        }
+        println(f"[ret] n=$n phrase-direct query=${tPD}%.1fs rows=$prowsD " +
+          f"nq=$npq (${tPD / npq * 1000}%.0f ms/q)")
+        val (prowsG, tPG) = timed {
+          Retrieval.bm25PhraseQuery(spark, ptable, pq, "qid", "qtext", 5,
+            gateMinPosMass = 0L).count()
+        }
+        println(f"[ret] n=$n phrase-gated query=${tPG}%.1fs rows=$prowsG " +
+          f"nq=$npq (${tPG / npq * 1000}%.0f ms/q)")
         System.out.flush()
         // the truncation dial engaged (over-cap phrases get sampled
         // candidates — see the maxDfFrac scaladoc): the interactive-
