@@ -569,18 +569,124 @@ object Retrieval {
                       maxDfFrac: Double = 1.0,
                       maxCandBroadcast: Long = 4L << 20,
                       gateMinPosMass: Long = 1L << 22): DataFrame = {
+    val qoff = queries
+      .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
+      .select(col("qid"), col("pos").as("off"), col("col").as("term"))
+    val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val (startsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
+      table, qoff, "bm25PhraseQuery", maxDfFrac, maxCandBroadcast,
+      gateMinPosMass)
+    val starts = startsInput
+      .select(col("qid"), col("doc_id"), col("off"),
+        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
+      .select(col("qid"), col("doc_id"),
+        (col("p") - col("off")).as("start"), col("off"))
+      .groupBy("qid", "doc_id", "start")
+      .agg(count_distinct(col("off")).as("nhit"))
+    val matched = starts.join(broadcast(qlen), Seq("qid"))
+      .filter(col("nhit") === col("qlen"))
+      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    posScoreRank(spark, table, qoff, matched, candFilter, bcast, qterms,
+      k, k1, b)
+  }
+
+  /** All-distinct-terms-within-a-window (NEAR/w) BM25 top-k over the
+    * positional index ([[bm25Build]] with `positions = true`): a
+    * document matches iff EVERY distinct query term occurs at least
+    * once inside some window of `window` CONSECUTIVE token slots —
+    * equivalently, some occurrence assignment has span
+    * max(pos) − min(pos) < window — order-free, the classic NEAR
+    * operator. Matching docs rank by the [[bm25Query]] score of the
+    * query's distinct terms: same integer micro-unit contract and
+    * output schema as [[bm25PhraseQuery]] (qid, doc_id, score_micro,
+    * rnk). Phrase is the ordered, gap-free special case (offsets must
+    * align at one start); NEAR relaxes both order and adjacency.
+    *
+    * Plan: shares [[bm25PhraseQuery]]'s ENTIRE control plane via
+    * [[posGatedProbe]] — one bounded control collect, pushed-term scan
+    * pruning, rarest-term candidate doc-gating (broadcast/shuffle
+    * semi-joins), the `maxDfFrac` truncation dial (same contract:
+    * phrases whose rarest term is under the cap stay exact; all-head
+    * queries get deterministic hash-sampled candidates), and the
+    * `gateMinPosMass` cost gate. Only the positional match differs:
+    * each decoded position p of a query term serves the `window`
+    * anchor slots [p − window + 1, p], and a (doc, anchor) holding ALL
+    * distinct terms is a match (a window covering every term exists
+    * iff one anchored at the cover's leftmost occurrence does). Match
+    * cost is window × gated position mass — linear in the dial, hence
+    * the 256 cap; duplicate query terms collapse (proximity is a
+    * distinct-term predicate, unlike phrase where each offset must
+    * align).
+    */
+  def bm25ProximityQuery(spark: SparkSession, table: String,
+                         queries: DataFrame, qidCol: String,
+                         textCol: String, k: Int, window: Int,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         maxDfFrac: Double = 1.0,
+                         maxCandBroadcast: Long = 4L << 20,
+                         gateMinPosMass: Long = 1L << 22): DataFrame = {
+    require(window >= 1 && window <= 256,
+      s"window must be in [1, 256], got $window")
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
+      table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
+      gateMinPosMass)
+    val anchors = anchorsInput
+      .select(col("qid"), col("doc_id"), col("term"),
+        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
+      .select(col("qid"), col("doc_id"), col("term"),
+        explode(sequence(col("p") - lit(window - 1), col("p")))
+          .as("anchor"))
+      .groupBy("qid", "doc_id", "anchor")
+      .agg(count_distinct(col("term")).as("nhit"))
+    val matched = anchors.join(broadcast(qlenD), Seq("qid"))
+      .filter(col("nhit") === col("qlen"))
+      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    posScoreRank(spark, table, qt0, matched, candFilter, bcast, qterms,
+      k, k1, b)
+  }
+
+  /** Shared tail of the positional entry points: BM25-score the
+    * query's distinct terms with the candidate doc-gate threaded into
+    * the postings scan, keep exactly the matched docs, rank top-k. */
+  private def posScoreRank(spark: SparkSession, table: String,
+                           probe: DataFrame, matched: DataFrame,
+                           candFilter: Option[DataFrame], bcast: Boolean,
+                           qterms: Option[Seq[String]], k: Int,
+                           k1: Double, b: Double): DataFrame = {
+    val qt = probe.select("qid", "term").distinct()
+    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
+        qterms, docFilter = candFilter, broadcastDocs = bcast)
+      .join(matched, Seq("qid", "nid"), "left_semi")
+    Similarity.rankTopK(scored, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** The shared positional control plane behind [[bm25PhraseQuery]]
+    * and [[bm25ProximityQuery]] (the plan notes live on the phrase
+    * scaladoc): takes the per-(qid, …, term) probe frame, returns the
+    * probe joined to the (tombstone-filtered, term-pruned, candidate-
+    * doc-gated) positional scan, plus the candidate doc filter /
+    * broadcast decision / pushed-term list the caller threads into
+    * scoring. */
+  private def posGatedProbe(spark: SparkSession, table: String,
+                            probe: DataFrame, caller: String,
+                            maxDfFrac: Double, maxCandBroadcast: Long,
+                            gateMinPosMass: Long)
+      : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
     healFold(spark, table)
     require(tableExists(spark, s"${table}_pos"),
-      s"bm25PhraseQuery: $table has no positional table — " +
+      s"$caller: $table has no positional table — " +
         "build the index with positions = true")
-    val qoff = queries
-      .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
-      .select(col("qid"), col("pos").as("off"), col("col").as("term"))
-    val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val qt = qoff.select("qid", "term").distinct()
+    val qt = probe.select("qid", "term").distinct()
     // ---- ONE bounded control read: the per-(qid, term) df frame.
     // Everything the control plane needs — the pushdown term list, the
     // rarest term per phrase, the candidate-set bound Σ_q min_t df(t),
@@ -676,27 +782,11 @@ object Retrieval {
         val candDocs = cand.select("doc_id").distinct()
         val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
           Seq("doc_id"), "left_semi")
-        (qoff.join(posCand, Seq("term"))
+        (probe.join(posCand, Seq("term"))
           .join(if (bcast) broadcast(cand) else cand,
             Seq("qid", "doc_id"), "left_semi"),
           Some(candDocs))
-      } else (qoff.join(pos, Seq("term")), None)
-    val starts = startsInput
-      .select(col("qid"), col("doc_id"), col("off"),
-        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
-      .select(col("qid"), col("doc_id"),
-        (col("p") - col("off")).as("start"), col("off"))
-      .groupBy("qid", "doc_id", "start")
-      .agg(count_distinct(col("off")).as("nhit"))
-    val matched = starts.join(broadcast(qlen), Seq("qid"))
-      .filter(col("nhit") === col("qlen"))
-      .select(col("qid"), col("doc_id").as("nid")).distinct()
-    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
-        qterms, docFilter = candFilter, broadcastDocs = bcast)
-      .join(matched, Seq("qid", "nid"), "left_semi")
-    Similarity.rankTopK(scored, k)
-      .select(col("qid"), col("nid").as("doc_id"),
-        col("cos").cast("long").as("score_micro"),
-        col("rank").as("rnk"))
+      } else (probe.join(pos, Seq("term")), None)
+    (startsInput, candFilter, bcast, qterms)
   }
 }

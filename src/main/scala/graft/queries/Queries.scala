@@ -1150,6 +1150,25 @@ object Queries {
       "qid", "qtext", 5).orderBy("qid", "rnk")
   }
 
+  /** BM25 NEAR gate over the positional index (bm25ProximityQuery,
+    * window = 8): the same every-50th-doc 3-token queries, but a
+    * document matches iff all DISTINCT query tokens occur inside some
+    * window of 8 consecutive token slots, in ANY order. The oracle
+    * restates window membership occurrence-anchored — a cover window
+    * exists iff one anchored at its leftmost occurrence does — over
+    * DuckDB's own positional view of the same tokenizer, then
+    * recomputes the BM25 scores of the matched docs, so the positions
+    * payload, the anchor-slot intersection, and the restricted scoring
+    * all gate together against an independently-derived match set.
+    */
+  val t21_bm25near: Q = (s, d) => {
+    val table = s"bm25n_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    Retrieval.bm25ProximityQuery(s, table, bm25Queries(s, d),
+      "qid", "qtext", 5, window = 8).orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1769,7 +1788,7 @@ object Queries {
     "t15_bloom" -> t15_bloom, "t16_bm25" -> t16_bm25,
     "t17_bm25append" -> t17_bm25append,
     "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
-    "t20_bm25phrase" -> t20_bm25phrase,
+    "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2441,6 +2460,64 @@ object Queries {
         |    ON length(q.phrase) > 0
         |   AND position((' ' || q.phrase || ' ') IN
         |        (' ' || array_to_string(d.toklist, ' ') || ' ')) > 0),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT qid, doc_id, score_micro, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // NEAR membership restated occurrence-anchored: all distinct query
+    // terms lie in some 8-slot window iff they lie in the window
+    // anchored at the cover's leftmost occurrence — so a doc matches
+    // iff some query-term occurrence a has every query term occurring
+    // in [a.pos, a.pos + 7]. Scoring is the t16 pipeline restricted to
+    // matches, identical to t20's restriction.
+    "t21_bm25near" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
+        |      FROM docs0 WHERE doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT qid, unnest(qtoks) AS term FROM q)),
+        |qn AS (SELECT qid, count(*) AS nterms FROM qt GROUP BY qid),
+        |qpos AS (SELECT qt.qid, p.doc_id, p.term, p.pos
+        |         FROM qt JOIN pos p ON p.term = qt.term),
+        |matched AS (
+        |  SELECT qid, doc_id FROM (
+        |    SELECT a.qid, a.doc_id, a.pos,
+        |      count(DISTINCT o.term) AS nh, any_value(qn.nterms) AS nt
+        |    FROM qpos a
+        |    JOIN qpos o ON o.qid = a.qid AND o.doc_id = a.doc_id
+        |      AND o.pos BETWEEN a.pos AND a.pos + 7
+        |    JOIN qn ON qn.qid = a.qid
+        |    GROUP BY a.qid, a.doc_id, a.pos)
+        |  WHERE nh = nt GROUP BY qid, doc_id),
         |scored AS (
         |  SELECT qt.qid, tf.doc_id,
         |    CAST(sum(CAST(round(

@@ -205,6 +205,54 @@ class RetrievalSpec extends AnyFunSuite {
       "truncated scores diverge from exact")
   }
 
+  test("bm25ProximityQuery: order-free window matching, scored like bm25Query") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // span 2 (adjacent)
+      (2L, "gamma xx beta yy alpha"),        // unordered, span 4 → w ≥ 5
+      (3L, "alpha beta z1 z2 z3 z4 z5 z6 gamma"), // span 8 → w ≥ 9
+      (4L, "alpha beta zz")).toDF("doc_id", "text") // incomplete
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_nx", buckets = 2,
+      positions = true)
+    val q = Seq((9L, "alpha beta gamma")).toDF("qid", "qtext")
+    def run(w: Int) = Retrieval.bm25ProximityQuery(spark, "bm25_nx", q,
+      "qid", "qtext", 10, window = w)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(run(3).keySet == Set(1L), s"w=3: ${run(3).keySet}")
+    assert(run(5).keySet == Set(1L, 2L), s"w=5: ${run(5).keySet}")
+    assert(run(9).keySet == Set(1L, 2L, 3L), s"w=9: ${run(9).keySet}")
+    // matched docs carry their exact bag-of-words scores
+    val bag = Retrieval.bm25Query(spark, "bm25_nx", q, "qid", "qtext", 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(run(5) == bag.view.filterKeys(run(5).keySet).toMap)
+    // every phrase match is a proximity match at window = phrase length
+    val ph = Retrieval.bm25PhraseQuery(spark, "bm25_nx", q,
+      "qid", "qtext", 10).select("doc_id").as[Long].collect().toSet
+    assert(ph.subsetOf(run(3).keySet))
+  }
+
+  test("bm25ProximityQuery: duplicate terms collapse; both plans exact; dial no-op under cap") {
+    val docs = Seq(
+      (1L, "go stop"), (2L, "stop zz go"),
+      (3L, "go alone"), (4L, "stop alone")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_nx2", buckets = 2,
+      positions = true)
+    def run(qtext: String, w: Int, gate: Long = 1L << 22,
+            frac: Double = 1.0) =
+      Retrieval.bm25ProximityQuery(spark, "bm25_nx2",
+        Seq((9L, qtext)).toDF("qid", "qtext"), "qid", "qtext", 10,
+        window = w, gateMinPosMass = gate, maxDfFrac = frac)
+        .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    // duplicate query terms are one distinct-term requirement
+    assert(run("go go stop", 2).keySet == Set(1L))
+    assert(run("go go stop", 3).keySet == Set(1L, 2L))
+    // single-term query: every doc containing the term, any window
+    assert(run("go", 1).keySet == Set(1L, 2L, 3L))
+    // forced-gated ≡ forced-direct, and the dial is exact under cap
+    val direct = run("go stop", 3, gate = Long.MaxValue)
+    assert(direct == run("go stop", 3, gate = 0L))
+    assert(direct == run("go stop", 3, frac = 0.9))
+  }
+
   test("bm25PhraseQuery requires a positional index; plain build drops a stale one") {
     val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2)
