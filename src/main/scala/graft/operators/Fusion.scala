@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval: combine a lexical (BM25) leg, a
+  * vector (ANN) leg — or any number of ranked candidate lists — into
+  * one ranking via reciprocal-rank fusion (RRF; Cormack & Clarke,
+  * SIGIR'09: "Reciprocal rank fusion outperforms Condorcet and
+  * individual rank learning methods"). RRF needs only RANKS, never
+  * score calibration, which is what makes it the standard first fusion
+  * for legs whose scores live on incomparable scales (BM25 log-idf sums
+  * vs cosine in [-1, 1]).
+  *
+  * Reference lineage: the reference engine's retrieval surface is the
+  * grep/index family (`hadoop-mapreduce-examples` Grep chains two jobs
+  * and re-ranks by aggregate count — `examples/Grep.java:57-76`); it has
+  * no multi-signal fusion. This operator is the composition layer a
+  * training-data pipeline needs on top of the BM25
+  * ([[graft.operators.Retrieval]]) and ANN ([[graft.operators.Similarity]],
+  * [[graft.operators.ProductQuant]]) index families this engine already
+  * serves: retrieval-for-RAG, dedup triage (lexical AND embedding
+  * agreement), and decontamination review queues all consume fused lists.
+  *
+  * SCALE SHAPE: fusion itself is never the bottleneck — each leg is
+  * already a bounded top-`kPerLeg` list, so the fused candidate mass is
+  * ≤ legs · kPerLeg rows PER QUERY (tiny 24-byte rows), one hash
+  * aggregate, no window sort (the ranking tail is the same bounded
+  * [[graft.functions.TopKScoreAgg]] every top-k operator here uses).
+  * The 100 TB story lives in the legs: the BM25 leg serves off the
+  * term-bucketed pushed-scan index, the vector leg off IVF probes —
+  * both measured sublinear (BASELINE.md round-12/13 serving curves).
+  */
+object Fusion {
+
+  /** Reciprocal-rank fusion over ranked legs.
+    *
+    * Each leg is a DataFrame with columns `(qid, id, rank)` — a ranked
+    * candidate list (rank 1 = best, one row per (qid, id); duplicate
+    * (qid, id) rows within a leg are the CALLER's bug and would
+    * double-count — every producer here ([[Retrieval.bm25Query]],
+    * [[Similarity.bruteForceTopK]]/[[Similarity.ivfQuery]],
+    * [[ProductQuant.ivfPqQuery]]) emits unique ranked rows) — paired
+    * with its fusion weight.
+    *
+    * A candidate's fused score is Σ over the legs that retrieved it of
+    * `w · 1e6 / (rrfK + rank)`, each contribution rounded half-up to an
+    * integer micro BEFORE the sum: integer addition is order-independent,
+    * so the fused score is bit-stable under any execution order (the
+    * same determinism discipline as the micro-rounded BM25 scores).
+    * Candidates missing from a leg simply get no contribution from it —
+    * no outer-join NULL handling, the union-then-aggregate form.
+    *
+    * `rrfK` (default 60, the SIGIR'09 constant) damps the head: the
+    * gap between rank 1 and 2 is ~1.6% of the rank-1 contribution, so
+    * one leg's top hit cannot drown the other leg's consensus.
+    *
+    * Returns `(qid, id, fused_micro, rnk)`, top `k` per qid under
+    * (fused_micro desc, id asc) — deterministic total order.
+    */
+  def rrf(legs: Seq[(DataFrame, Double)], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrf needs at least one leg")
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    legs.foreach { case (_, w) =>
+      require(w > 0.0, s"leg weights must be positive, got $w")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(legs.head._1.sparkSession)
+    val contribs = legs.map { case (df, w) =>
+      df.select(col("qid"), col("id"),
+        floor(lit(w * 1e6) / (lit(rrfK).cast("double") + col("rank").cast("double"))
+          + lit(0.5)).cast("long").as("c"))
+    }.reduce(_.unionByName(_))
+    val fused = contribs.groupBy("qid", "id").agg(sum("c").as("fused"))
+    // fused_micro < 2^53 for any sane legs/weights, so the double round
+    // trip through the shared bounded top-k aggregate is exact
+    Similarity.rankTopK(
+        fused.select(col("qid"), col("id").as("nid"),
+          col("fused").cast("double").as("cos")), k)
+      .select(col("qid"), col("nid").as("id"),
+        col("cos").cast("long").as("fused_micro"), col("rank").as("rnk"))
+  }
+
+  /** Hybrid lexical+vector retrieval over a standing BM25 index and a
+    * vector leg, fused with [[rrf]].
+    *
+    * `queries` carries `qidCol` (integral id), `textCol` (the lexical
+    * query string) and `vecCol` (the query embedding). The vector leg
+    * is served from a standing IVF index when `vecIndex` is given
+    * ([[Similarity.ivfQuery]], `probeFrac` dial — the at-scale path),
+    * else exact brute-force over `vecCorpus` (`embIdCol`/`embVecCol`
+    * columns; the small-corpus / oracle path). `kPerLeg` bounds each leg's
+    * candidate list (RRF quality saturates at a few × k; kPerLeg rows
+    * per query per leg is the entire fusion working set), `maxDfFrac`
+    * passes through to the BM25 leg's stop-term dial.
+    */
+  def hybridQuery(spark: SparkSession, bm25Table: String, queries: DataFrame,
+                  qidCol: String, textCol: String, vecCol: String, k: Int,
+                  kPerLeg: Int = 20, rrfK: Int = 60,
+                  wLex: Double = 1.0, wVec: Double = 1.0,
+                  vecIndex: Option[String] = None,
+                  vecCorpus: Option[DataFrame] = None,
+                  embIdCol: String = "vec_id", embVecCol: String = "embedding",
+                  probeFrac: Double = 0.5,
+                  maxDfFrac: Double = 1.0): DataFrame = {
+    require(vecIndex.nonEmpty || vecCorpus.nonEmpty,
+      "hybridQuery needs a vector leg: pass vecIndex (standing IVF) or vecCorpus (brute-force)")
+    val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
+        kPerLeg, maxDfFrac = maxDfFrac)
+      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"))
+    val vec = (vecIndex match {
+      case Some(t) =>
+        Similarity.ivfQuery(spark, t, queries, qidCol, vecCol, kPerLeg,
+          probeFrac = probeFrac)
+      case None =>
+        Similarity.bruteForceTopK(
+          vecCorpus.get.select(col(embIdCol).as("_vid"), col(embVecCol).as("_vv")),
+          queries.select(col(qidCol).as("_vid"), col(vecCol).as("_vv")),
+          "_vid", "_vv", kPerLeg)
+    }).select(col("qid"), col("nid").as("id"), col("rank"))
+    rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
+  }
+}

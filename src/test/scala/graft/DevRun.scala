@@ -18,11 +18,16 @@ object DevRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val explain = args.contains("-e")
+    // -o: dump each query's result to /tmp/graft-dev/<name> as parquet
+    // (the Verify layout) so a dev-loop DuckDB compare can hash it.
+    val dump = args.contains("-o")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val df = queries.Queries.all(n)(spark, sfDir)
       if (explain) println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      if (dump) df.coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft-dev/$n")
       val rows = df.collect()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[dev] $n: ${rows.length} rows in $dt%.1fs")

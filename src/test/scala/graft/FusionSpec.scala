@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Fusion, Retrieval}
+
+class FusionSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def leg(rows: (Long, Long, Int)*) =
+    rows.toSeq.toDF("qid", "id", "rank")
+
+  /** The exact integer contribution Fusion.rrf credits one leg hit. */
+  private def c(w: Double, rrfK: Int, rank: Int): Long =
+    math.floor(w * 1e6 / (rrfK + rank) + 0.5).toLong
+
+  test("rrf: hand-computed fusion of two legs, consensus beats single-leg head") {
+    // leg A ranks (10, 20, 30); leg B ranks (20, 30, 40): 20 is ranked
+    // 2nd+1st, 10 only 1st in A — RRF must put 20 first (consensus).
+    val a = leg((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+    val b = leg((1L, 20L, 1), (1L, 30L, 2), (1L, 40L, 3))
+    val got = Fusion.rrf(Seq(a -> 1.0, b -> 1.0), k = 4)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
+    val exp = Map(
+      10L -> c(1.0, 60, 1),
+      20L -> (c(1.0, 60, 2) + c(1.0, 60, 1)),
+      30L -> (c(1.0, 60, 3) + c(1.0, 60, 2)),
+      40L -> c(1.0, 60, 3))
+    val want = exp.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (1L, id, s, i + 1) }
+    assert(got.toSeq === want)
+    assert(got.head._2 === 20L, "consensus candidate must win")
+  }
+
+  test("rrf: weights scale contributions; k truncates; rrfK honored") {
+    val a = leg((7L, 1L, 1), (7L, 2L, 2))
+    val b = leg((7L, 2L, 1))
+    val got = Fusion.rrf(Seq(a -> 3.0, b -> 0.5), k = 1, rrfK = 10)
+      .as[(Long, Long, Long, Int)].collect()
+    // id 1: 3.0e6/11 = 272727.27 -> 272727; id 2: 3.0e6/12 + 0.5e6/11
+    assert(got.length === 1)
+    val s1 = c(3.0, 10, 1)
+    val s2 = c(3.0, 10, 2) + c(0.5, 10, 1)
+    val winner = if (s1 >= s2) (7L, 1L, s1, 1) else (7L, 2L, s2, 1)
+    assert(got.head === winner)
+    assert(s1 === 272727L)
+  }
+
+  test("rrf: ties break on id ascending; per-qid independence") {
+    // two qids; within qid 1 two candidates tie exactly (same rank in
+    // disjoint legs) -> lower id first
+    val a = leg((1L, 5L, 1), (2L, 9L, 1))
+    val b = leg((1L, 3L, 1))
+    val got = Fusion.rrf(Seq(a -> 1.0, b -> 1.0), k = 5)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 3L, c(1.0, 60, 1), 1), (1L, 5L, c(1.0, 60, 1), 2),
+      (2L, 9L, c(1.0, 60, 1), 1)))
+  }
+
+  test("rrf: invalid arguments fail loudly") {
+    val a = leg((1L, 1L, 1))
+    intercept[IllegalArgumentException](Fusion.rrf(Seq.empty, 5))
+    intercept[IllegalArgumentException](Fusion.rrf(Seq(a -> 0.0), 5))
+    intercept[IllegalArgumentException](Fusion.rrf(Seq(a -> 1.0), 0))
+    intercept[IllegalArgumentException](Fusion.rrf(Seq(a -> 1.0), 5, rrfK = -1))
+  }
+
+  test("hybridQuery: lexical and vector legs fuse over a standing bm25 index") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "alpha theta iota")).toDF("doc_id", "text")
+    // embeddings: 1≈2 (near-identical), 3 orthogonal-ish, 4 mid
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.05f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val table = s"fus_spec_${System.nanoTime()}"
+    Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 2)
+    val q = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    val got = Fusion.hybridQuery(spark, table, q, "qid", "qtext", "qvec",
+        k = 3, kPerLeg = 3, vecCorpus = Some(emb))
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
+    // doc 2 is top lexically (alpha+beta, shorter? 1 also has both) and
+    // top-vector (cos(1,2) ≈ 1): it must be fused rank 1; doc 1 is the
+    // query's own row — excluded from the vector leg but present in the
+    // lexical one, so it still appears with a lex-only score.
+    assert(got.head._2 === 2L)
+    assert(got.map(_._2).contains(1L))
+    // every fused score is a sum of the exact integer contributions
+    val legC = (1 to 3).map(r => c(1.0, 60, r)).toSet
+    got.foreach { case (_, _, s, _) =>
+      val ok = legC.contains(s) ||
+        legC.exists(a => legC.exists(b => a + b == s))
+      assert(ok, s"fused score $s is not a sum of leg contributions")
+    }
+  }
+
+  test("hybridQuery: requires a vector leg") {
+    val q = Seq((1L, "x")).toDF("qid", "qtext")
+      .withColumn("qvec", array(lit(1.0f)))
+    intercept[IllegalArgumentException] {
+      Fusion.hybridQuery(spark, "nope", q, "qid", "qtext", "qvec", 5)
+    }
+  }
+}
