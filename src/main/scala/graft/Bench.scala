@@ -70,6 +70,15 @@ object Bench {
     }
     lazy val pqQueries = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 100 === 0)
+    lazy val hybIvfTable = {
+      val t = "bench_hyb_ivf"
+      operators.Similarity.ivfBuild(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", t)
+      t
+    }
+    lazy val hybridQueries = bm25Queries.join(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
     // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
     // + tiny-job latency probe (MRBench analog) + dedup skew kernel
     // (dd4 with the hot-shingle cap active — the 100 TB skew-guard path).
@@ -89,6 +98,11 @@ object Bench {
         phraseTable, bm25Queries, "qid", "qtext", 5)),
       "bench_pq" -> (() => operators.ProductQuant.ivfPqQuery(spark,
         pqTable, pqQueries, "vec_id", "embedding", 5, refineK = 50)),
+      // hybrid serving: BM25 leg + IVF leg over STANDING indexes, RRF
+      // fusion on the bounded candidate lists (Fusion.hybridQuery)
+      "bench_hybrid" -> (() => operators.Fusion.hybridQuery(spark,
+        bm25Table, hybridQueries, "qid", "qtext", "qvec", 5,
+        kPerLeg = 20, vecIndex = Some(hybIvfTable))),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
     // A crashed kernel must be LOUD: it records -1.0 (excluded from the

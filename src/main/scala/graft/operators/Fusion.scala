@@ -81,8 +81,55 @@ object Fusion {
         col("cos").cast("long").as("fused_micro"), col("rank").as("rnk"))
   }
 
+  /** Weighted linear score fusion with per-(leg, qid) min-max
+    * normalization — the other standard hybrid-fusion mode (score-aware
+    * where [[rrf]] is rank-only: linear fusion preserves score GAPS, so
+    * one leg's decisive margin can outvote the other's weak ordering).
+    *
+    * Each leg is `(qid, id, score)` (higher = better, any scale — BM25
+    * micros and cosines fuse fine) paired with its weight. Scores
+    * normalize per (leg, qid) to `(s - min) / (max - min)` over that
+    * leg's RETRIEVED candidates; a degenerate leg (max = min for a qid)
+    * normalizes to 1.0 — every candidate it retrieved is equally "its
+    * best", and dropping it instead would silently erase the leg's
+    * vote. Candidates a leg did not retrieve contribute 0 from it.
+    * Each weighted normalized contribution rounds half-up to integer
+    * micros BEFORE the cross-leg sum (order-independent integer adds —
+    * the same determinism discipline as [[rrf]]).
+    *
+    * Returns `(qid, id, fused_micro, rnk)`, top `k` per qid under
+    * (fused_micro desc, id asc).
+    */
+  def linear(legs: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(legs.nonEmpty, "linear fusion needs at least one leg")
+    require(k > 0, s"k must be positive, got $k")
+    legs.foreach { case (_, w) =>
+      require(w > 0.0, s"leg weights must be positive, got $w")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(legs.head._1.sparkSession)
+    val contribs = legs.map { case (df, w) =>
+      val ext = df.groupBy("qid")
+        .agg(min(col("score").cast("double")).as("_mn"),
+             max(col("score").cast("double")).as("_mx"))
+      df.join(ext, "qid")
+        .select(col("qid"), col("id"),
+          floor(lit(w * 1e6) *
+            when(col("_mx") === col("_mn"), lit(1.0))
+              .otherwise((col("score").cast("double") - col("_mn")) /
+                         (col("_mx") - col("_mn")))
+            + lit(0.5)).cast("long").as("c"))
+    }.reduce(_.unionByName(_))
+    val fused = contribs.groupBy("qid", "id").agg(sum("c").as("fused"))
+    Similarity.rankTopK(
+        fused.select(col("qid"), col("id").as("nid"),
+          col("fused").cast("double").as("cos")), k)
+      .select(col("qid"), col("nid").as("id"),
+        col("cos").cast("long").as("fused_micro"), col("rank").as("rnk"))
+  }
+
   /** Hybrid lexical+vector retrieval over a standing BM25 index and a
-    * vector leg, fused with [[rrf]].
+    * vector leg, fused with [[rrf]] (`mode = "rrf"`, default) or
+    * [[linear]] (`mode = "linear"`).
     *
     * `queries` carries `qidCol` (integral id), `textCol` (the lexical
     * query string) and `vecCol` (the query embedding). The vector leg
@@ -102,12 +149,16 @@ object Fusion {
                   vecCorpus: Option[DataFrame] = None,
                   embIdCol: String = "vec_id", embVecCol: String = "embedding",
                   probeFrac: Double = 0.5,
-                  maxDfFrac: Double = 1.0): DataFrame = {
+                  maxDfFrac: Double = 1.0,
+                  mode: String = "rrf"): DataFrame = {
     require(vecIndex.nonEmpty || vecCorpus.nonEmpty,
       "hybridQuery needs a vector leg: pass vecIndex (standing IVF) or vecCorpus (brute-force)")
+    require(mode == "rrf" || mode == "linear",
+      s"""mode must be "rrf" or "linear", got "$mode"""")
     val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
         kPerLeg, maxDfFrac = maxDfFrac)
-      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"))
+      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
+        col("score_micro").cast("double").as("score"))
     val vec = (vecIndex match {
       case Some(t) =>
         Similarity.ivfQuery(spark, t, queries, qidCol, vecCol, kPerLeg,
@@ -117,7 +168,9 @@ object Fusion {
           vecCorpus.get.select(col(embIdCol).as("_vid"), col(embVecCol).as("_vv")),
           queries.select(col(qidCol).as("_vid"), col(vecCol).as("_vv")),
           "_vid", "_vv", kPerLeg)
-    }).select(col("qid"), col("nid").as("id"), col("rank"))
-    rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
+    }).select(col("qid"), col("nid").as("id"), col("rank"),
+        col("cos").as("score"))
+    if (mode == "linear") linear(Seq(lex -> wLex, vec -> wVec), k)
+    else rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
   }
 }

@@ -1191,6 +1191,25 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Linear-fusion twin of t22 ([[graft.operators.Fusion.linear]]):
+    * same two legs, but fused by per-(leg, qid) min-max-normalized
+    * weighted scores — (s − min)/(max − min) over each leg's retrieved
+    * top-5 (degenerate max = min ⇒ 1.0), each weighted contribution
+    * micro-rounded before the integer sum. Gates the score-aware fusion
+    * arithmetic (normalization windows, the degenerate-leg rule, and
+    * the FP expression order, which must match DuckDB op-for-op).
+    */
+  val t23_hybridlinear: Q = (s, d) => {
+    val table = s"hybl_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    val emb = Tables.embeddings(s, d)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridQuery(s, table, q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecCorpus = Some(emb), mode = "linear")
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1811,7 +1830,7 @@ object Queries {
     "t17_bm25append" -> t17_bm25append,
     "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
     "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
-    "t22_hybrid" -> t22_hybrid,
+    "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2623,6 +2642,80 @@ object Queries {
         |  SELECT qid, nid AS id,
         |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
         |  FROM vecranked WHERE rnk <= 5),
+        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
+        |          FROM contrib GROUP BY qid, id),
+        |final AS (SELECT qid, id, fused_micro,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
+        |SELECT qid, id, fused_micro, rnk FROM final
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // Linear-fusion twin of t22: same legs, per-(leg, qid) min-max
+    // normalization over each leg's retrieved top-5 (max = min ⇒ 1.0),
+    // weighted micro contributions floor(1e6·norm + 0.5) integer-summed.
+    // The FP expression (s − mn)/(mx − mn) is op-for-op the Spark form.
+    "t23_hybridlinear" ->
+      """WITH qids AS (
+        |  SELECT d.doc_id AS qid FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT doc_id AS qid,
+        |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> length(x) > 0), 1, 3)) AS term
+        |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
+        |lexscored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |lexranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM lexscored),
+        |lexk AS (SELECT qid, doc_id, CAST(score_micro AS DOUBLE) AS s
+        |         FROM lexranked WHERE rnk <= 5),
+        |lexn AS (SELECT qid, min(s) AS mn, max(s) AS mx FROM lexk GROUP BY qid),
+        |lexc AS (SELECT k.qid, k.doc_id AS id,
+        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
+        |    ELSE (k.s - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
+        |  FROM lexk k JOIN lexn n USING (qid)),
+        |vq AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (SELECT qid FROM qids)),
+        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
+        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
+        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
+        |vecranked AS (SELECT qid, nid, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
+        |veck AS (SELECT qid, nid, cos FROM vecranked WHERE rnk <= 5),
+        |vecn AS (SELECT qid, min(cos) AS mn, max(cos) AS mx FROM veck GROUP BY qid),
+        |vecc AS (SELECT k.qid, k.nid AS id,
+        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
+        |    ELSE (k.cos - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
+        |  FROM veck k JOIN vecn n USING (qid)),
+        |contrib AS (SELECT qid, id, c FROM lexc
+        |  UNION ALL SELECT qid, id, c FROM vecc),
         |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
         |          FROM contrib GROUP BY qid, id),
         |final AS (SELECT qid, id, fused_micro,

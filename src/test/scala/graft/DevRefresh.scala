@@ -118,14 +118,20 @@ object DevRefresh {
       .select(col("id").as("vec_id"), col("embedding"))
     val table = s"devpqrefresh_$n"
     val pq = s"${table}_pq"
+    // nBits ≈ log2(N) — the LSH admission index's documented sizing
+    // contract (Similarity.lshIndexBuild scaladoc). The default 16 at
+    // N=1e7 leaves ~150 corpus vectors per bucket per table, and the
+    // dedup-check candidate join OOMs an 8 GiB heap on ~2·10⁸ pairs;
+    // at log2(N) bits occupancy stays O(10) per bucket at every decade.
+    val bits = math.max(16, (math.log(n.toDouble) / math.log(2)).ceil.toInt)
     var t0 = System.nanoTime()
     Similarity.lshIndexBuild(corpus, "vec_id", "embedding", table,
-      buckets = 32)
+      nBits = bits, buckets = 32)
     val tLsh = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
     ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", pq, m = 8,
       buckets = 32)
-    println(f"[pqrefresh] n=$n lshBuild=${tLsh}%.1fs " +
+    println(f"[pqrefresh] n=$n nBits=$bits lshBuild=${tLsh}%.1fs " +
       f"pqBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
     System.out.flush()
 
@@ -133,7 +139,7 @@ object DevRefresh {
     @volatile var lastDups = 0L
     @volatile var lastNovel = 0L
     val fn = graft.streaming.RefreshLoop.embeddingBatch(table,
-        "vec_id", "embedding", pqTable = Some(pq),
+        "vec_id", "embedding", nBits = bits, pqTable = Some(pq),
         compactEvery = 3) { (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()

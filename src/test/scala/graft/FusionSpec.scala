@@ -101,6 +101,59 @@ class FusionSpec extends AnyFunSuite {
     }
   }
 
+  private def sleg(rows: (Long, Long, Double)*) =
+    rows.toSeq.toDF("qid", "id", "score")
+
+  test("linear: min-max normalization, degenerate legs, absent candidates") {
+    // leg A scores 10/5/0 -> norms 1.0/0.5/0.0; leg B all-equal -> 1.0
+    val a = sleg((1L, 10L, 10.0), (1L, 20L, 5.0), (1L, 30L, 0.0))
+    val b = sleg((1L, 20L, 7.0), (1L, 40L, 7.0))
+    val got = Fusion.linear(Seq(a -> 1.0, b -> 2.0), k = 4)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
+    // contributions: A: 10->1e6, 20->5e5, 30->0; B(w=2): 20->2e6, 40->2e6
+    val exp = Seq((1L, 20L, 2500000L, 1), (1L, 40L, 2000000L, 2),
+      (1L, 10L, 1000000L, 3), (1L, 30L, 0L, 4))
+    assert(got.toSeq === exp)
+  }
+
+  test("linear: per-qid normalization independence and tie on id") {
+    val a = sleg((1L, 3L, 2.0), (1L, 9L, 1.0), (2L, 5L, 100.0), (2L, 6L, 300.0))
+    val got = Fusion.linear(Seq(a -> 1.0), k = 2)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1000000L, 1), (1L, 9L, 0L, 2),
+      (2L, 6L, 1000000L, 1), (2L, 5L, 0L, 2)))
+  }
+
+  test("hybridQuery mode=linear: fuses normalized scores over the same legs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "alpha theta iota")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.05f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val table = s"fusl_spec_${System.nanoTime()}"
+    Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 2)
+    val q = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    val got = Fusion.hybridQuery(spark, table, q, "qid", "qtext", "qvec",
+        k = 4, kPerLeg = 3, vecCorpus = Some(emb), mode = "linear")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    // doc 2: top of both legs -> both norms 1.0 -> fused 2_000_000 exactly
+    val d2 = got.find(_._2 == 2L).get
+    assert(d2._3 === 2000000L)
+    assert(d2._4 === 1)
+    intercept[IllegalArgumentException] {
+      Fusion.hybridQuery(spark, table, q, "qid", "qtext", "qvec", 4,
+        vecCorpus = Some(emb), mode = "nope")
+    }
+  }
+
   test("hybridQuery: requires a vector leg") {
     val q = Seq((1L, "x")).toDF("qid", "qtext")
       .withColumn("qvec", array(lit(1.0f)))
