@@ -245,15 +245,23 @@ object Multimodal {
   }
 
   /** Partition-batched typed keyframe extraction — the REAL path for
-    * multi-frame media ImageIO can decode (animated GIF; single-frame
-    * image formats yield one frame). The 1→N explode shape with
-    * per-partition decoder amortization; payloads with no ImageIO
-    * reader are dropped (use [[sampleFrames]] for those).
+    * multi-frame media this JDK can decode: animated GIF (ImageIO
+    * sequence reader), motion-JPEG streams ([[mjpegFrames]] — ImageIO
+    * alone would silently decode only the first concatenated frame),
+    * and single-frame image formats (one frame). The 1→N explode shape
+    * with per-partition decoder amortization; payloads with no decoder
+    * are dropped (use [[sampleFrames]] for those).
     */
   def keyframes(media: Dataset[MediaRow]): Dataset[DecodedFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.flatMap(r => decodeFrames(r.id, r.bytes))
+    media.flatMap { r =>
+      val multiJpeg = r.bytes != null && r.bytes.length >= 4 &&
+        r.bytes(0) == 0xFF.toByte && r.bytes(1) == 0xD8.toByte &&
+        mjpegStarts(r.bytes).lengthCompare(1) > 0
+      if (multiJpeg) mjpegFrames(r.id, r.bytes)
+      else decodeFrames(r.id, r.bytes)
+    }
   }
 
   /** Encode `frameRgbs` as a `width`×`height` animated GIF, one solid
@@ -291,6 +299,82 @@ object Multimodal {
     } finally {
       writer.dispose()
       ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Frame starts of a motion-JPEG stream (the AVI/HTTP-multipart MJPEG
+    * payload convention: concatenated baseline JPEGs). A frame starts at
+    * a SOI marker (FF D8 FF) sitting either at offset 0 or directly
+    * after an EOI (FF D9) — anchoring starts on the PREVIOUS frame's
+    * EOI avoids mis-splitting on FF D8 byte pairs inside entropy-coded
+    * scan data or embedded EXIF thumbnails.
+    */
+  private[graft] def mjpegStarts(bytes: Array[Byte]): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var i = 0
+    while (i + 2 < bytes.length) {
+      val soi = bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+        bytes(i + 2) == 0xFF.toByte
+      if (soi && (i == 0 ||
+          (i >= 2 && bytes(i - 2) == 0xFF.toByte && bytes(i - 1) == 0xD9.toByte)))
+        out += i
+      i += 1
+    }
+    out.result()
+  }
+
+  /** REAL motion-JPEG decode: split the stream on frame boundaries
+    * ([[mjpegStarts]]) and decode each slice through ImageIO's JPEG
+    * reader — frame count, dimensions, and pixels all come out of the
+    * actual entropy-coded payload. Slices ImageIO rejects are dropped
+    * (a torn tail frame in a truncated capture). Returns Nil for
+    * payloads that are not MJPEG at all (no SOI at offset 0).
+    */
+  def mjpegFrames(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
+    if (bytes == null || bytes.length < 4) return Nil
+    val starts = mjpegStarts(bytes)
+    if (starts.isEmpty || starts.head != 0) return Nil
+    val bounds = starts :+ bytes.length
+    bounds.sliding(2).zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(bytes, a, b)))
+        if (img == null) None
+        else Some(DecodedFrame(id, i, img.getWidth, img.getHeight,
+          (img.getRGB(0, 0) & 0xffffff).toLong))
+      } catch { case _: java.io.IOException => None }
+    }.toSeq
+  }
+
+  /** Deterministic MJPEG fixture generator: each frame encoded through
+    * ImageIO's JPEG writer (quality 1.0), concatenated. JPEG is lossy —
+    * specs assert frame count/dims exactly and colors within the DCT
+    * rounding band, unlike the lossless [[gifBytes]] fixture.
+    */
+  def mjpegBytes(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frameRgbs.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, width, height)
+      g.dispose()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
     }
     out.toByteArray
   }

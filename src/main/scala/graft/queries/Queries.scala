@@ -1210,6 +1210,23 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Bigram-LM quality scoring gate ([[graft.operators.LangModel]],
+    * the CCNet-style corpus filter): the model trains on the EVEN
+    * documents only and scores ALL documents, so odd docs exercise the
+    * unseen-bigram/unseen-history smoothing paths (left-join + add-one)
+    * that a train-on-everything gate would never touch. Scores are
+    * integer micro sums (Σ round(ln((c+1)/(ch+V))·1e6)) — the oracle
+    * recomputes counts, V, and the identical FP expression; <2-token
+    * docs must surface as (0, 0), not disappear.
+    */
+  val t24_lmscore: Q = (s, d) => {
+    val table = s"lm_${d.hashCode & Int.MaxValue}"
+    LangModel.train(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", table)
+    LangModel.score(s, table, docs(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1831,6 +1848,7 @@ object Queries {
     "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
     "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
     "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
+    "t24_lmscore" -> t24_lmscore,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2723,6 +2741,47 @@ object Queries {
         |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
         |SELECT qid, id, fused_micro, rnk FROM final
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // Bigram LM: counts from the EVEN docs, add-one smoothing with V =
+    // distinct train tokens, per-bigram micro contributions
+    // round(ln((c+1)/(ch+V))·1e6) integer-summed per scored doc —
+    // op-for-op the Spark expression. Docs with <2 tokens => (0, 0).
+    "t24_lmscore" ->
+      """WITH toksAll AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |toksTrain AS (SELECT doc_id, ws FROM toksAll WHERE doc_id % 2 = 0),
+        |bgTrain AS (
+        |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM toksTrain CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+        |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
+        |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
+        |vst AS (SELECT count(DISTINCT x) AS v FROM
+        |  (SELECT unnest(ws) AS x FROM toksTrain)),
+        |bgAll AS (
+        |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM toksAll CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+        |contrib AS (
+        |  SELECT bgAll.doc_id,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS lp
+        |  FROM bgAll
+        |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
+        |  LEFT JOIN hist ON hist.w1 = bgAll.w1
+        |  CROSS JOIN vst),
+        |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(lp) AS BIGINT) AS logp_micro
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.logp_micro, 0) AS logp_micro
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.LangModel
+
+class LangModelSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("train + score: hand-computed add-one bigram log probs, unseen paths, short docs") {
+    val train = Seq((0L, "a b a b"), (2L, "b b")).toDF("doc_id", "text")
+    // bigram counts: (a,b)=2 (b,a)=1 (b,b)=1; hist: a=2 b=2; V = |{a,b}| = 2
+    val table = s"lm_spec_${System.nanoTime()}"
+    LangModel.train(train, "doc_id", "text", table, buckets = 2)
+
+    val docs = Seq(
+      (10L, "a b c"),  // seen (a,b) + unseen bigram with seen history (b,c)
+      (11L, "x y"),    // unseen history entirely
+      (12L, "solo"),   // <2 tokens -> (0, 0)
+      (13L, "")        // 0 tokens  -> (0, 0)
+    ).toDF("doc_id", "text")
+    val got = LangModel.score(spark, table, docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+
+    def lp(c: Long, ch: Long, v: Long): Long =
+      math.round(math.log((c + 1.0) / (ch + v.toDouble)) * 1e6)
+    val exp = Seq(
+      (10L, 2L, lp(2, 2, 2) + lp(0, 2, 2)),
+      (11L, 1L, lp(0, 0, 2)),
+      (12L, 0L, 0L),
+      (13L, 0L, 0L))
+    assert(got.toSeq === exp)
+    // sanity on the hand numbers themselves
+    assert(lp(2, 2, 2) === math.round(math.log(0.75) * 1e6))
+    assert(lp(0, 0, 2) === math.round(math.log(0.5) * 1e6))
+  }
+
+  test("score is parallelism-independent (integer micro sums)") {
+    val train = graft.sources.Generators.randomText(spark, 200, seed = 5L,
+        wordsMin = 5, wordsMax = 30, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val table = s"lm_spec_par_${System.nanoTime()}"
+    LangModel.train(train, "doc_id", "text", table, buckets = 4)
+    val a = LangModel.score(spark, table, train, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    val b = LangModel.score(spark, table, train.repartition(13),
+      "doc_id", "text").orderBy("id").as[(Long, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_._3 <= 0L), "log probs must be non-positive")
+    assert(a.exists(_._2 > 0L))
+  }
+}

@@ -251,6 +251,36 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1))
   }
 
+  test("keyframes: motion-JPEG streams split on frame boundaries and decode per frame") {
+    val rgbs = Seq(0x808080, 0x204060, 0xc0a080)
+    val mj = Multimodal.mjpegBytes(6, 4, rgbs)
+    assert(Multimodal.mjpegStarts(mj).length == 3, "three SOI frame starts")
+    val frames = Multimodal.mjpegFrames(11L, mj)
+    assert(frames.map(_.frame_index) == Seq(0, 1, 2))
+    assert(frames.forall(f => f.width == 6 && f.height == 4))
+    // JPEG is lossy: solid-color frames land within the DCT rounding band
+    frames.zip(rgbs).foreach { case (f, rgb) =>
+      def ch(v: Long, s: Int) = ((v >> s) & 0xff).toInt
+      Seq(16, 8, 0).foreach { s =>
+        assert(math.abs(ch(f.px00, s) - ch(rgb.toLong, s)) <= 8,
+          f"channel>>$s off: got ${f.px00}%06x want $rgb%06x")
+      }
+    }
+    // keyframes routes MJPEG through the splitter (plain ImageIO reads
+    // only the first concatenated frame), single JPEGs stay single
+    val media = Seq(
+      Multimodal.MediaRow(1L, mj, "video"),
+      Multimodal.MediaRow(2L, Multimodal.mjpegBytes(2, 2, Seq(0xff0000)), "image"))
+      .toDS()
+    val got = Multimodal.keyframes(media).collect()
+      .groupBy(_.id).view.mapValues(_.length).toMap
+    assert(got == Map(1L -> 3, 2L -> 1))
+    // a torn tail frame drops without taking the stream down
+    val torn = mj.take(mj.length - 40)
+    val tf = Multimodal.mjpegFrames(12L, torn)
+    assert(tf.length == 2 && tf.map(_.frame_index) == Seq(0, 1))
+  }
+
   test("cms_probe matches driver-side estimateCount and stays in codegen") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val words = spark.range(0, 5000)
