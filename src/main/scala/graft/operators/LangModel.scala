@@ -15,29 +15,37 @@ import graft.functions.GraftFunctions
   * Reference lineage: the closest reference surface is the aggregate
   * wordcount family (`hadoop-mapreduce-examples` AggregateWordCount /
   * WordCount chains) — counting n-grams over a corpus and reusing the
-  * counts as a side input. This operator is that pattern with the
-  * second pass scoring documents against the counts.
+  * counts as a side input. This operator is that pattern with a second
+  * pass scoring documents against the counts, plus the incremental
+  * contract every index family here carries.
   *
-  * Two passes over text, both shaped for scale:
-  *  - [[train]]: ONE tokenize scan → bigram counts, bucketed by the
-  *    history word (`w1`) so scoring joins are co-located; history
-  *    totals derive FROM the bigram table (c(w1) = Σ_w2 c(w1,w2) — no
-  *    second scan), and the vocabulary size lands in a one-row stats
-  *    table.
-  *  - [[score]]: explode each doc's adjacent-pair bigrams, left-join
-  *    the count tables (unseen bigram/history → 0), per-bigram
-  *    contribution round(ln((c+1)/(ch+V))·1e6) as an integer micro —
-  *    integer sums are order-independent, so the doc score is
-  *    bit-stable under any partitioning (the BM25 determinism
-  *    discipline). No window, no driver loop; the one driver-side read
-  *    is the one-row V lookup (bounded control value).
+  * Persisted layout (the incremental-index shape, like the BM25/minhash
+  * families): `<table>` holds bigram COUNT DELTAS `(w1, w2, c)` —
+  * [[train]] writes one, each [[append]] adds a batch's deltas into the
+  * same bucketed layout — and `<table>_vocab` holds the distinct
+  * vocabulary (append adds only unseen words). Counts fold at query
+  * time: [[score]] aggregates the deltas by (w1, w2), then derives
+  * history totals c(w1) = Σ_w2 c and V = vocab count from the folded
+  * frame. Both aggregates group by a superset of the bucket key (w1),
+  * so they reuse the table's bucketing — NO exchange on the big table;
+  * the one driver-side action is the single-value V count (bounded
+  * control value). A grown model is numerically IDENTICAL to one built
+  * whole (counts are additive, vocab is a set union) — the dd6/t17
+  * grown ≡ whole-built contract, oracle-gated at t25.
   *
-  * Output is `(id, n_bigrams, logp_micro)` — the SUM of micro log
-  * probabilities and the bigram count; callers derive mean-logP or a
-  * perplexity proxy without this operator ever dividing doubles.
-  * Documents with fewer than two tokens emit `(id, 0, 0)`: a length
-  * filter's job, not the LM's — dropping them silently would make the
-  * operator's output a filtered view nobody asked for.
+  * Id contract: append-only — re-appending the same documents
+  * double-counts them (the [[Retrieval.bm25Append]] contract; run the
+  * dedup admission check first in refresh flows). [[compact]] folds
+  * accumulated deltas into one row per bigram to cap the serve-time
+  * fold's input after many appends.
+  *
+  * [[score]] output is `(id, n_bigrams, logp_micro)`: per-bigram
+  * contribution round(ln((c+1)/(ch+V))·1e6) as an integer micro —
+  * integer sums are order-independent, so scores are bit-stable under
+  * any partitioning (the BM25 determinism discipline). Documents with
+  * fewer than two tokens emit `(id, 0, 0)`: a length filter's job, not
+  * the LM's — dropping them silently would make the output a filtered
+  * view nobody asked for.
   */
 object LangModel {
 
@@ -57,40 +65,68 @@ object LangModel {
       .select(col("id"), col("bg.w1"), col("bg.w2"))
   }
 
-  /** Train: write `<table>` (w1, w2, c — bucketed by w1),
-    * `<table>_hist` (w1, ch — bucketed by w1) and `<table>_stats`
-    * (one row: v = distinct vocabulary size over ALL tokens, the
-    * add-one denominator).
+  private def bigramDeltas(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+  private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w")).distinct()
+
+  /** Build: ONE tokenize scan → `<table>` (w1, w2, c — bucketed by w1)
+    * + `<table>_vocab` (w — the add-one denominator's universe).
     */
   def train(corpus: DataFrame, idCol: String, textCol: String,
             table: String, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val bg = bigrams(corpus, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    BucketedJoin.writeBucketed(bg, table, "w1", buckets)
-    val spark = corpus.sparkSession
-    // derive history totals from the LANDED bigram table: one bucketed
-    // aggregate, zero extra corpus scans, and hist is exactly Σ_w2 c
-    val hist = spark.table(table).groupBy("w1").agg(sum("c").as("ch"))
-    BucketedJoin.writeBucketed(hist, s"${table}_hist", "w1", buckets)
-    val v = corpus.select(explode(toks(col(textCol))).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
-    BucketedJoin.writeBucketed(v, s"${table}_stats", "v", 1)
+    BucketedJoin.writeBucketed(bigramDeltas(corpus, idCol, textCol),
+      table, "w1", buckets)
+    BucketedJoin.writeBucketed(vocabOf(corpus, textCol),
+      s"${table}_vocab", "w", buckets)
   }
+
+  /** Absorb a batch of NEW documents at O(batch) cost: the batch's
+    * bigram deltas re-bucket into the standing layout, unseen words
+    * append to the vocab. Nothing existing is rewritten — counts fold
+    * at query time ([[score]]), or physically via [[compact]].
+    */
+  def append(spark: SparkSession, table: String, docs: DataFrame,
+             idCol: String, textCol: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    BucketedJoin.appendBucketed(bigramDeltas(docs, idCol, textCol),
+      table, "w1")
+    BucketedJoin.appendBucketed(
+      vocabOf(docs, textCol)
+        .join(spark.table(s"${table}_vocab"), Seq("w"), "left_anti"),
+      s"${table}_vocab", "w")
+  }
+
+  /** Physically fold accumulated append deltas: one row per (w1, w2),
+    * same bucketed layout, scores unchanged (the fold [[score]] does
+    * lazily, made durable). Crash-safe via the shared
+    * stage → rename-aside swap ([[BucketedJoin.rewriteBucketed]]) —
+    * never overwrites the only copy in place.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    BucketedJoin.rewriteBucketed(spark, table, "w1")(df =>
+      df.groupBy("w1", "w2").agg(sum("c").as("c")))
 
   /** Score: per-doc Σ round(ln((c(w1,w2)+1)/(c(w1)+V))·1e6) over the
     * doc's adjacent-pair bigrams (integer micro sum) plus the bigram
-    * count. Unseen histories/bigrams smooth to ln(1/V)/ln((0+1)/(0+V))
-    * naturally through the left joins.
+    * count. Unseen histories/bigrams smooth to (0+1)/(0+V) naturally
+    * through the left joins. Counts fold from the delta table inside
+    * the plan (bucket-local aggregates, no exchange on the index).
     */
   def score(spark: SparkSession, table: String, docs: DataFrame,
             idCol: String, textCol: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val v = spark.table(s"${table}_stats").head().getLong(0)
+    val v = spark.table(s"${table}_vocab").count()
+    val cnt = spark.table(table).groupBy("w1", "w2").agg(sum("c").as("c"))
+    val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val bg = bigrams(docs, idCol, textCol)
     val contrib = bg
-      .join(spark.table(table), Seq("w1", "w2"), "left")
-      .join(spark.table(s"${table}_hist"), Seq("w1"), "left")
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
       .select(col("id"),
         round(log(
             (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /

@@ -1227,6 +1227,23 @@ object Queries {
       .orderBy("id")
   }
 
+  /** LM grown ≡ whole-built gate (the dd6/t17 incremental contract for
+    * the bigram model): train on the even docs, APPEND the odd docs
+    * (count deltas + vocab union, nothing rewritten), then score ALL
+    * docs — the oracle trains on everything in one pass, so the gate
+    * passes only if append-then-fold is numerically identical to a
+    * whole build (compaction happens lazily inside score's plan).
+    */
+  val t25_lmappend: Q = (s, d) => {
+    val table = s"lma_${d.hashCode & Int.MaxValue}"
+    LangModel.train(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", table)
+    LangModel.append(s, table,
+      docs(s, d).filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    LangModel.score(s, table, docs(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1848,7 +1865,7 @@ object Queries {
     "t18_bm25delete" -> t18_bm25delete, "t19_bm25dfold" -> t19_bm25dfold,
     "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
     "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
-    "t24_lmscore" -> t24_lmscore,
+    "t24_lmscore" -> t24_lmscore, "t25_lmappend" -> t25_lmappend,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2760,6 +2777,44 @@ object Queries {
         |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
         |vst AS (SELECT count(DISTINCT x) AS v FROM
         |  (SELECT unnest(ws) AS x FROM toksTrain)),
+        |bgAll AS (
+        |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM toksAll CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+        |contrib AS (
+        |  SELECT bgAll.doc_id,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS lp
+        |  FROM bgAll
+        |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
+        |  LEFT JOIN hist ON hist.w1 = bgAll.w1
+        |  CROSS JOIN vst),
+        |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(lp) AS BIGINT) AS logp_micro
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.logp_micro, 0) AS logp_micro
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+
+    // Grown ≡ whole-built: the oracle trains on ALL docs in one pass;
+    // the Spark side trained on evens and appended odds.
+    "t25_lmappend" ->
+      """WITH toksAll AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |bgTrain AS (
+        |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM toksAll CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+        |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
+        |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
+        |vst AS (SELECT count(DISTINCT x) AS v FROM
+        |  (SELECT unnest(ws) AS x FROM toksAll)),
         |bgAll AS (
         |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
         |  FROM toksAll CROSS JOIN LATERAL

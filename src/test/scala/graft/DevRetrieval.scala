@@ -90,6 +90,11 @@ object DevRetrieval {
       // the intersection near its upper bound.
       if (sys.env.contains("SPARK_GRAFT_PHRASE")) {
         val ptable = s"devretp_$n"
+        // (no cross-session index reuse: saveAsTable catalog entries are
+        // session-scoped, and re-registering the warehouse dirs as plain
+        // parquet would silently lose the bucketing spec — a rebuild is
+        // the only faithful path, and a warm rebuild is itself a useful
+        // reading vs the cold-protocol number)
         val (_, tPB) = timed {
           Retrieval.bm25Build(corpus, "doc_id", "text", ptable,
             buckets = 32, positions = true)
@@ -135,6 +140,29 @@ object DevRetrieval {
         println(f"[ret] n=$n phrase-trunc(df<=1%%) query=${tPT}%.1fs " +
           f"rows=$prowsT nq=$npq (${tPT / npq * 1000}%.0f ms/q)")
         System.out.flush()
+        // NEAR proximity over the same positional index (window = 8,
+        // any order): the candidate machinery is shared with phrase,
+        // so these legs measure the window-cover intersection's
+        // premium. Dial leg FIRST — the exact leg OOMs an 8 GiB heap
+        // at 1e7 on the all-head worst case (anchor×occurrence mass ≫
+        // phrase's consecutive intersection), and an OOM kills the
+        // SparkContext with it; SPARK_GRAFT_SKIP_NEAR_EXACT=1 skips it.
+        val (prowsNT, tPNT) = timed {
+          Retrieval.bm25ProximityQuery(spark, ptable, pq,
+            "qid", "qtext", 5, window = 8, maxDfFrac = 0.01).count()
+        }
+        println(f"[ret] n=$n near-trunc(df<=1%%) query=${tPNT}%.1fs " +
+          f"rows=$prowsNT nq=$npq (${tPNT / npq * 1000}%.0f ms/q)")
+        System.out.flush()
+        if (!sys.env.contains("SPARK_GRAFT_SKIP_NEAR_EXACT")) {
+          val (prowsN, tPN) = timed {
+            Retrieval.bm25ProximityQuery(spark, ptable, pq,
+              "qid", "qtext", 5, window = 8).count()
+          }
+          println(f"[ret] n=$n near(w=8) query=${tPN}%.1fs " +
+            f"rows=$prowsN nq=$npq (${tPN / npq * 1000}%.0f ms/q)")
+          System.out.flush()
+        }
       }
     }
     spark.stop()

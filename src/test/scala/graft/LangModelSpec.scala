@@ -50,4 +50,47 @@ class LangModelSpec extends AnyFunSuite {
     assert(a.forall(_._3 <= 0L), "log probs must be non-positive")
     assert(a.exists(_._2 > 0L))
   }
+
+  test("append: grown model scores identically to whole-built; compact preserves scores") {
+    val all = graft.sources.Generators.randomText(spark, 120, seed = 9L,
+        wordsMin = 4, wordsMax = 20, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val whole = s"lm_spec_whole_${System.nanoTime()}"
+    LangModel.train(all, "doc_id", "text", whole, buckets = 4)
+    val grown = s"lm_spec_grown_${System.nanoTime()}"
+    LangModel.train(all.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", grown, buckets = 4)
+    LangModel.append(spark, grown, all.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text")
+    LangModel.append(spark, grown, all.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text")
+    val w = LangModel.score(spark, whole, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    val g = LangModel.score(spark, grown, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(w.toSeq === g.toSeq, "grown model diverged from whole-built")
+    // physical fold: one row per bigram, identical scores after
+    val preRows = spark.table(grown).count()
+    LangModel.compact(spark, grown)
+    assert(spark.table(grown).count() <= preRows)
+    val c = LangModel.score(spark, grown, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(c.toSeq === w.toSeq, "compaction changed scores")
+  }
+
+  test("score folds counts without exchanging the index scan") {
+    val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    val table = s"lm_spec_plan_${System.nanoTime()}"
+    LangModel.train(train, "doc_id", "text", table, buckets = 2)
+    val r = LangModel.score(spark, table,
+      Seq((1L, "a b x")).toDF("doc_id", "text"), "doc_id", "text")
+    val offending = r.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.collectLeaves().exists(l =>
+          l.toString.contains(table) &&
+            !l.toString.contains(s"${table}_vocab")) => e
+    }
+    assert(offending.isEmpty,
+      s"count-table shuffle found:\n${offending.mkString("\n")}")
+  }
 }
