@@ -65,10 +65,18 @@ object LangModel {
       .select(col("id"), col("bg.w1"), col("bg.w2"))
   }
 
+  /** One delta row per (w1, w2) per batch, tagged with the batch's
+    * `epoch` (−1 for non-streaming writes): the tag is what makes a
+    * crashed streaming absorb row-level repairable — a replayed epoch
+    * anti-joins on (w1, w2, epoch) and appends only the rows the crash
+    * lost, the [[Retrieval.bm25Append]] repair discipline applied to
+    * additive counts.
+    */
   private def bigramDeltas(docs: DataFrame, idCol: String,
-                           textCol: String): DataFrame =
+                           textCol: String, epoch: Long): DataFrame =
     bigrams(docs, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("epoch", lit(epoch))
 
   private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(toks(col(textCol))).as("w")).distinct()
@@ -79,7 +87,7 @@ object LangModel {
   def train(corpus: DataFrame, idCol: String, textCol: String,
             table: String, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    BucketedJoin.writeBucketed(bigramDeltas(corpus, idCol, textCol),
+    BucketedJoin.writeBucketed(bigramDeltas(corpus, idCol, textCol, -1L),
       table, "w1", buckets)
     BucketedJoin.writeBucketed(vocabOf(corpus, textCol),
       s"${table}_vocab", "w", buckets)
@@ -89,12 +97,26 @@ object LangModel {
     * bigram deltas re-bucket into the standing layout, unseen words
     * append to the vocab. Nothing existing is rewritten — counts fold
     * at query time ([[score]]), or physically via [[compact]].
+    *
+    * `epoch`/`repair`: the streaming-replay contract. A replayed epoch
+    * calls with `repair = true`; the delta append then anti-joins the
+    * standing table's rows FOR THIS EPOCH and appends only what a
+    * crash lost (each epoch writes at most one row per (w1, w2), so
+    * the anti-join completes a partial append exactly). The vocab
+    * append is left-anti by construction — naturally idempotent.
     */
   def append(spark: SparkSession, table: String, docs: DataFrame,
-             idCol: String, textCol: String): Unit = {
+             idCol: String, textCol: String, epoch: Long = -1L,
+             repair: Boolean = false): Unit = {
     GraftFunctions.ensureRegistered(spark)
-    BucketedJoin.appendBucketed(bigramDeltas(docs, idCol, textCol),
-      table, "w1")
+    val deltas0 = bigramDeltas(docs, idCol, textCol, epoch)
+    val deltas = if (repair)
+      deltas0.join(
+        spark.table(table).filter(col("epoch") === epoch)
+          .select("w1", "w2"),
+        Seq("w1", "w2"), "left_anti")
+    else deltas0
+    BucketedJoin.appendBucketed(deltas, table, "w1")
     BucketedJoin.appendBucketed(
       vocabOf(docs, textCol)
         .join(spark.table(s"${table}_vocab"), Seq("w"), "left_anti"),
@@ -107,9 +129,14 @@ object LangModel {
     * stage → rename-aside swap ([[BucketedJoin.rewriteBucketed]]) —
     * never overwrites the only copy in place.
     */
+  /** Folded rows carry epoch −1 ("base"): compaction only ever runs on
+    * committed epochs (the refresh loop's cadence), and committed
+    * epochs never replay their appends, so erasing their tags is safe.
+    */
   def compact(spark: SparkSession, table: String): Unit =
     BucketedJoin.rewriteBucketed(spark, table, "w1")(df =>
-      df.groupBy("w1", "w2").agg(sum("c").as("c")))
+      df.groupBy("w1", "w2").agg(sum("c").as("c"))
+        .withColumn("epoch", lit(-1L)))
 
   /** Score: per-doc Σ round(ln((c(w1,w2)+1)/(c(w1)+V))·1e6) over the
     * doc's adjacent-pair bigrams (integer micro sum) plus the bigram

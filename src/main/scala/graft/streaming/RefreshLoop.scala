@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.{BucketedJoin, Dedup, Retrieval, Similarity}
+import graft.operators.{BucketedJoin, Dedup, LangModel, Retrieval, Similarity}
 
 /** Continuous corpus refresh — the streaming form of the incremental
   * dedup loop (dd5 check + dd6 absorb), lifted onto Structured
@@ -188,6 +188,7 @@ object RefreshLoop {
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 64, bands: Int = 16,
                    bm25Table: Option[String] = None,
+                   lmTable: Option[String] = None,
                    compactEvery: Int = 0)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
@@ -201,6 +202,10 @@ object RefreshLoop {
         BucketedJoin.recoverCompacted(spark, s"${t}_terms")
         BucketedJoin.recoverCompacted(spark, s"${t}_stats")
         BucketedJoin.recoverCompacted(spark, s"${t}_pos")
+      }
+      lmTable.foreach { t =>
+        BucketedJoin.recoverCompacted(spark, t)
+        BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       // repair whenever the ledger holds id rows for this epoch, even
@@ -250,10 +255,12 @@ object RefreshLoop {
           if (!committed) {
             if (!novel.isEmpty) {
               if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
-              // lexical serving index first, admission index last,
-              // commit marker after both (the embeddingBatch ordering)
+              // serving indexes first, admission index last,
+              // commit marker after all (the embeddingBatch ordering)
               bm25Table.foreach(t => Retrieval.bm25Append(spark, t, novel,
                 idCol, textCol, repair = repairMode))
+              lmTable.foreach(t => LangModel.append(spark, t, novel,
+                idCol, textCol, epoch, repair = repairMode))
               Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
                 k, numHashes, bands, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
@@ -271,6 +278,10 @@ object RefreshLoop {
                 if (spark.sessionState.catalog.tableExists(
                     org.apache.spark.sql.catalyst.TableIdentifier(s"${t}_pos")))
                   BucketedJoin.compactBucketed(spark, s"${t}_pos", "term")
+              }
+              lmTable.foreach { t =>
+                LangModel.compact(spark, t)
+                BucketedJoin.compactBucketed(spark, s"${t}_vocab", "w")
               }
             }
           }
@@ -293,6 +304,12 @@ object RefreshLoop {
     * repair mode, which completes partial postings row-level and
     * recomputes the derived df/stats tables from the postings).
     *
+    * `lmTable`: also absorb the admitted documents into a standing
+    * bigram LM ([[graft.operators.LangModel.append]]) — the
+    * quality-model twin: corpus statistics stay fresh as a side effect
+    * of admission. Replays repair row-level through the epoch-tagged
+    * count deltas; the vocab union is idempotent by construction.
+    *
     * `compactEvery` > 0 folds the accumulated per-append files back to
     * one per bucket ([[graft.operators.BucketedJoin.compactBucketed]])
     * after every Nth epoch — the slow-cadence maintenance that keeps
@@ -306,10 +323,11 @@ object RefreshLoop {
                      threshold: Double = 0.5, k: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
                      bm25Table: Option[String] = None,
+                     lmTable: Option[String] = None,
                      compactEvery: Int = 0)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
-      numHashes, bands, bm25Table, compactEvery)(onBatch)
+      numHashes, bands, bm25Table, lmTable, compactEvery)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

@@ -31,7 +31,11 @@ object DevPlans {
       // identical plans minus the streaming sink)
       "t19_bm25dfold", "dd11_tombfold", "t20_bm25phrase", "sim11_pq2level",
       "w1_tumbling", "w2_sessions", "w3_sliding", "w4_statefulsessions",
-      "w5_intervaljoin")
+      "w5_intervaljoin",
+      // r13 surface: NEAR proximity, hybrid fusion (RRF + linear),
+      // bigram-LM scoring and its grown-index twin
+      "t21_bm25near", "t22_hybrid", "t23_hybridlinear", "t24_lmscore",
+      "t25_lmappend")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -65,6 +69,11 @@ object DevPlans {
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
       "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",
       "dd11_tombfold" -> "Physical fold rewrites each bucketed table in place (crash-safe swap) and drops the set — compaction-cadence O(index), queries stay zero-extra-scan after.",
+      "t21_bm25near" -> "Same pushed-term scans and rarest-term candidate gate as phrase; the window-cover intersection is the premium — at 1e7 the EXACT all-head leg exceeds a single-box heap (BASELINE round-13), the maxDfFrac dial is the scale path.",
+      "t22_hybrid" -> "Fusion never touches the corpus: each leg is a bounded top-kPerLeg list off its own standing index (BM25 term buckets, IVF probe lists), the fused aggregate sees ≤ legs·kPerLeg tiny rows per query.",
+      "t23_hybridlinear" -> "Identical leg plans to t22; the min-max windows aggregate per (leg, qid) over ≤ kPerLeg rows — normalization adds two tiny aggregates, no new scan.",
+      "t24_lmscore" -> "Count fold groups by a superset of the bucket key: the index scan never exchanges; doc bigrams shuffle TO the counts (batch-sized), V is the one driver-side control value.",
+      "t25_lmappend" -> "Append wrote deltas only; this plan is t24's over base+delta files — the fold absorbs appends with zero extra plan shape, proving grown ≡ whole-built structurally.",
       "w1_tumbling" -> "Tumbling windows are a pure groupBy(window(ts)) — partial-agg before the exchange, one shuffle keyed by (window, key) at any rate.",
       "w2_sessions" -> "session_window gaps merge inside the aggregate — state is per live session, not per event; the same plan runs streaming with a watermark bounding state.",
       "w3_sliding" -> "Sliding windows explode each event into window copies BEFORE the partial agg — shuffle carries per-window partials (slides/step × keys), not raw events.",
@@ -72,7 +81,7 @@ object DevPlans {
       "w5_intervaljoin" -> "Event-time interval join with watermarks on both sides: the range condition bounds state retention, so stream-stream state is O(interval), not O(history).")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
-    sb.append("Regenerated round 12 by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
+    sb.append("Regenerated round 13 by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
     sb.append("Things to check per plan: `PushedFilters`/pruned `ReadSchema` on scans, ")
     sb.append("ReusedExchange for self-joined derived tables, broadcast vs shuffle join ")
     sb.append("choices, and the absence of cartesian products / unexpected exchanges. ")

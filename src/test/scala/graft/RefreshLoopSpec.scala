@@ -847,4 +847,65 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(runs(1) == runs(0),
       s"replayed epoch outputs diverged: ${runs(1)} vs ${runs(0)}")
   }
+
+  test("lm twin: admitted docs absorbed into the bigram model, " +
+       "grown ≡ whole-built, replay effectively-once, crash repaired") {
+    import graft.operators.LangModel
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "lmtw_idx")
+    LangModel.train(base, "doc_id", "text", "lmtw_lm")
+
+    val fn = RefreshLoop.minhashBatch("lmtw_idx", "text", "doc_id",
+      threshold = 0.3, lmTable = Some("lmtw_lm")) { (_, _, _) => }
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup
+      (110L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    fn(batch, 2L)
+
+    val probe = Seq((1L, "the quick fox"), (2L, "entirely novel content"))
+      .toDF("doc_id", "text")
+    def scores(t: String): Seq[(Long, Long, Long)] = {
+      Seq(t, s"${t}_vocab").foreach(x => spark.catalog.refreshTable(x))
+      LangModel.score(spark, t, probe, "doc_id", "text")
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    }
+    // grown ≡ whole-built on base + ADMITTED only (the dup stayed out)
+    LangModel.train(base.unionByName(batch.filter($"doc_id" === 110L)),
+      "doc_id", "text", "lmtw_oracle")
+    val grown = scores("lmtw_lm")
+    assert(grown == scores("lmtw_oracle"),
+      "loop-grown LM diverges from whole-built")
+    // replay of the committed epoch: counts unchanged
+    fn(batch, 2L)
+    assert(scores("lmtw_lm") == grown, "replay double-counted LM deltas")
+
+    // crash state of epoch 7: decision recorded, ONE delta row landed,
+    // vocab partially landed — replay must complete without doubling
+    import graft.operators.BucketedJoin
+    BucketedJoin.appendBucketed(
+      Seq((7L, "novel", Some(300L)), (7L, "noveldone", None))
+        .toDF("epoch", "phase", "id"),
+      "lmtw_idx_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(
+      Seq(("fresh", "words", 1L, 7L)).toDF("w1", "w2", "c", "epoch"),
+      "lmtw_lm", "w1")
+    BucketedJoin.appendBucketed(Seq("fresh").toDF("w"), "lmtw_lm_vocab", "w")
+    val batch2 = Seq((300L, "fresh words appear here now"))
+      .toDF("doc_id", "text")
+    fn(batch2, 7L)
+    LangModel.train(
+      base.unionByName(batch.filter($"doc_id" === 110L))
+        .unionByName(batch2),
+      "doc_id", "text", "lmtw_oracle2")
+    assert(scores("lmtw_lm") == scores("lmtw_oracle2"),
+      "repaired LM diverges from whole-built")
+    spark.catalog.refreshTable("lmtw_lm")
+    assert(spark.table("lmtw_lm")
+      .filter($"w1" === "fresh" && $"w2" === "words").count() == 1,
+      "partial delta row duplicated by the repair")
+  }
 }
