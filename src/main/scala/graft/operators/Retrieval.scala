@@ -569,6 +569,25 @@ object Retrieval {
                       maxDfFrac: Double = 1.0,
                       maxCandBroadcast: Long = 4L << 20,
                       gateMinPosMass: Long = 1L << 22): DataFrame = {
+    val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
+      table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
+      gateMinPosMass)
+    val matched = aligned.select(col("qid"), col("doc_id").as("nid"))
+      .distinct()
+    posScoreRank(spark, table, qoff, matched, candFilter, bcast, qterms,
+      k, k1, b)
+  }
+
+  /** The phrase match set WITH its start offsets: (qid, doc_id, start,
+    * qlen) — one row per aligned phrase occurrence. Shared by
+    * [[bm25PhraseQuery]] (which only needs membership) and
+    * [[bm25PhraseSnippets]] (which slices around min(start)).
+    */
+  private def phraseAligned(spark: SparkSession, table: String,
+                            queries: DataFrame, qidCol: String,
+                            textCol: String, maxDfFrac: Double,
+                            maxCandBroadcast: Long, gateMinPosMass: Long)
+      : (DataFrame, DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     val qoff = queries
       .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
       .select(col("qid"), col("pos").as("off"), col("col").as("term"))
@@ -583,11 +602,56 @@ object Retrieval {
         (col("p") - col("off")).as("start"), col("off"))
       .groupBy("qid", "doc_id", "start")
       .agg(count_distinct(col("off")).as("nhit"))
-    val matched = starts.join(broadcast(qlen), Seq("qid"))
+    val aligned = starts.join(broadcast(qlen), Seq("qid"))
       .filter(col("nhit") === col("qlen"))
-      .select(col("qid"), col("doc_id").as("nid")).distinct()
-    posScoreRank(spark, table, qoff, matched, candFilter, bcast, qterms,
-      k, k1, b)
+      .select(col("qid"), col("doc_id"), col("start"), col("qlen"))
+    (qoff, aligned, candFilter, bcast, qterms)
+  }
+
+  /** [[bm25PhraseQuery]] + passage extraction: the top-k ranked matches
+    * carrying each document's FIRST aligned occurrence (`start`, the
+    * 0-based token offset) and a token-window `snippet` — `context`
+    * tokens before the match through `context` tokens after it — sliced
+    * from `docs` (`docIdCol`, `docTextCol`: the corpus text, which the
+    * index does not store). The serving feature a RAG pipeline reads:
+    * ranked passages, not just doc ids.
+    *
+    * Plan shape: ranking is [[bm25PhraseQuery]] verbatim; the snippet
+    * join touches `docs` AFTER top-k, so the text join is k·|queries|
+    * rows against the corpus — a semi-join-sized probe, never a corpus
+    * product. Output: (qid, doc_id, score_micro, rnk, start, snippet),
+    * deterministic (start = min over occurrences; tokens re-joined
+    * single-spaced by the shared tokenizer).
+    */
+  def bm25PhraseSnippets(spark: SparkSession, table: String,
+                         queries: DataFrame, qidCol: String, textCol: String,
+                         docs: DataFrame, docIdCol: String, docTextCol: String,
+                         k: Int, context: Int = 3,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         maxDfFrac: Double = 1.0,
+                         maxCandBroadcast: Long = 4L << 20,
+                         gateMinPosMass: Long = 1L << 22): DataFrame = {
+    require(context >= 0, s"context must be non-negative, got $context")
+    val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
+      table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
+      gateMinPosMass)
+    val matched = aligned.select(col("qid"), col("doc_id").as("nid"))
+      .distinct()
+    val ranked = posScoreRank(spark, table, qoff, matched, candFilter,
+      bcast, qterms, k, k1, b)
+    val firstStart = aligned.groupBy("qid", "doc_id")
+      .agg(min("start").as("start"), first("qlen").as("qlen"))
+    val corpusToks = docs.select(col(docIdCol).as("doc_id"),
+      toks(col(docTextCol)).as("_ws"))
+    val from = greatest(col("start") - context, lit(0))
+    ranked
+      .join(firstStart, Seq("qid", "doc_id"))
+      .join(corpusToks, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_micro"), col("rnk"),
+        col("start").cast("long").as("start"),
+        concat_ws(" ", slice(col("_ws"), (from + 1).cast("int"),
+          (col("start") - from + col("qlen") + lit(context)).cast("int")))
+          .as("snippet"))
   }
 
   /** All-distinct-terms-within-a-window (NEAR/w) BM25 top-k over the

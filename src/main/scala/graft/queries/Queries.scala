@@ -1244,6 +1244,26 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Phrase SNIPPET gate ([[graft.operators.Retrieval.bm25PhraseSnippets]]):
+    * t20's ranking plus passage extraction — each top-5 match carries
+    * its first aligned start offset and a ±2-token window sliced from
+    * the corpus text. The oracle re-derives occurrences positionally
+    * (a sliding list_slice equality over DuckDB's token arrays), takes
+    * min(start), recomputes the t16 scoring restricted to matches, and
+    * slices the same window — so the positional alignment, the
+    * first-occurrence choice, the token-window arithmetic (0- vs
+    * 1-based, clamped at both ends), and the re-joined snippet text all
+    * gate together.
+    */
+  val t26_snippets: Q = (s, d) => {
+    val table = s"bm25s_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    Retrieval.bm25PhraseSnippets(s, table, bm25Queries(s, d),
+        "qid", "qtext", docs(s, d), "doc_id", "text", 5, context = 2)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1866,6 +1886,7 @@ object Queries {
     "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
     "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
     "t24_lmscore" -> t24_lmscore, "t25_lmappend" -> t25_lmappend,
+    "t26_snippets" -> t26_snippets,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2837,6 +2858,67 @@ object Queries {
         |  COALESCE(s.logp_micro, 0) AS logp_micro
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+
+    // Snippets: occurrences re-derived positionally (sliding list_slice
+    // equality), start = min occurrence (0-based to match the Spark
+    // offsets), scoring = t16 restricted to matches, snippet = tokens
+    // [max(start-2,0), start+qlen+2) re-joined single-spaced.
+    "t26_snippets" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
+        |      FROM docs0 WHERE doc_id % 50 = 0),
+        |qe AS (SELECT qid, unnest(qtoks) AS term,
+        |         CAST(generate_subscripts(qtoks, 1) AS BIGINT) AS off
+        |       FROM q),
+        |qt AS (SELECT DISTINCT qid, term FROM qe),
+        |qn AS (SELECT qid, count(*) AS qlen FROM qe GROUP BY qid),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |hits AS (SELECT qe.qid, p.doc_id, p.pos - qe.off AS start0,
+        |           count(DISTINCT qe.off) AS nh
+        |         FROM qe JOIN pos p ON p.term = qe.term
+        |         GROUP BY qe.qid, p.doc_id, start0),
+        |fs AS (SELECT h.qid, h.doc_id, min(h.start0) AS start,
+        |         any_value(qn.qlen) AS qlen
+        |       FROM hits h JOIN qn ON qn.qid = h.qid
+        |       WHERE h.nh = qn.qlen AND h.start0 >= 0
+        |       GROUP BY h.qid, h.doc_id),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |       JOIN fs m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT r.qid, r.doc_id, r.score_micro, r.rnk, fs.start,
+        |  array_to_string(list_slice(d.toklist,
+        |    CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
+        |    CAST(fs.start + fs.qlen + 2 AS INTEGER)), ' ') AS snippet
+        |FROM ranked r
+        |JOIN fs ON fs.qid = r.qid AND fs.doc_id = r.doc_id
+        |JOIN docs0 d ON d.doc_id = r.doc_id
+        |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

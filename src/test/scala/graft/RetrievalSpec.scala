@@ -127,6 +127,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == bag.view.filterKeys(got.keySet).toMap)
   }
 
+  test("bm25PhraseSnippets: first occurrence, window clamping, exact token slice") {
+    val docs = Seq(
+      (1L, "aa bb alpha beta gamma cc dd ee"), // interior match: full ±2 window
+      (2L, "alpha beta gamma tail"),           // match at doc head: left-clamped
+      (3L, "x y z alpha beta gamma"),          // match at doc tail: right-clamped
+      (4L, "alpha beta gamma zz alpha beta gamma")) // two occurrences: FIRST wins
+      .toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_snip", buckets = 2,
+      positions = true)
+    val q = Seq((9L, "alpha beta gamma")).toDF("qid", "qtext")
+    val got = Retrieval.bm25PhraseSnippets(spark, "bm25_snip", q,
+        "qid", "qtext", docs, "doc_id", "text", 10, context = 2)
+      .select("doc_id", "start", "snippet")
+      .as[(Long, Long, String)].collect()
+      .map { case (id, s, sn) => id -> ((s, sn)) }.toMap
+    assert(got(1L) == ((2L, "aa bb alpha beta gamma cc dd")))
+    assert(got(2L) == ((0L, "alpha beta gamma tail")))
+    assert(got(3L) == ((3L, "y z alpha beta gamma")))
+    assert(got(4L) == ((0L, "alpha beta gamma zz alpha")))
+    // ranking identical to bm25PhraseQuery's
+    val rank = Retrieval.bm25PhraseQuery(spark, "bm25_snip", q,
+        "qid", "qtext", 10)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val snipRank = Retrieval.bm25PhraseSnippets(spark, "bm25_snip", q,
+        "qid", "qtext", docs, "doc_id", "text", 10, context = 2)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(snipRank == rank)
+  }
+
   test("bm25PhraseQuery: duplicate-term phrases align per-offset") {
     val docs = Seq(
       (1L, "go stop go run"),     // "go stop go" consecutive
