@@ -56,9 +56,20 @@ object DevRefresh {
     val ms = MemoryStream[(Long, String)]
     @volatile var lastDups = 0L
     @volatile var lastNovel = 0L
+    // `lm` mode: the bigram-LM twin rides the loop (LangModel.append per
+    // epoch under the same ledger) — measures the LM absorb's epoch tax
+    val lmTable = if (args.length > 2 && args(2) == "lm") {
+      val t = s"${table}_lm"
+      val t0 = System.nanoTime()
+      graft.operators.LangModel.train(corpus, "doc_id", "text", t,
+        buckets = 32)
+      println(f"[refresh] n=$n lmTrain=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.out.flush()
+      Some(t)
+    } else None
     val q = RefreshLoop.minhashRefresh(
         ms.toDF().toDF("doc_id", "text"), table,
-        "text", "doc_id", compactEvery = 3) { (dups, novel, _) =>
+        "text", "doc_id", lmTable = lmTable, compactEvery = 3) { (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()
     }.start()
