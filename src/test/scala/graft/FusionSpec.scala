@@ -154,6 +154,35 @@ class FusionSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridQuery: IVF-served vector leg matches the brute-force leg at full probe") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "alpha theta iota")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.05f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val bt = s"fus_ivf_bm_${System.nanoTime()}"
+    val vt = s"fus_ivf_ix_${System.nanoTime()}"
+    Retrieval.bm25Build(corpus, "doc_id", "text", bt, buckets = 2)
+    Similarity.ivfBuild(emb, "vec_id", "embedding", vt, nlist = 2,
+      buckets = 2)
+    val q = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    def run(ivf: Boolean) = Fusion.hybridQuery(spark, bt, q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 3,
+        vecIndex = if (ivf) Some(vt) else None,
+        vecCorpus = if (ivf) None else Some(emb),
+        probeFrac = 1.0)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    // at probeFrac = 1.0 the IVF leg scans every list: identical fusion
+    assert(run(ivf = true) === run(ivf = false))
+  }
+
   test("hybridQuery: requires a vector leg") {
     val q = Seq((1L, "x")).toDF("qid", "qtext")
       .withColumn("qvec", array(lit(1.0f)))
