@@ -33,6 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object Fusion {
 
+  /** Weight validation shared by [[rrf]] and [[linear]]: positive, and
+    * small enough that the fused integer-micro sum stays below 2^53 —
+    * the bound under which the double round trip through
+    * [[Similarity.rankTopK]] is exact. A candidate's maximum
+    * contribution per leg is w·1e6 (rank-1 RRF is w·1e6/61 < w·1e6;
+    * linear normalizes to ≤ 1.0 before the w·1e6 scale), so
+    * Σ legs · wᵢ · 1e6 < 2^53 keeps every fused score integer-exact
+    * and the determinism guarantee intact. A caller passing w ≳ 9e9
+    * would otherwise silently lose exactness.
+    */
+  private def requireWeights(ws: Seq[Double]): Unit = {
+    ws.foreach(w => require(w > 0.0, s"leg weights must be positive, got $w"))
+    val maxFused = ws.map(_ * 1e6).sum
+    require(maxFused < (1L << 53).toDouble,
+      f"fusion weights too large: max fused micro $maxFused%.3g " +
+        "reaches 2^53, where long->double ranking loses integer exactness")
+  }
+
   /** Reciprocal-rank fusion over ranked legs.
     *
     * Each leg is a DataFrame with columns `(qid, id, rank)` — a ranked
@@ -62,9 +80,7 @@ object Fusion {
     require(legs.nonEmpty, "rrf needs at least one leg")
     require(k > 0, s"k must be positive, got $k")
     require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
-    legs.foreach { case (_, w) =>
-      require(w > 0.0, s"leg weights must be positive, got $w")
-    }
+    requireWeights(legs.map(_._2))
     graft.functions.GraftFunctions.ensureRegistered(legs.head._1.sparkSession)
     val contribs = legs.map { case (df, w) =>
       df.select(col("qid"), col("id"),
@@ -103,9 +119,7 @@ object Fusion {
   def linear(legs: Seq[(DataFrame, Double)], k: Int): DataFrame = {
     require(legs.nonEmpty, "linear fusion needs at least one leg")
     require(k > 0, s"k must be positive, got $k")
-    legs.foreach { case (_, w) =>
-      require(w > 0.0, s"leg weights must be positive, got $w")
-    }
+    requireWeights(legs.map(_._2))
     graft.functions.GraftFunctions.ensureRegistered(legs.head._1.sparkSession)
     val contribs = legs.map { case (df, w) =>
       val ext = df.groupBy("qid")

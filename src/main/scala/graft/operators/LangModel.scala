@@ -147,7 +147,17 @@ object LangModel {
   def score(spark: SparkSession, table: String, docs: DataFrame,
             idCol: String, textCol: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
+    // heal a crashed compact before reading (the rename-aside swap can
+    // die between its two renames, leaving <table> briefly absent —
+    // recoverCompacted rolls the idempotent swap forward or back, the
+    // bm25 healFold discipline applied to the LM fold)
+    BucketedJoin.recoverCompacted(spark, table)
     val v = spark.table(s"${table}_vocab").count()
+    // V = 0 means the model trained on an empty/whitespace-only corpus:
+    // every scored bigram would compute ln((c+1)/0) = +Inf and the long
+    // cast would saturate to garbage scores — fail loudly instead
+    require(v > 0, s"LangModel.score: model $table has an empty " +
+      "vocabulary (trained on an empty or whitespace-only corpus)")
     val cnt = spark.table(table).groupBy("w1", "w2").agg(sum("c").as("c"))
     val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val bg = bigrams(docs, idCol, textCol)

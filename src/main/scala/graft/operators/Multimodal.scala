@@ -328,23 +328,31 @@ object Multimodal {
     * ([[mjpegStarts]]) and decode each slice through ImageIO's JPEG
     * reader — frame count, dimensions, and pixels all come out of the
     * actual entropy-coded payload. Slices ImageIO rejects are dropped
-    * (a torn tail frame in a truncated capture). Returns Nil for
-    * payloads that are not MJPEG at all (no SOI at offset 0).
+    * (a torn tail frame in a truncated capture; the per-slice catch is
+    * NonFatal, not just IOException — the JPEG plugin throws
+    * RuntimeExceptions like CMMException on broken ICC profiles and
+    * NegativeArraySizeException on corrupt headers, and a torn
+    * mid-stream frame must not fail the whole task). Surviving frames
+    * re-index CONTIGUOUSLY from 0 (the [[decodeFrames]] contract: a
+    * dropped middle slice never leaves a gap in frame_index). Returns
+    * Nil for payloads that are not MJPEG at all (no SOI at offset 0).
     */
   def mjpegFrames(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
     if (bytes == null || bytes.length < 4) return Nil
     val starts = mjpegStarts(bytes)
     if (starts.isEmpty || starts.head != 0) return Nil
     val bounds = starts :+ bytes.length
-    bounds.sliding(2).zipWithIndex.flatMap { case (Seq(a, b), i) =>
+    bounds.sliding(2).flatMap { case Seq(a, b) =>
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(
             java.util.Arrays.copyOfRange(bytes, a, b)))
         if (img == null) None
-        else Some(DecodedFrame(id, i, img.getWidth, img.getHeight,
+        else Some((img.getWidth, img.getHeight,
           (img.getRGB(0, 0) & 0xffffff).toLong))
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.zipWithIndex.map { case ((w, h, rgb), i) =>
+      DecodedFrame(id, i, w, h, rgb)
     }.toSeq
   }
 

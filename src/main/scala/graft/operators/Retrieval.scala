@@ -49,6 +49,8 @@ import graft.functions.GraftFunctions
   */
 object Retrieval {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Lowercased [[TextOps.tokens]] — ONE shared tokenizer definition, so
     * the oracle constraint on t1/a1 (whitespace splitting) and on
     * t16/t17 (this analyzer) can never drift apart silently.
@@ -682,22 +684,47 @@ object Retrieval {
     * distinct-term predicate, unlike phrase where each offset must
     * align).
     */
+  /** `maxAnchorMass`: the heap guard phrase does not need — NEAR's
+    * anchor join materializes window × (gated query-term position
+    * mass) rows into the (qid, doc_id, anchor) aggregate, and on an
+    * all-head batch at corpus scale that mass exceeds executor memory
+    * BEFORE any dial engages (MEASURED: the 1e7 all-head exact leg at
+    * window = 8 OOMs an 8 GiB heap — BASELINE.md round-13 NEAR
+    * section). The control plane therefore bounds the anchor mass UP
+    * FRONT from the same collected df frame the candidate gate uses:
+    * the per-query candidate bound min_t df(t), times avgdl (a doc's
+    * query-term positions cannot exceed its length), times window, is
+    * a sound upper bound on the anchor rows a query can generate. When
+    * the batch's summed bound exceeds `maxAnchorMass`, the batch
+    * AUTO-ROUTES to the truncation dial at the largest per-query
+    * candidate cap that fits the budget — a LOUD warn names the batch,
+    * the bound, and the effective cap — instead of OOMing. Queries
+    * whose rarest term is under the effective cap remain EXACT (the
+    * maxDfFrac contract); over-cap queries serve from deterministic
+    * hash-sampled candidates. The default (2^31) completes the 1e7
+    * engineered all-head worst case on an 8 GiB heap; raise it (heap
+    * permitting) to force exact matching further up the wall, or set
+    * Long.MaxValue to restore the crash-on-overrun behavior.
+    */
   def bm25ProximityQuery(spark: SparkSession, table: String,
                          queries: DataFrame, qidCol: String,
                          textCol: String, k: Int, window: Int,
                          k1: Double = 1.2, b: Double = 0.75,
                          maxDfFrac: Double = 1.0,
                          maxCandBroadcast: Long = 4L << 20,
-                         gateMinPosMass: Long = 1L << 22): DataFrame = {
+                         gateMinPosMass: Long = 1L << 22,
+                         maxAnchorMass: Long = 1L << 31): DataFrame = {
     require(window >= 1 && window <= 256,
       s"window must be in [1, 256], got $window")
+    require(maxAnchorMass > 0,
+      s"maxAnchorMass must be positive, got $maxAnchorMass")
     val qt0 = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass)
+      gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
     val anchors = anchorsInput
       .select(col("qid"), col("doc_id"), col("term"),
         explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
@@ -741,7 +768,8 @@ object Retrieval {
   private def posGatedProbe(spark: SparkSession, table: String,
                             probe: DataFrame, caller: String,
                             maxDfFrac: Double, maxCandBroadcast: Long,
-                            gateMinPosMass: Long)
+                            gateMinPosMass: Long, window: Int = 0,
+                            maxAnchorMass: Long = Long.MaxValue)
       : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
@@ -774,20 +802,60 @@ object Retrieval {
         Some(ts)
       } else None
     } else None
-    // truncation cap in documents (Long.MaxValue = exact, no stats read)
-    val capDocs: Long = if (maxDfFrac < 1.0) {
-      val n = spark.table(s"${table}_stats")
-        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
-      math.max(1L, (maxDfFrac * n).toLong)
-    } else Long.MaxValue
+    // truncation cap in documents (Long.MaxValue = exact; stats are
+    // read only when a dial needs corpus facts — the maxDfFrac cap and
+    // the NEAR anchor budget both do)
+    lazy val (nDocsStat, avgdlCeil) = {
+      val st = spark.table(s"${table}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L)),
+          coalesce(sum("dl_sum"), lit(0L))).head()
+      val n = st.getLong(0)
+      (n, math.max(1L, if (n > 0) (st.getLong(1) + n - 1) / n else 1L))
+    }
+    val capDocs0: Long = if (maxDfFrac < 1.0)
+      math.max(1L, (maxDfFrac * nDocsStat).toLong)
+    else Long.MaxValue
     val perQid = qdfRows.groupBy(_.get(0))
-    val candBound: Long =
+    val (candBound0, nQ): (Long, Long) =
       if (collected)
-        perQid.valuesIterator.map(rs =>
-          math.min(rs.iterator.map(_.getLong(2)).min, capDocs)).sum
-      else qdf.groupBy("qid").agg(min("df").as("mdf"))
-        .agg(coalesce(sum(least(col("mdf"), lit(capDocs))), lit(0L)))
-        .head().getLong(0)
+        (perQid.valuesIterator.map(rs =>
+          math.min(rs.iterator.map(_.getLong(2)).min, capDocs0)).sum,
+         perQid.size.toLong)
+      else {
+        val r = qdf.groupBy("qid").agg(min("df").as("mdf"))
+          .agg(coalesce(sum(least(col("mdf"), lit(capDocs0))), lit(0L)),
+            count(lit(1)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    // ---- NEAR anchor budget (window > 0: the caller materializes
+    // window × gated-position-mass anchor rows — see the maxAnchorMass
+    // scaladoc on bm25ProximityQuery). window · avgdl bounds one
+    // candidate doc's anchors (a doc's query-term positions cannot
+    // exceed its length), so the batch fits iff candBound · window ·
+    // avgdl ≤ maxAnchorMass. Over-budget batches AUTO-ROUTE to the
+    // truncation dial at the largest per-query cap that fits — loudly,
+    // and queries whose rarest term is under the cap stay exact.
+    val (capDocs, candBound) =
+      if (window > 0 && maxAnchorMass != Long.MaxValue && nQ > 0) {
+        val perDocAnchors = math.max(1L, window.toLong * avgdlCeil)
+        val budgetDocs = maxAnchorMass / perDocAnchors
+        if (candBound0 > budgetDocs) {
+          val capEff = math.min(capDocs0, math.max(1L, budgetDocs / nQ))
+          val cb = if (collected)
+            perQid.valuesIterator.map(rs =>
+              math.min(rs.iterator.map(_.getLong(2)).min, capEff)).sum
+          else math.min(candBound0, nQ * capEff)
+          logger.warn(s"$caller: anchor bound ($candBound0 candidate docs " +
+            s"x $perDocAnchors anchors/doc) exceeds maxAnchorMass=" +
+            s"$maxAnchorMass; auto-routing the $nQ-query batch to " +
+            s"truncated matching at $capEff candidate docs/query " +
+            "(queries whose rarest term is under the cap stay exact; " +
+            "raise maxAnchorMass to force exact matching, heap " +
+            "permitting)")
+          (capEff, cb)
+        } else (capDocs0, candBound0)
+      } else (capDocs0, candBound0)
     val totalBound: Long =
       if (collected) qdfRows.iterator.map(_.getLong(2)).sum
       else Long.MaxValue
