@@ -147,13 +147,19 @@ object Fusion {
     *
     * `queries` carries `qidCol` (integral id), `textCol` (the lexical
     * query string) and `vecCol` (the query embedding). The vector leg
-    * is served from a standing IVF index when `vecIndex` is given
-    * ([[Similarity.ivfQuery]], `probeFrac` dial — the at-scale path),
-    * else exact brute-force over `vecCorpus` (`embIdCol`/`embVecCol`
-    * columns; the small-corpus / oracle path). `kPerLeg` bounds each leg's
-    * candidate list (RRF quality saturates at a few × k; kPerLeg rows
-    * per query per leg is the entire fusion working set), `maxDfFrac`
-    * passes through to the BM25 leg's stop-term dial.
+    * is served, in order of precedence, from a standing IVFPQ index
+    * when `pqIndex` is given ([[ProductQuant.ivfPqQuery]] — the 100 TB
+    * memory-budget path: PQ codes are ~m·8/(dim·32) the raw vector
+    * bytes, with `refineK` exact re-ranking on the raw vectors of the
+    * quantized top candidates), else a standing IVF index when
+    * `vecIndex` is given ([[Similarity.ivfQuery]], `probeFrac` dial —
+    * the raw-vector at-scale path), else exact brute-force over
+    * `vecCorpus` (`embIdCol`/`embVecCol` columns; the small-corpus /
+    * oracle path). `kPerLeg` bounds each leg's candidate list (RRF
+    * quality saturates at a few × k; kPerLeg rows per query per leg is
+    * the entire fusion working set), `maxDfFrac` passes through to the
+    * BM25 leg's stop-term dial, `probeFrac` to whichever ANN leg
+    * serves.
     */
   def hybridQuery(spark: SparkSession, bm25Table: String, queries: DataFrame,
                   qidCol: String, textCol: String, vecCol: String, k: Int,
@@ -164,20 +170,26 @@ object Fusion {
                   embIdCol: String = "vec_id", embVecCol: String = "embedding",
                   probeFrac: Double = 0.5,
                   maxDfFrac: Double = 1.0,
-                  mode: String = "rrf"): DataFrame = {
-    require(vecIndex.nonEmpty || vecCorpus.nonEmpty,
-      "hybridQuery needs a vector leg: pass vecIndex (standing IVF) or vecCorpus (brute-force)")
+                  mode: String = "rrf",
+                  pqIndex: Option[String] = None,
+                  refineK: Int = 0): DataFrame = {
+    require(pqIndex.nonEmpty || vecIndex.nonEmpty || vecCorpus.nonEmpty,
+      "hybridQuery needs a vector leg: pass pqIndex (standing IVFPQ), " +
+        "vecIndex (standing IVF) or vecCorpus (brute-force)")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
     val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
         kPerLeg, maxDfFrac = maxDfFrac)
       .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
         col("score_micro").cast("double").as("score"))
-    val vec = (vecIndex match {
-      case Some(t) =>
+    val vec = ((pqIndex, vecIndex) match {
+      case (Some(t), _) =>
+        ProductQuant.ivfPqQuery(spark, t, queries, qidCol, vecCol, kPerLeg,
+          probeFrac = probeFrac, refineK = refineK)
+      case (None, Some(t)) =>
         Similarity.ivfQuery(spark, t, queries, qidCol, vecCol, kPerLeg,
           probeFrac = probeFrac)
-      case None =>
+      case (None, None) =>
         Similarity.bruteForceTopK(
           vecCorpus.get.select(col(embIdCol).as("_vid"), col(embVecCol).as("_vv")),
           queries.select(col(qidCol).as("_vid"), col(vecCol).as("_vv")),

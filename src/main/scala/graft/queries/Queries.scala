@@ -1255,6 +1255,31 @@ object Queries {
     * 1-based, clamped at both ends), and the re-joined snippet text all
     * gate together.
     */
+  /** IVFPQ-served twin of t22 ([[graft.operators.Fusion.hybridQuery]]
+    * with `pqIndex`): the vector leg serves from a standing IVFPQ
+    * index — quantized ADC candidate ranking, then exact cosine
+    * re-ranking of the top `refineK` — instead of brute force. At
+    * probeFrac = 1.0 with refineK covering the corpus the refine
+    * re-ranks EVERY candidate on raw vectors, so the leg's output is
+    * the exact cosine top-5 and the t22 oracle applies verbatim: the
+    * gate proves the PQ serving path (codebook training, ADC tables,
+    * residual scoring, refine join) converges to the exact ranking the
+    * convenience path promises, and that the fusion wiring is
+    * leg-agnostic.
+    */
+  val t27_hybridpq: Q = (s, d) => {
+    val table = s"hybq_${d.hashCode & Int.MaxValue}"
+    val pqt = s"hybqpq_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    val emb = Tables.embeddings(s, d)
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", pqt, m = 16)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridQuery(s, table, q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, pqIndex = Some(pqt), probeFrac = 1.0, refineK = 4096)
+      .orderBy("qid", "rnk")
+  }
+
   val t26_snippets: Q = (s, d) => {
     val table = s"bm25s_${d.hashCode & Int.MaxValue}"
     Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
@@ -1886,7 +1911,7 @@ object Queries {
     "t20_bm25phrase" -> t20_bm25phrase, "t21_bm25near" -> t21_bm25near,
     "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
     "t24_lmscore" -> t24_lmscore, "t25_lmappend" -> t25_lmappend,
-    "t26_snippets" -> t26_snippets,
+    "t26_snippets" -> t26_snippets, "t27_hybridpq" -> t27_hybridpq,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -1909,6 +1934,73 @@ object Queries {
     * micro-units and summed as exact integers (DuckDB SUM(BIGINT) is
     * HUGEINT — cast back), ranked (score desc, doc_id asc).
     */
+
+  /** The t22/t27 hybrid-RRF oracle (shared: the IVFPQ gate runs at
+    * probeFrac = 1.0 with corpus-covering refineK, so its vector leg
+    * is the exact cosine leg and the RRF recomputation is identical).
+    */
+  private val hybridRrfOracleSql: String =
+    """WITH qids AS (
+      |  SELECT d.doc_id AS qid FROM documents d
+      |  JOIN embeddings e ON e.vec_id = d.doc_id
+      |  WHERE d.doc_id % 50 = 0),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT DISTINCT qid, term FROM (
+      |  SELECT doc_id AS qid,
+      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> length(x) > 0), 1, 3)) AS term
+      |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
+      |lexscored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    CAST(sum(CAST(round(
+      |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2
+      |          / (CAST(tf.tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  GROUP BY qt.qid, tf.doc_id),
+      |lexranked AS (
+      |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM lexscored),
+      |vq AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE vec_id IN (SELECT qid FROM qids)),
+      |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
+      |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
+      |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+      |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
+      |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
+      |vecranked AS (SELECT qid, nid,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
+      |contrib AS (
+      |  SELECT qid, doc_id AS id,
+      |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+      |  FROM lexranked WHERE rnk <= 5
+      |  UNION ALL
+      |  SELECT qid, nid AS id,
+      |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+      |  FROM vecranked WHERE rnk <= 5),
+      |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
+      |          FROM contrib GROUP BY qid, id),
+      |final AS (SELECT qid, id, fused_micro,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
+      |SELECT qid, id, fused_micro, rnk FROM final
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   private def bm25OracleSql(corpusWhere: String = ""): String = {
     val where = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     s"""WITH toks AS (
@@ -2644,67 +2736,11 @@ object Queries {
     // its top-5, fused with integer-micro RRF contributions
     // floor(1e6/(60+rank)+0.5) — integer sums are order-independent,
     // matching Fusion.rrf bit-for-bit.
-    "t22_hybrid" ->
-      """WITH qids AS (
-        |  SELECT d.doc_id AS qid FROM documents d
-        |  JOIN embeddings e ON e.vec_id = d.doc_id
-        |  WHERE d.doc_id % 50 = 0),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0)) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |  SELECT doc_id AS qid,
-        |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      x -> length(x) > 0), 1, 3)) AS term
-        |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
-        |lexscored AS (
-        |  SELECT qt.qid, tf.doc_id,
-        |    CAST(sum(CAST(round(
-        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2
-        |          / (CAST(tf.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
-        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  GROUP BY qt.qid, tf.doc_id),
-        |lexranked AS (
-        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM lexscored),
-        |vq AS (SELECT vec_id, embedding FROM embeddings
-        |       WHERE vec_id IN (SELECT qid FROM qids)),
-        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
-        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
-        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
-        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
-        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
-        |vecranked AS (SELECT qid, nid,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
-        |contrib AS (
-        |  SELECT qid, doc_id AS id,
-        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
-        |  FROM lexranked WHERE rnk <= 5
-        |  UNION ALL
-        |  SELECT qid, nid AS id,
-        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
-        |  FROM vecranked WHERE rnk <= 5),
-        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
-        |          FROM contrib GROUP BY qid, id),
-        |final AS (SELECT qid, id, fused_micro,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
-        |SELECT qid, id, fused_micro, rnk FROM final
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "t22_hybrid" -> hybridRrfOracleSql,
+
+    // IVFPQ-served twin of t22: exact at full probe + refine (see the
+    // t27 scaladoc), so the oracle is the same recomputation
+    "t27_hybridpq" -> hybridRrfOracleSql,
 
     // Linear-fusion twin of t22: same legs, per-(leg, qid) min-max
     // normalization over each leg's retrieved top-5 (max = min ⇒ 1.0),

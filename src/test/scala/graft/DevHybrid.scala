@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Fusion, Retrieval, Similarity}
+import graft.operators.{Fusion, ProductQuant, Retrieval, Similarity}
 
 /** Hybrid-serving scale probe: a standing BM25 index over the zipf
   * corpus + a standing IVF index over hash-uniform dim-64 vectors
@@ -78,6 +78,29 @@ object DevHybrid {
     serve("warmup(df<=1%,probe=0.1)", 0.01, 0.1)
     serve("pruned(df<=1%,probe=0.1)", 0.01, 0.1)
     serve("exact-lex(probe=0.1)", 1.0, 0.1)
+    // the PQ-served vector leg (the 100 TB memory-budget config): same
+    // lexical leg, IVFPQ probes + exact refine instead of raw IVF —
+    // should land in the IVF-served band (the legs dominate; BASELINE
+    // round-13 hybrid section)
+    val pt = s"devhyb_pq_$n"
+    val (_, tP) = timed {
+      ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", pt, m = 16,
+        buckets = 32)
+    }
+    println(f"[hyb] n=$n ivfPqBuild=${tP}%.1fs")
+    System.out.flush()
+    def servePq(tag: String, dfFrac: Double, probeFrac: Double): Unit = {
+      val (rows, t) = timed {
+        Fusion.hybridQuery(spark, bt, q, "qid", "qtext", "qvec", 5,
+          kPerLeg = 20, pqIndex = Some(pt), probeFrac = probeFrac,
+          maxDfFrac = dfFrac).count()
+      }
+      println(f"[hyb] n=$n $tag query=${t}%.1fs rows=$rows nq=$nq " +
+        f"(${t / nq * 1000}%.0f ms/q)")
+      System.out.flush()
+    }
+    servePq("pq-warmup(df<=1%,probe=0.1)", 0.01, 0.1)
+    servePq("pq-pruned(df<=1%,probe=0.1)", 0.01, 0.1)
     spark.stop()
   }
 }

@@ -183,6 +183,37 @@ class FusionSpec extends AnyFunSuite {
     assert(run(ivf = true) === run(ivf = false))
   }
 
+  test("hybridQuery: IVFPQ-served vector leg matches brute force at full probe + refine") {
+    import graft.operators.ProductQuant
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "alpha theta iota")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f, 0.2f)),
+      (2L, Array(1.0f, 0.05f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.3f)),
+      (4L, Array(0.5f, 0.5f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val bt = s"fus_pq_bm_${System.nanoTime()}"
+    val pt = s"fus_pq_ix_${System.nanoTime()}"
+    Retrieval.bm25Build(corpus, "doc_id", "text", bt, buckets = 2)
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", pt, m = 2,
+      nlist = 2, buckets = 2)
+    val q = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    def run(pq: Boolean) = Fusion.hybridQuery(spark, bt, q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 3,
+        pqIndex = if (pq) Some(pt) else None,
+        vecCorpus = if (pq) None else Some(emb),
+        probeFrac = 1.0, refineK = 16)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    // full probes + refine over every candidate: the PQ leg's exact
+    // re-rank reproduces brute-force cosine ranks, so fusion is
+    // identical rank-for-rank
+    assert(run(pq = true) === run(pq = false))
+  }
+
   test("hybridQuery: requires a vector leg") {
     val q = Seq((1L, "x")).toDF("qid", "qtext")
       .withColumn("qvec", array(lit(1.0f)))
