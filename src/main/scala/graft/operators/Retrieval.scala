@@ -422,7 +422,22 @@ object Retrieval {
                          k1: Double, b: Double, maxDfFrac: Double,
                          qterms: Option[Seq[String]],
                          docFilter: Option[DataFrame] = None,
-                         broadcastDocs: Boolean = false): DataFrame = {
+                         broadcastDocs: Boolean = false): DataFrame =
+    bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms, docFilter,
+        broadcastDocs)
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+
+  /** The pre-aggregation form of [[bm25Scored]]: one row per (qid, nid,
+    * term) carrying that term's micro-rounded BM25 contribution — the
+    * frame [[bm25Scored]] sums and [[bm25Snippets]] reads per-term to
+    * pick each hit's best-scoring term.
+    */
+  private def bm25Partials(spark: SparkSession, table: String, qt: DataFrame,
+                           k1: Double, b: Double, maxDfFrac: Double,
+                           qterms: Option[Seq[String]],
+                           docFilter: Option[DataFrame] = None,
+                           broadcastDocs: Boolean = false): DataFrame = {
     // Deletion support: when a tombstone set exists, df/N/avgdl are
     // corrected at QUERY time from `postings ∩ tombstones` (one extra
     // broadcast semi-join scan of the term-bucketed postings; the df
@@ -486,10 +501,8 @@ object Retrieval {
     // the double view of the long loses nothing
     qt.join(dict, Seq("term"))
       .join(postings, Seq("term"))
-      .select(col("qid"), col("doc_id").as("nid"),
+      .select(col("qid"), col("doc_id").as("nid"), col("term"),
         round(idf * w * lit(1000000.0)).cast("long").as("partial"))
-      .groupBy("qid", "nid")
-      .agg(sum("partial").cast("double").as("cos"))
   }
 
   /** Exact-phrase BM25 top-k over a POSITIONAL index ([[bm25Build]]
@@ -738,6 +751,170 @@ object Retrieval {
       .select(col("qid"), col("doc_id").as("nid")).distinct()
     posScoreRank(spark, table, qt0, matched, candFilter, bcast, qterms,
       k, k1, b)
+  }
+
+  /** [[bm25ProximityQuery]] + passage extraction — the NEAR member of
+    * the snippet family ([[bm25PhraseSnippets]] covers phrase matches,
+    * [[bm25Snippets]] plain bag-of-words hits): each top-k match
+    * carries the LEFTMOST COVER's start (the smallest query-term
+    * occurrence position `p` such that the window `[p, p + window − 1]`
+    * contains every distinct query term — a cover window exists iff one
+    * anchored at its leftmost occurrence does, the same equivalence the
+    * match predicate rests on) and a token-window `snippet` spanning
+    * `context` tokens before the window through `context` after it,
+    * sliced from `docs` (`docIdCol`/`docTextCol`: the corpus text,
+    * which the index does not store).
+    *
+    * Plan shape: ranking is [[bm25ProximityQuery]] verbatim (same
+    * control plane, same dials, same anchor budget); the cover-start
+    * derivation touches ONLY the ranked docs — the positional scan is
+    * semi-joined down to the k·|queries| result rows (broadcast)
+    * BEFORE any occurrence explodes, so the span pass costs positions
+    * of the query terms in the top-k docs, never corpus mass, and the
+    * text join runs strictly after top-k. Output: (qid, doc_id,
+    * score_micro, rnk, start, snippet), deterministic (min cover
+    * start; tokens re-joined single-spaced by the shared tokenizer).
+    */
+  def bm25ProximitySnippets(spark: SparkSession, table: String,
+                            queries: DataFrame, qidCol: String,
+                            textCol: String, docs: DataFrame,
+                            docIdCol: String, docTextCol: String,
+                            k: Int, window: Int, context: Int = 3,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            maxDfFrac: Double = 1.0,
+                            maxCandBroadcast: Long = 4L << 20,
+                            gateMinPosMass: Long = 1L << 22,
+                            maxAnchorMass: Long = 1L << 31): DataFrame = {
+    require(window >= 1 && window <= 256,
+      s"window must be in [1, 256], got $window")
+    require(context >= 0, s"context must be non-negative, got $context")
+    require(maxAnchorMass > 0,
+      s"maxAnchorMass must be positive, got $maxAnchorMass")
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
+      table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
+      gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
+    val anchors = anchorsInput
+      .select(col("qid"), col("doc_id"), col("term"),
+        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
+      .select(col("qid"), col("doc_id"), col("term"),
+        explode(sequence(col("p") - lit(window - 1), col("p")))
+          .as("anchor"))
+      .groupBy("qid", "doc_id", "anchor")
+      .agg(count_distinct(col("term")).as("nhit"))
+    val matched = anchors.join(broadcast(qlenD), Seq("qid"))
+      .filter(col("nhit") === col("qlen"))
+      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    val ranked = posScoreRank(spark, table, qt0, matched, candFilter,
+      bcast, qterms, k, k1, b)
+    // leftmost cover, derived occurrence-anchored over ONLY the ranked
+    // docs: every ranked doc has one (see the scaladoc equivalence), so
+    // the inner joins below drop nothing
+    val rankedDocs = ranked.select("qid", "doc_id").distinct()
+    val occ = qt0
+      .join(Tombstones.filterOut(spark, table,
+        pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id"),
+        Seq("term"))
+      .join(broadcast(rankedDocs), Seq("qid", "doc_id"), "left_semi")
+      .select(col("qid"), col("doc_id"), col("term"),
+        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
+    val covers = occ.select(col("qid"), col("doc_id"), col("p").as("ap"))
+      .distinct()
+      .join(occ, Seq("qid", "doc_id"))
+      .filter(col("p") >= col("ap") &&
+        col("p") <= col("ap") + lit(window - 1))
+      .groupBy("qid", "doc_id", "ap")
+      .agg(count_distinct(col("term")).as("nhit"))
+    val firstStart = covers.join(broadcast(qlenD), Seq("qid"))
+      .filter(col("nhit") === col("qlen"))
+      .groupBy("qid", "doc_id").agg(min("ap").as("start"))
+    val corpusToks = docs.select(col(docIdCol).as("doc_id"),
+      toks(col(docTextCol)).as("_ws"))
+    val from = greatest(col("start") - context, lit(0))
+    ranked
+      .join(firstStart, Seq("qid", "doc_id"))
+      .join(corpusToks, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_micro"), col("rnk"),
+        col("start").cast("long").as("start"),
+        concat_ws(" ", slice(col("_ws"), (from + 1).cast("int"),
+          (col("start") - from + lit(window + context)).cast("int")))
+          .as("snippet"))
+  }
+
+  /** [[bm25Query]] + passage extraction for plain bag-of-words hits —
+    * the snippet family's third member: each top-k document carries the
+    * FIRST OCCURRENCE of its BEST-SCORING query term (the term with
+    * the largest micro-rounded BM25 contribution for that (query, doc)
+    * pair; ties break on term ascending) and a ±`context`-token window
+    * around that occurrence, sliced from `docs`. Needs the positional
+    * table (`bm25Build` with `positions = true`) for the occurrence
+    * offsets.
+    *
+    * Plan shape: ranking is the [[bm25Query]] pipeline with the one
+    * bounded control collect shared across scoring AND the span pass
+    * (the pushed-term discipline); per-term partials are recomputed
+    * only for the top-k docs (a broadcast semi-join narrows the
+    * postings probe to k·|queries| documents), the argmax runs on that
+    * tiny frame, and the first occurrence reads the head of the
+    * delta-encoded position list (the first element is stored
+    * absolute — no decode). The text join runs strictly after top-k.
+    * Output: (qid, doc_id, score_micro, rnk, start, snippet).
+    */
+  def bm25Snippets(spark: SparkSession, table: String, queries: DataFrame,
+                   qidCol: String, textCol: String, docs: DataFrame,
+                   docIdCol: String, docTextCol: String, k: Int,
+                   context: Int = 3, k1: Double = 1.2, b: Double = 0.75,
+                   maxDfFrac: Double = 1.0): DataFrame = {
+    require(context >= 0, s"context must be non-negative, got $context")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    GraftFunctions.ensureRegistered(spark)
+    healFold(spark, table)
+    require(tableExists(spark, s"${table}_pos"),
+      s"bm25Snippets: $table has no positional table — " +
+        "build the index with positions = true")
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    val ranked = Similarity.rankTopK(
+        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms), k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+    val rankedDocs = ranked.select("doc_id").distinct()
+    val best = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
+        docFilter = Some(rankedDocs), broadcastDocs = true)
+      .join(ranked.select(col("qid"), col("doc_id").as("nid")),
+        Seq("qid", "nid"), "left_semi")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid", "nid")
+          .orderBy(col("partial").desc, col("term"))))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col("nid").as("doc_id"), col("term"))
+    val firstStart = best
+      .join(Tombstones.filterOut(spark, table,
+        pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id"),
+        Seq("term", "doc_id"))
+      // delta-encoded positions store the first (minimum) offset
+      // absolute at index 1 — the first occurrence without a decode
+      .select(col("qid"), col("doc_id"),
+        element_at(col("positions"), 1).cast("long").as("start"))
+    val corpusToks = docs.select(col(docIdCol).as("doc_id"),
+      toks(col(docTextCol)).as("_ws"))
+    val from = greatest(col("start") - context, lit(0))
+    ranked
+      .join(firstStart, Seq("qid", "doc_id"))
+      .join(corpusToks, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_micro"), col("rnk"),
+        col("start"),
+        concat_ws(" ", slice(col("_ws"), (from + 1).cast("int"),
+          (col("start") - from + lit(1 + context)).cast("int")))
+          .as("snippet"))
   }
 
   /** Shared tail of the positional entry points: BM25-score the

@@ -1289,6 +1289,48 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** NEAR SNIPPET gate ([[graft.operators.Retrieval
+    * .bm25ProximitySnippets]]): t21's ranking plus passage extraction —
+    * each top-5 window match carries the LEFTMOST COVER's start (the
+    * smallest query-term occurrence whose 8-slot window contains every
+    * distinct query term) and a ±2-token-context slice spanning the
+    * window. The oracle re-derives covers occurrence-anchored over
+    * DuckDB's positional view (the t21 CTEs), takes min(pos) − 1 as the
+    * 0-based start, recomputes the restricted scoring, and slices the
+    * same [start−2, start+window−1+2] token range — so the cover
+    * equivalence, the leftmost choice, the 0-vs-1-based arithmetic, and
+    * the re-joined snippet text all gate together.
+    */
+  val t28_nearsnippets: Q = (s, d) => {
+    val table = s"bm25ns_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    Retrieval.bm25ProximitySnippets(s, table, bm25Queries(s, d),
+        "qid", "qtext", docs(s, d), "doc_id", "text", 5, window = 8,
+        context = 2)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Bag-of-words SNIPPET gate ([[graft.operators.Retrieval
+    * .bm25Snippets]]): t16's ranking plus passage extraction — each
+    * top-5 document carries the first occurrence of its BEST-SCORING
+    * query term (largest micro-rounded per-term BM25 contribution,
+    * ties on term ascending) and a ±2-token window around it. The
+    * oracle recomputes the per-term partials (the t16 expression kept
+    * per term), replays the argmax and the first-occurrence lookup
+    * over its own positional view, and slices the same window — so the
+    * per-term scoring, the deterministic argmax, and the clamped slice
+    * arithmetic all gate together.
+    */
+  val t29_bowsnippets: Q = (s, d) => {
+    val table = s"bm25bs_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    Retrieval.bm25Snippets(s, table, bm25Queries(s, d), "qid", "qtext",
+        docs(s, d), "doc_id", "text", 5, context = 2)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1912,6 +1954,8 @@ object Queries {
     "t22_hybrid" -> t22_hybrid, "t23_hybridlinear" -> t23_hybridlinear,
     "t24_lmscore" -> t24_lmscore, "t25_lmappend" -> t25_lmappend,
     "t26_snippets" -> t26_snippets, "t27_hybridpq" -> t27_hybridpq,
+    "t28_nearsnippets" -> t28_nearsnippets,
+    "t29_bowsnippets" -> t29_bowsnippets,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2951,6 +2995,126 @@ object Queries {
         |  array_to_string(list_slice(d.toklist,
         |    CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
         |    CAST(fs.start + fs.qlen + 2 AS INTEGER)), ' ') AS snippet
+        |FROM ranked r
+        |JOIN fs ON fs.qid = r.qid AND fs.doc_id = r.doc_id
+        |JOIN docs0 d ON d.doc_id = r.doc_id
+        |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
+
+    // NEAR snippets: covers re-derived occurrence-anchored (the t21
+    // CTEs), start = min cover anchor − 1 (0-based, matching Spark's
+    // posexplode offsets vs generate_subscripts' 1-based), scoring =
+    // t16 restricted to matches, snippet = tokens
+    // [max(start−2, 0), start+8−1+2] re-joined single-spaced.
+    "t28_nearsnippets" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
+        |      FROM docs0 WHERE doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT qid, unnest(qtoks) AS term FROM q)),
+        |qn AS (SELECT qid, count(*) AS nterms FROM qt GROUP BY qid),
+        |qpos AS (SELECT qt.qid, p.doc_id, p.term, p.pos
+        |         FROM qt JOIN pos p ON p.term = qt.term),
+        |cov AS (
+        |  SELECT a.qid, a.doc_id, a.pos,
+        |    count(DISTINCT o.term) AS nh, any_value(qn.nterms) AS nt
+        |  FROM qpos a
+        |  JOIN qpos o ON o.qid = a.qid AND o.doc_id = a.doc_id
+        |    AND o.pos BETWEEN a.pos AND a.pos + 7
+        |  JOIN qn ON qn.qid = a.qid
+        |  GROUP BY a.qid, a.doc_id, a.pos),
+        |fs AS (SELECT qid, doc_id, CAST(min(pos) - 1 AS BIGINT) AS start
+        |       FROM cov WHERE nh = nt GROUP BY qid, doc_id),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |       JOIN fs m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT r.qid, r.doc_id, r.score_micro, r.rnk, fs.start,
+        |  array_to_string(list_slice(d.toklist,
+        |    CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
+        |    CAST(fs.start + 10 AS INTEGER)), ' ') AS snippet
+        |FROM ranked r
+        |JOIN fs ON fs.qid = r.qid AND fs.doc_id = r.doc_id
+        |JOIN docs0 d ON d.doc_id = r.doc_id
+        |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
+
+    // Bag-of-words snippets: per-term partials kept (the t16 scoring
+    // expression per term), argmax (partial desc, term asc), first
+    // occurrence via min(pos) − 1, snippet = tokens
+    // [max(start−2, 0), start+2].
+    "t29_bowsnippets" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
+        |      FROM docs0 WHERE doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT qid, unnest(qtoks) AS term FROM q)),
+        |partials AS (
+        |  SELECT qt.qid, tf.doc_id, qt.term,
+        |    CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS partial
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |scored AS (SELECT qid, doc_id, CAST(sum(partial) AS BIGINT) AS score_micro
+        |           FROM partials GROUP BY qid, doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM scored),
+        |best AS (SELECT qid, doc_id, term FROM (
+        |  SELECT qid, doc_id, term, row_number() OVER (
+        |    PARTITION BY qid, doc_id ORDER BY partial DESC, term) AS rn
+        |  FROM partials) WHERE rn = 1),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |fs AS (SELECT b.qid, b.doc_id, CAST(min(p.pos) - 1 AS BIGINT) AS start
+        |       FROM best b JOIN pos p
+        |         ON p.doc_id = b.doc_id AND p.term = b.term
+        |       GROUP BY b.qid, b.doc_id)
+        |SELECT r.qid, r.doc_id, r.score_micro, r.rnk, fs.start,
+        |  array_to_string(list_slice(d.toklist,
+        |    CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
+        |    CAST(fs.start + 3 AS INTEGER)), ' ') AS snippet
         |FROM ranked r
         |JOIN fs ON fs.qid = r.qid AND fs.doc_id = r.doc_id
         |JOIN docs0 d ON d.doc_id = r.doc_id

@@ -284,6 +284,71 @@ class RetrievalSpec extends AnyFunSuite {
     assert(direct == run("go stop", 3, frac = 0.9))
   }
 
+  test("bm25ProximitySnippets: leftmost cover start, window+context slice") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "gamma xx beta yy alpha"),
+      (5L, "pre1 pre2 alpha beta gamma post1"),
+      (6L, "alpha zz zz zz zz zz beta gamma")).toDF("doc_id", "text")
+    Retrieval.bm25Build(docs, "doc_id", "text", "bm25_nsn", buckets = 2,
+      positions = true)
+    val q = Seq((9L, "alpha beta gamma")).toDF("qid", "qtext")
+    val got = Retrieval.bm25ProximitySnippets(spark, "bm25_nsn", q,
+        "qid", "qtext", docs, "doc_id", "text", 10, window = 3,
+        context = 1)
+      .select("doc_id", "start", "snippet")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // w=3: docs 1 (cover at 0) and 5 (cover at 2) match; 2 (span 5)
+    // and 6 (beta/gamma adjacent but alpha far) don't
+    val gotKeys = got.keySet
+    assert(gotKeys == Set(1L, 5L), s"matched: $gotKeys")
+    // doc 1: start 0, slice [max(0-1,0) .. 0+3+1-1] = tokens 0..3
+    assert(got(1L) == (0L, "alpha beta gamma delta"))
+    // doc 5: start 2 (leftmost cover anchored at alpha), slice
+    // [1 .. 2+3+1-1=5] = "pre2 alpha beta gamma post1"
+    assert(got(5L) == (2L, "pre2 alpha beta gamma post1"))
+    // ranking identical to bm25ProximityQuery on the same window
+    val prox = Retrieval.bm25ProximityQuery(spark, "bm25_nsn", q,
+        "qid", "qtext", 10, window = 3)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val ranked = Retrieval.bm25ProximitySnippets(spark, "bm25_nsn", q,
+        "qid", "qtext", docs, "doc_id", "text", 10, window = 3,
+        context = 1)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ranked == prox)
+  }
+
+  test("bm25Snippets: best-scoring term's first occurrence, +-context slice") {
+    Retrieval.bm25Build(corpus, "doc_id", "text", "bm25_bsn", buckets = 2,
+      positions = true)
+    val q = Seq((100L, "cat sat")).toDF("qid", "qtext")
+    val got = Retrieval.bm25Snippets(spark, "bm25_bsn", q, "qid", "qtext",
+        corpus, "doc_id", "text", 10, context = 1)
+      .select("doc_id", "start", "snippet")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1 "the cat sat on the mat": cat and sat tie on partial
+    // (equal df, tf, dl) -> term asc picks "cat", first occurrence 1,
+    // slice tokens [0..2]
+    assert(got(1L) == (1L, "the cat sat"))
+    // doc 2 "the dog sat": only "sat" scores -> start 2, tokens [1..3]
+    assert(got(2L) == (2L, "dog sat"))
+    // doc 3 "cat cat cat": only "cat" -> start 0, clamped slice [0..1]
+    assert(got(3L) == (0L, "cat cat"))
+    // ranking identical to bm25Query
+    val bag = Retrieval.bm25Query(spark, "bm25_bsn", q, "qid", "qtext", 10)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val ranked = Retrieval.bm25Snippets(spark, "bm25_bsn", q, "qid",
+        "qtext", corpus, "doc_id", "text", 10, context = 1)
+      .select("doc_id", "score_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ranked == bag)
+  }
+
   test("bm25ProximityQuery maxAnchorMass: over-budget batches auto-route to the truncation dial") {
     // 200 docs all containing the query terms → candBound = 200 for an
     // exact request; a 120-anchor budget (docs are 3 tokens, so
