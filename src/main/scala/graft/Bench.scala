@@ -76,6 +76,12 @@ object Bench {
         "vec_id", "embedding", t)
       t
     }
+    lazy val lmTable = {
+      val t = "bench_lm_idx"
+      operators.LangModel.train(Tables.documents(spark, sfDir),
+        "doc_id", "text", t)
+      t
+    }
     lazy val hybridQueries = bm25Queries.join(
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
@@ -96,6 +102,14 @@ object Bench {
         bm25Table, bm25Queries, "qid", "qtext", 5)),
       "bench_phrase" -> (() => operators.Retrieval.bm25PhraseQuery(spark,
         phraseTable, bm25Queries, "qid", "qtext", 5)),
+      // NEAR proximity over the same standing positional index (order-
+      // free 8-slot window cover — the t21 serving path)
+      "bench_near" -> (() => operators.Retrieval.bm25ProximityQuery(spark,
+        phraseTable, bm25Queries, "qid", "qtext", 5, window = 8)),
+      // bigram-LM quality scoring over a standing model (the t24
+      // serving path: zero-exchange count fold + per-doc micro sums)
+      "bench_lm" -> (() => operators.LangModel.score(spark, lmTable,
+        Tables.documents(spark, sfDir), "doc_id", "text")),
       "bench_pq" -> (() => operators.ProductQuant.ivfPqQuery(spark,
         pqTable, pqQueries, "vec_id", "embedding", 5, refineK = 50)),
       // hybrid serving: BM25 leg + IVF leg over STANDING indexes, RRF

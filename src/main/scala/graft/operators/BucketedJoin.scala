@@ -101,7 +101,27 @@ object BucketedJoin {
     * ledger — where the rewrite must never risk the only copy.
     */
   def rewriteBucketed(spark: SparkSession, table: String, key: String)
-                     (transform: DataFrame => DataFrame): Unit = {
+                     (transform: DataFrame => DataFrame): Unit =
+    rewriteBucketedImpl(spark, table, key, failAt = -1)(transform)
+
+  /** Crash injected by [[rewriteBucketedImpl]]'s test seam. */
+  private[graft] final class InjectedRewriteCrash(val at: Int)
+    extends RuntimeException(s"injected rewrite crash after boundary $at")
+
+  /** [[rewriteBucketed]] with a crash-injection seam: `failAt` ≥ 0
+    * throws [[InjectedRewriteCrash]] immediately AFTER the numbered
+    * swap boundary — 0 stage write, 1 debris clear, 2 rename-aside,
+    * 3 rename-in, 4 old-copy drop (complete). Chaos specs drive every
+    * boundary and assert [[recoverCompacted]] (run on the next rewrite,
+    * or by heal-on-read callers) restores a consistent table;
+    * production calls pass -1 (no injection).
+    */
+  private[graft] def rewriteBucketedImpl(spark: SparkSession, table: String,
+                                         key: String, failAt: Int)
+                                        (transform: DataFrame => DataFrame)
+      : Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new InjectedRewriteCrash(i)
     recoverCompacted(spark, table)
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
@@ -110,12 +130,17 @@ object BucketedJoin {
     val tmp = s"${table}_compacting"
     val old = s"${table}_old"
     writeBucketed(transform(spark.table(table)), tmp, key, n)
+    boundary(0)
     // clear stale debris (a forgotten catalog entry or orphaned dir
     // would make the rename-aside collide)
     dropWithLocation(spark, old)
+    boundary(1)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    boundary(2)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    boundary(3)
     spark.sql(s"DROP TABLE $old")
+    boundary(4)
   }
 
   /** Repair an interrupted [[compactBucketed]] swap. Idempotent; safe

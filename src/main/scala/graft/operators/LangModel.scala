@@ -134,7 +134,16 @@ object LangModel {
     * epochs never replay their appends, so erasing their tags is safe.
     */
   def compact(spark: SparkSession, table: String): Unit =
-    BucketedJoin.rewriteBucketed(spark, table, "w1")(df =>
+    compactImpl(spark, table, failAt = -1)
+
+  /** [[compact]] with the [[BucketedJoin.rewriteBucketedImpl]] crash
+    * seam threaded through — the chaos spec kills the fold after every
+    * swap boundary and asserts [[score]] heals bit-identical (score
+    * runs [[BucketedJoin.recoverCompacted]] before reading).
+    */
+  private[graft] def compactImpl(spark: SparkSession, table: String,
+                                 failAt: Int): Unit =
+    BucketedJoin.rewriteBucketedImpl(spark, table, "w1", failAt)(df =>
       df.groupBy("w1", "w2").agg(sum("c").as("c"))
         .withColumn("epoch", lit(-1L)))
 

@@ -688,36 +688,30 @@ object Retrieval {
     * phrases whose rarest term is under the cap stay exact; all-head
     * queries get deterministic hash-sampled candidates), and the
     * `gateMinPosMass` cost gate. Only the positional match differs:
-    * each decoded position p of a query term serves the `window`
-    * anchor slots [p − window + 1, p], and a (doc, anchor) holding ALL
-    * distinct terms is a match (a window covering every term exists
-    * iff one anchored at the cover's leftmost occurrence does). Match
-    * cost is window × gated position mass — linear in the dial, hence
-    * the 256 cap; duplicate query terms collapse (proximity is a
-    * distinct-term predicate, unlike phrase where each offset must
-    * align).
+    * the gated probe rows group per (qid, doc) and the window cover is
+    * evaluated set-at-a-time on the stored position arrays
+    * ([[proximityMatched]] — no per-anchor row explosion, per-group
+    * state bounded by the doc's own lists); duplicate query terms
+    * collapse (proximity is a distinct-term predicate, unlike phrase
+    * where each offset must align).
     */
-  /** `maxAnchorMass`: the heap guard phrase does not need — NEAR's
-    * anchor join materializes window × (gated query-term position
-    * mass) rows into the (qid, doc_id, anchor) aggregate, and on an
-    * all-head batch at corpus scale that mass exceeds executor memory
-    * BEFORE any dial engages (MEASURED: the 1e7 all-head exact leg at
-    * window = 8 OOMs an 8 GiB heap — BASELINE.md round-13 NEAR
-    * section). The control plane therefore bounds the anchor mass UP
-    * FRONT from the same collected df frame the candidate gate uses:
-    * the per-query candidate bound min_t df(t), times avgdl (a doc's
-    * query-term positions cannot exceed its length), times window, is
-    * a sound upper bound on the anchor rows a query can generate. When
-    * the batch's summed bound exceeds `maxAnchorMass`, the batch
-    * AUTO-ROUTES to the truncation dial at the largest per-query
-    * candidate cap that fits the budget — a LOUD warn names the batch,
-    * the bound, and the effective cap — instead of OOMing. Queries
-    * whose rarest term is under the effective cap remain EXACT (the
+  /** `maxAnchorMass`: the graceful-degradation budget for all-head
+    * batches — a conservative upper bound (per-query candidate bound
+    * min_t df(t), times avgdl, times window) on the window-cover work
+    * the batch can demand, computed UP FRONT from the same collected
+    * df frame the candidate gate uses. When the batch's summed bound
+    * exceeds the budget, the batch AUTO-ROUTES to the truncation dial
+    * at the largest per-query candidate cap that fits — a LOUD warn
+    * names the batch, the bound, and the effective cap. Queries whose
+    * rarest term is under the effective cap remain EXACT (the
     * maxDfFrac contract); over-cap queries serve from deterministic
-    * hash-sampled candidates. The default (2^31) completes the 1e7
-    * engineered all-head worst case on an 8 GiB heap; raise it (heap
-    * permitting) to force exact matching further up the wall, or set
-    * Long.MaxValue to restore the crash-on-overrun behavior.
+    * hash-sampled candidates. History: the round-13 slot-anchor plan
+    * materialized this bound as literal rows and OOMed an 8 GiB heap
+    * at 10⁷ on the engineered all-head case (BASELINE.md round-13 NEAR
+    * section); the grouped-array match retired the heap wall, so the
+    * budget now governs COST (the gated position mass the match must
+    * shuffle and scan), not survival — set Long.MaxValue to force
+    * exact matching at any expense.
     */
   def bm25ProximityQuery(spark: SparkSession, table: String,
                          queries: DataFrame, qidCol: String,
@@ -738,20 +732,44 @@ object Retrieval {
     val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
       gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
-    val anchors = anchorsInput
-      .select(col("qid"), col("doc_id"), col("term"),
-        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
-      .select(col("qid"), col("doc_id"), col("term"),
-        explode(sequence(col("p") - lit(window - 1), col("p")))
-          .as("anchor"))
-      .groupBy("qid", "doc_id", "anchor")
-      .agg(count_distinct(col("term")).as("nhit"))
-    val matched = anchors.join(broadcast(qlenD), Seq("qid"))
-      .filter(col("nhit") === col("qlen"))
-      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    val matched = proximityMatched(anchorsInput, qlenD, window)
     posScoreRank(spark, table, qt0, matched, candFilter, bcast, qterms,
       k, k1, b)
   }
+
+  /** The NEAR match predicate, evaluated set-at-a-time on the STORED
+    * position arrays: the gated probe rows (one per (qid, doc, term),
+    * each carrying the term's delta-encoded position list) group per
+    * (qid, doc) — a document qualifies when it carries ALL distinct
+    * query terms AND some query-term occurrence `p` anchors a window
+    * `[p, p + window − 1]` containing at least one occurrence of every
+    * term (a cover window exists iff one anchored at its leftmost
+    * occurrence does). Evaluating the cover as array predicates over
+    * the grouped lists — instead of exploding every position into its
+    * `window` anchor slots and aggregating (qid, doc, anchor) rows —
+    * moves exactly the gated scan rows through the one shuffle and
+    * holds per-group state bounded by the document's own position
+    * lists: the window factor never materializes as rows, which is
+    * both the serving-cost win (bench_near) and what retired the
+    * anchor-mass OOM wall the round-13 slot-anchor plan hit at 10⁷
+    * (BASELINE.md round-13 NEAR section). Per-group cover cost is
+    * O(occurrences² · terms) in the worst case — bounded by document
+    * length, the per-doc work every positional operator here already
+    * accepts.
+    */
+  private def proximityMatched(anchorsInput: DataFrame, qlenD: DataFrame,
+                               window: Int): DataFrame =
+    anchorsInput
+      .select(col("qid"), col("doc_id"),
+        GraftFunctions.deltaDec(col("positions")).as("ps"))
+      .groupBy("qid", "doc_id")
+      .agg(collect_list(col("ps")).as("arrs"), count(lit(1)).as("nterm"))
+      .join(broadcast(qlenD), Seq("qid"))
+      .filter(col("nterm") === col("qlen"))
+      .filter(exists(flatten(col("arrs")), p =>
+        forall(col("arrs"), a =>
+          exists(a, x => x >= p && x <= p + lit(window - 1)))))
+      .select(col("qid"), col("doc_id").as("nid"))
 
   /** [[bm25ProximityQuery]] + passage extraction — the NEAR member of
     * the snippet family ([[bm25PhraseSnippets]] covers phrase matches,
@@ -797,17 +815,7 @@ object Retrieval {
     val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
       gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
-    val anchors = anchorsInput
-      .select(col("qid"), col("doc_id"), col("term"),
-        explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
-      .select(col("qid"), col("doc_id"), col("term"),
-        explode(sequence(col("p") - lit(window - 1), col("p")))
-          .as("anchor"))
-      .groupBy("qid", "doc_id", "anchor")
-      .agg(count_distinct(col("term")).as("nhit"))
-    val matched = anchors.join(broadcast(qlenD), Seq("qid"))
-      .filter(col("nhit") === col("qlen"))
-      .select(col("qid"), col("doc_id").as("nid")).distinct()
+    val matched = proximityMatched(anchorsInput, qlenD, window)
     val ranked = posScoreRank(spark, table, qt0, matched, candFilter,
       bcast, qterms, k, k1, b)
     // leftmost cover, derived occurrence-anchored over ONLY the ranked

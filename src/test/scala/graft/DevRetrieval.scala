@@ -143,10 +143,13 @@ object DevRetrieval {
         // NEAR proximity over the same positional index (window = 8,
         // any order): the candidate machinery is shared with phrase,
         // so these legs measure the window-cover intersection's
-        // premium. Dial leg FIRST — the exact leg OOMs an 8 GiB heap
-        // at 1e7 on the all-head worst case (anchor×occurrence mass ≫
-        // phrase's consecutive intersection), and an OOM kills the
-        // SparkContext with it; SPARK_GRAFT_SKIP_NEAR_EXACT=1 skips it.
+        // premium. Three dials: the truncation dial, the DEFAULT
+        // config (the anchor budget auto-routes over-bound all-head
+        // batches to truncation — loud, never crashing), and the
+        // FORCED-EXACT bracket (maxAnchorMass = MaxValue), which the
+        // round-14 grouped-array match must complete on this heap
+        // (the round-13 slot-anchor plan OOMed here).
+        // SPARK_GRAFT_SKIP_NEAR_EXACT=1 still skips the forced leg.
         val (prowsNT, tPNT) = timed {
           Retrieval.bm25ProximityQuery(spark, ptable, pq,
             "qid", "qtext", 5, window = 8, maxDfFrac = 0.01).count()
@@ -154,15 +157,58 @@ object DevRetrieval {
         println(f"[ret] n=$n near-trunc(df<=1%%) query=${tPNT}%.1fs " +
           f"rows=$prowsNT nq=$npq (${tPNT / npq * 1000}%.0f ms/q)")
         System.out.flush()
+        val (prowsND, tPND) = timed {
+          Retrieval.bm25ProximityQuery(spark, ptable, pq,
+            "qid", "qtext", 5, window = 8).count()
+        }
+        println(f"[ret] n=$n near-default(w=8) query=${tPND}%.1fs " +
+          f"rows=$prowsND nq=$npq (${tPND / npq * 1000}%.0f ms/q)")
+        System.out.flush()
         if (!sys.env.contains("SPARK_GRAFT_SKIP_NEAR_EXACT")) {
           val (prowsN, tPN) = timed {
             Retrieval.bm25ProximityQuery(spark, ptable, pq,
-              "qid", "qtext", 5, window = 8).count()
+              "qid", "qtext", 5, window = 8,
+              maxAnchorMass = Long.MaxValue).count()
           }
-          println(f"[ret] n=$n near(w=8) query=${tPN}%.1fs " +
+          println(f"[ret] n=$n near-exact(w=8) query=${tPN}%.1fs " +
             f"rows=$prowsN nq=$npq (${tPN / npq * 1000}%.0f ms/q)")
           System.out.flush()
         }
+        // Zipf-TYPICAL legs: the sub-batch whose rarest term is
+        // genuinely selective (min df ≤ 0.1%·N — on the log-uniform
+        // vocabulary ~2/3 of 3-token draws qualify). The head-heavy
+        // full-batch walls above are the engineered upper bound; these
+        // measure what rarest-term gating buys on the queries real
+        // Zipfian text actually serves: cost bounded by the rare
+        // term's posting list, not the corpus.
+        val qtTerms = pq.select(col("qid"),
+          explode(split(col("qtext"), " ")).as("term"))
+        val mindf = qtTerms.join(
+            spark.table(s"${ptable}_terms")
+              .groupBy("term").agg(sum("df").as("df")),
+            Seq("term"), "left")
+          .na.fill(0L, Seq("df"))
+          .groupBy("qid").agg(min("df").as("mdf"))
+        val tailQ = pq.join(
+            mindf.filter(col("mdf") <= n / 1000).select("qid"), "qid")
+          .localCheckpoint()
+        val ntq = tailQ.count()
+        if (ntq > 0) {
+          val (trows, tT) = timed {
+            Retrieval.bm25PhraseQuery(spark, ptable, tailQ,
+              "qid", "qtext", 5).count()
+          }
+          println(f"[ret] n=$n phrase-tail(mindf<=0.1%%) query=${tT}%.1fs " +
+            f"rows=$trows nq=$ntq (${tT / ntq * 1000}%.0f ms/q)")
+          System.out.flush()
+          val (trowsN, tTN) = timed {
+            Retrieval.bm25ProximityQuery(spark, ptable, tailQ,
+              "qid", "qtext", 5, window = 8).count()
+          }
+          println(f"[ret] n=$n near-tail(mindf<=0.1%%,w=8) query=${tTN}%.1fs " +
+            f"rows=$trowsN nq=$ntq (${tTN / ntq * 1000}%.0f ms/q)")
+          System.out.flush()
+        } else println(s"[ret] n=$n phrase-tail: no tail-bearing queries")
       }
     }
     spark.stop()

@@ -78,6 +78,48 @@ class LangModelSpec extends AnyFunSuite {
     assert(c.toSeq === w.toSeq, "compaction changed scores")
   }
 
+  test("compact chaos: a kill after EVERY swap boundary heals to exact scores") {
+    import graft.operators.BucketedJoin
+    val all = graft.sources.Generators.randomText(spark, 90, seed = 21L,
+        wordsMin = 4, wordsMax = 18, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    // reference scores from a whole-built model (compaction must never
+    // change scores, crashed or not)
+    val ref = s"lm_chaos_ref_${System.nanoTime()}"
+    LangModel.train(all, "doc_id", "text", ref, buckets = 4)
+    val expect = LangModel.score(spark, ref, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    // boundaries: 0 stage write, 1 debris clear, 2 rename-aside,
+    // 3 rename-in, 4 old-copy drop — kill after each, then score
+    for (b <- 0 to 4) {
+      val table = s"lm_chaos_$b"
+      LangModel.train(all.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table, buckets = 4)
+      LangModel.append(spark, table,
+        all.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val e = intercept[BucketedJoin.InjectedRewriteCrash] {
+        LangModel.compactImpl(spark, table, failAt = b)
+      }
+      assert(e.at == b)
+      val healed = LangModel.score(spark, table, all, "doc_id", "text")
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      assert(healed == expect, s"boundary $b: scores diverge after heal")
+      assert(exists(table) && !exists(s"${table}_old"),
+        s"boundary $b: heal left swap debris")
+      // a follow-up compact completes and folds to one row per bigram
+      LangModel.compact(spark, table)
+      val folded = spark.table(table)
+      assert(folded.groupBy("w1", "w2").count()
+        .filter(col("count") > 1).count() == 0,
+        s"boundary $b: compact left unfolded delta rows")
+      val after = LangModel.score(spark, table, all, "doc_id", "text")
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      assert(after == expect, s"boundary $b: post-compact scores diverge")
+    }
+  }
+
   test("score folds counts without exchanging the index scan") {
     val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
     val table = s"lm_spec_plan_${System.nanoTime()}"
