@@ -48,8 +48,12 @@ object DevLm {
       System.out.flush()
       // full-corpus score: the batch-filter serving shape (CCNet-style
       // quality pass over everything)
+      // force the FULL scoring plan: an agg over the score columns —
+      // a bare count() lets Catalyst prune the scoring joins entirely
       val (rowsFull, tFull) = timed {
-        LangModel.score(spark, table, corpus, "doc_id", "text").count()
+        LangModel.score(spark, table, corpus, "doc_id", "text")
+          .agg(count(lit(1)), sum("logp_micro"), sum("n_bigrams"))
+          .head().getLong(0)
       }
       println(f"[lm] n=$n score-full=${tFull}%.1fs rows=$rowsFull " +
         f"(${tFull / n * 1e6}%.1f us/doc)")
@@ -67,13 +71,17 @@ object DevLm {
       // grown-model serving read on a 1% slice (delta fold included)
       val slice = corpus.filter(col("doc_id") % 100 === 0)
       val (rowsS, tSlice) = timed {
-        LangModel.score(spark, table, slice, "doc_id", "text").count()
+        LangModel.score(spark, table, slice, "doc_id", "text")
+          .agg(count(lit(1)), sum("logp_micro"), sum("n_bigrams"))
+          .head().getLong(0)
       }
       println(f"[lm] n=$n score-slice(1%%)=${tSlice}%.1fs rows=$rowsS")
       System.out.flush()
       val (_, tCompact) = timed { LangModel.compact(spark, table) }
       val (rowsS2, tSlice2) = timed {
-        LangModel.score(spark, table, slice, "doc_id", "text").count()
+        LangModel.score(spark, table, slice, "doc_id", "text")
+          .agg(count(lit(1)), sum("logp_micro"), sum("n_bigrams"))
+          .head().getLong(0)
       }
       println(f"[lm] n=$n compact=${tCompact}%.1fs " +
         f"score-slice-after=${tSlice2}%.1fs rows=$rowsS2")

@@ -35,7 +35,11 @@ object DevPlans {
       // r13 surface: NEAR proximity, hybrid fusion (RRF + linear),
       // bigram-LM scoring and its grown-index twin
       "t21_bm25near", "t22_hybrid", "t23_hybridlinear", "t24_lmscore",
-      "t25_lmappend")
+      "t25_lmappend",
+      // r14 surface: snippet extraction (phrase/NEAR/bag-of-words) and
+      // the IVFPQ-served hybrid leg
+      "t26_snippets", "t27_hybridpq", "t28_nearsnippets",
+      "t29_bowsnippets")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -69,7 +73,7 @@ object DevPlans {
       "dd9_simhash_sharded" -> "Band tables build and join per shard: peak disk/memory is one shard's, unioned results are exact — the single-box 1e7 wall crossed without changing the plan shape.",
       "dd10_tombstone" -> "Tombstone consult is a broadcast anti-join on the existing index scan — deletion adds zero exchanges to the check path.",
       "dd11_tombfold" -> "Physical fold rewrites each bucketed table in place (crash-safe swap) and drops the set — compaction-cadence O(index), queries stay zero-extra-scan after.",
-      "t21_bm25near" -> "Same pushed-term scans and rarest-term candidate gate as phrase; the window-cover intersection is the premium — at 1e7 the EXACT all-head leg exceeds a single-box heap (BASELINE round-13), the maxDfFrac dial is the scale path.",
+      "t21_bm25near" -> "Same pushed-term scans and rarest-term candidate gate as phrase; the window cover evaluates set-at-a-time on the STORED position arrays (per-group state bounded by the doc's own lists — the round-13 anchor-explode heap wall is retired), and the anchor budget auto-routes over-bound all-head batches to the truncation dial, loudly.",
       "t22_hybrid" -> "Fusion never touches the corpus: each leg is a bounded top-kPerLeg list off its own standing index (BM25 term buckets, IVF probe lists), the fused aggregate sees ≤ legs·kPerLeg tiny rows per query.",
       "t23_hybridlinear" -> "Identical leg plans to t22; the min-max windows aggregate per (leg, qid) over ≤ kPerLeg rows — normalization adds two tiny aggregates, no new scan.",
       "t24_lmscore" -> "Count fold groups by a superset of the bucket key: the index scan never exchanges; doc bigrams shuffle TO the counts (batch-sized), V is the one driver-side control value.",
@@ -78,7 +82,11 @@ object DevPlans {
       "w2_sessions" -> "session_window gaps merge inside the aggregate — state is per live session, not per event; the same plan runs streaming with a watermark bounding state.",
       "w3_sliding" -> "Sliding windows explode each event into window copies BEFORE the partial agg — shuffle carries per-window partials (slides/step × keys), not raw events.",
       "w4_statefulsessions" -> "flatMapGroupsWithState form of w2: one exchange on the key, per-group sorted iteration, explicit state eviction — the custom-semantics escape hatch at the same shuffle cost.",
-      "w5_intervaljoin" -> "Event-time interval join with watermarks on both sides: the range condition bounds state retention, so stream-stream state is O(interval), not O(history).")
+      "w5_intervaljoin" -> "Event-time interval join with watermarks on both sides: the range condition bounds state retention, so stream-stream state is O(interval), not O(history).",
+      "t26_snippets" -> "Ranking is t20's plan verbatim; the snippet text join probes the corpus with k·|queries| rows strictly AFTER top-k — never a corpus product.",
+      "t27_hybridpq" -> "t22's fusion shape with the vector leg served from PQ codes (~32× smaller than raw vectors): ADC tables broadcast per query batch, refine re-ranks only the quantized top-rk on raw vectors — corpus vectors never shuffle.",
+      "t28_nearsnippets" -> "Ranking is t21's plan; the cover-start pass semi-joins the positional scan down to the ranked rows BEFORE any occurrence explodes — span derivation costs top-k position mass, text joins after top-k.",
+      "t29_bowsnippets" -> "Ranking is t16's plan; per-term partials recompute only for the broadcast-semi-joined top-k docs, the argmax runs on that tiny frame, and the first offset reads the delta-list head without decoding.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append("Regenerated round 13 by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
