@@ -59,6 +59,22 @@ class FusionSpec extends AnyFunSuite {
       (2L, 9L, c(1.0, 60, 1), 1)))
   }
 
+  test("fusion weights that would break integer exactness are rejected") {
+    val leg = Seq((1L, 10L, 1)).toDF("qid", "id", "rank")
+    // a single huge weight (w·1e6 ≥ 2^53) would silently lose long
+    // exactness through the double ranking round trip
+    intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrf(Seq(leg -> 1e10), k = 1)
+    }
+    // and so would many moderate legs summing past the bound
+    val legs = Seq.fill(4)(leg -> 2.3e9)
+    intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrf(legs, k = 1)
+    }
+    // a large-but-safe weight passes
+    assert(graft.operators.Fusion.rrf(Seq(leg -> 1e6), k = 1).count() == 1)
+  }
+
   test("rrf: invalid arguments fail loudly") {
     val a = leg((1L, 1L, 1))
     intercept[IllegalArgumentException](Fusion.rrf(Seq.empty, 5))

@@ -120,6 +120,17 @@ class LangModelSpec extends AnyFunSuite {
     }
   }
 
+  test("score fails loudly on an empty vocabulary instead of emitting +Inf garbage") {
+    val table = s"lm_spec_empty_${System.nanoTime()}"
+    LangModel.train(Seq((0L, "   "), (1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", table, buckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      LangModel.score(spark, table,
+        Seq((2L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("score folds counts without exchanging the index scan") {
     val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
     val table = s"lm_spec_plan_${System.nanoTime()}"

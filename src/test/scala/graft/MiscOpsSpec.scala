@@ -279,6 +279,20 @@ class MiscOpsSpec extends AnyFunSuite {
     val torn = mj.take(mj.length - 40)
     val tf = Multimodal.mjpegFrames(12L, torn)
     assert(tf.length == 2 && tf.map(_.frame_index) == Seq(0, 1))
+    // a corrupt MIDDLE frame (valid SOI/EOI envelope, garbage payload —
+    // the shape ImageIO rejects with a RuntimeException, not IOException)
+    // drops cleanly AND the survivors re-index contiguously: no gap in
+    // frame_index where the bad slice sat
+    val bad = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++
+      Array.fill[Byte](64)(0x13) ++ Array(0xFF, 0xD9).map(_.toByte)
+    val starts = Multimodal.mjpegStarts(mj)
+    val oneFrame = mj.slice(0, starts(1))
+    val spliced = oneFrame ++ bad ++ oneFrame ++ oneFrame
+    assert(Multimodal.mjpegStarts(spliced).length == 4)
+    val sf = Multimodal.mjpegFrames(13L, spliced)
+    assert(sf.length == 3, s"expected 3 surviving frames, got ${sf.length}")
+    assert(sf.map(_.frame_index) == Seq(0, 1, 2),
+      s"survivors must re-index contiguously, got ${sf.map(_.frame_index)}")
   }
 
   test("cms_probe matches driver-side estimateCount and stays in codegen") {
