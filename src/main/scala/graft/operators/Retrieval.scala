@@ -695,23 +695,29 @@ object Retrieval {
     * collapse (proximity is a distinct-term predicate, unlike phrase
     * where each offset must align).
     */
-  /** `maxAnchorMass`: the graceful-degradation budget for all-head
+  /** `maxPosMass`: the graceful-degradation budget for all-head
     * batches — a conservative upper bound (per-query candidate bound
-    * min_t df(t), times avgdl, times window) on the window-cover work
-    * the batch can demand, computed UP FRONT from the same collected
-    * df frame the candidate gate uses. When the batch's summed bound
-    * exceeds the budget, the batch AUTO-ROUTES to the truncation dial
-    * at the largest per-query candidate cap that fits — a LOUD warn
-    * names the batch, the bound, and the effective cap. Queries whose
-    * rarest term is under the effective cap remain EXACT (the
-    * maxDfFrac contract); over-cap queries serve from deterministic
-    * hash-sampled candidates. History: the round-13 slot-anchor plan
-    * materialized this bound as literal rows and OOMed an 8 GiB heap
-    * at 10⁷ on the engineered all-head case (BASELINE.md round-13 NEAR
-    * section); the grouped-array match retired the heap wall, so the
-    * budget now governs COST (the gated position mass the match must
-    * shuffle and scan), not survival — set Long.MaxValue to force
-    * exact matching at any expense.
+    * min_t df(t), times avgdl: a doc's query-term positions cannot
+    * exceed its length) on the gated POSITION MASS the window-cover
+    * match must shuffle and scan, computed UP FRONT from the same
+    * collected df frame the candidate gate uses. The bound is
+    * window-INDEPENDENT because the grouped-array match is: each cover
+    * check scans the candidate doc's position lists once regardless of
+    * window width. When the batch's summed bound exceeds the budget,
+    * the batch AUTO-ROUTES to the truncation dial at the largest
+    * per-query candidate cap that fits — a LOUD warn names the batch,
+    * the bound, and the effective cap. Queries whose rarest term is
+    * under the effective cap remain EXACT (the maxDfFrac contract);
+    * over-cap queries serve from deterministic hash-sampled
+    * candidates. Calibration is MEASURED (BASELINE.md round-14): the
+    * default 2³¹ keeps a 20-query all-head batch exact at 10⁶
+    * (bound ≈ 3·10⁸, 378 ms/q) and routes it at 10⁷ (bound ≈
+    * 2.2·10⁹, where forced-exact costs 2.8 s/q and the routed dial
+    * 1.2 s/q). History: the round-13 slot-anchor plan materialized
+    * window × this bound as literal rows and OOMed an 8 GiB heap at
+    * 10⁷; the grouped match retired the heap wall, so the budget
+    * governs cost, not survival — set Long.MaxValue to force exact
+    * matching at any expense.
     */
   def bm25ProximityQuery(spark: SparkSession, table: String,
                          queries: DataFrame, qidCol: String,
@@ -720,18 +726,18 @@ object Retrieval {
                          maxDfFrac: Double = 1.0,
                          maxCandBroadcast: Long = 4L << 20,
                          gateMinPosMass: Long = 1L << 22,
-                         maxAnchorMass: Long = 1L << 31): DataFrame = {
+                         maxPosMass: Long = 1L << 31): DataFrame = {
     require(window >= 1 && window <= 256,
       s"window must be in [1, 256], got $window")
-    require(maxAnchorMass > 0,
-      s"maxAnchorMass must be positive, got $maxAnchorMass")
+    require(maxPosMass > 0,
+      s"maxPosMass must be positive, got $maxPosMass")
     val qt0 = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
+      gateMinPosMass, window = window, maxPosMass = maxPosMass)
     val matched = proximityMatched(anchorsInput, qlenD, window)
     posScoreRank(spark, table, qt0, matched, candFilter, bcast, qterms,
       k, k1, b)
@@ -802,19 +808,19 @@ object Retrieval {
                             maxDfFrac: Double = 1.0,
                             maxCandBroadcast: Long = 4L << 20,
                             gateMinPosMass: Long = 1L << 22,
-                            maxAnchorMass: Long = 1L << 31): DataFrame = {
+                            maxPosMass: Long = 1L << 31): DataFrame = {
     require(window >= 1 && window <= 256,
       s"window must be in [1, 256], got $window")
     require(context >= 0, s"context must be non-negative, got $context")
-    require(maxAnchorMass > 0,
-      s"maxAnchorMass must be positive, got $maxAnchorMass")
+    require(maxPosMass > 0,
+      s"maxPosMass must be positive, got $maxPosMass")
     val qt0 = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass, window = window, maxAnchorMass = maxAnchorMass)
+      gateMinPosMass, window = window, maxPosMass = maxPosMass)
     val matched = proximityMatched(anchorsInput, qlenD, window)
     val ranked = posScoreRank(spark, table, qt0, matched, candFilter,
       bcast, qterms, k, k1, b)
@@ -954,7 +960,7 @@ object Retrieval {
                             probe: DataFrame, caller: String,
                             maxDfFrac: Double, maxCandBroadcast: Long,
                             gateMinPosMass: Long, window: Int = 0,
-                            maxAnchorMass: Long = Long.MaxValue)
+                            maxPosMass: Long = Long.MaxValue)
       : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
@@ -1013,31 +1019,31 @@ object Retrieval {
           .head()
         (r.getLong(0), r.getLong(1))
       }
-    // ---- NEAR anchor budget (window > 0: the caller materializes
-    // window × gated-position-mass anchor rows — see the maxAnchorMass
-    // scaladoc on bm25ProximityQuery). window · avgdl bounds one
-    // candidate doc's anchors (a doc's query-term positions cannot
-    // exceed its length), so the batch fits iff candBound · window ·
-    // avgdl ≤ maxAnchorMass. Over-budget batches AUTO-ROUTE to the
-    // truncation dial at the largest per-query cap that fits — loudly,
-    // and queries whose rarest term is under the cap stay exact.
+    // ---- NEAR position-mass budget (window > 0: the window-cover
+    // match shuffles and scans the gated position lists — see the
+    // maxPosMass scaladoc on bm25ProximityQuery). avgdl bounds one
+    // candidate doc's query-term positions (they cannot exceed its
+    // length) and the grouped match's cost is window-independent, so
+    // the batch fits iff candBound · avgdl ≤ maxPosMass. Over-budget
+    // batches AUTO-ROUTE to the truncation dial at the largest
+    // per-query cap that fits — loudly, and queries whose rarest term
+    // is under the cap stay exact.
     val (capDocs, candBound) =
-      if (window > 0 && maxAnchorMass != Long.MaxValue && nQ > 0) {
-        val perDocAnchors = math.max(1L, window.toLong * avgdlCeil)
-        val budgetDocs = maxAnchorMass / perDocAnchors
+      if (window > 0 && maxPosMass != Long.MaxValue && nQ > 0) {
+        val perDocPos = math.max(1L, avgdlCeil)
+        val budgetDocs = maxPosMass / perDocPos
         if (candBound0 > budgetDocs) {
           val capEff = math.min(capDocs0, math.max(1L, budgetDocs / nQ))
           val cb = if (collected)
             perQid.valuesIterator.map(rs =>
               math.min(rs.iterator.map(_.getLong(2)).min, capEff)).sum
           else math.min(candBound0, nQ * capEff)
-          logger.warn(s"$caller: anchor bound ($candBound0 candidate docs " +
-            s"x $perDocAnchors anchors/doc) exceeds maxAnchorMass=" +
-            s"$maxAnchorMass; auto-routing the $nQ-query batch to " +
-            s"truncated matching at $capEff candidate docs/query " +
+          logger.warn(s"$caller: position-mass bound ($candBound0 " +
+            s"candidate docs x $perDocPos positions/doc) exceeds " +
+            s"maxPosMass=$maxPosMass; auto-routing the $nQ-query batch " +
+            s"to truncated matching at $capEff candidate docs/query " +
             "(queries whose rarest term is under the cap stay exact; " +
-            "raise maxAnchorMass to force exact matching, heap " +
-            "permitting)")
+            "raise maxPosMass to force exact matching)")
           (capEff, cb)
         } else (capDocs0, candBound0)
       } else (capDocs0, candBound0)

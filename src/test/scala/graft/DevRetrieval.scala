@@ -146,7 +146,7 @@ object DevRetrieval {
         // premium. Three dials: the truncation dial, the DEFAULT
         // config (the anchor budget auto-routes over-bound all-head
         // batches to truncation — loud, never crashing), and the
-        // FORCED-EXACT bracket (maxAnchorMass = MaxValue), which the
+        // FORCED-EXACT bracket (maxPosMass = MaxValue), which the
         // round-14 grouped-array match must complete on this heap
         // (the round-13 slot-anchor plan OOMed here).
         // SPARK_GRAFT_SKIP_NEAR_EXACT=1 still skips the forced leg.
@@ -168,7 +168,7 @@ object DevRetrieval {
           val (prowsN, tPN) = timed {
             Retrieval.bm25ProximityQuery(spark, ptable, pq,
               "qid", "qtext", 5, window = 8,
-              maxAnchorMass = Long.MaxValue).count()
+              maxPosMass = Long.MaxValue).count()
           }
           println(f"[ret] n=$n near-exact(w=8) query=${tPN}%.1fs " +
             f"rows=$prowsN nq=$npq (${tPN / npq * 1000}%.0f ms/q)")

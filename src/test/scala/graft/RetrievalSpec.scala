@@ -349,10 +349,10 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ranked == bag)
   }
 
-  test("bm25ProximityQuery maxAnchorMass: over-budget batches auto-route to the truncation dial") {
+  test("bm25ProximityQuery maxPosMass: over-budget batches auto-route to the truncation dial") {
     // 200 docs all containing the query terms → candBound = 200 for an
-    // exact request; a 120-anchor budget (docs are 3 tokens, so
-    // avgdl = 3, window 4 ⇒ 12 anchors/doc ⇒ budgetDocs = 10) forces
+    // exact request; a 30-position budget (docs are 3 tokens, so
+    // avgdl = 3 ⇒ budgetDocs = 10, window-independent) forces
     // capEff = 10 and the batch must serve the deterministic
     // hash-sampled candidates instead of the full set — bit-identical
     // to an explicit maxDfFrac dial yielding the same cap (0.05·200)
@@ -360,13 +360,13 @@ class RetrievalSpec extends AnyFunSuite {
     Retrieval.bm25Build(docs, "doc_id", "text", "bm25_nab", buckets = 2,
       positions = true)
     val q = Seq((9L, "red blue")).toDF("qid", "qtext")
-    def run(anchorMass: Long = 1L << 31, frac: Double = 1.0) =
+    def run(posMass: Long = 1L << 31, frac: Double = 1.0) =
       Retrieval.bm25ProximityQuery(spark, "bm25_nab", q, "qid", "qtext",
-          300, window = 4, maxAnchorMass = anchorMass, maxDfFrac = frac)
+          300, window = 4, maxPosMass = posMass, maxDfFrac = frac)
         .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
     val exact = run()
     assert(exact.keySet == (1L to 200L).toSet)
-    val routed = run(anchorMass = 120L)
+    val routed = run(posMass = 30L)
     val dialed = run(frac = 0.05)
     assert(routed == dialed,
       "auto-routed batch must equal the equivalent explicit dial")
@@ -375,7 +375,7 @@ class RetrievalSpec extends AnyFunSuite {
     assert(routed.forall { case (id, s) => exact(id) == s },
       "sampled candidates must keep their exact scores")
     // a roomy budget leaves the batch exact (the bound fits)
-    assert(run(anchorMass = 1L << 20) == exact)
+    assert(run(posMass = 1L << 20) == exact)
   }
 
   test("bm25PhraseQuery requires a positional index; plain build drops a stale one") {
