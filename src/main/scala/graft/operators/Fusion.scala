@@ -38,14 +38,22 @@ object Fusion {
     * the bound under which the double round trip through
     * [[Similarity.rankTopK]] is exact. A candidate's maximum
     * contribution per leg is w·1e6 (rank-1 RRF is w·1e6/61 < w·1e6;
-    * linear normalizes to ≤ 1.0 before the w·1e6 scale), so
-    * Σ legs · wᵢ · 1e6 < 2^53 keeps every fused score integer-exact
-    * and the determinism guarantee intact. A caller passing w ≳ 9e9
-    * would otherwise silently lose exactness.
+    * linear normalizes to ≤ 1.0 before the w·1e6 scale) plus the 0.5
+    * half-up rounding slack, so Σ legs · (wᵢ·1e6) + legs/2 < 2^53
+    * keeps every fused score integer-exact and the determinism
+    * guarantee intact. A caller passing w ≳ 9e9 would otherwise
+    * silently lose exactness.
+    *
+    * COMPATIBILITY NOTE (round 14): this check is a hard reject on the
+    * public [[rrf]]/[[linear]] API — weight sets near 2^53 micros that
+    * previously RAN (with silently inexact long→double ranking) now
+    * throw IllegalArgumentException. The reject guards the determinism
+    * contract; callers with astronomically large weights should rescale
+    * (fusion is invariant to a common positive factor across legs).
     */
   private def requireWeights(ws: Seq[Double]): Unit = {
     ws.foreach(w => require(w > 0.0, s"leg weights must be positive, got $w"))
-    val maxFused = ws.map(_ * 1e6).sum
+    val maxFused = ws.map(_ * 1e6).sum + ws.size / 2.0
     require(maxFused < (1L << 53).toDouble,
       f"fusion weights too large: max fused micro $maxFused%.3g " +
         "reaches 2^53, where long->double ranking loses integer exactness")
@@ -147,7 +155,9 @@ object Fusion {
     *
     * `queries` carries `qidCol` (integral id), `textCol` (the lexical
     * query string) and `vecCol` (the query embedding). The vector leg
-    * is served, in order of precedence, from a standing IVFPQ index
+    * is served from exactly ONE source (passing both standing indexes
+    * is rejected — a silent preference would mask a misconfiguration):
+    * a standing IVFPQ index
     * when `pqIndex` is given ([[ProductQuant.ivfPqQuery]] — the 100 TB
     * memory-budget path: PQ codes are ~m·8/(dim·32) the raw vector
     * bytes, with `refineK` exact re-ranking on the raw vectors of the
@@ -176,6 +186,9 @@ object Fusion {
     require(pqIndex.nonEmpty || vecIndex.nonEmpty || vecCorpus.nonEmpty,
       "hybridQuery needs a vector leg: pass pqIndex (standing IVFPQ), " +
         "vecIndex (standing IVF) or vecCorpus (brute-force)")
+    require(pqIndex.isEmpty || vecIndex.isEmpty,
+      "hybridQuery got BOTH pqIndex and vecIndex — the vector leg " +
+        "serves from exactly one standing index; pass the one you mean")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
     val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
@@ -198,5 +211,57 @@ object Fusion {
         col("cos").as("score"))
     if (mode == "linear") linear(Seq(lex -> wLex, vec -> wVec), k)
     else rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
+  }
+
+  /** [[hybridQuery]] + passage extraction — what a RAG consumer
+    * actually reads: each fused top-k hit carries the first occurrence
+    * of its best-scoring lexical query term and the ±`context`-token
+    * window around it, sliced from `docs` (`docIdCol`/`docTextCol`: the
+    * corpus text, which no index stores). Reuses the bag-of-words span
+    * machinery ([[Retrieval.attachBestTermSnippets]], the t29 path)
+    * against the BM25 index's positional table, so the index must be
+    * built with `positions = true`.
+    *
+    * A hit retrieved by the VECTOR leg alone may contain no lexical
+    * query term — it keeps its fused rank with null `start`/`snippet`
+    * (no lexical passage exists; dropping or re-snipping it would
+    * misreport the fusion). Plan discipline: the span pass touches only
+    * the fused top-k docs (broadcast semi-join before any positional
+    * probe) and the corpus text joins strictly AFTER fusion —
+    * k·|queries| rows, never corpus mass.
+    *
+    * Output: (qid, id, fused_micro, rnk, start, snippet).
+    */
+  def hybridSnippets(spark: SparkSession, bm25Table: String,
+                     queries: DataFrame, qidCol: String, textCol: String,
+                     vecCol: String, docs: DataFrame, docIdCol: String,
+                     docTextCol: String, k: Int, context: Int = 3,
+                     kPerLeg: Int = 20, rrfK: Int = 60,
+                     wLex: Double = 1.0, wVec: Double = 1.0,
+                     vecIndex: Option[String] = None,
+                     vecCorpus: Option[DataFrame] = None,
+                     embIdCol: String = "vec_id",
+                     embVecCol: String = "embedding",
+                     probeFrac: Double = 0.5,
+                     maxDfFrac: Double = 1.0,
+                     mode: String = "rrf",
+                     pqIndex: Option[String] = None,
+                     refineK: Int = 0): DataFrame = {
+    require(context >= 0, s"context must be non-negative, got $context")
+    val fused = hybridQuery(spark, bm25Table, queries, qidCol, textCol,
+        vecCol, k, kPerLeg, rrfK, wLex, wVec, vecIndex, vecCorpus,
+        embIdCol, embVecCol, probeFrac, maxDfFrac, mode, pqIndex, refineK)
+      .select(col("qid"), col("id").as("doc_id"), col("fused_micro"),
+        col("rnk"))
+    val qt = queries
+      .select(col(qidCol).as("qid"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val qterms = Retrieval.pushableTerms(spark, qt)
+    Retrieval.attachBestTermSnippets(spark, bm25Table, qt, fused, docs,
+        docIdCol, docTextCol, context, k1 = 1.2, b = 0.75, maxDfFrac,
+        qterms)
+      .select(col("qid"), col("doc_id").as("id"), col("fused_micro"),
+        col("rnk"), col("start"), col("snippet"))
   }
 }

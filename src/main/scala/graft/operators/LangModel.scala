@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -17,27 +17,46 @@ import graft.functions.GraftFunctions
   * WordCount chains) — counting n-grams over a corpus and reusing the
   * counts as a side input. This operator is that pattern with a second
   * pass scoring documents against the counts, plus the incremental
-  * contract every index family here carries.
+  * contract every index family here carries. The batch-term scan
+  * narrowing in [[score]] follows the same discipline as the
+  * reference's filtered scans
+  * (`core:mapreduce/lib/input/SequenceFileInputFilter.java:53-164` —
+  * read only the records the query needs, not the whole file).
   *
   * Persisted layout (the incremental-index shape, like the BM25/minhash
-  * families): `<table>` holds bigram COUNT DELTAS `(w1, w2, c)` —
-  * [[train]] writes one, each [[append]] adds a batch's deltas into the
-  * same bucketed layout — and `<table>_vocab` holds the distinct
-  * vocabulary (append adds only unseen words). Counts fold at query
-  * time: [[score]] aggregates the deltas by (w1, w2), then derives
-  * history totals c(w1) = Σ_w2 c and V = vocab count from the folded
+  * families):
+  *  - `<table>`        bigram COUNT DELTAS `(w1, w2, c, epoch)`,
+  *    bucketed+sorted by w1 — [[train]] writes one, each [[append]]
+  *    adds a batch's deltas, each [[remove]] adds NEGATED deltas;
+  *  - `<table>_vocab`  word OCCURRENCE-count deltas `(w, c, epoch)`,
+  *    bucketed by w — a word is IN the vocabulary iff its folded count
+  *    is positive, which is what lets [[remove]] retire words exactly
+  *    (the last removal drives the fold to zero);
+  *  - `<table>_stats`  vocabulary-size deltas `(v, epoch)` — one tiny
+  *    row per train/append/remove recording the CHANGE in distinct
+  *    live words, so [[score]] reads V as a one-row fold of a
+  *    bounded-size table instead of scanning the vocab per call (the
+  *    BM25 `_stats` discipline, `Retrieval.scala` corpus stats).
+  *
+  * Counts fold at query time: [[score]] aggregates the deltas by
+  * (w1, w2), then derives history totals c(w1) = Σ_w2 c from the folded
   * frame. Both aggregates group by a superset of the bucket key (w1),
-  * so they reuse the table's bucketing — NO exchange on the big table;
-  * the one driver-side action is the single-value V count (bounded
-  * control value). A grown model is numerically IDENTICAL to one built
-  * whole (counts are additive, vocab is a set union) — the dd6/t17
-  * grown ≡ whole-built contract, oracle-gated at t25.
+  * so they reuse the table's bucketing — NO exchange on the big table —
+  * and the scans are NARROWED to the batch's distinct w1 via a bounded
+  * pushed IN filter (see [[score]]), so a small-batch score pays the
+  * batch's term mass, not the index. A grown model is numerically
+  * IDENTICAL to one built whole (counts are additive, the vocab fold is
+  * a counted set union) — the dd6/t17 grown ≡ whole-built contract,
+  * oracle-gated at t25; remove ≡ train-without is gated at t30.
   *
   * Id contract: append-only — re-appending the same documents
   * double-counts them (the [[Retrieval.bm25Append]] contract; run the
-  * dedup admission check first in refresh flows). [[compact]] folds
-  * accumulated deltas into one row per bigram to cap the serve-time
-  * fold's input after many appends.
+  * dedup admission check first in refresh flows), and [[remove]] must
+  * be given EXACTLY documents previously absorbed, with identical text
+  * (it subtracts their counts; removing never-added docs corrupts the
+  * model — the dd11/t19 takedown contract). [[compact]] folds
+  * accumulated deltas into one row per bigram/word and one stats row to
+  * cap the serve-time fold's input after many appends.
   *
   * [[score]] output is `(id, n_bigrams, logp_micro)`: per-bigram
   * contribution round(ln((c+1)/(ch+V))·1e6) as an integer micro —
@@ -49,7 +68,7 @@ import graft.functions.GraftFunctions
   */
 object LangModel {
 
-  private def toks(c: org.apache.spark.sql.Column) = TextOps.tokens(lower(c))
+  private def toks(c: Column) = TextOps.tokens(lower(c))
 
   /** Adjacent-pair bigrams of `textCol` as `(w1, w2)` rows, one per
     * OCCURRENCE (duplicates preserved — counts, not sets).
@@ -65,7 +84,8 @@ object LangModel {
       .select(col("id"), col("bg.w1"), col("bg.w2"))
   }
 
-  /** One delta row per (w1, w2) per batch, tagged with the batch's
+  /** One delta row per (w1, w2) per batch — counts SIGNED by the
+    * operation (+1 absorb, −1 takedown) — tagged with the batch's
     * `epoch` (−1 for non-streaming writes): the tag is what makes a
     * crashed streaming absorb row-level repairable — a replayed epoch
     * anti-joins on (w1, w2, epoch) and appends only the rows the crash
@@ -73,43 +93,134 @@ object LangModel {
     * additive counts.
     */
   private def bigramDeltas(docs: DataFrame, idCol: String,
-                           textCol: String, epoch: Long): DataFrame =
+                           textCol: String, epoch: Long,
+                           sign: Int): DataFrame =
     bigrams(docs, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .groupBy("w1", "w2").agg((count(lit(1)) * lit(sign.toLong)).as("c"))
       .withColumn("epoch", lit(epoch))
 
-  private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(toks(col(textCol))).as("w")).distinct()
+  /** One word-occurrence delta row per distinct batch word, signed and
+    * epoch-tagged like [[bigramDeltas]]. Occurrence counts (not set
+    * membership) are what make takedown exact: a word leaves the
+    * vocabulary precisely when the removals subtract every occurrence
+    * the absorbs added.
+    */
+  private def vocabDeltas(docs: DataFrame, textCol: String, epoch: Long,
+                          sign: Int): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg((count(lit(1)) * lit(sign.toLong)).as("c"))
+      .withColumn("epoch", lit(epoch))
 
-  /** Build: ONE tokenize scan → `<table>` (w1, w2, c — bucketed by w1)
-    * + `<table>_vocab` (w — the add-one denominator's universe).
+  /** The live vocabulary (folded occurrence count > 0), optionally
+    * excluding one epoch's delta rows — the repair path computes
+    * "standing state before this epoch" that way, so a replay after a
+    * partial vocab landing still derives the exact V delta.
+    */
+  private def liveVocab(spark: SparkSession, table: String,
+                        excludeEpoch: Option[Long]): DataFrame = {
+    val base = spark.table(s"${table}_vocab")
+    val src = excludeEpoch.map(e => base.filter(col("epoch") =!= e))
+      .getOrElse(base)
+    src.groupBy("w").agg(sum("c").as("c")).filter(col("c") > 0)
+  }
+
+  /** Build: ONE tokenize scan → `<table>` (bigram deltas, bucketed by
+    * w1) + `<table>_vocab` (word-occurrence deltas, bucketed by w) +
+    * `<table>_stats` (one row: V = the corpus's distinct word count).
     */
   def train(corpus: DataFrame, idCol: String, textCol: String,
             table: String, buckets: Int = 8): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    BucketedJoin.writeBucketed(bigramDeltas(corpus, idCol, textCol, -1L),
-      table, "w1", buckets)
-    BucketedJoin.writeBucketed(vocabOf(corpus, textCol),
-      s"${table}_vocab", "w", buckets)
+    BucketedJoin.writeBucketed(
+      bigramDeltas(corpus, idCol, textCol, -1L, 1), table, "w1", buckets)
+    val vd = vocabDeltas(corpus, textCol, -1L, 1)
+    BucketedJoin.writeBucketed(vd, s"${table}_vocab", "w", buckets)
+    BucketedJoin.writeBucketed(
+      vd.agg(count(lit(1)).as("v")).withColumn("epoch", lit(-1L)),
+      s"${table}_stats", "v", 1)
   }
 
   /** Absorb a batch of NEW documents at O(batch) cost: the batch's
-    * bigram deltas re-bucket into the standing layout, unseen words
-    * append to the vocab. Nothing existing is rewritten — counts fold
-    * at query time ([[score]]), or physically via [[compact]].
+    * bigram deltas re-bucket into the standing layout, word-occurrence
+    * deltas append to the vocab, and one stats row records how many
+    * words the batch made newly live. Nothing existing is rewritten —
+    * counts fold at query time ([[score]]), or physically via
+    * [[compact]]. The one standing read is the vocab fold behind the
+    * stats delta (zero-exchange — grouped on the bucket key — and paid
+    * on the ingest cadence, which is what bought [[score]] its
+    * scan-free V).
     *
     * `epoch`/`repair`: the streaming-replay contract. A replayed epoch
-    * calls with `repair = true`; the delta append then anti-joins the
+    * calls with `repair = true`; each delta append then anti-joins the
     * standing table's rows FOR THIS EPOCH and appends only what a
-    * crash lost (each epoch writes at most one row per (w1, w2), so
-    * the anti-join completes a partial append exactly). The vocab
-    * append is left-anti by construction — naturally idempotent.
+    * crash lost (each epoch writes at most one row per (w1, w2) / per
+    * w / one stats row, so the anti-joins complete a partial landing
+    * exactly), and the stats delta recomputes against the standing
+    * vocab EXCLUDING this epoch's rows — exact even when the crash
+    * landed part of the batch's vocab deltas first.
     */
   def append(spark: SparkSession, table: String, docs: DataFrame,
              idCol: String, textCol: String, epoch: Long = -1L,
-             repair: Boolean = false): Unit = {
+             repair: Boolean = false): Unit =
+    absorb(spark, table, docs, idCol, textCol, epoch, repair, sign = 1)
+
+  /** Takedown: subtract previously-absorbed documents from the model by
+    * appending NEGATED count deltas — the additive inverse of
+    * [[append]], folded by the same query-time/compact machinery. After
+    * a remove, scores are numerically IDENTICAL to a model trained
+    * without those documents (oracle-gated at t30): bigram counts
+    * cancel exactly, words whose occurrences all came from the removed
+    * docs drop out of the vocabulary (the counted-vocab fold hits
+    * zero), and the stats row subtracts them from V.
+    *
+    * Contract (the dd11/t19 takedown discipline): `docs` must be
+    * documents the model actually absorbed, with IDENTICAL text —
+    * removing never-added or altered documents drives counts negative
+    * and corrupts the model silently. Same `epoch`/`repair` replay
+    * semantics as [[append]].
+    */
+  def remove(spark: SparkSession, table: String, docs: DataFrame,
+             idCol: String, textCol: String, epoch: Long = -1L,
+             repair: Boolean = false): Unit =
+    absorb(spark, table, docs, idCol, textCol, epoch, repair, sign = -1)
+
+  /** Shared absorb/takedown body — see [[append]]/[[remove]] for the
+    * contracts. Write order matters for the crash story: the stats
+    * delta lands FIRST (its plan reads the standing vocab, so it must
+    * execute before this batch's vocab rows do), then the vocab and
+    * bigram deltas; a crash anywhere leaves every table repairable by
+    * the epoch anti-joins above.
+    */
+  private def absorb(spark: SparkSession, table: String, docs: DataFrame,
+                     idCol: String, textCol: String, epoch: Long,
+                     repair: Boolean, sign: Int): Unit = {
     GraftFunctions.ensureRegistered(spark)
-    val deltas0 = bigramDeltas(docs, idCol, textCol, epoch)
+    require(!repair || epoch >= 0,
+      "repair replays a uniquely-tagged streaming epoch; tag the batch " +
+        s"with epoch >= 0 (got $epoch)")
+    val vd0 = vocabDeltas(docs, textCol, epoch, sign)
+    // V delta: a word flips live/dead when the batch's signed count
+    // crosses its folded standing count through zero
+    val standing = liveVocab(spark, table,
+        if (repair) Some(epoch) else None)
+      .select(col("w"), col("c").as("_sc"))
+    val fold = coalesce(col("_sc"), lit(0L))
+    val dv = vd0.join(standing, Seq("w"), "left")
+      .select((when(fold + col("c") > 0, 1L).otherwise(0L)
+             - when(fold > 0, 1L).otherwise(0L)).as("d"))
+      .agg(coalesce(sum("d"), lit(0L)).as("v"))
+      .withColumn("epoch", lit(epoch))
+    val statsHasEpoch = repair &&
+      !spark.table(s"${table}_stats").filter(col("epoch") === epoch).isEmpty
+    if (!statsHasEpoch)
+      BucketedJoin.appendBucketed(dv, s"${table}_stats", "v")
+    val vd = if (repair)
+      vd0.join(spark.table(s"${table}_vocab")
+          .filter(col("epoch") === epoch).select("w"),
+        Seq("w"), "left_anti")
+    else vd0
+    BucketedJoin.appendBucketed(vd, s"${table}_vocab", "w")
+    val deltas0 = bigramDeltas(docs, idCol, textCol, epoch, sign)
     val deltas = if (repair)
       deltas0.join(
         spark.table(table).filter(col("epoch") === epoch)
@@ -117,19 +228,18 @@ object LangModel {
         Seq("w1", "w2"), "left_anti")
     else deltas0
     BucketedJoin.appendBucketed(deltas, table, "w1")
-    BucketedJoin.appendBucketed(
-      vocabOf(docs, textCol)
-        .join(spark.table(s"${table}_vocab"), Seq("w"), "left_anti"),
-      s"${table}_vocab", "w")
   }
 
-  /** Physically fold accumulated append deltas: one row per (w1, w2),
-    * same bucketed layout, scores unchanged (the fold [[score]] does
-    * lazily, made durable). Crash-safe via the shared
+  /** Physically fold accumulated deltas: one row per (w1, w2) / per
+    * word / one stats row, same bucketed layouts, scores unchanged (the
+    * fold [[score]] does lazily, made durable). Rows whose counts
+    * cancelled to zero — a removed document's bigrams, a retired word —
+    * are DROPPED, so a remove-then-compact table is physically the
+    * train-without table. Crash-safe via the shared
     * stage → rename-aside swap ([[BucketedJoin.rewriteBucketed]]) —
     * never overwrites the only copy in place.
-    */
-  /** Folded rows carry epoch −1 ("base"): compaction only ever runs on
+    *
+    * Folded rows carry epoch −1 ("base"): compaction only ever runs on
     * committed epochs (the refresh loop's cadence), and committed
     * epochs never replay their appends, so erasing their tags is safe.
     */
@@ -139,37 +249,80 @@ object LangModel {
   /** [[compact]] with the [[BucketedJoin.rewriteBucketedImpl]] crash
     * seam threaded through — the chaos spec kills the fold after every
     * swap boundary and asserts [[score]] heals bit-identical (score
-    * runs [[BucketedJoin.recoverCompacted]] before reading).
+    * runs [[BucketedJoin.recoverCompacted]] on all three tables before
+    * reading). `failAt` indexes the 15 boundaries linearly: 0-4 the
+    * bigram-table swap, 5-9 the vocab swap, 10-14 the stats swap.
     */
   private[graft] def compactImpl(spark: SparkSession, table: String,
-                                 failAt: Int): Unit =
-    BucketedJoin.rewriteBucketedImpl(spark, table, "w1", failAt)(df =>
+                                 failAt: Int): Unit = {
+    def seam(base: Int): Int =
+      if (failAt >= base && failAt <= base + 4) failAt - base else -1
+    BucketedJoin.rewriteBucketedImpl(spark, table, "w1", seam(0))(df =>
       df.groupBy("w1", "w2").agg(sum("c").as("c"))
+        .filter(col("c") =!= 0)
         .withColumn("epoch", lit(-1L)))
+    BucketedJoin.rewriteBucketedImpl(spark, s"${table}_vocab", "w",
+        seam(5))(df =>
+      df.groupBy("w").agg(sum("c").as("c"))
+        .filter(col("c") =!= 0)
+        .withColumn("epoch", lit(-1L)))
+    BucketedJoin.rewriteBucketedImpl(spark, s"${table}_stats", "v",
+        seam(10))(df =>
+      df.agg(coalesce(sum("v"), lit(0L)).as("v"))
+        .withColumn("epoch", lit(-1L)))
+  }
 
   /** Score: per-doc Σ round(ln((c(w1,w2)+1)/(c(w1)+V))·1e6) over the
     * doc's adjacent-pair bigrams (integer micro sum) plus the bigram
     * count. Unseen histories/bigrams smooth to (0+1)/(0+V) naturally
     * through the left joins. Counts fold from the delta table inside
     * the plan (bucket-local aggregates, no exchange on the index).
+    *
+    * SCAN NARROWING (the BM25 pushed-term discipline,
+    * `Retrieval.pushableTerms`): the batch's distinct w1 values collect
+    * under a bounded cap (`maxPushTerms`, default 4096; the collect
+    * reads at most cap+1 rows — a bounded control value) and push into
+    * the delta scan as a per-value parquet IN filter. w1 is the
+    * bucket+sort key, so row groups whose w1 range misses the batch
+    * skip entirely, and BOTH folds stay exact: the bigram fold only
+    * ever joins on batch (w1, w2) pairs (w1 superset ✓), and the
+    * history fold groups by w1 with every w2 row for a retained w1
+    * kept (w1-level pruning loses nothing ✓). Batches past the cap
+    * fall back to the full-scan plan — at that size the score is a
+    * corpus-shaped pass and the unpruned fold IS the right plan.
+    * V never touches the vocab: it is the one-row fold of the tiny
+    * `_stats` delta ledger maintained by train/append/remove.
     */
   def score(spark: SparkSession, table: String, docs: DataFrame,
-            idCol: String, textCol: String): DataFrame = {
+            idCol: String, textCol: String,
+            maxPushTerms: Int = 1 << 12): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     // heal a crashed compact before reading (the rename-aside swap can
-    // die between its two renames, leaving <table> briefly absent —
+    // die between its two renames, leaving a table briefly absent —
     // recoverCompacted rolls the idempotent swap forward or back, the
     // bm25 healFold discipline applied to the LM fold)
     BucketedJoin.recoverCompacted(spark, table)
-    val v = spark.table(s"${table}_vocab").count()
-    // V = 0 means the model trained on an empty/whitespace-only corpus:
-    // every scored bigram would compute ln((c+1)/0) = +Inf and the long
-    // cast would saturate to garbage scores — fail loudly instead
+    BucketedJoin.recoverCompacted(spark, s"${table}_vocab")
+    BucketedJoin.recoverCompacted(spark, s"${table}_stats")
+    val v = spark.table(s"${table}_stats")
+      .agg(coalesce(sum("v"), lit(0L))).head().getLong(0)
+    // V = 0 means the model trained on an empty/whitespace-only corpus
+    // (or every document was removed): every scored bigram would compute
+    // ln((c+1)/0) = +Inf and the long cast would saturate to garbage
+    // scores — fail loudly instead
     require(v > 0, s"LangModel.score: model $table has an empty " +
-      "vocabulary (trained on an empty or whitespace-only corpus)")
-    val cnt = spark.table(table).groupBy("w1", "w2").agg(sum("c").as("c"))
-    val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
+      "vocabulary (trained on an empty or whitespace-only corpus, " +
+      "or fully removed)")
     val bg = bigrams(docs, idCol, textCol)
+    val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    val idx =
+      if (w1s.size <= maxPushTerms) {
+        Retrieval.raiseInFilterThreshold(spark, maxPushTerms + 1)
+        spark.table(table).filter(col("w1").isin(w1s: _*))
+      } else spark.table(table)
+    val cnt = idx.groupBy("w1", "w2").agg(sum("c").as("c"))
+    val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val contrib = bg
       .join(cnt, Seq("w1", "w2"), "left")
       .join(hist, Seq("w1"), "left")

@@ -377,8 +377,9 @@ object Retrieval {
     * evaluation marginally wider. Callers who need the default back can
     * reset the conf after their query has RUN.
     */
-  private def pushableTerms(spark: SparkSession, qt: DataFrame,
-                            maxPushTerms: Int = 1 << 12): Option[Seq[String]] = {
+  private[operators] def pushableTerms(spark: SparkSession, qt: DataFrame,
+                                       maxPushTerms: Int = 1 << 12)
+      : Option[Seq[String]] = {
     val terms = qt.select("term").distinct().limit(maxPushTerms + 1)
       .collect().map(_.getString(0)).toSeq
     if (terms.size > maxPushTerms) None
@@ -390,7 +391,8 @@ object Retrieval {
 
   /** Monotone raise of the parquet IN-pushdown threshold (see the
     * session-wide-side-effect note on [[pushableTerms]]). */
-  private def raiseInFilterThreshold(spark: SparkSession, target: Int): Unit = {
+  private[operators] def raiseInFilterThreshold(spark: SparkSession,
+                                                target: Int): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     if (spark.conf.getOption(key).map(_.toInt).getOrElse(10) < target)
       spark.conf.set(key, target.toString)
@@ -899,6 +901,35 @@ object Retrieval {
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),
         col("rank").as("rnk"))
+    attachBestTermSnippets(spark, table, qt, ranked, docs, docIdCol,
+      docTextCol, context, k1, b, maxDfFrac, qterms)
+  }
+
+  /** The best-term passage pass behind [[bm25Snippets]] — and, via
+    * [[Fusion.hybridSnippets]], behind fused hybrid results: given an
+    * ALREADY-RANKED frame carrying (qid, doc_id, …payload columns…),
+    * attach `(start, snippet)` — the first occurrence of that (query,
+    * doc)'s best-scoring query term and the ±`context`-token window
+    * around it. LEFT-join semantics: a ranked document containing NO
+    * query term (possible for a vector-leg hybrid hit) keeps its row
+    * with null start/snippet — no lexical passage exists, and dropping
+    * the hit would silently unrank it.
+    *
+    * Plan shape (the [[bm25Snippets]] discipline): per-term partials
+    * recompute only for the broadcast-semi-joined ranked docs, the
+    * argmax runs on that tiny frame, the first occurrence reads the
+    * delta-encoded position list's head (stored absolute — no decode),
+    * and the corpus text join runs strictly after ranking, k·|queries|
+    * rows against `docs`.
+    */
+  private[operators] def attachBestTermSnippets(
+      spark: SparkSession, table: String, qt: DataFrame, ranked: DataFrame,
+      docs: DataFrame, docIdCol: String, docTextCol: String,
+      context: Int, k1: Double, b: Double, maxDfFrac: Double,
+      qterms: Option[Seq[String]]): DataFrame = {
+    require(tableExists(spark, s"${table}_pos"),
+      s"snippet extraction: $table has no positional table — " +
+        "build the index with positions = true")
     val rankedDocs = ranked.select("doc_id").distinct()
     val best = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
         docFilter = Some(rankedDocs), broadcastDocs = true)
@@ -921,14 +952,15 @@ object Retrieval {
     val corpusToks = docs.select(col(docIdCol).as("doc_id"),
       toks(col(docTextCol)).as("_ws"))
     val from = greatest(col("start") - context, lit(0))
+    val payload = ranked.columns.map(col)
     ranked
-      .join(firstStart, Seq("qid", "doc_id"))
-      .join(corpusToks, Seq("doc_id"))
-      .select(col("qid"), col("doc_id"), col("score_micro"), col("rnk"),
-        col("start"),
-        concat_ws(" ", slice(col("_ws"), (from + 1).cast("int"),
-          (col("start") - from + lit(1 + context)).cast("int")))
-          .as("snippet"))
+      .join(firstStart, Seq("qid", "doc_id"), "left")
+      .join(corpusToks, Seq("doc_id"), "left")
+      .select(payload :+ col("start") :+
+        when(col("start").isNotNull && col("_ws").isNotNull,
+          concat_ws(" ", slice(col("_ws"), (from + 1).cast("int"),
+            (col("start") - from + lit(1 + context)).cast("int"))))
+          .as("snippet"): _*)
   }
 
   /** Shared tail of the positional entry points: BM25-score the

@@ -1331,6 +1331,47 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** LM takedown gate ([[graft.operators.LangModel.remove]], the
+    * dd11/t19 remove ≡ train-without contract applied to the bigram
+    * model): train on ALL documents, remove the odd ones (negated count
+    * deltas — bigrams cancel, odd-only words leave the vocabulary, the
+    * stats ledger subtracts them from V), then score everything. The
+    * oracle trains on the even documents only — the gate passes only
+    * if takedown is numerically indistinguishable from never having
+    * trained on the removed docs, V included.
+    */
+  val t30_lmremove: Q = (s, d) => {
+    val table = s"lmr_${d.hashCode & Int.MaxValue}"
+    LangModel.train(docs(s, d), "doc_id", "text", table)
+    LangModel.remove(s, table, docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text")
+    LangModel.score(s, table, docs(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
+  /** Hybrid-snippet gate ([[graft.operators.Fusion.hybridSnippets]]):
+    * t22's RRF fusion plus passage extraction — each fused top-5 hit
+    * carries the first occurrence of its best-scoring lexical query
+    * term and a ±2-token window (the t29 span machinery applied AFTER
+    * fusion). Vector-only hits keep their fused rank with null
+    * start/snippet; the oracle replays the t22 fusion, the t29
+    * argmax/first-occurrence/slice, and the same LEFT-join null
+    * semantics, so the fusion wiring, the span reuse, and the
+    * no-lexical-passage case all gate together.
+    */
+  val t31_hybridsnippets: Q = (s, d) => {
+    val table = s"hybsn_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table,
+      positions = true)
+    val emb = Tables.embeddings(s, d)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridSnippets(s, table, q, "qid", "qtext", "qvec",
+        docs(s, d), "doc_id", "text", 5, context = 2,
+        kPerLeg = 5, vecCorpus = Some(emb))
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1956,6 +1997,8 @@ object Queries {
     "t26_snippets" -> t26_snippets, "t27_hybridpq" -> t27_hybridpq,
     "t28_nearsnippets" -> t28_nearsnippets,
     "t29_bowsnippets" -> t29_bowsnippets,
+    "t30_lmremove" -> t30_lmremove,
+    "t31_hybridsnippets" -> t31_hybridsnippets,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -1978,6 +2021,48 @@ object Queries {
     * micro-units and summed as exact integers (DuckDB SUM(BIGINT) is
     * HUGEINT — cast back), ranked (score desc, doc_id asc).
     */
+
+  /** The t24/t30 add-one bigram-LM oracle (shared: t24 TRAINS on the
+    * even docs; t30 trains on everything and REMOVES the odds — the
+    * takedown contract says those models are numerically identical,
+    * so they answer to the same SQL).
+    */
+  private val lmEvenModelOracleSql: String =
+    """WITH toksAll AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |toksTrain AS (SELECT doc_id, ws FROM toksAll WHERE doc_id % 2 = 0),
+      |bgTrain AS (
+      |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+      |  FROM toksTrain CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+      |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
+      |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
+      |vst AS (SELECT count(DISTINCT x) AS v FROM
+      |  (SELECT unnest(ws) AS x FROM toksTrain)),
+      |bgAll AS (
+      |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      |  FROM toksAll CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+      |contrib AS (
+      |  SELECT bgAll.doc_id,
+      |    CAST(round(ln(
+      |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
+      |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM bgAll
+      |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
+      |  LEFT JOIN hist ON hist.w1 = bgAll.w1
+      |  CROSS JOIN vst),
+      |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(lp) AS BIGINT) AS logp_micro
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT d.doc_id AS id,
+      |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.logp_micro, 0) AS logp_micro
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin
 
   /** The t22/t27 hybrid-RRF oracle (shared: the IVFPQ gate runs at
     * probeFrac = 1.0 with corpus-covering refineK, so its vector leg
@@ -2864,42 +2949,13 @@ object Queries {
     // distinct train tokens, per-bigram micro contributions
     // round(ln((c+1)/(ch+V))·1e6) integer-summed per scored doc —
     // op-for-op the Spark expression. Docs with <2 tokens => (0, 0).
-    "t24_lmscore" ->
-      """WITH toksAll AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS ws
-        |  FROM documents),
-        |toksTrain AS (SELECT doc_id, ws FROM toksAll WHERE doc_id % 2 = 0),
-        |bgTrain AS (
-        |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
-        |  FROM toksTrain CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
-        |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
-        |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
-        |vst AS (SELECT count(DISTINCT x) AS v FROM
-        |  (SELECT unnest(ws) AS x FROM toksTrain)),
-        |bgAll AS (
-        |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
-        |  FROM toksAll CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
-        |contrib AS (
-        |  SELECT bgAll.doc_id,
-        |    CAST(round(ln(
-        |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
-        |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS lp
-        |  FROM bgAll
-        |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
-        |  LEFT JOIN hist ON hist.w1 = bgAll.w1
-        |  CROSS JOIN vst),
-        |scored AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(lp) AS BIGINT) AS logp_micro
-        |  FROM contrib GROUP BY doc_id)
-        |SELECT d.doc_id AS id,
-        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(s.logp_micro, 0) AS logp_micro
-        |FROM (SELECT DISTINCT doc_id FROM documents) d
-        |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+    "t24_lmscore" -> lmEvenModelOracleSql,
+
+    // Takedown ≡ train-without: the Spark side trained on ALL docs and
+    // removed the odds (negative deltas, counted-vocab retirement, V
+    // ledger), which must land EXACTLY on the even-trained model — the
+    // t24 oracle verbatim.
+    "t30_lmremove" -> lmEvenModelOracleSql,
 
     // Grown ≡ whole-built: the oracle trains on ALL docs in one pass;
     // the Spark side trained on evens and appended odds.
@@ -3119,6 +3175,92 @@ object Queries {
         |JOIN fs ON fs.qid = r.qid AND fs.doc_id = r.doc_id
         |JOIN docs0 d ON d.doc_id = r.doc_id
         |WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""".stripMargin,
+
+    // Hybrid snippets: the t22 RRF fusion recomputed, then the t29
+    // argmax/first-occurrence/slice attached to the fused top-5 via
+    // LEFT joins — vector-only hits keep their rank with NULL
+    // start/snippet (no lexical passage exists).
+    "t31_hybridsnippets" ->
+      """WITH qids AS (
+        |  SELECT d.doc_id AS qid FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id % 50 = 0),
+        |docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT doc_id AS qid, unnest(list_slice(toklist, 1, 3)) AS term
+        |  FROM docs0 WHERE doc_id IN (SELECT qid FROM qids))),
+        |partials AS (
+        |  SELECT qt.qid, tf.doc_id, qt.term,
+        |    CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS partial
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |lexscored AS (SELECT qid, doc_id,
+        |    CAST(sum(partial) AS BIGINT) AS score_micro
+        |  FROM partials GROUP BY qid, doc_id),
+        |lexranked AS (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM lexscored),
+        |vq AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (SELECT qid FROM qids)),
+        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
+        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
+        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
+        |vecranked AS (SELECT qid, nid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
+        |contrib AS (
+        |  SELECT qid, doc_id AS id,
+        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+        |  FROM lexranked WHERE rnk <= 5
+        |  UNION ALL
+        |  SELECT qid, nid AS id,
+        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+        |  FROM vecranked WHERE rnk <= 5),
+        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
+        |          FROM contrib GROUP BY qid, id),
+        |final AS (SELECT qid, id, fused_micro,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused),
+        |best AS (SELECT qid, doc_id, term FROM (
+        |  SELECT qid, doc_id, term, row_number() OVER (
+        |    PARTITION BY qid, doc_id ORDER BY partial DESC, term) AS rn
+        |  FROM partials) WHERE rn = 1),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |fs AS (SELECT b.qid, b.doc_id, CAST(min(p.pos) - 1 AS BIGINT) AS start
+        |       FROM best b JOIN pos p
+        |         ON p.doc_id = b.doc_id AND p.term = b.term
+        |       GROUP BY b.qid, b.doc_id)
+        |SELECT f.qid, f.id, f.fused_micro, f.rnk, fs.start,
+        |  CASE WHEN fs.start IS NOT NULL THEN
+        |    array_to_string(list_slice(d.toklist,
+        |      CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
+        |      CAST(fs.start + 3 AS INTEGER)), ' ')
+        |  END AS snippet
+        |FROM final f
+        |LEFT JOIN fs ON fs.qid = f.qid AND fs.doc_id = f.id
+        |LEFT JOIN docs0 d ON d.doc_id = f.id
+        |WHERE f.rnk <= 5 ORDER BY f.qid, f.rnk""".stripMargin,
 
     "f4_split" ->
       """SELECT doc_id,

@@ -279,10 +279,9 @@ object RefreshLoop {
                     org.apache.spark.sql.catalyst.TableIdentifier(s"${t}_pos")))
                   BucketedJoin.compactBucketed(spark, s"${t}_pos", "term")
               }
-              lmTable.foreach { t =>
-                LangModel.compact(spark, t)
-                BucketedJoin.compactBucketed(spark, s"${t}_vocab", "w")
-              }
+              // LangModel.compact folds all three LM tables (bigram
+              // deltas, counted vocab, stats ledger) itself
+              lmTable.foreach(t => LangModel.compact(spark, t))
             }
           }
         } finally dups.unpersist()

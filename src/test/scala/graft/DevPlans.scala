@@ -7,6 +7,9 @@ import java.nio.file.{Files, Paths}
   * queries, for plan-quality review. `sbt "Test/runMain graft.DevPlans"`.
   */
 object DevPlans {
+  /** The one place the doc's provenance label lives — bump per regen. */
+  private val round = 15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -89,7 +92,7 @@ object DevPlans {
       "t29_bowsnippets" -> "Ranking is t16's plan; per-term partials recompute only for the broadcast-semi-joined top-k docs, the argmax runs on that tiny frame, and the first offset reads the delta-list head without decoding.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
-    sb.append("Regenerated round 13 by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
+    sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
     sb.append("Things to check per plan: `PushedFilters`/pruned `ReadSchema` on scans, ")
     sb.append("ReusedExchange for self-joined derived tables, broadcast vs shuffle join ")
     sb.append("choices, and the absence of cartesian products / unexpected exchanges. ")

@@ -237,4 +237,54 @@ class FusionSpec extends AnyFunSuite {
       Fusion.hybridQuery(spark, "nope", q, "qid", "qtext", "qvec", 5)
     }
   }
+
+  test("hybridQuery: rejects two standing vector indexes") {
+    val q = Seq((1L, "x")).toDF("qid", "qtext")
+      .withColumn("qvec", array(lit(1.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Fusion.hybridQuery(spark, "nope", q, "qid", "qtext", "qvec", 5,
+        pqIndex = Some("a"), vecIndex = Some("b"))
+    }
+    assert(e.getMessage.contains("BOTH"))
+  }
+
+  test("hybridSnippets: passages attach to lexical hits, vector-only hits keep null spans") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta"),
+      (4L, "alpha theta iota")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.05f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val table = s"fus_snip_${System.nanoTime()}"
+    Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 2,
+      positions = true)
+    // query vector points at doc 3 — a doc with NO lexical query term
+    val q = Seq((7L, "alpha beta", Array(0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "qtext", "qvec")
+    val got = Fusion.hybridSnippets(spark, table, q, "qid", "qtext", "qvec",
+        corpus, "doc_id", "text", k = 4, context = 1, kPerLeg = 3,
+        vecCorpus = Some(emb))
+      .orderBy("rnk")
+      .as[(Long, Long, Long, Int, Option[Long], Option[String])].collect()
+    assert(got.length === 4)
+    val byDoc = got.map(r => r._2 -> r).toMap
+    // doc 3 was retrieved by the vector leg alone: ranked, no passage
+    assert(byDoc(3L)._5.isEmpty && byDoc(3L)._6.isEmpty)
+    // beta (df 2) outscores alpha (df 3): best term beta, offset 1
+    assert(byDoc(1L)._5 === Some(1L))
+    assert(byDoc(1L)._6 === Some("alpha beta gamma"))
+    assert(byDoc(2L)._6 === Some("alpha beta delta"))
+    // doc 4 carries only alpha: first occurrence 0, clamped window
+    assert(byDoc(4L)._5 === Some(0L))
+    assert(byDoc(4L)._6 === Some("alpha theta"))
+    // the fused ranking itself is hybridQuery's, column for column
+    val fused = Fusion.hybridQuery(spark, table, q, "qid", "qtext", "qvec",
+        k = 4, kPerLeg = 3, vecCorpus = Some(emb))
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq === fused.toSeq)
+  }
 }

@@ -91,9 +91,11 @@ class LangModelSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq
     def exists(t: String) = spark.sessionState.catalog.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
-    // boundaries: 0 stage write, 1 debris clear, 2 rename-aside,
-    // 3 rename-in, 4 old-copy drop — kill after each, then score
-    for (b <- 0 to 4) {
+    // 15 linear boundaries (compactImpl): 0-4 the bigram-table swap,
+    // 5-9 the vocab swap, 10-14 the stats swap; within each table:
+    // stage write, debris clear, rename-aside, rename-in, old drop —
+    // kill after each, then score
+    for (b <- 0 to 14) {
       val table = s"lm_chaos_$b"
       LangModel.train(all.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", table, buckets = 4)
@@ -102,11 +104,13 @@ class LangModelSpec extends AnyFunSuite {
       val e = intercept[BucketedJoin.InjectedRewriteCrash] {
         LangModel.compactImpl(spark, table, failAt = b)
       }
-      assert(e.at == b)
+      assert(e.at == b % 5)
       val healed = LangModel.score(spark, table, all, "doc_id", "text")
         .orderBy("id").as[(Long, Long, Long)].collect().toSeq
       assert(healed == expect, s"boundary $b: scores diverge after heal")
-      assert(exists(table) && !exists(s"${table}_old"),
+      val hit = if (b < 5) table
+        else if (b < 10) s"${table}_vocab" else s"${table}_stats"
+      assert(exists(hit) && !exists(s"${hit}_old"),
         s"boundary $b: heal left swap debris")
       // a follow-up compact completes and folds to one row per bigram
       LangModel.compact(spark, table)
@@ -129,6 +133,98 @@ class LangModelSpec extends AnyFunSuite {
         Seq((2L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
     }
     assert(e.getMessage.contains("empty"))
+  }
+
+  test("remove: takedown scores identically to train-without; compact drops the removed rows") {
+    val all = graft.sources.Generators.randomText(spark, 140, seed = 31L,
+        wordsMin = 4, wordsMax = 20, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val keep = all.filter(col("doc_id") % 3 =!= 0)
+    val gone = all.filter(col("doc_id") % 3 === 0)
+    val ref = s"lm_spec_rmref_${System.nanoTime()}"
+    LangModel.train(keep, "doc_id", "text", ref, buckets = 4)
+    val expect = LangModel.score(spark, ref, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val t = s"lm_spec_rm_${System.nanoTime()}"
+    LangModel.train(all, "doc_id", "text", t, buckets = 4)
+    LangModel.remove(spark, t, gone, "doc_id", "text")
+    val got = LangModel.score(spark, t, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect, "remove diverged from train-without")
+    // physical fold drops zero-sum rows: the compacted table must be
+    // row-identical to the train-without table (same folded counts)
+    LangModel.compact(spark, t)
+    LangModel.compact(spark, ref)
+    def rows(tab: String) = spark.table(tab).select("w1", "w2", "c")
+      .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
+    assert(rows(t) == rows(ref), "compacted remove-table != train-without")
+    def vocabRows(tab: String) = spark.table(s"${tab}_vocab")
+      .select("w", "c").orderBy("w").as[(String, Long)].collect().toSeq
+    assert(vocabRows(t) == vocabRows(ref),
+      "compacted vocab diverged from train-without")
+    val after = LangModel.score(spark, t, all, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(after == expect, "post-compact remove scores diverge")
+  }
+
+  test("remove retires words exactly: V shrinks, scores track the smaller vocabulary") {
+    // 'unique' appears ONLY in the removed doc: after remove, V must
+    // drop from 4 to 3 and hand-computed scores must use the new V
+    val t = s"lm_spec_rmv_${System.nanoTime()}"
+    LangModel.train(Seq((0L, "a b a"), (1L, "unique c a")).toDF("doc_id", "text"),
+      "doc_id", "text", t, buckets = 2)
+    LangModel.remove(spark, t,
+      Seq((1L, "unique c a")).toDF("doc_id", "text"), "doc_id", "text")
+    // remaining counts: (a,b)=1 (b,a)=1; hist a=1 b=1; V = |{a,b}| = 2
+    def lp(c: Long, ch: Long, v: Long): Long =
+      math.round(math.log((c + 1.0) / (ch + v.toDouble)) * 1e6)
+    val got = LangModel.score(spark, t,
+        Seq((9L, "a b unique")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 2L, lp(1, 1, 2) + lp(0, 1, 2))))
+  }
+
+  test("score narrows the delta scan to the batch's w1 terms (pushed IN filter)") {
+    val train = graft.sources.Generators.randomText(spark, 150, seed = 41L,
+        wordsMin = 5, wordsMax = 25, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val t = s"lm_spec_push_${System.nanoTime()}"
+    LangModel.train(train, "doc_id", "text", t, buckets = 4)
+    val batch = train.filter(col("doc_id") % 25 === 0)
+    val pushed = LangModel.score(spark, t, batch, "doc_id", "text")
+    // the delta-table scan carries a pushed In(w1, ...) predicate
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains(t), "no file scan over the delta table found")
+    assert(plan.contains("In(w1"),
+      s"w1 IN filter not pushed into the delta scan:\n$plan")
+    // and the narrowed plan is bit-identical to the full-scan fallback
+    // (maxPushTerms = 0 forces every batch past the cap)
+    val a = pushed.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val b = LangModel.score(spark, t, batch, "doc_id", "text",
+        maxPushTerms = 0)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "pushed plan diverged from full-scan fallback")
+  }
+
+  test("score reads V from the stats ledger, never the vocab table") {
+    val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    val t = s"lm_spec_stats_${System.nanoTime()}"
+    LangModel.train(train, "doc_id", "text", t, buckets = 2)
+    LangModel.append(spark, t, Seq((1L, "c d e")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val r = LangModel.score(spark, t,
+      Seq((5L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    val vocabScans = r.queryExecution.executedPlan.collectLeaves()
+      .filter(_.toString.contains(s"${t}_vocab"))
+    assert(vocabScans.isEmpty,
+      "score's plan still scans the vocab table for V")
+    // and the ledger-served V matches the true distinct live count
+    val got = r.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    def lp(c: Long, ch: Long, v: Long): Long =
+      math.round(math.log((c + 1.0) / (ch + v.toDouble)) * 1e6)
+    // counts: (a,b)=2 (b,c)=1 (c,a)=1 (c,d)=1 (d,e)=1; hist a=2;
+    // V = |{a,b,c,d,e}| = 5
+    assert(got == Seq((5L, 1L, lp(2, 2, 5))))
   }
 
   test("score folds counts without exchanging the index scan") {

@@ -893,7 +893,10 @@ class RefreshLoopSpec extends AnyFunSuite {
     BucketedJoin.appendBucketed(
       Seq(("fresh", "words", 1L, 7L)).toDF("w1", "w2", "c", "epoch"),
       "lmtw_lm", "w1")
-    BucketedJoin.appendBucketed(Seq("fresh").toDF("w"), "lmtw_lm_vocab", "w")
+    // partial vocab landing in the counted-delta schema (one of the
+    // batch's word-occurrence rows made it, no stats row did)
+    BucketedJoin.appendBucketed(
+      Seq(("fresh", 1L, 7L)).toDF("w", "c", "epoch"), "lmtw_lm_vocab", "w")
     val batch2 = Seq((300L, "fresh words appear here now"))
       .toDF("doc_id", "text")
     fn(batch2, 7L)
