@@ -9,6 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Protocol: per kernel, 1 warm-up run then median of 3 timed runs.
   * Results are forced with a noop-sink write (count() would let Catalyst
   * drop sorts/projections; noop executes the full physical plan).
+  *
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated kernel names) restricts the
+  * run — the adjudication dial for re-measuring one kernel quietly
+  * without paying the whole suite (BASELINE.md bench_sort rulings).
   */
 object Bench {
 
@@ -123,7 +127,11 @@ object Bench {
     // total, visibly negative in the queries map), lands in "failed",
     // and fails the process exit code — a silent drop would read as a
     // speedup.
-    val results = kernels.map { case (name, mk) =>
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(only => kernels.filter(k => only(k._1)))
+      .getOrElse(kernels)
+    val results = selected.map { case (name, mk) =>
       val t = try timeMedian(mk()) catch {
         case e: Throwable =>
           System.err.println(s"[bench] KERNEL FAILED: $name — $e")

@@ -279,23 +279,29 @@ object LangModel {
     * the plan (bucket-local aggregates, no exchange on the index).
     *
     * SCAN NARROWING (the BM25 pushed-term discipline,
-    * `Retrieval.pushableTerms`): the batch's distinct w1 values collect
-    * under a bounded cap (`maxPushTerms`, default 4096; the collect
-    * reads at most cap+1 rows — a bounded control value) and push into
-    * the delta scan as a per-value parquet IN filter. w1 is the
-    * bucket+sort key, so row groups whose w1 range misses the batch
-    * skip entirely, and BOTH folds stay exact: the bigram fold only
-    * ever joins on batch (w1, w2) pairs (w1 superset ✓), and the
-    * history fold groups by w1 with every w2 row for a retained w1
-    * kept (w1-level pruning loses nothing ✓). Batches past the cap
-    * fall back to the full-scan plan — at that size the score is a
-    * corpus-shaped pass and the unpruned fold IS the right plan.
+    * [[Retrieval.prunedByValues]]): the batch's distinct w1 values
+    * collect under a bounded cap (`maxPushTerms`, default 16384 —
+    * document batches carry far more distinct terms than query
+    * batches, so the cap sits 4× above BM25's; the collect reads at
+    * most cap+1 rows — a bounded control value) and push into the
+    * delta scan as exact per-value parquet INs, chunked at the
+    * measured stack-safe 1024 values per scan and unioned (pages skip
+    * on exact values at any list size). BOTH folds stay exact: the
+    * bigram fold only ever joins on batch (w1, w2) pairs (w1 superset
+    * ✓), and the history fold groups by w1 with every w2 row for a
+    * retained w1 kept (w1-level pruning loses nothing ✓). The chunked
+    * union forfeits the scan's bucket partitioning, so over-1024
+    * batches pay one exchange — of the PRUNED, batch-proportional
+    * rows, which is the trade the pruning exists to buy. Batches past
+    * the cap fall back to the full-scan plan — their w1 set touches
+    * most of the vocabulary and the unpruned zero-exchange fold IS the
+    * right plan (measured: BASELINE.md round-15 LM serving table).
     * V never touches the vocab: it is the one-row fold of the tiny
     * `_stats` delta ledger maintained by train/append/remove.
     */
   def score(spark: SparkSession, table: String, docs: DataFrame,
             idCol: String, textCol: String,
-            maxPushTerms: Int = 1 << 12): DataFrame = {
+            maxPushTerms: Int = 1 << 14): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     // heal a crashed compact before reading (the rename-aside swap can
     // die between its two renames, leaving a table briefly absent —
@@ -317,10 +323,9 @@ object LangModel {
     val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
       .collect().map(_.getString(0)).toSeq
     val idx =
-      if (w1s.size <= maxPushTerms) {
-        Retrieval.raiseInFilterThreshold(spark, maxPushTerms + 1)
-        spark.table(table).filter(col("w1").isin(w1s: _*))
-      } else spark.table(table)
+      if (w1s.size <= maxPushTerms)
+        Retrieval.prunedByValues(spark.table(table), "w1", w1s)
+      else spark.table(table)
     val cnt = idx.groupBy("w1", "w2").agg(sum("c").as("c"))
     val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val contrib = bg

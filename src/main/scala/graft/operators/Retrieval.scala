@@ -341,6 +341,152 @@ object Retrieval {
         col("rank").as("rnk"))
   }
 
+  /** Multi-shard BM25 serving — the layout for a corpus whose index
+    * cannot live in one table (measured: BASELINE.md round-15 — at 10⁸
+    * docs the postings+positional index extrapolates to ~73 GB against
+    * this box's 38 GB free; a 1000-executor cluster holds the same
+    * index as per-executor-group shards). `tables` are independent
+    * [[bm25Build]] indexes over a DOC-DISJOINT partition of the corpus
+    * (a doc id must live in exactly one shard — the sharding contract).
+    *
+    * Results are EXACTLY the single whole-corpus index's (oracle-gated
+    * at t32): corpus-level constants fold ACROSS shards — N and Σdl
+    * from the shard stats rows (tombstone-corrected per shard), df as
+    * the sum of the shard dictionaries' per-term counts — then every
+    * shard scores its own postings against the GLOBAL constants and
+    * the per-(query, doc) partials union (a doc's postings live in one
+    * shard, so the union never splits a document's sum). The merge is
+    * the same bounded top-k aggregate every serving path here uses —
+    * per-shard candidate lists, k·|queries| rows, never corpus mass.
+    * Scale shape: the stats fold reads S tiny tables, the dict fold S
+    * dictionary slices pruned to the query terms, and each shard's
+    * postings scan is the single-index plan verbatim (pushed-term
+    * pruning included) — cost ≡ Σ shard serving costs, wall-clock ≡
+    * max on a cluster where shards are separate executor groups.
+    */
+  def bm25ShardedQuery(spark: SparkSession, tables: Seq[String],
+                       queries: DataFrame, qidCol: String, textCol: String,
+                       k: Int, k1: Double = 1.2, b: Double = 0.75,
+                       maxDfFrac: Double = 1.0): DataFrame = {
+    require(tables.nonEmpty, "bm25ShardedQuery needs at least one shard")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    GraftFunctions.ensureRegistered(spark)
+    tables.foreach(healFold(spark, _))
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    val scored = shardedScored(spark, tables, qt, k1, b, maxDfFrac, qterms,
+      docFilters = tables.map(_ => None), bcasts = tables.map(_ => false))
+    Similarity.rankTopK(scored, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** [[bm25PhraseQuery]] over doc-disjoint shards — per-shard phrase
+    * alignment (the match is doc-local, so a shard sees every
+    * occurrence of its own docs), global-stats scoring, bounded top-k
+    * merge. Same exactness contract as [[bm25ShardedQuery]]. The
+    * truncation dial stays off (exact matching): per-shard df-based
+    * sampling would diverge from the whole-index dial's semantics.
+    */
+  def bm25ShardedPhraseQuery(spark: SparkSession, tables: Seq[String],
+                             queries: DataFrame, qidCol: String,
+                             textCol: String, k: Int,
+                             k1: Double = 1.2, b: Double = 0.75,
+                             maxCandBroadcast: Long = 4L << 20,
+                             gateMinPosMass: Long = 1L << 22): DataFrame = {
+    require(tables.nonEmpty, "bm25ShardedPhraseQuery needs at least one shard")
+    val legs = tables.map { t =>
+      val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
+        t, queries, qidCol, textCol, 1.0, maxCandBroadcast, gateMinPosMass)
+      (qoff, aligned.select(col("qid"), col("doc_id").as("nid")).distinct(),
+        candFilter, bcast, qterms)
+    }
+    shardedPosRank(spark, tables, legs.head._1.select("qid", "term").distinct(),
+      legs.map(l => (l._2, l._3, l._4)), legs.head._5, k, k1, b)
+  }
+
+  /** [[bm25ProximityQuery]] over doc-disjoint shards — per-shard window
+    * covers (doc-local predicate), global-stats scoring, bounded top-k
+    * merge (oracle-gated at t33). Same contracts as
+    * [[bm25ShardedPhraseQuery]]; `maxPosMass` budgets each shard's
+    * gated position mass independently (a shard that routes, routes
+    * loudly for its own docs only).
+    */
+  def bm25ShardedProximityQuery(spark: SparkSession, tables: Seq[String],
+                                queries: DataFrame, qidCol: String,
+                                textCol: String, k: Int, window: Int,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                maxCandBroadcast: Long = 4L << 20,
+                                gateMinPosMass: Long = 1L << 22,
+                                maxPosMass: Long = 1L << 31): DataFrame = {
+    require(tables.nonEmpty,
+      "bm25ShardedProximityQuery needs at least one shard")
+    require(window >= 1 && window <= 256,
+      s"window must be in [1, 256], got $window")
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val legs = tables.map { t =>
+      val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
+        t, qt0, "bm25ShardedProximityQuery", 1.0, maxCandBroadcast,
+        gateMinPosMass, window = window, maxPosMass = maxPosMass)
+      (proximityMatched(anchorsInput, qlenD, window), candFilter, bcast,
+        qterms)
+    }
+    shardedPosRank(spark, tables, qt0,
+      legs.map(l => (l._1, l._2, l._3)), legs.head._4, k, k1, b)
+  }
+
+  /** Shared tail of the sharded positional entry points: global-stats
+    * partials per shard gated by that shard's candidate filter, union,
+    * per-(qid, doc) sum, keep only matched docs, rank top-k. */
+  private def shardedPosRank(spark: SparkSession, tables: Seq[String],
+                             qt: DataFrame,
+                             legs: Seq[(DataFrame, Option[DataFrame], Boolean)],
+                             qterms: Option[Seq[String]], k: Int,
+                             k1: Double, b: Double): DataFrame = {
+    val matchedU = legs.map(_._1).reduce(_.unionByName(_))
+    val scored = shardedScored(spark, tables, qt, k1, b, 1.0, qterms,
+        docFilters = legs.map(_._2), bcasts = legs.map(_._3))
+      .join(matchedU, Seq("qid", "nid"), "left_semi")
+    Similarity.rankTopK(scored, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** Global-stats scoring across shards (see [[bm25ShardedQuery]]):
+    * fold (N, Σdl) and the query terms' df across the shard tables,
+    * then union each shard's [[partialsWith]] partials computed against
+    * the folded constants and sum per (qid, doc). */
+  private def shardedScored(spark: SparkSession, tables: Seq[String],
+                            qt: DataFrame, k1: Double, b: Double,
+                            maxDfFrac: Double, qterms: Option[Seq[String]],
+                            docFilters: Seq[Option[DataFrame]],
+                            bcasts: Seq[Boolean]): DataFrame = {
+    val stats = tables.map(correctedStats(spark, _))
+    val nDocs = stats.map(_._1).sum
+    require(nDocs > 0, s"sharded query: every shard of $tables is empty")
+    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
+    val dict1 = tables.map(correctedDict(spark, _, qterms))
+      .reduce(_.unionByName(_))
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+    val dict = if (maxDfFrac < 1.0)
+      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
+    else dict1
+    tables.indices.map { i =>
+      partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl, dict,
+        qterms, docFilters(i), bcasts(i))
+    }.reduce(_.unionByName(_))
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+  }
+
   /** Heal a crashed tombstone fold before serving (see
     * [[bm25FoldTombstones]]'s crash-window note): an abandoned foldlock
     * means the derived tables may already exclude deleted docs —
@@ -355,38 +501,32 @@ object Retrieval {
   /** The query batch's distinct terms as literals for scan pruning, or
     * None past `maxPushTerms` (adversarially huge batches fall back to
     * the full-scan plan). The index tables are bucketed AND sorted by
-    * term, so a pushed IN filter lets parquet skip every row group
-    * whose term range misses the batch — serving cost then tracks the
-    * query terms' posting lists instead of the index scan. The collect
-    * is a bounded control value (≤ maxPushTerms + 1 rows), the mf1
-    * point-lookup discipline; `inFilterThreshold` is raised so the
-    * filter reaches parquet as per-value predicates rather than a
-    * min/max range (query terms are vocabulary-scattered, so a range
-    * filter would skip nothing).
+    * term, so the pushed filter ([[termScanFilter]]: per-value IN up to
+    * [[maxInPushValues]] values, chunked sorted ranges + post-scan
+    * InSet above — the measured stack-safety split) lets parquet skip
+    * every row group whose term range misses the batch — serving cost
+    * then tracks the query terms' posting lists instead of the index
+    * scan. The collect is a bounded control value (≤ maxPushTerms + 1
+    * rows), the mf1 point-lookup discipline.
     *
-    * SESSION-WIDE SIDE EFFECT, by design: the raised
-    * `spark.sql.parquet.pushdown.inFilterThreshold` is NOT restored.
-    * The term list is pushed into a plan the CALLER executes later
-    * (lazily), so a save-and-restore here would revert the conf before
-    * the scan ever plans — the raise must outlive this call. It is
-    * monotone (only ever raises, never lowers, so repeated/concurrent
-    * callers compose) and affects plan SHAPE only: unrelated queries in
-    * the same session with 10..4096-value IN lists now push them as
-    * per-value parquet predicates instead of a min/max range —
-    * correctness unchanged, row-group skipping usually better, filter
-    * evaluation marginally wider. Callers who need the default back can
-    * reset the conf after their query has RUN.
+    * SESSION-WIDE SIDE EFFECT, by design: [[termScanFilter]] raises
+    * `spark.sql.parquet.pushdown.inFilterThreshold` to
+    * [[maxInPushValues]] + 1 and the raise is NOT restored. The term
+    * list is pushed into a plan the CALLER executes later (lazily), so
+    * a save-and-restore would revert the conf before the scan ever
+    * plans — the raise must outlive the call. It is monotone (only
+    * ever raises, never lowers, so repeated/concurrent callers
+    * compose), affects plan SHAPE only, and is capped at the measured
+    * stack-safe depth — never raise it further: per-value IN lists
+    * past ~2k values overflow the executor stack inside parquet-mr
+    * (DevPushProbe; the round-15 LM incident).
     */
   private[operators] def pushableTerms(spark: SparkSession, qt: DataFrame,
                                        maxPushTerms: Int = 1 << 12)
       : Option[Seq[String]] = {
     val terms = qt.select("term").distinct().limit(maxPushTerms + 1)
       .collect().map(_.getString(0)).toSeq
-    if (terms.size > maxPushTerms) None
-    else {
-      raiseInFilterThreshold(spark, maxPushTerms + 1)
-      Some(terms)
-    }
+    if (terms.size > maxPushTerms) None else Some(terms)
   }
 
   /** Monotone raise of the parquet IN-pushdown threshold (see the
@@ -398,9 +538,49 @@ object Retrieval {
       spark.conf.set(key, target.toString)
   }
 
+  /** MEASURED parquet per-value IN depth limit (DevPushProbe, this
+    * Spark/parquet build): a pushed `In` becomes a recursively-nested
+    * OR tree in parquet-mr whose evaluation overflows the executor
+    * stack — 1024 values evaluate fine, 2048 StackOverflow. Term lists
+    * above this push as [[termScanFilter]]'s chunked ranges instead.
+    * (Found round 15: the LM batch pushdown hit the wall at ~3k terms;
+    * the BM25 family's 4096-value collect cap had sat above the cliff
+    * since round 12 without a measured batch ever crossing 1024.)
+    */
+  private[operators] val maxInPushValues = 1024
+
+  /** Exact value-pruned scan at ANY list size — the stack-safe form of
+    * the per-value parquet pushdown. Lists up to [[maxInPushValues]]
+    * push as one per-value IN (page-level skip on exact values — the
+    * sorted-by-term layout makes pages term-contiguous, which is what
+    * the round-12 serving curve measured). Longer lists split into
+    * SORTED chunks of [[maxInPushValues]], one scan per chunk with its
+    * own pushed IN, unioned — every chunk keeps the exact-value page
+    * skip (sorted chunks are vocabulary-contiguous, so each scan's
+    * pages cluster), total emitted mass stays the matching rows only,
+    * and no single predicate ever exceeds the measured depth. The
+    * union forfeits the scan's bucket partitioning (a downstream
+    * aggregate re-shuffles), but the shuffled mass is the PRUNED rows —
+    * batch-proportional, which is the point of pruning. (A pushed
+    * range-OR + post-scan InSet was tried first and measured WORSE
+    * than the full scan on zipf vocabularies: scattered terms make 64
+    * ranges cover the whole vocabulary, so nothing skips and every row
+    * pays the OR chain.)
+    */
+  private[operators] def prunedByValues(df: DataFrame, colName: String,
+                                        values: Seq[String]): DataFrame = {
+    if (values.isEmpty) df.filter(lit(false))
+    else {
+      raiseInFilterThreshold(df.sparkSession, maxInPushValues + 1)
+      values.sorted.grouped(maxInPushValues)
+        .map(c => df.filter(col(colName).isin(c: _*)))
+        .reduce(_.unionByName(_))
+    }
+  }
+
   private def pruneToTerms(df: DataFrame,
                            terms: Option[Seq[String]]): DataFrame =
-    terms.map(ts => df.filter(col("term").isin(ts: _*))).getOrElse(df)
+    terms.map(ts => prunedByValues(df, "term", ts)).getOrElse(df)
 
   /** The shared scoring pipeline behind [[bm25Query]] and
     * [[bm25PhraseQuery]]: `qt` is the distinct (qid, term) frame;
@@ -440,37 +620,62 @@ object Retrieval {
                            qterms: Option[Seq[String]],
                            docFilter: Option[DataFrame] = None,
                            broadcastDocs: Boolean = false): DataFrame = {
-    // Deletion support: when a tombstone set exists, df/N/avgdl are
-    // corrected at QUERY time from `postings ∩ tombstones` (one extra
-    // broadcast semi-join scan of the term-bucketed postings; the df
-    // correction aggregate is term-bucketed too, so the dictionary
-    // join stays exchange-free) and the scoring join reads the
-    // anti-joined postings. Deriving everything from the id set alone
-    // is what makes bm25Delete crash-correct: there are no stored
-    // negative deltas to land or lose — bm25FoldTombstones restores
-    // the zero-extra-scan fast path.
-    val deleted = Tombstones.idSet(spark, table).map(ts =>
-      spark.table(table).join(broadcast(ts),
-        col("doc_id") === col("id")).drop("id"))
-    val st = spark.table(s"${table}_stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
-        coalesce(sum("dl_sum"), lit(0L)).as("s")).head()
-    val corr = deleted.map(_.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
-        .head())
-      .getOrElse(org.apache.spark.sql.Row(0L, 0L))
-    val nDocs = st.getLong(0) - corr.getLong(0)
+    val (nDocs, dlSum) = correctedStats(spark, table)
     require(nDocs > 0, s"bm25Query: index $table is empty")
     // exact long sum over exact long sum — both engines divide the
     // same two numbers, so avgdl is bit-identical cross-engine
-    val avgdl = (st.getLong(1) - corr.getLong(1)).toDouble / nDocs.toDouble
-    // scan pruning: only the scoring-side scans narrow to the query
-    // terms — the `deleted` frame above stays UNFILTERED because the
-    // N/avgdl corrections are corpus-level facts (per-term df sums are
-    // term-local, so pruning the dictionary scan is exact)
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    val dict1 = correctedDict(spark, table, qterms)
+    // stop-term pruning (see param doc): a dict-side filter, so the
+    // pruned terms never reach the postings join at all
+    val dict = if (maxDfFrac < 1.0)
+      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
+    else dict1
+    partialsWith(spark, table, qt, k1, b, nDocs, avgdl, dict, qterms,
+      docFilter, broadcastDocs)
+  }
+
+  /** Deletion support shared by the stats/dict derivations: when a
+    * tombstone set exists, df/N/avgdl are corrected at QUERY time from
+    * `postings ∩ tombstones` (one extra broadcast semi-join scan of the
+    * term-bucketed postings; the df correction aggregate is
+    * term-bucketed too, so the dictionary join stays exchange-free) and
+    * the scoring join reads the anti-joined postings. Deriving
+    * everything from the id set alone is what makes bm25Delete
+    * crash-correct: there are no stored negative deltas to land or
+    * lose — bm25FoldTombstones restores the zero-extra-scan fast path.
+    */
+  private def deletedRows(spark: SparkSession,
+                          table: String): Option[DataFrame] =
+    Tombstones.idSet(spark, table).map(ts =>
+      spark.table(table).join(broadcast(ts),
+        col("doc_id") === col("id")).drop("id"))
+
+  /** The index's tombstone-corrected corpus stats: (N docs, Σ dl) —
+    * one-row driver reads (bounded control values). */
+  private def correctedStats(spark: SparkSession,
+                             table: String): (Long, Long) = {
+    val st = spark.table(s"${table}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("dl_sum"), lit(0L)).as("s")).head()
+    val corr = deletedRows(spark, table)
+      .map(_.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+        .head())
+      .getOrElse(org.apache.spark.sql.Row(0L, 0L))
+    (st.getLong(0) - corr.getLong(0), st.getLong(1) - corr.getLong(1))
+  }
+
+  /** The index's tombstone-corrected document frequencies, narrowed to
+    * the pushed query terms (the `deleted` correction frame stays
+    * UNFILTERED on the stats side because N/avgdl are corpus-level
+    * facts; per-term df sums are term-local, so pruning the dictionary
+    * scan is exact). */
+  private def correctedDict(spark: SparkSession, table: String,
+                            qterms: Option[Seq[String]]): DataFrame = {
     val dict0 = pruneToTerms(spark.table(s"${table}_terms"), qterms)
       .groupBy("term").agg(sum("df").as("df"))
-    val dict1 = deleted match {
+    deletedRows(spark, table) match {
       case Some(del) =>
         val dcorr = del.groupBy("term").agg(count(lit(1)).as("ddf"))
         dict0.join(dcorr, Seq("term"), "left")
@@ -479,11 +684,18 @@ object Retrieval {
           .filter(col("df") > 0)
       case None => dict0
     }
-    // stop-term pruning (see param doc): a dict-side filter, so the
-    // pruned terms never reach the postings join at all
-    val dict = if (maxDfFrac < 1.0)
-      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
-    else dict1
+  }
+
+  /** The scoring tail with the corpus constants INJECTED — what lets
+    * [[bm25ShardedQuery]]'s shards score against GLOBAL (N, avgdl, df)
+    * while each shard scans only its own postings. Single-index callers
+    * pass their own table's stats ([[bm25Partials]]). */
+  private def partialsWith(spark: SparkSession, table: String,
+                           qt: DataFrame, k1: Double, b: Double,
+                           nDocs: Long, avgdl: Double, dict: DataFrame,
+                           qterms: Option[Seq[String]],
+                           docFilter: Option[DataFrame],
+                           broadcastDocs: Boolean): DataFrame = {
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val dlD = col("dl").cast("double")
@@ -1020,10 +1232,9 @@ object Retrieval {
     val maxPushTerms = 1 << 12
     val qterms: Option[Seq[String]] = if (collected) {
       val ts = qdfRows.map(_.getString(1)).toSeq.distinct
-      if (ts.size <= maxPushTerms) {
-        raiseInFilterThreshold(spark, maxPushTerms + 1)
-        Some(ts)
-      } else None
+      // no threshold raise here: [[termScanFilter]] pushes the list
+      // stack-safely (per-value only up to the measured 1024 limit)
+      if (ts.size <= maxPushTerms) Some(ts) else None
     } else None
     // truncation cap in documents (Long.MaxValue = exact; stats are
     // read only when a dial needs corpus facts — the maxDfFrac cap and

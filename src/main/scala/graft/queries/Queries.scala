@@ -1372,6 +1372,45 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Sharded-serving gate ([[graft.operators.Retrieval.bm25ShardedQuery]],
+    * the layout for indexes too big for one box/table): the corpus
+    * splits doc-disjoint by id parity into TWO independent indexes;
+    * serving folds (N, avgdl, df) across the shard dictionaries and
+    * scores each shard against the global constants, merging bounded
+    * top-k lists. The oracle is t16's whole-corpus BM25 verbatim — the
+    * gate passes only if sharded serving is numerically
+    * indistinguishable from one index.
+    */
+  val t32_shardedbm25: Q = (s, d) => {
+    val t0 = s"shb0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shb1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    Retrieval.bm25ShardedQuery(s, Seq(t0, t1), bm25Queries(s, d),
+        "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sharded NEAR gate ([[graft.operators.Retrieval
+    * .bm25ShardedProximityQuery]]): t21's window-cover semantics over
+    * two doc-disjoint positional shards — per-shard covers (the match
+    * is doc-local), global-stats scoring, top-k merge. Oracle = t21's
+    * whole-corpus recomputation verbatim.
+    */
+  val t33_shardednear: Q = (s, d) => {
+    val t0 = s"shn0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shn1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0, positions = true)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1, positions = true)
+    Retrieval.bm25ShardedProximityQuery(s, Seq(t0, t1), bm25Queries(s, d),
+        "qid", "qtext", 5, window = 8)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1999,6 +2038,8 @@ object Queries {
     "t29_bowsnippets" -> t29_bowsnippets,
     "t30_lmremove" -> t30_lmremove,
     "t31_hybridsnippets" -> t31_hybridsnippets,
+    "t32_shardedbm25" -> t32_shardedbm25,
+    "t33_shardednear" -> t33_shardednear,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2063,6 +2104,63 @@ object Queries {
       |  COALESCE(s.logp_micro, 0) AS logp_micro
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin
+
+  /** The t21/t33 NEAR oracle (shared: sharded NEAR serving must equal
+    * the whole-corpus recomputation — that IS the t33 contract): covers
+    * derived occurrence-anchored over a positional view, scoring = t16
+    * restricted to matched docs.
+    */
+  private val nearOracleSql: String =
+    """WITH docs0 AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS toklist
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |pos AS (SELECT doc_id, unnest(toklist) AS term,
+      |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+      |        FROM docs0),
+      |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
+      |      FROM docs0 WHERE doc_id % 50 = 0),
+      |qt AS (SELECT DISTINCT qid, term FROM (
+      |  SELECT qid, unnest(qtoks) AS term FROM q)),
+      |qn AS (SELECT qid, count(*) AS nterms FROM qt GROUP BY qid),
+      |qpos AS (SELECT qt.qid, p.doc_id, p.term, p.pos
+      |         FROM qt JOIN pos p ON p.term = qt.term),
+      |matched AS (
+      |  SELECT qid, doc_id FROM (
+      |    SELECT a.qid, a.doc_id, a.pos,
+      |      count(DISTINCT o.term) AS nh, any_value(qn.nterms) AS nt
+      |    FROM qpos a
+      |    JOIN qpos o ON o.qid = a.qid AND o.doc_id = a.doc_id
+      |      AND o.pos BETWEEN a.pos AND a.pos + 7
+      |    JOIN qn ON qn.qid = a.qid
+      |    GROUP BY a.qid, a.doc_id, a.pos)
+      |  WHERE nh = nt GROUP BY qid, doc_id),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    CAST(sum(CAST(round(
+      |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2
+      |          / (CAST(tf.tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+      |  GROUP BY qt.qid, tf.doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT qid, doc_id, score_micro, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** The t22/t27 hybrid-RRF oracle (shared: the IVFPQ gate runs at
     * probeFrac = 1.0 with corpus-covering refineK, so its vector leg
@@ -2806,57 +2904,14 @@ object Queries {
     // iff some query-term occurrence a has every query term occurring
     // in [a.pos, a.pos + 7]. Scoring is the t16 pipeline restricted to
     // matches, identical to t20's restriction.
-    "t21_bm25near" ->
-      """WITH docs0 AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS toklist
-        |  FROM documents),
-        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |pos AS (SELECT doc_id, unnest(toklist) AS term,
-        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
-        |        FROM docs0),
-        |q AS (SELECT doc_id AS qid, list_slice(toklist, 1, 3) AS qtoks
-        |      FROM docs0 WHERE doc_id % 50 = 0),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |  SELECT qid, unnest(qtoks) AS term FROM q)),
-        |qn AS (SELECT qid, count(*) AS nterms FROM qt GROUP BY qid),
-        |qpos AS (SELECT qt.qid, p.doc_id, p.term, p.pos
-        |         FROM qt JOIN pos p ON p.term = qt.term),
-        |matched AS (
-        |  SELECT qid, doc_id FROM (
-        |    SELECT a.qid, a.doc_id, a.pos,
-        |      count(DISTINCT o.term) AS nh, any_value(qn.nterms) AS nt
-        |    FROM qpos a
-        |    JOIN qpos o ON o.qid = a.qid AND o.doc_id = a.doc_id
-        |      AND o.pos BETWEEN a.pos AND a.pos + 7
-        |    JOIN qn ON qn.qid = a.qid
-        |    GROUP BY a.qid, a.doc_id, a.pos)
-        |  WHERE nh = nt GROUP BY qid, doc_id),
-        |scored AS (
-        |  SELECT qt.qid, tf.doc_id,
-        |    CAST(sum(CAST(round(
-        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2
-        |          / (CAST(tf.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
-        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
-        |  GROUP BY qt.qid, tf.doc_id),
-        |ranked AS (
-        |  SELECT qid, doc_id, score_micro,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM scored)
-        |SELECT qid, doc_id, score_micro, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "t21_bm25near" -> nearOracleSql,
+
+    // Sharded serving ≡ one whole-corpus index: the Spark side split
+    // the corpus doc-disjoint (id parity) into two indexes and folded
+    // (N, avgdl, df) across the shard dictionaries — the oracles are
+    // t16's / t21's whole-corpus recomputations VERBATIM.
+    "t32_shardedbm25" -> bm25OracleSql(),
+    "t33_shardednear" -> nearOracleSql,
 
     // Hybrid RRF fusion: the t16 BM25 leg and the sim1 cosine leg
     // recomputed independently (queries = every 50th doc THAT HAS an

@@ -77,6 +77,27 @@ object DevLm {
       }
       println(f"[lm] n=$n score-slice(1%%)=${tSlice}%.1fs rows=$rowsS")
       System.out.flush()
+      // interactive-batch serving curve: the round-15 pushdown regime —
+      // batches whose distinct w1 fits the cap serve off pruned scans
+      // (batch-proportional); corpus-shaped batches fall back (their w1
+      // set touches every row group anyway). Report the batch's distinct
+      // w1 alongside so the engaged/fallback boundary is visible.
+      Seq(100L, 1000L, 10000L).filter(_ <= n / 10).foreach { bs =>
+        val step = n / bs
+        val batch = corpus.filter(col("doc_id") % step === 0)
+        val nw1 = batch
+          .select(org.apache.spark.sql.functions.explode(
+            graft.operators.TextOps.tokens(lower(col("text")))).as("w"))
+          .distinct().count()
+        val (rowsB, tBatch) = timed {
+          LangModel.score(spark, table, batch, "doc_id", "text")
+            .agg(count(lit(1)), sum("logp_micro"), sum("n_bigrams"))
+            .head().getLong(0)
+        }
+        println(f"[lm] n=$n score-batch($bs)=${tBatch}%.2fs rows=$rowsB " +
+          f"distinctW1=$nw1 (${tBatch / bs * 1000}%.2f ms/doc)")
+        System.out.flush()
+      }
       val (_, tCompact) = timed { LangModel.compact(spark, table) }
       val (rowsS2, tSlice2) = timed {
         LangModel.score(spark, table, slice, "doc_id", "text")

@@ -13,12 +13,20 @@ import graft.streaming.RefreshLoop
   * number that matters: per-epoch wall time staying flat across
   * epochs while the index grows (check O(batch), absorb O(novel),
   * plus the visible compaction spike on its cadence).
-  * `sbt "Test/runMain graft.DevRefresh [nDocs] [nEpochs]"`.
+  * `sbt "Test/runMain graft.DevRefresh [nDocs] [nEpochs] [mode]"`.
+  *
+  * `mode` selects the twin composition (the round-15 composition
+  * probe — the production loop runs every twin together and the
+  * per-twin taxes measured in isolation do not automatically add):
+  * document loop — `none` (admission only), `bm25`, `lm`, `all`
+  * (bm25 + LM together); vector loop — `pq` (LSH admission + IVFPQ),
+  * `allvec` (LSH + IVF + IVFPQ together).
   */
 object DevRefresh {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val nEpochs = if (args.length > 1) args(1).toInt else 5
+    val mode = if (args.length > 2) args(2) else "none"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,7 +35,9 @@ object DevRefresh {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    if (args.length > 2 && args(2) == "pq") { pqMain(spark, n, nEpochs); return }
+    if (mode == "pq" || mode == "allvec") {
+      pqMain(spark, n, nEpochs, withIvf = mode == "allvec"); return
+    }
     import spark.implicits._
 
     val dir = s"/tmp/graft-scale/docs$n"
@@ -40,10 +50,10 @@ object DevRefresh {
     val corpus = spark.read.parquet(dir).select("doc_id", "text")
       .filter(col("doc_id") < n) // DevScale corpora carry planted extras
 
-    val table = s"devrefresh_$n"
+    val table = s"devrefresh_${n}_$mode"
     val t0 = System.nanoTime()
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", table, buckets = 32)
-    println(f"[refresh] n=$n build=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    println(f"[refresh] n=$n mode=$mode build=${(System.nanoTime() - t0) / 1e9}%.1fs")
     System.out.flush()
 
     val batchSize = n / 50
@@ -56,9 +66,11 @@ object DevRefresh {
     val ms = MemoryStream[(Long, String)]
     @volatile var lastDups = 0L
     @volatile var lastNovel = 0L
-    // `lm` mode: the bigram-LM twin rides the loop (LangModel.append per
-    // epoch under the same ledger) — measures the LM absorb's epoch tax
-    val lmTable = if (args.length > 2 && args(2) == "lm") {
+    // twin selection: the bigram-LM and/or BM25 twins ride the loop
+    // (LangModel.append / Retrieval.bm25Append per epoch under the same
+    // ledger) — `lm`/`bm25` measure each absorb's epoch tax alone,
+    // `all` the production composition
+    val lmTable = if (mode == "lm" || mode == "all") {
       val t = s"${table}_lm"
       val t0 = System.nanoTime()
       graft.operators.LangModel.train(corpus, "doc_id", "text", t,
@@ -67,9 +79,19 @@ object DevRefresh {
       System.out.flush()
       Some(t)
     } else None
+    val bm25Table = if (mode == "bm25" || mode == "all") {
+      val t = s"${table}_bm"
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.bm25Build(corpus, "doc_id", "text", t,
+        buckets = 32)
+      println(f"[refresh] n=$n bm25Build=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.out.flush()
+      Some(t)
+    } else None
     val q = RefreshLoop.minhashRefresh(
         ms.toDF().toDF("doc_id", "text"), table,
-        "text", "doc_id", lmTable = lmTable, compactEvery = 3) { (dups, novel, _) =>
+        "text", "doc_id", bm25Table = bm25Table, lmTable = lmTable,
+        compactEvery = 3) { (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()
     }.start()
@@ -96,7 +118,7 @@ object DevRefresh {
         q.processAllAvailable()
         val sec = (System.nanoTime() - te) / 1e9
         val compacted = if (e % 3 == 0) " (compacted)" else ""
-        println(f"[refresh] n=$n epoch=$e batch=${resubEpoch.length + novelDocs.length} " +
+        println(f"[refresh] n=$n mode=$mode epoch=$e batch=${resubEpoch.length + novelDocs.length} " +
           f"dupDocs=$lastDups novel=$lastNovel ${sec}%.1fs$compacted")
         System.out.flush()
       }
@@ -113,11 +135,16 @@ object DevRefresh {
     * grow (the minhash loop's 0.12–0.15 ms/doc standard), and the
     * drift signal QUIESCENT on in-distribution batches (printed per
     * epoch from a post-epoch probe).
-    * `sbt "Test/runMain graft.DevRefresh [n] [epochs] pq"`.
+    * `sbt "Test/runMain graft.DevRefresh [n] [epochs] pq"`; `allvec`
+    * additionally rides a standing IVF serving index
+    * ([[graft.operators.Similarity.ivfAppend]]) on the same epochs —
+    * the vector loop's full production composition.
     */
-  private def pqMain(spark: SparkSession, n: Long, nEpochs: Int): Unit = {
+  private def pqMain(spark: SparkSession, n: Long, nEpochs: Int,
+                     withIvf: Boolean): Unit = {
     import spark.implicits._
     import graft.operators.{ProductQuant, Similarity}
+    val mode = if (withIvf) "allvec" else "pq"
     val dim = 64
     def vecs(ids: org.apache.spark.sql.DataFrame, seed: Long) =
       ids.select(col("id"),
@@ -127,7 +154,7 @@ object DevRefresh {
 
     val corpus = vecs(spark.range(n).repartition(32).toDF("id"), 1L)
       .select(col("id").as("vec_id"), col("embedding"))
-    val table = s"devpqrefresh_$n"
+    val table = s"devpqrefresh_${n}_$mode"
     val pq = s"${table}_pq"
     // nBits ≈ log2(N) — the LSH admission index's documented sizing
     // contract (Similarity.lshIndexBuild scaladoc). The default 16 at

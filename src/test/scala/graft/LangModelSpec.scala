@@ -206,6 +206,28 @@ class LangModelSpec extends AnyFunSuite {
     assert(a == b, "pushed plan diverged from full-scan fallback")
   }
 
+  test("score stays exact past the per-value parquet push limit (chunked-union regime)") {
+    // 3000+ distinct first-words: this very batch shape stack-overflowed
+    // parquet's per-value IN tree before the chunked pushes
+    // (DevPushProbe: 1024 values ok, 2048 SO) — the scan must split into
+    // sorted <=1024-value chunks, each with its own pushed IN, unioned,
+    // and stay exact
+    import org.apache.spark.sql.functions.{array_join, transform, sequence,
+      lit, format_string}
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(54)),
+        j => format_string("w%05d", col("id") * 55 + j)), " ").as("text"))
+    val t = s"lm_spec_bigpush_${System.nanoTime()}"
+    LangModel.train(docs, "doc_id", "text", t, buckets = 4)
+    val pushed = LangModel.score(spark, t, docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val full = LangModel.score(spark, t, docs, "doc_id", "text",
+        maxPushTerms = 0)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(pushed == full, "range-chunk pushed plan diverged from full scan")
+    assert(pushed.forall(_._2 === 54L))
+  }
+
   test("score reads V from the stats ledger, never the vocab table") {
     val train = Seq((0L, "a b c a b")).toDF("doc_id", "text")
     val t = s"lm_spec_stats_${System.nanoTime()}"

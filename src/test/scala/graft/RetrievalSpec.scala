@@ -443,4 +443,56 @@ class RetrievalSpec extends AnyFunSuite {
         s"index-side shuffle found:\n${offending.mkString("\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("sharded serving == one whole-corpus index (bag, phrase, NEAR), tombstones included") {
+    // a corpus big enough that shard-local stats would visibly diverge
+    // from global ones if the fold were wrong
+    val docs = graft.sources.Generators.randomText(spark, 200, seed = 77L,
+        wordsMin = 5, wordsMax = 25, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val stamp = System.nanoTime()
+    val whole = s"bm25_shard_whole_$stamp"
+    val s0 = s"bm25_shard_a_$stamp"
+    val s1 = s"bm25_shard_b_$stamp"
+    Retrieval.bm25Build(docs, "doc_id", "text", whole, buckets = 2,
+      positions = true)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2, positions = true)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2, positions = true)
+    val q = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(
+          lower(col("text"))), 1, 3)).as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    // bag of words
+    assert(rows(Retrieval.bm25ShardedQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", 5)) ===
+      rows(Retrieval.bm25Query(spark, whole, q, "qid", "qtext", 5)),
+      "sharded bag-of-words diverged from the whole index")
+    // phrase
+    assert(rows(Retrieval.bm25ShardedPhraseQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", 5)) ===
+      rows(Retrieval.bm25PhraseQuery(spark, whole, q, "qid", "qtext", 5)),
+      "sharded phrase diverged from the whole index")
+    // NEAR
+    assert(rows(Retrieval.bm25ShardedProximityQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", 5, window = 8)) ===
+      rows(Retrieval.bm25ProximityQuery(spark, whole, q, "qid", "qtext", 5,
+        window = 8)),
+      "sharded NEAR diverged from the whole index")
+    // tombstones on ONE shard must fold into the global stats exactly
+    // like a whole-index delete of the same ids
+    val dead = docs.filter(col("doc_id") % 10 === 4).select("doc_id")
+    Retrieval.bm25Delete(spark, whole, dead, "doc_id")
+    Retrieval.bm25Delete(spark, s0, dead.filter(col("doc_id") % 2 === 0),
+      "doc_id")
+    Retrieval.bm25Delete(spark, s1, dead.filter(col("doc_id") % 2 =!= 0),
+      "doc_id")
+    assert(rows(Retrieval.bm25ShardedQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", 5)) ===
+      rows(Retrieval.bm25Query(spark, whole, q, "qid", "qtext", 5)),
+      "sharded deletion corrections diverged from the whole index")
+  }
 }
