@@ -279,29 +279,37 @@ object LangModel {
     * the plan (bucket-local aggregates, no exchange on the index).
     *
     * SCAN NARROWING (the BM25 pushed-term discipline,
-    * [[Retrieval.prunedByValues]]): the batch's distinct w1 values
-    * collect under a bounded cap (`maxPushTerms`, default 16384 —
-    * document batches carry far more distinct terms than query
-    * batches, so the cap sits 4× above BM25's; the collect reads at
-    * most cap+1 rows — a bounded control value) and push into the
-    * delta scan as exact per-value parquet INs, chunked at the
-    * measured stack-safe 1024 values per scan and unioned (pages skip
-    * on exact values at any list size). BOTH folds stay exact: the
-    * bigram fold only ever joins on batch (w1, w2) pairs (w1 superset
-    * ✓), and the history fold groups by w1 with every w2 row for a
-    * retained w1 kept (w1-level pruning loses nothing ✓). The chunked
-    * union forfeits the scan's bucket partitioning, so over-1024
-    * batches pay one exchange — of the PRUNED, batch-proportional
-    * rows, which is the trade the pruning exists to buy. Batches past
-    * the cap fall back to the full-scan plan — their w1 set touches
-    * most of the vocabulary and the unpruned zero-exchange fold IS the
-    * right plan (measured: BASELINE.md round-15 LM serving table).
+    * [[Retrieval.prunedByValues]]), gated in two bounded steps so
+    * corpus-shaped calls never pay for it:
+    *  1. a `limit(maxPushDocs + 1).count()` probe (bounded control
+    *     read) — batches past `maxPushDocs` docs (default 2048) take
+    *     the unpruned zero-exchange fold directly, WITHOUT the term
+    *     collect: a corpus-shaped batch's w1 set is the vocabulary, so
+    *     pruning cannot help and the collect's extra tokenize pass is
+    *     pure loss (measured: +32% on the full-corpus bench_lm shape
+    *     before this gate);
+    *  2. for small-doc batches, the distinct w1 values collect under
+    *     `maxPushTerms` (default 16384 — the cap bounds the literal
+    *     list the plan carries; a vocabulary-sized ~131k-literal IN
+    *     was MEASURED to OOM an 8 GiB JVM through optimizer tree
+    *     churn) and prune the delta scan: per-value parquet IN up to
+    *     256 distinct w1 (pages skip on exact values), post-scan InSet
+    *     above (the fold's AGGREGATE then runs on batch-proportional
+    *     rows while the scan keeps its bucketing — zero exchange
+    *     either way).
+    * BOTH folds stay exact: the bigram fold only ever joins on batch
+    * (w1, w2) pairs (w1 superset ✓), and the history fold groups by
+    * w1 with every w2 row for a retained w1 kept (w1-level pruning
+    * loses nothing ✓). Measured (BASELINE.md round-15 LM serving
+    * table): a 100-doc batch at 1e7 serves 2.4–3× under the unpruned
+    * fold; the full-corpus pass is untouched at ~23 μs/doc.
     * V never touches the vocab: it is the one-row fold of the tiny
     * `_stats` delta ledger maintained by train/append/remove.
     */
   def score(spark: SparkSession, table: String, docs: DataFrame,
             idCol: String, textCol: String,
-            maxPushTerms: Int = 1 << 14): DataFrame = {
+            maxPushTerms: Int = 1 << 14,
+            maxPushDocs: Int = 1 << 11): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     // heal a crashed compact before reading (the rename-aside swap can
     // die between its two renames, leaving a table briefly absent —
@@ -320,12 +328,16 @@ object LangModel {
       "vocabulary (trained on an empty or whitespace-only corpus, " +
       "or fully removed)")
     val bg = bigrams(docs, idCol, textCol)
-    val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
-      .collect().map(_.getString(0)).toSeq
+    val smallBatch = maxPushDocs > 0 &&
+      docs.limit(maxPushDocs + 1).count() <= maxPushDocs
     val idx =
-      if (w1s.size <= maxPushTerms)
-        Retrieval.prunedByValues(spark.table(table), "w1", w1s)
-      else spark.table(table)
+      if (smallBatch) {
+        val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (w1s.size <= maxPushTerms)
+          Retrieval.prunedByValues(spark.table(table), "w1", w1s)
+        else spark.table(table)
+      } else spark.table(table)
     val cnt = idx.groupBy("w1", "w2").agg(sum("c").as("c"))
     val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val contrib = bg

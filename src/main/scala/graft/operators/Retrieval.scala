@@ -538,43 +538,48 @@ object Retrieval {
       spark.conf.set(key, target.toString)
   }
 
-  /** MEASURED parquet per-value IN depth limit (DevPushProbe, this
-    * Spark/parquet build): a pushed `In` becomes a recursively-nested
-    * OR tree in parquet-mr whose evaluation overflows the executor
-    * stack — 1024 values evaluate fine, 2048 StackOverflow. Term lists
-    * above this push as [[termScanFilter]]'s chunked ranges instead.
-    * (Found round 15: the LM batch pushdown hit the wall at ~3k terms;
-    * the BM25 family's 4096-value collect cap had sat above the cliff
-    * since round 12 without a measured batch ever crossing 1024.)
+  /** MEASURED parquet per-value IN depth limit (DevPushProbe + in-vivo,
+    * this Spark/parquet build): a pushed `In` becomes a recursively-
+    * nested OR tree in parquet-mr whose evaluation overflows the
+    * executor stack. The synthetic probe passes 1024 values and dies at
+    * 2048 — but 1024 ALSO died in vivo (DevLm round 15: the same
+    * predicate under deeper whole-stage-codegen shuffle-task stacks),
+    * so the cliff is stack-geometry-sensitive and the cap carries 4×
+    * margin under the in-vivo failure. Term lists above it split into
+    * [[prunedByValues]]' chunked scans. (Found round 15: the LM batch
+    * pushdown hit the wall at ~3k terms; the BM25 family's 4096-value
+    * collect cap had sat above the cliff since round 12 without a
+    * measured batch ever crossing a few hundred.)
     */
-  private[operators] val maxInPushValues = 1024
+  private[operators] val maxInPushValues = 256
 
   /** Exact value-pruned scan at ANY list size — the stack-safe form of
-    * the per-value parquet pushdown. Lists up to [[maxInPushValues]]
-    * push as one per-value IN (page-level skip on exact values — the
-    * sorted-by-term layout makes pages term-contiguous, which is what
-    * the round-12 serving curve measured). Longer lists split into
-    * SORTED chunks of [[maxInPushValues]], one scan per chunk with its
-    * own pushed IN, unioned — every chunk keeps the exact-value page
-    * skip (sorted chunks are vocabulary-contiguous, so each scan's
-    * pages cluster), total emitted mass stays the matching rows only,
-    * and no single predicate ever exceeds the measured depth. The
-    * union forfeits the scan's bucket partitioning (a downstream
-    * aggregate re-shuffles), but the shuffled mass is the PRUNED rows —
-    * batch-proportional, which is the point of pruning. (A pushed
-    * range-OR + post-scan InSet was tried first and measured WORSE
-    * than the full scan on zipf vocabularies: scattered terms make 64
-    * ranges cover the whole vocabulary, so nothing skips and every row
-    * pays the OR chain.)
+    * the per-value parquet pushdown, two regimes:
+    *  - ≤ [[maxInPushValues]] values: one scan with a pushed per-value
+    *    IN — page-level skip on exact values (the sorted-by-term layout
+    *    makes pages term-contiguous), the round-12 measured serving
+    *    win. Query-shaped term lists live here.
+    *  - above: one scan with the SAME `isin` but the pushdown threshold
+    *    left below the list size, so parquet receives only the min/max
+    *    range and the exact membership evaluates post-scan as an InSet
+    *    hash probe. No per-value predicate tree ever forms (the
+    *    stack-overflow cliff), the scan keeps its bucket partitioning
+    *    (downstream folds stay zero-exchange), and the aggregate runs
+    *    on the pruned, batch-proportional rows — the scan itself is the
+    *    only index-sized cost. Two alternatives were MEASURED WORSE on
+    *    zipf vocabularies (BASELINE.md round-15): a pushed range-OR +
+    *    InSet (scattered terms make the ranges cover the whole
+    *    vocabulary — nothing skips, every row pays the OR chain) and a
+    *    union of ≤cap-value chunk scans (page skip is nil once terms
+    *    outnumber pages, and per-scan setup × chunks dominates).
     */
   private[operators] def prunedByValues(df: DataFrame, colName: String,
                                         values: Seq[String]): DataFrame = {
     if (values.isEmpty) df.filter(lit(false))
     else {
-      raiseInFilterThreshold(df.sparkSession, maxInPushValues + 1)
-      values.sorted.grouped(maxInPushValues)
-        .map(c => df.filter(col(colName).isin(c: _*)))
-        .reduce(_.unionByName(_))
+      if (values.size <= maxInPushValues)
+        raiseInFilterThreshold(df.sparkSession, maxInPushValues + 1)
+      df.filter(col(colName).isin(values: _*))
     }
   }
 

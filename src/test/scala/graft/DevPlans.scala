@@ -42,7 +42,10 @@ object DevPlans {
       // r14 surface: snippet extraction (phrase/NEAR/bag-of-words) and
       // the IVFPQ-served hybrid leg
       "t26_snippets", "t27_hybridpq", "t28_nearsnippets",
-      "t29_bowsnippets")
+      "t29_bowsnippets",
+      // r15 surface: LM takedown, hybrid snippets, sharded serving
+      "t30_lmremove", "t31_hybridsnippets", "t32_shardedbm25",
+      "t33_shardednear")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -89,7 +92,11 @@ object DevPlans {
       "t26_snippets" -> "Ranking is t20's plan verbatim; the snippet text join probes the corpus with k·|queries| rows strictly AFTER top-k — never a corpus product.",
       "t27_hybridpq" -> "t22's fusion shape with the vector leg served from PQ codes (~32× smaller than raw vectors): ADC tables broadcast per query batch, refine re-ranks only the quantized top-rk on raw vectors — corpus vectors never shuffle.",
       "t28_nearsnippets" -> "Ranking is t21's plan; the cover-start pass semi-joins the positional scan down to the ranked rows BEFORE any occurrence explodes — span derivation costs top-k position mass, text joins after top-k.",
-      "t29_bowsnippets" -> "Ranking is t16's plan; per-term partials recompute only for the broadcast-semi-joined top-k docs, the argmax runs on that tiny frame, and the first offset reads the delta-list head without decoding.")
+      "t29_bowsnippets" -> "Ranking is t16's plan; per-term partials recompute only for the broadcast-semi-joined top-k docs, the argmax runs on that tiny frame, and the first offset reads the delta-list head without decoding.",
+      "t30_lmremove" -> "Takedown is an O(batch) append of NEGATED deltas — nothing rewrites; the same zero-exchange fold that absorbs appends cancels removals, and V reads from the one-row stats ledger.",
+      "t31_hybridsnippets" -> "Fusion's bounded top-k drives the t29 span pass: partials recompute only for fused docs (broadcast semi-join), text joins strictly after fusion, vector-only hits keep rank with null spans via LEFT joins.",
+      "t32_shardedbm25" -> "Global (N, avgdl, df) fold across shard dictionaries (tiny, term-pruned); each shard's postings scan is the single-index pushed plan verbatim; the merge is one bounded top-k over k-per-shard rows.",
+      "t33_shardednear" -> "Per-shard window covers (the match is doc-local — a shard owns all its docs' positions), global-stats scoring, candidate gating per shard; the union carries matched docs only.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")

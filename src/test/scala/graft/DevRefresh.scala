@@ -169,16 +169,25 @@ object DevRefresh {
     t0 = System.nanoTime()
     ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", pq, m = 8,
       buckets = 32)
+    val tPq = (System.nanoTime() - t0) / 1e9
+    // allvec: a standing IVF serving index rides the same epochs
+    val ivf = if (withIvf) {
+      val t = s"${table}_ivf"
+      t0 = System.nanoTime()
+      Similarity.ivfBuild(corpus, "vec_id", "embedding", t, buckets = 32)
+      println(f"[pqrefresh] n=$n ivfBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      Some(t)
+    } else None
     println(f"[pqrefresh] n=$n nBits=$bits lshBuild=${tLsh}%.1fs " +
-      f"pqBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      f"pqBuild=${tPq}%.1fs")
     System.out.flush()
 
     val batchSize = (n / 50).toInt
     @volatile var lastDups = 0L
     @volatile var lastNovel = 0L
     val fn = graft.streaming.RefreshLoop.embeddingBatch(table,
-        "vec_id", "embedding", nBits = bits, pqTable = Some(pq),
-        compactEvery = 3) { (dups, novel, _) =>
+        "vec_id", "embedding", nBits = bits, ivfTable = ivf,
+        pqTable = Some(pq), compactEvery = 3) { (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()
     }

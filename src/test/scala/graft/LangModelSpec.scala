@@ -206,12 +206,11 @@ class LangModelSpec extends AnyFunSuite {
     assert(a == b, "pushed plan diverged from full-scan fallback")
   }
 
-  test("score stays exact past the per-value parquet push limit (chunked-union regime)") {
+  test("score stays exact past the per-value parquet push limit (InSet regime)") {
     // 3000+ distinct first-words: this very batch shape stack-overflowed
-    // parquet's per-value IN tree before the chunked pushes
-    // (DevPushProbe: 1024 values ok, 2048 SO) — the scan must split into
-    // sorted <=1024-value chunks, each with its own pushed IN, unioned,
-    // and stay exact
+    // parquet's per-value IN tree before round 15 capped the pushdown
+    // depth — past the cap the list must evaluate as a post-scan InSet
+    // (only min/max reaches parquet) and stay exact
     import org.apache.spark.sql.functions.{array_join, transform, sequence,
       lit, format_string}
     val docs = spark.range(60).select(col("id").as("doc_id"),
