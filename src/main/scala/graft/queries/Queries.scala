@@ -1411,6 +1411,24 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Sharded PHRASE gate ([[graft.operators.Retrieval
+    * .bm25ShardedPhraseQuery]]): t20's consecutive-in-order matching
+    * over two doc-disjoint positional shards — per-shard alignment
+    * (phrase occurrences are doc-local), global-stats scoring, top-k
+    * merge. Oracle = t20's whole-corpus recomputation verbatim.
+    */
+  val t34_shardedphrase: Q = (s, d) => {
+    val t0 = s"shp0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shp1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0, positions = true)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1, positions = true)
+    Retrieval.bm25ShardedPhraseQuery(s, Seq(t0, t1), bm25Queries(s, d),
+        "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2040,6 +2058,7 @@ object Queries {
     "t31_hybridsnippets" -> t31_hybridsnippets,
     "t32_shardedbm25" -> t32_shardedbm25,
     "t33_shardednear" -> t33_shardednear,
+    "t34_shardedphrase" -> t34_shardedphrase,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2104,6 +2123,55 @@ object Queries {
       |  COALESCE(s.logp_micro, 0) AS logp_micro
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin
+
+  /** The t20/t34 phrase oracle (shared: sharded phrase serving must
+    * equal the whole-corpus recomputation — the t34 contract): phrase
+    * membership via substring match on the single-space-joined token
+    * list, scoring = t16 restricted to matched docs.
+    */
+  private val phraseOracleSql: String =
+    """WITH docs0 AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS toklist
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |q AS (SELECT doc_id AS qid,
+      |        array_to_string(list_slice(toklist, 1, 3), ' ') AS phrase,
+      |        list_slice(toklist, 1, 3) AS qtoks
+      |      FROM docs0 WHERE doc_id % 50 = 0),
+      |qt AS (SELECT DISTINCT qid, term FROM (
+      |  SELECT qid, unnest(qtoks) AS term FROM q)),
+      |matched AS (
+      |  SELECT q.qid, d.doc_id
+      |  FROM q JOIN docs0 d
+      |    ON length(q.phrase) > 0
+      |   AND position((' ' || q.phrase || ' ') IN
+      |        (' ' || array_to_string(d.toklist, ' ') || ' ')) > 0),
+      |scored AS (
+      |  SELECT qt.qid, tf.doc_id,
+      |    CAST(sum(CAST(round(
+      |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2
+      |          / (CAST(tf.tf AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
+      |  GROUP BY qt.qid, tf.doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT qid, doc_id, score_micro, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** The t21/t33 NEAR oracle (shared: sharded NEAR serving must equal
     * the whole-corpus recomputation — that IS the t33 contract): covers
@@ -2854,49 +2922,7 @@ object Queries {
     // single-space-joined token list (exact consecutive-token
     // occurrence under the same tokenizer; position() does no wildcard
     // matching). Scoring is the t16 pipeline restricted to matches.
-    "t20_bm25phrase" ->
-      """WITH docs0 AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS toklist
-        |  FROM documents),
-        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |q AS (SELECT doc_id AS qid,
-        |        array_to_string(list_slice(toklist, 1, 3), ' ') AS phrase,
-        |        list_slice(toklist, 1, 3) AS qtoks
-        |      FROM docs0 WHERE doc_id % 50 = 0),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |  SELECT qid, unnest(qtoks) AS term FROM q)),
-        |matched AS (
-        |  SELECT q.qid, d.doc_id
-        |  FROM q JOIN docs0 d
-        |    ON length(q.phrase) > 0
-        |   AND position((' ' || q.phrase || ' ') IN
-        |        (' ' || array_to_string(d.toklist, ' ') || ' ')) > 0),
-        |scored AS (
-        |  SELECT qt.qid, tf.doc_id,
-        |    CAST(sum(CAST(round(
-        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2
-        |          / (CAST(tf.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
-        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |       JOIN matched m ON m.qid = qt.qid AND m.doc_id = tf.doc_id
-        |  GROUP BY qt.qid, tf.doc_id),
-        |ranked AS (
-        |  SELECT qid, doc_id, score_micro,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM scored)
-        |SELECT qid, doc_id, score_micro, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "t20_bm25phrase" -> phraseOracleSql,
 
     // NEAR membership restated occurrence-anchored: all distinct query
     // terms lie in some 8-slot window iff they lie in the window
@@ -2912,6 +2938,7 @@ object Queries {
     // t16's / t21's whole-corpus recomputations VERBATIM.
     "t32_shardedbm25" -> bm25OracleSql(),
     "t33_shardednear" -> nearOracleSql,
+    "t34_shardedphrase" -> phraseOracleSql,
 
     // Hybrid RRF fusion: the t16 BM25 leg and the sim1 cosine leg
     // recomputed independently (queries = every 50th doc THAT HAS an

@@ -45,7 +45,7 @@ object DevPlans {
       "t29_bowsnippets",
       // r15 surface: LM takedown, hybrid snippets, sharded serving
       "t30_lmremove", "t31_hybridsnippets", "t32_shardedbm25",
-      "t33_shardednear")
+      "t33_shardednear", "t34_shardedphrase")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -96,7 +96,8 @@ object DevPlans {
       "t30_lmremove" -> "Takedown is an O(batch) append of NEGATED deltas — nothing rewrites; the same zero-exchange fold that absorbs appends cancels removals, and V reads from the one-row stats ledger.",
       "t31_hybridsnippets" -> "Fusion's bounded top-k drives the t29 span pass: partials recompute only for fused docs (broadcast semi-join), text joins strictly after fusion, vector-only hits keep rank with null spans via LEFT joins.",
       "t32_shardedbm25" -> "Global (N, avgdl, df) fold across shard dictionaries (tiny, term-pruned); each shard's postings scan is the single-index pushed plan verbatim; the merge is one bounded top-k over k-per-shard rows.",
-      "t33_shardednear" -> "Per-shard window covers (the match is doc-local — a shard owns all its docs' positions), global-stats scoring, candidate gating per shard; the union carries matched docs only.")
+      "t33_shardednear" -> "Per-shard window covers (the match is doc-local — a shard owns all its docs' positions), global-stats scoring, candidate gating per shard; the union carries matched docs only.",
+      "t34_shardedphrase" -> "Per-shard phrase alignment (occurrences are doc-local), rarest-term candidate gates per shard, global-stats scoring; the merge is one bounded top-k over matched docs.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
