@@ -213,6 +213,74 @@ object Fusion {
     else rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
   }
 
+  /** [[hybridQuery]] over DOC-DISJOINT shard indexes on BOTH legs —
+    * hybrid serving at the scale where neither the lexical index nor
+    * the vector corpus fits one table/box (the round-15 sharded layout
+    * end-to-end: BASELINE.md measures one 10⁷-doc positional BM25 shard
+    * at 5.85 GB, so 10⁸ docs shard or die). The lexical leg is
+    * [[Retrieval.bm25ShardedQuery]] (global (N, avgdl, df) folded
+    * across shard dictionaries — exactly the whole-index ranking); the
+    * vector leg is exactly ONE of: sharded IVFPQ
+    * ([[ProductQuant.ivfPqShardedQuery]], the memory-budget path),
+    * sharded IVF ([[Similarity.ivfShardedQuery]], raw vectors), or
+    * sharded brute force ([[Similarity.bruteForceShardedTopK]] over
+    * `vecShards`, exact). Both legs hand fusion the same bounded
+    * kPerLeg lists as the single-index form — since sharded BM25 is
+    * exact and sharded brute force is exact, the fused result with
+    * `vecShards` is EXACTLY [[hybridQuery]]'s on the union corpus
+    * (oracle-gated at t36); the shard split shows up only in where the
+    * legs' work runs. The fusion itself is the identical [[rrf]]/
+    * [[linear]] tail: shard count never touches scores.
+    */
+  def hybridShardedQuery(spark: SparkSession, bm25Tables: Seq[String],
+                         queries: DataFrame, qidCol: String,
+                         textCol: String, vecCol: String, k: Int,
+                         kPerLeg: Int = 20, rrfK: Int = 60,
+                         wLex: Double = 1.0, wVec: Double = 1.0,
+                         vecIndexes: Option[Seq[String]] = None,
+                         vecShards: Option[Seq[DataFrame]] = None,
+                         embIdCol: String = "vec_id",
+                         embVecCol: String = "embedding",
+                         probeFrac: Double = 0.5,
+                         maxDfFrac: Double = 1.0,
+                         mode: String = "rrf",
+                         pqIndexes: Option[Seq[String]] = None,
+                         refineK: Int = 0): DataFrame = {
+    require(bm25Tables.nonEmpty,
+      "hybridShardedQuery needs at least one BM25 shard")
+    require(pqIndexes.nonEmpty || vecIndexes.nonEmpty || vecShards.nonEmpty,
+      "hybridShardedQuery needs a vector leg: pass pqIndexes (standing " +
+        "IVFPQ shards), vecIndexes (standing IVF shards) or vecShards " +
+        "(brute-force corpus shards)")
+    require(pqIndexes.isEmpty || vecIndexes.isEmpty,
+      "hybridShardedQuery got BOTH pqIndexes and vecIndexes — the " +
+        "vector leg serves from exactly one standing family; pass the " +
+        "one you mean")
+    require(mode == "rrf" || mode == "linear",
+      s"""mode must be "rrf" or "linear", got "$mode"""")
+    val lex = Retrieval.bm25ShardedQuery(spark, bm25Tables, queries,
+        qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac)
+      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
+        col("score_micro").cast("double").as("score"))
+    val vec = ((pqIndexes, vecIndexes) match {
+      case (Some(ts), _) =>
+        ProductQuant.ivfPqShardedQuery(spark, ts, queries, qidCol, vecCol,
+          kPerLeg, probeFrac = probeFrac, refineK = refineK)
+      case (None, Some(ts)) =>
+        Similarity.ivfShardedQuery(spark, ts, queries, qidCol, vecCol,
+          kPerLeg, probeFrac = probeFrac)
+      case (None, None) =>
+        Similarity.bruteForceShardedTopK(
+          vecShards.get.map(_.select(col(embIdCol).as("_vid"),
+            col(embVecCol).as("_vv"))),
+          queries.select(col(qidCol).as("_vid"), col(vecCol).as("_vv")),
+          "_vid", "_vv", kPerLeg)
+    }).select(col("qid"), col("nid").as("id"), col("rank"),
+        col("cos").as("score"))
+    if (mode == "linear") linear(Seq(lex -> wLex, vec -> wVec), k)
+    else rrf(Seq(lex -> wLex, vec -> wVec), k, rrfK)
+  }
+
   /** [[hybridQuery]] + passage extraction — what a RAG consumer
     * actually reads: each fused top-k hit carries the first occurrence
     * of its best-scoring lexical query term and the ±`context`-token

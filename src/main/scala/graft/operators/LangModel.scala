@@ -328,17 +328,85 @@ object LangModel {
       "vocabulary (trained on an empty or whitespace-only corpus, " +
       "or fully removed)")
     val bg = bigrams(docs, idCol, textCol)
+    val w1s = pushableW1(bg, docs, maxPushTerms, maxPushDocs)
+    val idx = w1s.map(Retrieval.prunedByValues(spark.table(table), "w1", _))
+      .getOrElse(spark.table(table))
+    scoreFolded(bg, docs, idCol, v,
+      idx.groupBy("w1", "w2").agg(sum("c").as("c")))
+  }
+
+  /** [[score]] against a DOC-DISJOINT family of shard models — the
+    * serving form when the corpus trains shard-parallel (the round-15
+    * sharded layout applied to the LM: S shards each [[train]] on their
+    * own documents with zero coordination — counts are ADDITIVE, so the
+    * union of the shard delta tables IS the whole-corpus model's count
+    * table, exactly; oracle-gated at t35 against a train-on-everything
+    * model). Per-shard folds stay bucket-local zero-exchange; only the
+    * FOLDED per-shard (w1, w2) rows — term-pruned for small batches by
+    * the same two-step gate as [[score]] — cross shards in the combine.
+    *
+    * The one cost [[score]] doesn't pay: V must fold ACROSS the shard
+    * vocabularies (shards overlap on words, so the per-shard stats
+    * ledgers are NOT additive) — one vocabulary-bounded driver count
+    * per call (vocabularies grow ~log with corpus mass; at the measured
+    * 10⁷-doc zipf corpus the vocab table is 131k rows — control-plane
+    * sized, never corpus sized). Callers on a serving cadence should
+    * memoize it per model generation.
+    */
+  def scoreSharded(spark: SparkSession, tables: Seq[String],
+                   docs: DataFrame, idCol: String, textCol: String,
+                   maxPushTerms: Int = 1 << 14,
+                   maxPushDocs: Int = 1 << 11): DataFrame = {
+    require(tables.nonEmpty, "scoreSharded needs at least one shard")
+    GraftFunctions.ensureRegistered(spark)
+    tables.foreach { t =>
+      BucketedJoin.recoverCompacted(spark, t)
+      BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
+      BucketedJoin.recoverCompacted(spark, s"${t}_stats")
+    }
+    val v = tables.map(t => spark.table(s"${t}_vocab").select("w", "c"))
+      .reduce(_.unionByName(_))
+      .groupBy("w").agg(sum("c").as("c")).filter(col("c") > 0)
+      .count()
+    require(v > 0, s"LangModel.scoreSharded: shards $tables fold to an " +
+      "empty vocabulary (trained on empty or whitespace-only corpora, " +
+      "or fully removed)")
+    val bg = bigrams(docs, idCol, textCol)
+    val w1s = pushableW1(bg, docs, maxPushTerms, maxPushDocs)
+    val cnt = tables.map { t =>
+        val base = spark.table(t).select("w1", "w2", "c")
+        w1s.map(Retrieval.prunedByValues(base, "w1", _)).getOrElse(base)
+          .groupBy("w1", "w2").agg(sum("c").as("c"))
+      }.reduce(_.unionByName(_))
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+    scoreFolded(bg, docs, idCol, v, cnt)
+  }
+
+  /** The two-step scan-narrowing gate shared by [[score]] and
+    * [[scoreSharded]] (see [[score]]'s SCAN NARROWING note): None ⇒
+    * take the unpruned fold; Some(w1s) ⇒ prune the delta scan(s) to the
+    * batch's distinct w1 values.
+    */
+  private def pushableW1(bg: DataFrame, docs: DataFrame,
+                         maxPushTerms: Int, maxPushDocs: Int)
+      : Option[Seq[String]] = {
     val smallBatch = maxPushDocs > 0 &&
       docs.limit(maxPushDocs + 1).count() <= maxPushDocs
-    val idx =
-      if (smallBatch) {
-        val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
-          .collect().map(_.getString(0)).toSeq
-        if (w1s.size <= maxPushTerms)
-          Retrieval.prunedByValues(spark.table(table), "w1", w1s)
-        else spark.table(table)
-      } else spark.table(table)
-    val cnt = idx.groupBy("w1", "w2").agg(sum("c").as("c"))
+    if (!smallBatch) None
+    else {
+      val w1s = bg.select("w1").distinct().limit(maxPushTerms + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (w1s.size <= maxPushTerms) Some(w1s) else None
+    }
+  }
+
+  /** The shared scoring tail: smooth-join the batch's bigrams against
+    * the FOLDED count table `cnt` (one row per (w1, w2); `hist` derives
+    * from it, so w1-level pruning upstream stays exact), integer-micro
+    * per-doc sums, <2-token docs restored as (0, 0).
+    */
+  private def scoreFolded(bg: DataFrame, docs: DataFrame, idCol: String,
+                          v: Long, cnt: DataFrame): DataFrame = {
     val hist = cnt.groupBy("w1").agg(sum("c").as("ch"))
     val contrib = bg
       .join(cnt, Seq("w1", "w2"), "left")

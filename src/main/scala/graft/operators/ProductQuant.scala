@@ -588,4 +588,29 @@ object ProductQuant {
         run(q0.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i)))
       .reduce(_.unionByName(_))
   }
+
+  /** [[ivfPqQuery]] over doc-disjoint shard indexes — the memory-budget
+    * ANN leg at the scale where even ONE IVFPQ index outgrows a box
+    * (codes are ~m·8/(dim·64) of raw bytes, but 10⁹+ vectors still
+    * overflow; the sharded layout is how a cluster holds them as
+    * per-executor-group indexes). Per-shard ADC ranking + exact refine
+    * against that shard's OWN codebook/centroids (each shard trained
+    * on its own residual distribution — quantization quality is the
+    * single-index story per shard), per-shard tombstones, bounded
+    * top-k merge via [[Similarity.mergeShardTopK]]. The refined `cos`
+    * is EXACT cosine on raw vectors, so merged scores are globally
+    * comparable even across differently-trained shard codebooks.
+    */
+  def ivfPqShardedQuery(spark: SparkSession, tables: Seq[String],
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 0, probeFrac: Double = 0.5,
+                        refineK: Int = 0, excludeSelf: Boolean = true,
+                        maxAdcBroadcastBytes: Long = 256L << 20): DataFrame = {
+    require(tables.nonEmpty, "ivfPqShardedQuery needs at least one shard")
+    Similarity.mergeShardTopK(
+      tables.map(ivfPqQuery(spark, _, queries, idCol, vecCol, k,
+        nprobe = nprobe, probeFrac = probeFrac, refineK = refineK,
+        excludeSelf = excludeSelf,
+        maxAdcBroadcastBytes = maxAdcBroadcastBytes)), k)
+  }
 }

@@ -556,6 +556,60 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Bounded merge of per-shard top-k candidate lists — the vector
+    * twin of [[Retrieval.bm25ShardedQuery]]'s rank merge. Each leg is
+    * a `(qid, nid, cos, …)` per-shard top-k (rank ≥ k within its own
+    * shard); the union carries only Σ legs · k · |queries| tiny rows,
+    * never corpus mass, and [[rankTopK]] re-ranks under the identical
+    * (cos desc, nid asc) total order. EXACT when the legs are exact
+    * per-shard top-k over a doc-disjoint partition: each global top-k
+    * winner is inside its own shard's top-k, so the union contains
+    * every winner (the classic distributed top-k argument); ties
+    * resolve identically because the comparator is the same. */
+  private[graft] def mergeShardTopK(legs: Seq[DataFrame], k: Int): DataFrame =
+    rankTopK(
+      legs.map(_.select(col("qid"), col("nid"), col("cos")))
+        .reduce(_.unionByName(_)), k)
+
+  /** Exact cosine top-k over a DOC-DISJOINT sharded corpus — the
+    * brute-force leg for embedding sets too large for one table/box
+    * (the 10⁸-vector twin of the round-15 sharded BM25 layout; the
+    * same argument applies: per-shard cost is the single-corpus plan
+    * verbatim, a cluster pays max over shards + a k·|queries|-row
+    * merge). Results are EXACTLY [[bruteForceTopK]] over the union of
+    * the shards (oracle-gated at sim12): cosine depends only on the
+    * (query, vector) pair, each shard emits its exact local top-k, and
+    * [[mergeShardTopK]]'s bounded merge keeps the global winners. */
+  def bruteForceShardedTopK(shards: Seq[DataFrame], queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    require(shards.nonEmpty, "bruteForceShardedTopK needs at least one shard")
+    mergeShardTopK(
+      shards.map(bruteForceTopK(_, queries, idCol, vecCol, k)), k)
+  }
+
+  /** [[ivfQuery]] over doc-disjoint shard indexes — per-shard probes
+    * (each shard ranks its OWN ⌈probeFrac·nlist⌉ centroids: the probe
+    * dial is per shard, so recall behaves like the single-index curve
+    * on every shard independently), per-shard tombstone filtering,
+    * bounded top-k merge. At probeFrac = 1.0 every shard's list is its
+    * exact local top-k and the merge is EXACTLY the whole-corpus brute
+    * force (SimilaritySpec pins this); at operating probeFrac the
+    * result is the natural sharded-ANN semantics — the union of
+    * per-shard approximate lists, re-ranked (recall-gated at sim13).
+    */
+  def ivfShardedQuery(spark: org.apache.spark.sql.SparkSession,
+                      tables: Seq[String], queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nprobe: Int = 0, probeFrac: Double = 0.5,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(tables.nonEmpty, "ivfShardedQuery needs at least one shard")
+    mergeShardTopK(
+      tables.map(ivfQuery(spark, _, queries, idCol, vecCol, k,
+        nprobe = nprobe, probeFrac = probeFrac,
+        excludeSelf = excludeSelf)), k)
+  }
+
   /** Persisted LSH bucket index — the EMBEDDING twin of the MinHash
     * band index (`Dedup.minhashIndexBuild`), and the scalable
     * dedup-ADMISSION path for vectors: checking a batch against an IVF

@@ -1429,6 +1429,50 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Sharded LM gate ([[graft.operators.LangModel.scoreSharded]]):
+    * TWO models train shard-parallel on a doc-disjoint parity split —
+    * zero coordination between the trains — and sharded scoring (count
+    * deltas additive across shards, V folded across the shard
+    * vocabularies) must be numerically indistinguishable from ONE model
+    * trained on everything: the oracle is t25's whole-trained
+    * recomputation verbatim.
+    */
+  val t35_shardedlm: Q = (s, d) => {
+    val t0 = s"shl0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shl1_${d.hashCode & Int.MaxValue}"
+    LangModel.train(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    LangModel.train(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    LangModel.scoreSharded(s, Seq(t0, t1), docs(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
+  /** Sharded HYBRID gate ([[graft.operators.Fusion.hybridShardedQuery]]):
+    * t22's RRF fusion with BOTH legs sharded — BM25 over two
+    * doc-disjoint indexes (global-stats fold), the vector leg a
+    * brute-force merge over two vec-disjoint corpus shards. Sharded
+    * BM25 is exact (t32) and sharded brute force is exact (sim12), so
+    * the fused ranking must equal the whole-corpus t22 oracle verbatim
+    * — shard count must never touch scores.
+    */
+  val t36_shardedhybrid: Q = (s, d) => {
+    val t0 = s"shh0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shh1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    val emb = Tables.embeddings(s, d)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedQuery(s, Seq(t0, t1), q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecShards = Some(Seq(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))))
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -1829,6 +1873,80 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** Sharded exact-ANN gate ([[graft.operators.Similarity
+    * .bruteForceShardedTopK]]): the embedding corpus splits
+    * vec-disjoint by parity, each shard ranks its exact local top-5,
+    * and the bounded merge must reproduce the whole-corpus brute-force
+    * ranking EXACTLY — the sim1 oracle verbatim (every global winner is
+    * inside its own shard's top-k; ties resolve under the identical
+    * (cos desc, nid asc) order).
+    */
+  val sim12_shardedknn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.bruteForceShardedTopK(
+        Seq(emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 =!= 0)),
+        q, "vec_id", "embedding", 5)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Sharded IVF recall gate ([[graft.operators.Similarity
+    * .ivfShardedQuery]], the sim3/sim5 contract over two vec-disjoint
+    * persisted shard indexes): each shard builds with its OWN
+    * size-derived parameters and probes its own centroid family; the
+    * merged ranking must keep ≥3/5 of the whole-corpus exact top-5 for
+    * every query (oracle = every qid appears).
+    */
+  val sim13_shardedivf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val t0 = s"sivf0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"sivf1_${d.hashCode & Int.MaxValue}"
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", t0)
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", t1)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = Similarity.ivfShardedQuery(s, Seq(t0, t1), q,
+        "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
+  /** Sharded IVFPQ recall gate ([[graft.operators.ProductQuant
+    * .ivfPqShardedQuery]], sim9's contract over two vec-disjoint
+    * quantized shard indexes): each shard trains its OWN codebook on
+    * its own residual distribution; merged refined rankings (exact
+    * cosine on raw vectors, so cross-codebook scores are globally
+    * comparable) must keep ≥3/5 of the whole-corpus exact top-5 per
+    * query.
+    */
+  val sim14_shardedpq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val t0 = s"spq0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"spq1_${d.hashCode & Int.MaxValue}"
+    ProductQuant.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", t0, m = 16)
+    ProductQuant.ivfPqBuild(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", t1, m = 16)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqShardedQuery(s, Seq(t0, t1), q,
+        "vec_id", "embedding", 5, refineK = 50)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** LSH-blocked embedding near-dup gate (dd3's constructed-duplicate
     * pattern): the corpus has no natural cos ≥ 0.999 pairs, so every
     * vector is unioned with an identical copy at vec_id+1e6 and the
@@ -2059,11 +2177,16 @@ object Queries {
     "t32_shardedbm25" -> t32_shardedbm25,
     "t33_shardednear" -> t33_shardednear,
     "t34_shardedphrase" -> t34_shardedphrase,
+    "t35_shardedlm" -> t35_shardedlm,
+    "t36_shardedhybrid" -> t36_shardedhybrid,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
     "sim8_lshindex" -> sim8_lshindex, "sim9_ivfpq" -> sim9_ivfpq,
     "sim10_pqappend" -> sim10_pqappend, "sim11_pq2level" -> sim11_pq2level,
+    "sim12_shardedknn" -> sim12_shardedknn,
+    "sim13_shardedivf" -> sim13_shardedivf,
+    "sim14_shardedpq" -> sim14_shardedpq,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -2101,6 +2224,47 @@ object Queries {
       |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
       |vst AS (SELECT count(DISTINCT x) AS v FROM
       |  (SELECT unnest(ws) AS x FROM toksTrain)),
+      |bgAll AS (
+      |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      |  FROM toksAll CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+      |contrib AS (
+      |  SELECT bgAll.doc_id,
+      |    CAST(round(ln(
+      |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
+      |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM bgAll
+      |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
+      |  LEFT JOIN hist ON hist.w1 = bgAll.w1
+      |  CROSS JOIN vst),
+      |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(lp) AS BIGINT) AS logp_micro
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT d.doc_id AS id,
+      |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.logp_micro, 0) AS logp_micro
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin
+
+  /** The t25/t35 whole-trained bigram-LM oracle (shared: t25 GROWS an
+    * even-trained model by appending the odds; t35 trains two parity
+    * SHARD models and scores through the sharded fold — both must be
+    * numerically identical to one model trained on everything).
+    */
+  private val lmWholeModelOracleSql: String =
+    """WITH toksAll AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |bgTrain AS (
+      |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+      |  FROM toksAll CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+      |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
+      |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
+      |vst AS (SELECT count(DISTINCT x) AS v FROM
+      |  (SELECT unnest(ws) AS x FROM toksAll)),
       |bgAll AS (
       |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
       |  FROM toksAll CROSS JOIN LATERAL
@@ -2172,6 +2336,23 @@ object Queries {
       |  FROM scored)
       |SELECT qid, doc_id, score_micro, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** The sim1/sim12 exact-kNN oracle (shared: sharded brute-force
+    * serving must equal the whole-corpus ranking — the sim12 contract):
+    * exact cosine over all (query, vector) pairs excluding self, r6
+    * rounding, (cos desc, nid asc) top-5.
+    */
+  private val knnOracleSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      |s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |  list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+      |  (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+      |r AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM s),
+      |t AS (SELECT qid, nid, cos,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM r)
+      |SELECT qid, nid, cos, rank FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** The t21/t33 NEAR oracle (shared: sharded NEAR serving must equal
     * the whole-corpus recomputation — that IS the t33 contract): covers
@@ -3041,41 +3222,18 @@ object Queries {
 
     // Grown ≡ whole-built: the oracle trains on ALL docs in one pass;
     // the Spark side trained on evens and appended odds.
-    "t25_lmappend" ->
-      """WITH toksAll AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS ws
-        |  FROM documents),
-        |bgTrain AS (
-        |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
-        |  FROM toksAll CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
-        |bgc AS (SELECT w1, w2, count(*) AS c FROM bgTrain GROUP BY w1, w2),
-        |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ch FROM bgc GROUP BY w1),
-        |vst AS (SELECT count(DISTINCT x) AS v FROM
-        |  (SELECT unnest(ws) AS x FROM toksAll)),
-        |bgAll AS (
-        |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
-        |  FROM toksAll CROSS JOIN LATERAL
-        |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
-        |contrib AS (
-        |  SELECT bgAll.doc_id,
-        |    CAST(round(ln(
-        |      (CAST(COALESCE(bgc.c, 0) AS DOUBLE) + 1.0) /
-        |      (CAST(COALESCE(hist.ch, 0) AS DOUBLE) + CAST(vst.v AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS lp
-        |  FROM bgAll
-        |  LEFT JOIN bgc ON bgc.w1 = bgAll.w1 AND bgc.w2 = bgAll.w2
-        |  LEFT JOIN hist ON hist.w1 = bgAll.w1
-        |  CROSS JOIN vst),
-        |scored AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(lp) AS BIGINT) AS logp_micro
-        |  FROM contrib GROUP BY doc_id)
-        |SELECT d.doc_id AS id,
-        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(s.logp_micro, 0) AS logp_micro
-        |FROM (SELECT DISTINCT doc_id FROM documents) d
-        |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin,
+    "t25_lmappend" -> lmWholeModelOracleSql,
+
+    // Shard-trained ≡ whole-trained: the Spark side trained two
+    // independent parity-shard models and scored through the sharded
+    // fold (additive counts, cross-shard V) — the t25 whole-trained
+    // oracle VERBATIM.
+    "t35_shardedlm" -> lmWholeModelOracleSql,
+
+    // Both-legs-sharded hybrid ≡ whole-corpus hybrid: sharded BM25
+    // (t32) and sharded brute force (sim12) are each exact, so the
+    // fused ranking answers the t22 oracle VERBATIM.
+    "t36_shardedhybrid" -> hybridRrfOracleSql,
 
     // Snippets: occurrences re-derived positionally (sliding list_slice
     // equality), start = min occurrence (0-based to match the Spark
@@ -3362,17 +3520,21 @@ object Queries {
       """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "sim1_knn" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-        |s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
-        |  list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-        |  (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
-        |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
-        |r AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM s),
-        |t AS (SELECT qid, nid, cos,
-        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM r)
-        |SELECT qid, nid, cos, rank FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim1_knn" -> knnOracleSql,
+
+    // Sharded exact ANN ≡ whole-corpus brute force: the oracle is
+    // sim1's recomputation VERBATIM — the t32/t34 sharded-serving
+    // contract applied to the vector family.
+    "sim12_shardedknn" -> knnOracleSql,
+
+    // Sharded IVF / IVFPQ recall: the sim3/sim9 contract (every qid
+    // keeps >= 3/5 of the exact top-5; oracle = every qid appears).
+    "sim13_shardedivf" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+    "sim14_shardedpq" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "sim2_lsh" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings

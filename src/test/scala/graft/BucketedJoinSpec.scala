@@ -128,4 +128,30 @@ class BucketedJoinSpec extends AnyFunSuite {
     BucketedJoin.compactBucketed(spark, t, "k")
     assert(spark.table(t).count() == 1000)
   }
+
+  test("union of co-bucketed tables folds groups ACROSS tables " +
+      "(Spark 4.1 unionOutputPartitioning guard)") {
+    // Regression pin for a measured Spark 4.1 wrong-results trap: with
+    // spark.sql.unionOutputPartitioning=true (the release default),
+    // UnionExec claims its co-partitioned children's hash partitioning
+    // while concatenating their partitions, EnsureRequirements elides
+    // the exchange under an aggregate on the bucket key, and each
+    // group comes back ONCE PER TABLE. ensureRegistered disables the
+    // propagation; this spec fails if the guard is dropped or a Spark
+    // upgrade re-breaks the fold.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    assert(spark.conf.get("spark.sql.unionOutputPartitioning") === "false")
+    val n = System.nanoTime()
+    val (ta, tb) = (s"ubg_a_$n", s"ubg_b_$n")
+    val rows = (0 until 40).map(i => (s"k${i % 10}", 1L)).toDF("k", "c")
+    BucketedJoin.writeBucketed(rows, ta, "k", 4)
+    BucketedJoin.writeBucketed(rows, tb, "k", 4)
+    val folded = Seq(ta, tb).map(spark.table(_).select("k", "c"))
+      .reduce(_.unionByName(_))
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    assert(folded.count() === 10L,
+      "co-bucketed union fold split groups per table — the Spark 4.1 " +
+        "unionOutputPartitioning trap is back")
+    assert(folded.as[(String, Long)].collect().forall(_._2 === 8L))
+  }
 }

@@ -45,7 +45,10 @@ object DevPlans {
       "t29_bowsnippets",
       // r15 surface: LM takedown, hybrid snippets, sharded serving
       "t30_lmremove", "t31_hybridsnippets", "t32_shardedbm25",
-      "t33_shardednear", "t34_shardedphrase")
+      "t33_shardednear", "t34_shardedphrase",
+      // r15 surface, second pass: the sharded vector/LM/hybrid family
+      "sim12_shardedknn", "sim13_shardedivf", "sim14_shardedpq",
+      "t35_shardedlm", "t36_shardedhybrid")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -97,7 +100,12 @@ object DevPlans {
       "t31_hybridsnippets" -> "Fusion's bounded top-k drives the t29 span pass: partials recompute only for fused docs (broadcast semi-join), text joins strictly after fusion, vector-only hits keep rank with null spans via LEFT joins.",
       "t32_shardedbm25" -> "Global (N, avgdl, df) fold across shard dictionaries (tiny, term-pruned); each shard's postings scan is the single-index pushed plan verbatim; the merge is one bounded top-k over k-per-shard rows.",
       "t33_shardednear" -> "Per-shard window covers (the match is doc-local — a shard owns all its docs' positions), global-stats scoring, candidate gating per shard; the union carries matched docs only.",
-      "t34_shardedphrase" -> "Per-shard phrase alignment (occurrences are doc-local), rarest-term candidate gates per shard, global-stats scoring; the merge is one bounded top-k over matched docs.")
+      "t34_shardedphrase" -> "Per-shard phrase alignment (occurrences are doc-local), rarest-term candidate gates per shard, global-stats scoring; the merge is one bounded top-k over matched docs.",
+      "sim12_shardedknn" -> "Distributed top-k argument made physical: every global winner is inside its own shard's exact top-k, so the merge reads Σ shards·k·|queries| tiny rows — per-shard scans are the single-corpus plan verbatim, a cluster pays max(shard).",
+      "sim13_shardedivf" -> "Per-shard centroid families and probe dials: each shard's recall curve is the single-index curve on its own corpus; the cross-shard cost is only the bounded k-per-shard merge.",
+      "sim14_shardedpq" -> "Per-shard codebooks trained on their own residuals; refined exact cosine makes scores globally comparable across differently-trained shards, so the merge needs no calibration.",
+      "t35_shardedlm" -> "Counts are additive: per-shard folds stay bucket-local zero-exchange, only folded term-pruned rows cross shards, and V folds across vocab tables once per call (control-plane sized).",
+      "t36_shardedhybrid" -> "Both legs sharded end-to-end (global-stats BM25 fold + exact vector merge) hand fusion the same bounded kPerLeg lists as one index — shard count never touches scores.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")

@@ -287,4 +287,50 @@ class FusionSpec extends AnyFunSuite {
       .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
     assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq === fused.toSeq)
   }
+
+  test("hybridShardedQuery(vecShards) == hybridQuery on the union corpus") {
+    val docs = spark.read.parquet(s"${SharedSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${SharedSpark.sfDir}/embeddings.parquet")
+    val q = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"),
+        substring(lower(col("text")), 1, 30).as("qtext"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec")), "qid")
+    val n = System.nanoTime()
+    val (whole, s0, s1) = (s"hsh_w_$n", s"hsh_0_$n", s"hsh_1_$n")
+    Retrieval.bm25Build(docs, "doc_id", "text", whole, buckets = 2)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    // both fusion modes: sharded legs are exact, so fused == whole
+    for (mode <- Seq("rrf", "linear")) {
+      val one = rows(Fusion.hybridQuery(spark, whole, q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 4, vecCorpus = Some(emb),
+        mode = mode))
+      val sh = rows(Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 4,
+        vecShards = Some(Seq(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))), mode = mode))
+      assert(sh === one, s"sharded hybrid ($mode) diverged from whole")
+    }
+  }
+
+  test("hybridShardedQuery: argument validation fails loudly") {
+    val q = Seq((1L, "x", Array(1.0f))).toDF("qid", "qtext", "qvec")
+    intercept[IllegalArgumentException] {
+      Fusion.hybridShardedQuery(spark, Seq(), q, "qid", "qtext", "qvec", 3,
+        vecShards = Some(Seq(q)))
+    }
+    intercept[IllegalArgumentException] { // no vector leg
+      Fusion.hybridShardedQuery(spark, Seq("t"), q, "qid", "qtext", "qvec", 3)
+    }
+    intercept[IllegalArgumentException] { // two standing families
+      Fusion.hybridShardedQuery(spark, Seq("t"), q, "qid", "qtext", "qvec", 3,
+        vecIndexes = Some(Seq("a")), pqIndexes = Some(Seq("b")))
+    }
+  }
 }

@@ -263,4 +263,34 @@ class LangModelSpec extends AnyFunSuite {
     assert(offending.isEmpty,
       s"count-table shuffle found:\n${offending.mkString("\n")}")
   }
+
+  test("scoreSharded == whole-trained score (parity shards; survives " +
+      "per-shard remove and compact)") {
+    val corpus = graft.sources.Generators.randomText(spark, 240, seed = 11L,
+        wordsMin = 4, wordsMax = 20, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val n = System.nanoTime()
+    val (whole, s0, s1) = (s"lmsh_w_$n", s"lmsh_0_$n", s"lmsh_1_$n")
+    LangModel.train(corpus, "doc_id", "text", whole, buckets = 2)
+    LangModel.train(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    LangModel.train(corpus.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+        "doc_id", "text")) ===
+      rows(LangModel.score(spark, whole, corpus, "doc_id", "text")),
+      "sharded fold diverged from the whole-trained model")
+    // takedown lands on ONE shard (the doc-disjoint contract: a doc's
+    // counts live in exactly its own shard) and must keep equality
+    val gone = corpus.filter(col("doc_id") % 10 === 0) // even ids -> s0
+    LangModel.remove(spark, whole, gone, "doc_id", "text")
+    LangModel.remove(spark, s0, gone, "doc_id", "text")
+    LangModel.compact(spark, s0) // fold the negative deltas physically
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+        "doc_id", "text")) ===
+      rows(LangModel.score(spark, whole, corpus, "doc_id", "text")),
+      "sharded fold diverged after a per-shard remove + compact")
+  }
 }

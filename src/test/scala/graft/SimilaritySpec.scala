@@ -497,4 +497,43 @@ class SimilaritySpec extends AnyFunSuite {
         "expected the sort-merge path once broadcast is off")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("bruteForceShardedTopK == whole-corpus brute force, ties included") {
+    val emb = SharedSpark.spark.read
+      .parquet(s"${SharedSpark.sfDir}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    val whole = rows(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", 5))
+    val sharded = rows(Similarity.bruteForceShardedTopK(
+      Seq(emb.filter(col("vec_id") % 3 === 0),
+          emb.filter(col("vec_id") % 3 === 1),
+          emb.filter(col("vec_id") % 3 === 2)),
+      q, "vec_id", "embedding", 5))
+    assert(sharded === whole,
+      "sharded brute-force merge diverged from the whole-corpus ranking")
+  }
+
+  test("ivfShardedQuery at probeFrac=1.0 == exact brute force") {
+    val emb = SharedSpark.spark.read
+      .parquet(s"${SharedSpark.sfDir}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val n = System.nanoTime()
+    val (t0, t1) = (s"sivf_spec0_$n", s"sivf_spec1_$n")
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", t0)
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", t1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    // full probe makes each shard's list its exact local top-k, so the
+    // merge must be exactly the global exact ranking
+    assert(rows(Similarity.ivfShardedQuery(spark, Seq(t0, t1), q,
+        "vec_id", "embedding", 5, probeFrac = 1.0)) ===
+      rows(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)),
+      "sharded IVF at full probe diverged from exact brute force")
+  }
 }
