@@ -89,6 +89,15 @@ object Bench {
     lazy val hybridQueries = bm25Queries.join(
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    lazy val shardTables = {
+      val ts = Seq("bench_shard0_idx", "bench_shard1_idx")
+      val docs = Tables.documents(spark, sfDir)
+      operators.Retrieval.bm25Build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", ts.head)
+      operators.Retrieval.bm25Build(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", ts(1))
+      ts
+    }
     // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
     // + tiny-job latency probe (MRBench analog) + dedup skew kernel
     // (dd4 with the hot-shingle cap active — the 100 TB skew-guard path).
@@ -121,6 +130,11 @@ object Bench {
       "bench_hybrid" -> (() => operators.Fusion.hybridQuery(spark,
         bm25Table, hybridQueries, "qid", "qtext", "qvec", 5,
         kPerLeg = 20, vecIndex = Some(hybIvfTable))),
+      // sharded BM25 serving over two standing parity-shard indexes —
+      // the t32 path; expected ≈ Σ shard legs on one box (≈ 2× the
+      // single-index bench_bm25; max(shard) + merge on a cluster)
+      "bench_sharded" -> (() => operators.Retrieval.bm25ShardedQuery(spark,
+        shardTables, bm25Queries, "qid", "qtext", 5)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
     // A crashed kernel must be LOUD: it records -1.0 (excluded from the

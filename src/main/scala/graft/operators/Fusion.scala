@@ -332,4 +332,48 @@ object Fusion {
       .select(col("qid"), col("doc_id").as("id"), col("fused_micro"),
         col("rnk"), col("start"), col("snippet"))
   }
+
+  /** [[hybridSnippets]] over doc-disjoint shards on both legs — the
+    * RAG read path for a sharded deployment: [[hybridShardedQuery]]'s
+    * fusion plus passage extraction through
+    * [[Retrieval.attachBestTermSnippetsSharded]] (argmax terms chosen
+    * against the GLOBAL stats fold, so the passages are exactly the
+    * whole-index choices; positional lookups union per shard). Same
+    * null-span contract for vector-only hits, same text-joins-strictly-
+    * after-fusion discipline, same output schema as [[hybridSnippets]].
+    */
+  def hybridShardedSnippets(spark: SparkSession, bm25Tables: Seq[String],
+                            queries: DataFrame, qidCol: String,
+                            textCol: String, vecCol: String,
+                            docs: DataFrame, docIdCol: String,
+                            docTextCol: String, k: Int, context: Int = 3,
+                            kPerLeg: Int = 20, rrfK: Int = 60,
+                            wLex: Double = 1.0, wVec: Double = 1.0,
+                            vecIndexes: Option[Seq[String]] = None,
+                            vecShards: Option[Seq[DataFrame]] = None,
+                            embIdCol: String = "vec_id",
+                            embVecCol: String = "embedding",
+                            probeFrac: Double = 0.5,
+                            maxDfFrac: Double = 1.0,
+                            mode: String = "rrf",
+                            pqIndexes: Option[Seq[String]] = None,
+                            refineK: Int = 0): DataFrame = {
+    require(context >= 0, s"context must be non-negative, got $context")
+    val fused = hybridShardedQuery(spark, bm25Tables, queries, qidCol,
+        textCol, vecCol, k, kPerLeg, rrfK, wLex, wVec, vecIndexes,
+        vecShards, embIdCol, embVecCol, probeFrac, maxDfFrac, mode,
+        pqIndexes, refineK)
+      .select(col("qid"), col("id").as("doc_id"), col("fused_micro"),
+        col("rnk"))
+    val qt = queries
+      .select(col(qidCol).as("qid"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val qterms = Retrieval.pushableTerms(spark, qt)
+    Retrieval.attachBestTermSnippetsSharded(spark, bm25Tables, qt, fused,
+        docs, docIdCol, docTextCol, context, k1 = 1.2, b = 0.75,
+        maxDfFrac, qterms)
+      .select(col("qid"), col("doc_id").as("id"), col("fused_micro"),
+        col("rnk"), col("start"), col("snippet"))
+  }
 }

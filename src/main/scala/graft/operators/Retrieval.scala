@@ -1148,8 +1148,64 @@ object Retrieval {
       s"snippet extraction: $table has no positional table — " +
         "build the index with positions = true")
     val rankedDocs = ranked.select("doc_id").distinct()
-    val best = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
-        docFilter = Some(rankedDocs), broadcastDocs = true)
+    val partials = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
+      docFilter = Some(rankedDocs), broadcastDocs = true)
+    val pos = Tombstones.filterOut(spark, table,
+      pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
+    snippetsFromPartials(partials, pos, ranked, docs, docIdCol,
+      docTextCol, context)
+  }
+
+  /** [[attachBestTermSnippets]] over doc-disjoint shards — the snippet
+    * leg of the sharded serving family. The argmax term per (qid, doc)
+    * must match the whole-index choice EXACTLY for the sharded-snippet
+    * gates to answer the single-index oracles, so the partials come
+    * from [[partialsWith]] against the GLOBAL (N, avgdl, df) fold (the
+    * [[bm25ShardedQuery]] discipline), never per-shard stats; the
+    * positional lookups union per shard (a doc's positions live in
+    * exactly its own shard). Costs stay ranked-doc-bounded per shard:
+    * every shard's partials pass is doc-gated by the SAME broadcast
+    * ranked set before any aggregate.
+    */
+  private[operators] def attachBestTermSnippetsSharded(
+      spark: SparkSession, tables: Seq[String], qt: DataFrame,
+      ranked: DataFrame, docs: DataFrame, docIdCol: String,
+      docTextCol: String, context: Int, k1: Double, b: Double,
+      maxDfFrac: Double, qterms: Option[Seq[String]]): DataFrame = {
+    tables.foreach(t => require(tableExists(spark, s"${t}_pos"),
+      s"snippet extraction: $t has no positional table — " +
+        "build the index with positions = true"))
+    val rankedDocs = ranked.select("doc_id").distinct()
+    val stats = tables.map(correctedStats(spark, _))
+    val nDocs = stats.map(_._1).sum
+    require(nDocs > 0, s"sharded snippets: every shard of $tables is empty")
+    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
+    val dict1 = tables.map(correctedDict(spark, _, qterms))
+      .reduce(_.unionByName(_))
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+    val dict = if (maxDfFrac < 1.0)
+      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
+    else dict1
+    val partials = tables.map(partialsWith(spark, _, qt, k1, b, nDocs,
+        avgdl, dict, qterms, Some(rankedDocs), true))
+      .reduce(_.unionByName(_))
+    val pos = tables.map(t => Tombstones.filterOut(spark, t,
+        pruneToTerms(spark.table(s"${t}_pos"), qterms), "doc_id"))
+      .reduce(_.unionByName(_))
+    snippetsFromPartials(partials, pos, ranked, docs, docIdCol,
+      docTextCol, context)
+  }
+
+  /** Shared snippet tail: argmax term per (qid, ranked doc) from the
+    * (qid, nid, term, partial) frame, first-occurrence start from the
+    * positional rows, ±context token window sliced from the corpus
+    * text — rows without a lexical occurrence keep null start/snippet
+    * through the LEFT joins. */
+  private def snippetsFromPartials(partials: DataFrame, pos: DataFrame,
+                                   ranked: DataFrame, docs: DataFrame,
+                                   docIdCol: String, docTextCol: String,
+                                   context: Int): DataFrame = {
+    val best = partials
       .join(ranked.select(col("qid"), col("doc_id").as("nid")),
         Seq("qid", "nid"), "left_semi")
       .withColumn("_rn", row_number().over(
@@ -1159,9 +1215,7 @@ object Retrieval {
       .filter(col("_rn") === 1)
       .select(col("qid"), col("nid").as("doc_id"), col("term"))
     val firstStart = best
-      .join(Tombstones.filterOut(spark, table,
-        pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id"),
-        Seq("term", "doc_id"))
+      .join(pos, Seq("term", "doc_id"))
       // delta-encoded positions store the first (minimum) offset
       // absolute at index 1 — the first occurrence without a decode
       .select(col("qid"), col("doc_id"),

@@ -1473,6 +1473,33 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** Sharded hybrid-SNIPPET gate ([[graft.operators.Fusion
+    * .hybridShardedSnippets]]): t31's fused passages from a fully
+    * sharded deployment — sharded fusion (t36), then passage
+    * extraction with the argmax term chosen against the GLOBAL stats
+    * fold and positional lookups unioned per shard. Oracle = t31's
+    * whole-corpus recomputation verbatim; vector-only hits must keep
+    * their fused rank with null start/snippet through the sharded
+    * path too.
+    */
+  val t37_shardedhybridsnip: Q = (s, d) => {
+    val t0 = s"shhs0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shhs1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0, positions = true)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1, positions = true)
+    val emb = Tables.embeddings(s, d)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedSnippets(s, Seq(t0, t1), q, "qid", "qtext", "qvec",
+        docs(s, d), "doc_id", "text", 5, context = 2,
+        kPerLeg = 5, vecShards = Some(Seq(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))))
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2179,6 +2206,7 @@ object Queries {
     "t34_shardedphrase" -> t34_shardedphrase,
     "t35_shardedlm" -> t35_shardedlm,
     "t36_shardedhybrid" -> t36_shardedhybrid,
+    "t37_shardedhybridsnip" -> t37_shardedhybridsnip,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2246,6 +2274,93 @@ object Queries {
       |  COALESCE(s.logp_micro, 0) AS logp_micro
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN scored s USING (doc_id) ORDER BY id""".stripMargin
+
+  /** The t31/t37 hybrid-snippet oracle (shared: the sharded
+    * deployment must produce the identical fused passages — the t37
+    * contract): t22 RRF fusion recomputed, then the t29
+    * argmax/first-occurrence/slice attached via LEFT joins.
+    */
+  private val hybridSnippetsOracleSql: String =
+      """WITH qids AS (
+        |  SELECT d.doc_id AS qid FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id % 50 = 0),
+        |docs0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS toklist
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT doc_id AS qid, unnest(list_slice(toklist, 1, 3)) AS term
+        |  FROM docs0 WHERE doc_id IN (SELECT qid FROM qids))),
+        |partials AS (
+        |  SELECT qt.qid, tf.doc_id, qt.term,
+        |    CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS partial
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |lexscored AS (SELECT qid, doc_id,
+        |    CAST(sum(partial) AS BIGINT) AS score_micro
+        |  FROM partials GROUP BY qid, doc_id),
+        |lexranked AS (
+        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM lexscored),
+        |vq AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (SELECT qid FROM qids)),
+        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
+        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
+        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
+        |vecranked AS (SELECT qid, nid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
+        |contrib AS (
+        |  SELECT qid, doc_id AS id,
+        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+        |  FROM lexranked WHERE rnk <= 5
+        |  UNION ALL
+        |  SELECT qid, nid AS id,
+        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+        |  FROM vecranked WHERE rnk <= 5),
+        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
+        |          FROM contrib GROUP BY qid, id),
+        |final AS (SELECT qid, id, fused_micro,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused),
+        |best AS (SELECT qid, doc_id, term FROM (
+        |  SELECT qid, doc_id, term, row_number() OVER (
+        |    PARTITION BY qid, doc_id ORDER BY partial DESC, term) AS rn
+        |  FROM partials) WHERE rn = 1),
+        |pos AS (SELECT doc_id, unnest(toklist) AS term,
+        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
+        |        FROM docs0),
+        |fs AS (SELECT b.qid, b.doc_id, CAST(min(p.pos) - 1 AS BIGINT) AS start
+        |       FROM best b JOIN pos p
+        |         ON p.doc_id = b.doc_id AND p.term = b.term
+        |       GROUP BY b.qid, b.doc_id)
+        |SELECT f.qid, f.id, f.fused_micro, f.rnk, fs.start,
+        |  CASE WHEN fs.start IS NOT NULL THEN
+        |    array_to_string(list_slice(d.toklist,
+        |      CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
+        |      CAST(fs.start + 3 AS INTEGER)), ' ')
+        |  END AS snippet
+        |FROM final f
+        |LEFT JOIN fs ON fs.qid = f.qid AND fs.doc_id = f.id
+        |LEFT JOIN docs0 d ON d.doc_id = f.id
+        |WHERE f.rnk <= 5 ORDER BY f.qid, f.rnk""".stripMargin
 
   /** The t25/t35 whole-trained bigram-LM oracle (shared: t25 GROWS an
     * even-trained model by appending the odds; t35 trains two parity
@@ -3420,87 +3535,11 @@ object Queries {
     // argmax/first-occurrence/slice attached to the fused top-5 via
     // LEFT joins — vector-only hits keep their rank with NULL
     // start/snippet (no lexical passage exists).
-    "t31_hybridsnippets" ->
-      """WITH qids AS (
-        |  SELECT d.doc_id AS qid FROM documents d
-        |  JOIN embeddings e ON e.vec_id = d.doc_id
-        |  WHERE d.doc_id % 50 = 0),
-        |docs0 AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS toklist
-        |  FROM documents),
-        |toks AS (SELECT doc_id, unnest(toklist) AS term FROM docs0),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |  SELECT doc_id AS qid, unnest(list_slice(toklist, 1, 3)) AS term
-        |  FROM docs0 WHERE doc_id IN (SELECT qid FROM qids))),
-        |partials AS (
-        |  SELECT qt.qid, tf.doc_id, qt.term,
-        |    CAST(round(
-        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2
-        |          / (CAST(tf.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-        |      * 1000000.0) AS BIGINT) AS partial
-        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
-        |lexscored AS (SELECT qid, doc_id,
-        |    CAST(sum(partial) AS BIGINT) AS score_micro
-        |  FROM partials GROUP BY qid, doc_id),
-        |lexranked AS (
-        |  SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM lexscored),
-        |vq AS (SELECT vec_id, embedding FROM embeddings
-        |       WHERE vec_id IN (SELECT qid FROM qids)),
-        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
-        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
-        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
-        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
-        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
-        |vecranked AS (SELECT qid, nid,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
-        |contrib AS (
-        |  SELECT qid, doc_id AS id,
-        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
-        |  FROM lexranked WHERE rnk <= 5
-        |  UNION ALL
-        |  SELECT qid, nid AS id,
-        |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
-        |  FROM vecranked WHERE rnk <= 5),
-        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
-        |          FROM contrib GROUP BY qid, id),
-        |final AS (SELECT qid, id, fused_micro,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused),
-        |best AS (SELECT qid, doc_id, term FROM (
-        |  SELECT qid, doc_id, term, row_number() OVER (
-        |    PARTITION BY qid, doc_id ORDER BY partial DESC, term) AS rn
-        |  FROM partials) WHERE rn = 1),
-        |pos AS (SELECT doc_id, unnest(toklist) AS term,
-        |          CAST(generate_subscripts(toklist, 1) AS BIGINT) AS pos
-        |        FROM docs0),
-        |fs AS (SELECT b.qid, b.doc_id, CAST(min(p.pos) - 1 AS BIGINT) AS start
-        |       FROM best b JOIN pos p
-        |         ON p.doc_id = b.doc_id AND p.term = b.term
-        |       GROUP BY b.qid, b.doc_id)
-        |SELECT f.qid, f.id, f.fused_micro, f.rnk, fs.start,
-        |  CASE WHEN fs.start IS NOT NULL THEN
-        |    array_to_string(list_slice(d.toklist,
-        |      CAST(greatest(fs.start - 2, 0) + 1 AS INTEGER),
-        |      CAST(fs.start + 3 AS INTEGER)), ' ')
-        |  END AS snippet
-        |FROM final f
-        |LEFT JOIN fs ON fs.qid = f.qid AND fs.doc_id = f.id
-        |LEFT JOIN docs0 d ON d.doc_id = f.id
-        |WHERE f.rnk <= 5 ORDER BY f.qid, f.rnk""".stripMargin,
+    "t31_hybridsnippets" -> hybridSnippetsOracleSql,
+
+    // Sharded twin: both legs sharded + sharded passage extraction
+    // against the global-stats argmax — the t31 oracle VERBATIM.
+    "t37_shardedhybridsnip" -> hybridSnippetsOracleSql,
 
     "f4_split" ->
       """SELECT doc_id,

@@ -319,6 +319,41 @@ class FusionSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridShardedSnippets == hybridSnippets on the union corpus") {
+    val docs = spark.read.parquet(s"${SharedSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${SharedSpark.sfDir}/embeddings.parquet")
+    val q = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"),
+        substring(lower(col("text")), 1, 30).as("qtext"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec")), "qid")
+    val n = System.nanoTime()
+    val (whole, s0, s1) = (s"hss_w_$n", s"hss_0_$n", s"hss_1_$n")
+    Retrieval.bm25Build(docs, "doc_id", "text", whole, buckets = 2,
+      positions = true)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2, positions = true)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2, positions = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk")
+        .as[(Long, Long, Long, Int, Option[Long], Option[String])]
+        .collect().toSeq
+    val one = rows(Fusion.hybridSnippets(spark, whole, q,
+      "qid", "qtext", "qvec", docs, "doc_id", "text", 4, context = 2,
+      kPerLeg = 4, vecCorpus = Some(emb)))
+    val sh = rows(Fusion.hybridShardedSnippets(spark, Seq(s0, s1), q,
+      "qid", "qtext", "qvec", docs, "doc_id", "text", 4, context = 2,
+      kPerLeg = 4, vecShards = Some(Seq(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0)))))
+    assert(sh === one,
+      "sharded hybrid snippets diverged from the whole-corpus passages")
+    assert(one.nonEmpty && one.exists(_._6.isDefined),
+      "fixture produced no lexical passages — the equality proved nothing")
+  }
+
   test("hybridShardedQuery: argument validation fails loudly") {
     val q = Seq((1L, "x", Array(1.0f))).toDF("qid", "qtext", "qvec")
     intercept[IllegalArgumentException] {
