@@ -17,6 +17,10 @@ import graft.operators.{Fusion, LangModel, ProductQuant, Retrieval, Similarity}
 object DevShardedVec {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    // skipWhole: at the 1e7/shard decade the whole-2N comparators double
+    // the run and the single-index bands are already in BASELINE.md —
+    // the per-shard legs ARE the 1e7 comparator.
+    val skipWhole = args.contains("skipWhole")
     val spark = SparkSession.builder()
       .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,15 +64,17 @@ object DevShardedVec {
       buckets = 32))
     val (_, bB) = timed(Similarity.ivfBuild(embB, "vec_id", "embedding", ivfB,
       buckets = 32))
-    val (_, bW) = timed(Similarity.ivfBuild(emb, "vec_id", "embedding", ivfW,
-      buckets = 32))
+    val bW = if (skipWhole) -1.0 else
+      timed(Similarity.ivfBuild(emb, "vec_id", "embedding", ivfW,
+        buckets = 32))._2
     println(f"[svec] ivf build: shardA=$bA%.1fs shardB=$bB%.1fs whole2N=$bW%.1fs")
     System.out.flush()
     for (pf <- Seq(0.5, 0.125)) {
       val (cS, tS) = timed(Similarity.ivfShardedQuery(spark, Seq(ivfA, ivfB),
         queries, "vec_id", "embedding", 10, probeFrac = pf).count())
-      val (cW, tW) = timed(Similarity.ivfQuery(spark, ivfW,
-        queries, "vec_id", "embedding", 10, probeFrac = pf).count())
+      val (cW, tW) = if (skipWhole) (-1L, -1.0) else
+        timed(Similarity.ivfQuery(spark, ivfW,
+          queries, "vec_id", "embedding", 10, probeFrac = pf).count())
       println(f"[svec] ivf serve pf=$pf: sharded=$tS%.1fs (${tS * 1000 / nq}%.0f ms/q, $cS rows) " +
         f"whole2N=$tW%.1fs (${tW * 1000 / nq}%.0f ms/q, $cW rows)")
       System.out.flush()
@@ -80,16 +86,18 @@ object DevShardedVec {
       pqA, m = 16, buckets = 32))
     val (_, pbB) = timed(ProductQuant.ivfPqBuild(embB, "vec_id", "embedding",
       pqB, m = 16, buckets = 32))
-    val (_, pbW) = timed(ProductQuant.ivfPqBuild(emb, "vec_id", "embedding",
-      pqW, m = 16, buckets = 32))
+    val pbW = if (skipWhole) -1.0 else
+      timed(ProductQuant.ivfPqBuild(emb, "vec_id", "embedding",
+        pqW, m = 16, buckets = 32))._2
     println(f"[svec] pq build: shardA=$pbA%.1fs shardB=$pbB%.1fs whole2N=$pbW%.1fs")
     System.out.flush()
     val (pcS, ptS) = timed(ProductQuant.ivfPqShardedQuery(spark, Seq(pqA, pqB),
       queries, "vec_id", "embedding", 10, probeFrac = 0.125, refineK = 50)
       .count())
-    val (pcW, ptW) = timed(ProductQuant.ivfPqQuery(spark, pqW,
-      queries, "vec_id", "embedding", 10, probeFrac = 0.125, refineK = 50)
-      .count())
+    val (pcW, ptW) = if (skipWhole) (-1L, -1.0) else
+      timed(ProductQuant.ivfPqQuery(spark, pqW,
+        queries, "vec_id", "embedding", 10, probeFrac = 0.125, refineK = 50)
+        .count())
     println(f"[svec] pq serve pf=0.125 refine=50: sharded=$ptS%.1fs " +
       f"(${ptS * 1000 / nq}%.0f ms/q, $pcS rows) whole2N=$ptW%.1fs " +
       f"(${ptW * 1000 / nq}%.0f ms/q, $pcW rows)")
@@ -113,18 +121,21 @@ object DevShardedVec {
       buckets = 32))
     val (_, lB) = timed(LangModel.train(docsB, "doc_id", "text", lmB,
       buckets = 32))
-    val (_, lW) = timed(LangModel.train(docsA.unionByName(docsB),
-      "doc_id", "text", lmW, buckets = 32))
+    val lW = if (skipWhole) -1.0 else
+      timed(LangModel.train(docsA.unionByName(docsB),
+        "doc_id", "text", lmW, buckets = 32))._2
     println(f"[svec] lm train: shardA=$lA%.1fs shardB=$lB%.1fs whole2N=$lW%.1fs")
     System.out.flush()
     val batch = docsA.filter(col("doc_id") % (n / 100) === 0).localCheckpoint()
     val nb = batch.count()
     val (csS, tsS) = timed(LangModel.scoreSharded(spark, Seq(lmA, lmB),
       batch, "doc_id", "text").agg(sum("logp_micro")).head().getLong(0))
-    val (csW, tsW) = timed(LangModel.score(spark, lmW,
-      batch, "doc_id", "text").agg(sum("logp_micro")).head().getLong(0))
+    val (csW, tsW) = if (skipWhole) (csS, -1.0) else
+      timed(LangModel.score(spark, lmW,
+        batch, "doc_id", "text").agg(sum("logp_micro")).head().getLong(0))
     println(f"[svec] lm score $nb-doc batch: sharded=$tsS%.1fs whole2N=$tsW%.1fs " +
-      s"identical=${csS == csW} (sum $csS vs $csW)")
+      (if (skipWhole) s"(sum $csS; identity proven at gate scale)"
+       else s"identical=${csS == csW} (sum $csS vs $csW)"))
     System.out.flush()
 
     // ---- sharded hybrid: both legs sharded vs both legs whole --------
@@ -133,8 +144,9 @@ object DevShardedVec {
       buckets = 32))
     val (_, hbB) = timed(Retrieval.bm25Build(docsB, "doc_id", "text", bmB,
       buckets = 32))
-    val (_, hbW) = timed(Retrieval.bm25Build(docsA.unionByName(docsB),
-      "doc_id", "text", bmW, buckets = 32))
+    val hbW = if (skipWhole) -1.0 else
+      timed(Retrieval.bm25Build(docsA.unionByName(docsB),
+        "doc_id", "text", bmW, buckets = 32))._2
     println(f"[svec] bm25 build: shardA=$hbA%.1fs shardB=$hbB%.1fs whole2N=$hbW%.1fs")
     System.out.flush()
     val hq = docsA.filter(col("doc_id") % (n / 20) === 0)
@@ -148,9 +160,10 @@ object DevShardedVec {
     val (hcS, htS) = timed(Fusion.hybridShardedQuery(spark, Seq(bmA, bmB),
       hq, "qid", "qtext", "qvec", 10, kPerLeg = 20,
       vecIndexes = Some(Seq(ivfA, ivfB)), probeFrac = 0.125).count())
-    val (hcW, htW) = timed(Fusion.hybridQuery(spark, bmW,
-      hq, "qid", "qtext", "qvec", 10, kPerLeg = 20,
-      vecIndex = Some(ivfW), probeFrac = 0.125).count())
+    val (hcW, htW) = if (skipWhole) (-1L, -1.0) else
+      timed(Fusion.hybridQuery(spark, bmW,
+        hq, "qid", "qtext", "qvec", 10, kPerLeg = 20,
+        vecIndex = Some(ivfW), probeFrac = 0.125).count())
     println(f"[svec] hybrid serve ($nhq q): sharded=$htS%.1fs " +
       f"(${htS * 1000 / nhq}%.0f ms/q, $hcS rows) whole2N=$htW%.1fs " +
       f"(${htW * 1000 / nhq}%.0f ms/q, $hcW rows)")
