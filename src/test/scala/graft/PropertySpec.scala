@@ -119,4 +119,59 @@ class PropertySpec extends AnyFunSuite {
     assert(z.select(g.qcosUpper(g.quantizeVec(col("a")), g.quantizeVec(col("b"))))
       .as[Double].head() == 1.0)
   }
+
+  test("sharded ≡ whole for RANDOM corpora and shard counts (BM25 bag + LM)") {
+    // The parity-split gates (t32/t35) prove one split; this samples
+    // random corpora (skew, empty docs, repeated words) under random
+    // 1-4-way splits — the exactness argument (global-stats fold /
+    // additive counts) must hold for ANY doc-disjoint partition.
+    import graft.operators.{LangModel, Retrieval}
+    val word = Gen.oneOf("alpha", "beta", "beta", "gamma", "delta",
+      "epsilon", "zeta")
+    val docGen = Gen.chooseNum(0, 10)
+      .flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val sample = for {
+      n <- Gen.chooseNum(30, 70)
+      texts <- Gen.listOfN(n, docGen)
+      s <- Gen.chooseNum(1, 4)
+    } yield (texts, s)
+    forAll(sample, n = 4) { case (texts, nShards) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .localCheckpoint()
+      val tag = System.nanoTime()
+      val q = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 11).as("qtext"))
+      def shardDf(i: Int) = docs.filter(pmod(col("doc_id"), lit(nShards)) === i)
+
+      val bmW = s"prop_bw_$tag"
+      Retrieval.bm25Build(docs, "doc_id", "text", bmW, buckets = 2)
+      val bmS = (0 until nShards).map { i =>
+        val t = s"prop_bs${i}_$tag"
+        Retrieval.bm25Build(shardDf(i), "doc_id", "text", t, buckets = 2)
+        t
+      }
+      def brows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+      assert(brows(Retrieval.bm25ShardedQuery(spark, bmS, q,
+          "qid", "qtext", 3)) ===
+        brows(Retrieval.bm25Query(spark, bmW, q, "qid", "qtext", 3)),
+        s"bm25 sharded diverged at nShards=$nShards")
+
+      val lmW = s"prop_lw_$tag"
+      LangModel.train(docs, "doc_id", "text", lmW, buckets = 2)
+      val lmS = (0 until nShards).map { i =>
+        val t = s"prop_ls${i}_$tag"
+        LangModel.train(shardDf(i), "doc_id", "text", t, buckets = 2)
+        t
+      }
+      def lrows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+      assert(lrows(LangModel.scoreSharded(spark, lmS, docs,
+          "doc_id", "text")) ===
+        lrows(LangModel.score(spark, lmW, docs, "doc_id", "text")),
+        s"LM sharded diverged at nShards=$nShards")
+    }
+  }
 }
