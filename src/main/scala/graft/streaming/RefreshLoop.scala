@@ -189,7 +189,9 @@ object RefreshLoop {
                    numHashes: Int = 64, bands: Int = 16,
                    bm25Table: Option[String] = None,
                    lmTable: Option[String] = None,
-                   compactEvery: Int = 0)
+                   compactEvery: Int = 0,
+                   bm25Shards: Option[Seq[String]] = None,
+                   lmShards: Option[Seq[String]] = None)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
@@ -197,13 +199,13 @@ object RefreshLoop {
       // tables before the first read (epochPhases does the ledger's)
       BucketedJoin.recoverCompacted(spark, s"${table}_sigs")
       BucketedJoin.recoverCompacted(spark, s"${table}_bands")
-      bm25Table.foreach { t =>
+      (bm25Table.toSeq ++ bm25Shards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_terms")
         BucketedJoin.recoverCompacted(spark, s"${t}_stats")
         BucketedJoin.recoverCompacted(spark, s"${t}_pos")
       }
-      lmTable.foreach { t =>
+      (lmTable.toSeq ++ lmShards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
       }
@@ -261,6 +263,31 @@ object RefreshLoop {
                 idCol, textCol, repair = repairMode))
               lmTable.foreach(t => LangModel.append(spark, t, novel,
                 idCol, textCol, epoch, repair = repairMode))
+              // sharded twins: each admitted doc routes to exactly one
+              // shard by id hash ([[shardOf]] — deterministic, so a
+              // replay routes identically and each shard's repair
+              // anti-join sees exactly its own rows). A crash between
+              // shard appends heals like the single-table case: every
+              // shard append re-runs in repair mode on replay,
+              // row-level idempotent per table.
+              bm25Shards.foreach { ts =>
+                ts.zipWithIndex.foreach { case (t, i) =>
+                  val slice = novel.filter(
+                    shardOf(col(idCol), ts.size) === i)
+                  if (!slice.isEmpty)
+                    Retrieval.bm25Append(spark, t, slice, idCol, textCol,
+                      repair = repairMode)
+                }
+              }
+              lmShards.foreach { ts =>
+                ts.zipWithIndex.foreach { case (t, i) =>
+                  val slice = novel.filter(
+                    shardOf(col(idCol), ts.size) === i)
+                  if (!slice.isEmpty)
+                    LangModel.append(spark, t, slice, idCol, textCol,
+                      epoch, repair = repairMode)
+                }
+              }
               Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
                 k, numHashes, bands, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
@@ -269,7 +296,7 @@ object RefreshLoop {
               BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
               compactLedger(spark, table, epoch)
-              bm25Table.foreach { t =>
+              (bm25Table.toSeq ++ bm25Shards.getOrElse(Nil)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_terms", "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_stats", "n_docs")
@@ -281,7 +308,8 @@ object RefreshLoop {
               }
               // LangModel.compact folds all three LM tables (bigram
               // deltas, counted vocab, stats ledger) itself
-              lmTable.foreach(t => LangModel.compact(spark, t))
+              (lmTable.toSeq ++ lmShards.getOrElse(Nil))
+                .foreach(t => LangModel.compact(spark, t))
             }
           }
         } finally dups.unpersist()
@@ -316,17 +344,47 @@ object RefreshLoop {
     * adds one file set per bucket; lookups stay correct either way,
     * compaction is purely about file-count/open-cost hygiene). The
     * epoch ledger compacts on the same cadence.
+    *
+    * `bm25Shards` / `lmShards`: the SHARDED serving twins — the layout
+    * when the standing serving index outgrows one table (BASELINE.md
+    * round-15: one 10⁷-doc positional BM25 index is 5.85 GB on disk;
+    * at 10⁸ admitted docs the loop must absorb into shards or die).
+    * Each admitted doc routes to exactly one shard by [[shardOf]]
+    * (id-hash, deterministic — replays route identically, so each
+    * shard's repair anti-join sees exactly its own rows), appends stay
+    * O(novel) per shard, and serving reads the shard list through
+    * [[graft.operators.Retrieval.bm25ShardedQuery]] /
+    * [[graft.operators.LangModel.scoreSharded]], which fold global
+    * stats across shards (gated ≡ one whole index at t32/t35). The
+    * same effectively-once ledger covers every shard: the commit
+    * marker lands only after ALL shard appends, and an un-committed
+    * replay re-runs each shard append in repair mode.
     */
+  /** The deterministic shard router shared by the loop and its
+    * consumers: a document's serving shard is `xxhash64(id) mod S`.
+    * Serving-side callers pass the SAME shard table list to
+    * [[graft.operators.Retrieval.bm25ShardedQuery]] /
+    * [[graft.operators.LangModel.scoreSharded]] — the router only
+    * decides placement; sharded serving folds global stats regardless
+    * of which shard holds which doc.
+    */
+  def shardOf(id: org.apache.spark.sql.Column, nShards: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(nShards))
+
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
                      threshold: Double = 0.5, k: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
                      bm25Table: Option[String] = None,
                      lmTable: Option[String] = None,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0,
+                     bm25Shards: Option[Seq[String]] = None,
+                     lmShards: Option[Seq[String]] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
-      numHashes, bands, bm25Table, lmTable, compactEvery)(onBatch)
+      numHashes, bands, bm25Table, lmTable, compactEvery, bm25Shards,
+      lmShards)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

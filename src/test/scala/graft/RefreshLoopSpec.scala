@@ -911,4 +911,93 @@ class RefreshLoopSpec extends AnyFunSuite {
       .filter($"w1" === "fresh" && $"w2" === "words").count() == 1,
       "partial delta row duplicated by the repair")
   }
+
+  test("sharded twins: loop-routed shard indexes serve ≡ one whole index, " +
+       "routing doc-disjoint, replay effectively-once") {
+    import graft.operators.{LangModel, Retrieval}
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"),
+      (3L, "a third base document with its own unique words inside"),
+      (4L, "yet another base document full of separate vocabulary"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "shtw_idx")
+    // shard the BASE corpus by the loop's own router so the standing
+    // shards start consistent with where the loop will append
+    val nSh = 2
+    val bmS = (0 until nSh).map { i =>
+      val t = s"shtw_bm$i"
+      Retrieval.bm25Build(
+        base.filter(RefreshLoop.shardOf($"doc_id", nSh) === i),
+        "doc_id", "text", t)
+      t
+    }
+    val lmS = (0 until nSh).map { i =>
+      val t = s"shtw_lm$i"
+      LangModel.train(
+        base.filter(RefreshLoop.shardOf($"doc_id", nSh) === i),
+        "doc_id", "text", t)
+      t
+    }
+    val fn = RefreshLoop.minhashBatch("shtw_idx", "text", "doc_id",
+      threshold = 0.3, bm25Shards = Some(bmS), lmShards = Some(lmS)) {
+      (_, _, _) => }
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup
+      (110L, "entirely novel content that matches nothing else here"),
+      (111L, "more admitted text that lands in some shard too"))
+      .toDF("doc_id", "text")
+    fn(batch, 2L)
+
+    val admitted = base.unionByName(batch.filter($"doc_id" =!= 101L))
+    def refresh(ts: Seq[String], suffixes: Seq[String]): Unit =
+      for (t <- ts; s <- suffixes)
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(t + s)))
+          spark.catalog.refreshTable(t + s)
+    refresh(bmS, Seq("", "_terms", "_stats"))
+    refresh(lmS, Seq("", "_vocab", "_stats"))
+
+    // routing is doc-disjoint and matches the declared router
+    for (i <- 0 until nSh) {
+      val ids = spark.table(bmS(i)).select($"doc_id").distinct()
+        .as[Long].collect().toSet
+      val expect = admitted
+        .filter(RefreshLoop.shardOf($"doc_id", nSh) === i)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == expect, s"shard $i holds the wrong docs")
+    }
+
+    // sharded serving over the loop-grown shards ≡ one index built
+    // whole on base + admitted
+    Retrieval.bm25Build(admitted, "doc_id", "text", "shtw_bm_oracle")
+    val q = Seq((1L, "entirely novel content"), (2L, "base document"))
+      .toDF("qid", "qtext")
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val grown = brows(Retrieval.bm25ShardedQuery(spark, bmS, q,
+      "qid", "qtext", 3))
+    assert(grown === brows(Retrieval.bm25Query(spark, "shtw_bm_oracle",
+      q, "qid", "qtext", 3)),
+      "loop-grown sharded BM25 diverges from whole-built")
+    LangModel.train(admitted, "doc_id", "text", "shtw_lm_oracle")
+    val probe = Seq((1L, "entirely novel content"), (2L, "quick brown fox"))
+      .toDF("doc_id", "text")
+    def lrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val lmGrown = lrows(LangModel.scoreSharded(spark, lmS, probe,
+      "doc_id", "text"))
+    assert(lmGrown === lrows(LangModel.score(spark, "shtw_lm_oracle",
+      probe, "doc_id", "text")),
+      "loop-grown sharded LM diverges from whole-trained")
+
+    // replay of the committed epoch: nothing doubles anywhere
+    fn(batch, 2L)
+    refresh(bmS, Seq("", "_terms", "_stats"))
+    refresh(lmS, Seq("", "_vocab", "_stats"))
+    assert(brows(Retrieval.bm25ShardedQuery(spark, bmS, q,
+      "qid", "qtext", 3)) === grown, "replay changed sharded BM25 scores")
+    assert(lrows(LangModel.scoreSharded(spark, lmS, probe,
+      "doc_id", "text")) === lmGrown, "replay changed sharded LM scores")
+  }
 }
