@@ -19,8 +19,9 @@ import graft.streaming.RefreshLoop
   * probe — the production loop runs every twin together and the
   * per-twin taxes measured in isolation do not automatically add):
   * document loop — `none` (admission only), `bm25`, `lm`, `all`
-  * (bm25 + LM together); vector loop — `pq` (LSH admission + IVFPQ),
-  * `allvec` (LSH + IVF + IVFPQ together).
+  * (bm25 + LM together), `shards` (bm25 + LM each routed across 2
+  * shard tables — the sharded-twin tax vs `all`); vector loop — `pq`
+  * (LSH admission + IVFPQ), `allvec` (LSH + IVF + IVFPQ together).
   */
 object DevRefresh {
   def main(args: Array[String]): Unit = {
@@ -88,10 +89,34 @@ object DevRefresh {
       System.out.flush()
       Some(t)
     } else None
+    // mode = shards: the round-15 sharded serving twins — the same
+    // bm25 + LM absorb mass as `all`, but routed across 2 shard tables
+    // each; the delta vs `all` is the sharded-twin routing tax
+    val (bm25Shards, lmShards) = if (mode == "shards") {
+      val t0 = System.nanoTime()
+      val bs = (0 until 2).map { i =>
+        val t = s"${table}_bm$i"
+        graft.operators.Retrieval.bm25Build(
+          corpus.filter(RefreshLoop.shardOf(col("doc_id"), 2) === i),
+          "doc_id", "text", t, buckets = 32)
+        t
+      }
+      val ls = (0 until 2).map { i =>
+        val t = s"${table}_lm$i"
+        graft.operators.LangModel.train(
+          corpus.filter(RefreshLoop.shardOf(col("doc_id"), 2) === i),
+          "doc_id", "text", t, buckets = 32)
+        t
+      }
+      println(f"[refresh] n=$n shardBuilds(2bm+2lm)=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.out.flush()
+      (Some(bs), Some(ls))
+    } else (None, None)
     val q = RefreshLoop.minhashRefresh(
         ms.toDF().toDF("doc_id", "text"), table,
         "text", "doc_id", bm25Table = bm25Table, lmTable = lmTable,
-        compactEvery = 3) { (dups, novel, _) =>
+        compactEvery = 3, bm25Shards = bm25Shards, lmShards = lmShards) {
+      (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()
     }.start()
