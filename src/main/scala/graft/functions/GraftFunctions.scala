@@ -928,23 +928,31 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
-    // CORRECTNESS GUARD (Spark 4.1, measured in-repo): with
-    // spark.sql.unionOutputPartitioning=true (the 4.1 default),
-    // UnionExec reports the children's common hash partitioning when
-    // all children are co-partitioned — e.g. two shard tables bucketed
-    // identically — but STILL CONCATENATES child partitions (2×8
-    // partitions claimed as hashpartitioning(key, 8)). EnsureRequirements
-    // then elides the exchange under a downstream aggregate on the
-    // bucket key, the two shards' halves of each group never meet, and
-    // the aggregate silently emits DUPLICATE group keys (observed:
-    // a vocabulary fold over two 31-word shard vocab tables returning
-    // 62 groups; even an explicit repartition(key) gets elided). Every
-    // sharded-serving fold here unions co-bucketed tables, so the
-    // propagation is disabled at the session level. Revisit if a Spark
-    // release makes union partition-ZIPPING actually happen.
-    spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+    unionGuard(spark)
     installed.put(spark, java.lang.Boolean.TRUE)
   }
+
+  /** CORRECTNESS GUARD (Spark 4.1, measured in-repo): with
+    * `spark.sql.unionOutputPartitioning=true` (the 4.1 default),
+    * UnionExec reports the children's common hash partitioning when
+    * all children are co-partitioned — e.g. two shard tables bucketed
+    * identically — but STILL CONCATENATES child partitions (2×8
+    * partitions claimed as hashpartitioning(key, 8)).
+    * EnsureRequirements then elides the exchange under a downstream
+    * aggregate on the bucket key, the two shards' halves of each group
+    * never meet, and the aggregate silently emits DUPLICATE group keys
+    * (observed: a vocabulary fold over two 31-word shard vocab tables
+    * returning 62 groups; even an explicit repartition(key) gets
+    * elided). Every sharded-serving fold here unions co-bucketed
+    * tables, so the propagation is disabled session-wide by
+    * [[ensureRegistered]] AND re-asserted at every sharded fold entry
+    * point (the conf is session-mutable — a caller toggling it back
+    * between calls must not be able to corrupt a fold silently).
+    * Regression-pinned in BucketedJoinSpec. Revisit if a Spark release
+    * makes union partition-ZIPPING actually happen.
+    */
+  def unionGuard(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.unionOutputPartitioning", "false")
 
   /** Column wrappers (session must be registered — queries call
     * `ensureRegistered` on entry).

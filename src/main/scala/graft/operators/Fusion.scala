@@ -155,8 +155,9 @@ object Fusion {
     *
     * `queries` carries `qidCol` (integral id), `textCol` (the lexical
     * query string) and `vecCol` (the query embedding). The vector leg
-    * is served from exactly ONE source (passing both standing indexes
-    * is rejected — a silent preference would mask a misconfiguration):
+    * is served from exactly ONE source (passing more than one — any
+    * combination, standing index or corpus — is rejected: a silent
+    * preference would mask a misconfiguration):
     * a standing IVFPQ index
     * when `pqIndex` is given ([[ProductQuant.ivfPqQuery]] — the 100 TB
     * memory-budget path: PQ codes are ~m·8/(dim·32) the raw vector
@@ -183,12 +184,10 @@ object Fusion {
                   mode: String = "rrf",
                   pqIndex: Option[String] = None,
                   refineK: Int = 0): DataFrame = {
-    require(pqIndex.nonEmpty || vecIndex.nonEmpty || vecCorpus.nonEmpty,
-      "hybridQuery needs a vector leg: pass pqIndex (standing IVFPQ), " +
-        "vecIndex (standing IVF) or vecCorpus (brute-force)")
-    require(pqIndex.isEmpty || vecIndex.isEmpty,
-      "hybridQuery got BOTH pqIndex and vecIndex — the vector leg " +
-        "serves from exactly one standing index; pass the one you mean")
+    require(Seq(pqIndex, vecIndex, vecCorpus).count(_.nonEmpty) == 1,
+      "hybridQuery needs EXACTLY ONE vector leg: pqIndex (standing " +
+        "IVFPQ), vecIndex (standing IVF) or vecCorpus (brute-force) — " +
+        "a silent preference among several would mask a misconfiguration")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
     val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
@@ -248,14 +247,11 @@ object Fusion {
                          refineK: Int = 0): DataFrame = {
     require(bm25Tables.nonEmpty,
       "hybridShardedQuery needs at least one BM25 shard")
-    require(pqIndexes.nonEmpty || vecIndexes.nonEmpty || vecShards.nonEmpty,
-      "hybridShardedQuery needs a vector leg: pass pqIndexes (standing " +
-        "IVFPQ shards), vecIndexes (standing IVF shards) or vecShards " +
-        "(brute-force corpus shards)")
-    require(pqIndexes.isEmpty || vecIndexes.isEmpty,
-      "hybridShardedQuery got BOTH pqIndexes and vecIndexes — the " +
-        "vector leg serves from exactly one standing family; pass the " +
-        "one you mean")
+    require(Seq(pqIndexes, vecIndexes, vecShards).count(_.nonEmpty) == 1,
+      "hybridShardedQuery needs EXACTLY ONE vector leg: pqIndexes " +
+        "(standing IVFPQ shards), vecIndexes (standing IVF shards) or " +
+        "vecShards (brute-force corpus shards) — a silent preference " +
+        "among several would mask a misconfiguration")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
     val lex = Retrieval.bm25ShardedQuery(spark, bm25Tables, queries,

@@ -359,6 +359,7 @@ object LangModel {
                    maxPushDocs: Int = 1 << 11): DataFrame = {
     require(tables.nonEmpty, "scoreSharded needs at least one shard")
     GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
     tables.foreach { t =>
       BucketedJoin.recoverCompacted(spark, t)
       BucketedJoin.recoverCompacted(spark, s"${t}_vocab")

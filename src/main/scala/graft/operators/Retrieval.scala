@@ -469,6 +469,31 @@ object Retrieval {
                             maxDfFrac: Double, qterms: Option[Seq[String]],
                             docFilters: Seq[Option[DataFrame]],
                             bcasts: Seq[Boolean]): DataFrame = {
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+      maxDfFrac)
+    tables.indices.map { i =>
+      partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl, dict,
+        qterms, docFilters(i), bcasts(i))
+    }.reduce(_.unionByName(_))
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+  }
+
+  /** The sharded entry points' shared global-stats control plane: fold
+    * (N, Σdl → avgdl) across the shard stats rows and the query terms'
+    * tombstone-corrected df across the shard dictionaries (term-pruned
+    * — tiny frames), with the `maxDfFrac` stop-term dial applied to
+    * the FOLDED df (global semantics, matching the single index). The
+    * exactness-critical fold lives HERE only — scoring
+    * ([[shardedScored]]) and snippet argmax
+    * ([[attachBestTermSnippetsSharded]]) must never disagree on it.
+    * Also re-asserts [[GraftFunctions.unionGuard]]: every fold below
+    * unions co-bucketed tables.
+    */
+  private def foldShardStats(spark: SparkSession, tables: Seq[String],
+                             qterms: Option[Seq[String]],
+                             maxDfFrac: Double): (Long, Double, DataFrame) = {
+    GraftFunctions.unionGuard(spark)
     val stats = tables.map(correctedStats(spark, _))
     val nDocs = stats.map(_._1).sum
     require(nDocs > 0, s"sharded query: every shard of $tables is empty")
@@ -479,12 +504,7 @@ object Retrieval {
     val dict = if (maxDfFrac < 1.0)
       dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
     else dict1
-    tables.indices.map { i =>
-      partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl, dict,
-        qterms, docFilters(i), bcasts(i))
-    }.reduce(_.unionByName(_))
-      .groupBy("qid", "nid")
-      .agg(sum("partial").cast("double").as("cos"))
+    (nDocs, avgdl, dict)
   }
 
   /** Heal a crashed tombstone fold before serving (see
@@ -1176,16 +1196,8 @@ object Retrieval {
       s"snippet extraction: $t has no positional table — " +
         "build the index with positions = true"))
     val rankedDocs = ranked.select("doc_id").distinct()
-    val stats = tables.map(correctedStats(spark, _))
-    val nDocs = stats.map(_._1).sum
-    require(nDocs > 0, s"sharded snippets: every shard of $tables is empty")
-    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
-    val dict1 = tables.map(correctedDict(spark, _, qterms))
-      .reduce(_.unionByName(_))
-      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
-    val dict = if (maxDfFrac < 1.0)
-      dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
-    else dict1
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+      maxDfFrac)
     val partials = tables.map(partialsWith(spark, _, qt, k1, b, nDocs,
         avgdl, dict, qterms, Some(rankedDocs), true))
       .reduce(_.unionByName(_))

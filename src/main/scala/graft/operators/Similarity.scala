@@ -566,10 +566,12 @@ object Similarity {
     * winner is inside its own shard's top-k, so the union contains
     * every winner (the classic distributed top-k argument); ties
     * resolve identically because the comparator is the same. */
-  private[graft] def mergeShardTopK(legs: Seq[DataFrame], k: Int): DataFrame =
+  private[graft] def mergeShardTopK(legs: Seq[DataFrame], k: Int): DataFrame = {
+    legs.headOption.foreach(l => GraftFunctions.unionGuard(l.sparkSession))
     rankTopK(
       legs.map(_.select(col("qid"), col("nid"), col("cos")))
         .reduce(_.unionByName(_)), k)
+  }
 
   /** Exact cosine top-k over a DOC-DISJOINT sharded corpus — the
     * brute-force leg for embedding sets too large for one table/box

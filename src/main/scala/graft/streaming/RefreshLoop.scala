@@ -208,6 +208,12 @@ object RefreshLoop {
       (lmTable.toSeq ++ lmShards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
+        // the V ledger too: a crash inside LangModel.compact's _stats
+        // rename-aside would otherwise leave the table absent and the
+        // next append would CREATE a fresh one holding only its own
+        // delta — silent permanent V loss (all three tables recover,
+        // the LangModel.score entry discipline)
+        BucketedJoin.recoverCompacted(spark, s"${t}_stats")
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       // repair whenever the ledger holds id rows for this epoch, even
@@ -270,24 +276,21 @@ object RefreshLoop {
               // shard appends heals like the single-table case: every
               // shard append re-runs in repair mode on replay,
               // row-level idempotent per table.
-              bm25Shards.foreach { ts =>
+              def routeToShards(ts: Seq[String])
+                               (append: (String, DataFrame) => Unit): Unit =
                 ts.zipWithIndex.foreach { case (t, i) =>
                   val slice = novel.filter(
                     shardOf(col(idCol), ts.size) === i)
-                  if (!slice.isEmpty)
-                    Retrieval.bm25Append(spark, t, slice, idCol, textCol,
-                      repair = repairMode)
+                  if (!slice.isEmpty) append(t, slice)
                 }
-              }
-              lmShards.foreach { ts =>
-                ts.zipWithIndex.foreach { case (t, i) =>
-                  val slice = novel.filter(
-                    shardOf(col(idCol), ts.size) === i)
-                  if (!slice.isEmpty)
-                    LangModel.append(spark, t, slice, idCol, textCol,
-                      epoch, repair = repairMode)
-                }
-              }
+              bm25Shards.foreach(routeToShards(_) { (t, slice) =>
+                Retrieval.bm25Append(spark, t, slice, idCol, textCol,
+                  repair = repairMode)
+              })
+              lmShards.foreach(routeToShards(_) { (t, slice) =>
+                LangModel.append(spark, t, slice, idCol, textCol,
+                  epoch, repair = repairMode)
+              })
               Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
                 k, numHashes, bands, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
@@ -315,6 +318,18 @@ object RefreshLoop {
         } finally dups.unpersist()
       } finally b.unpersist()
     }
+
+  /** The deterministic shard router shared by the loop and its
+    * consumers: a document's serving shard is `xxhash64(id) mod S`.
+    * Serving-side callers pass the SAME shard table list to
+    * [[graft.operators.Retrieval.bm25ShardedQuery]] /
+    * [[graft.operators.LangModel.scoreSharded]] — the router only
+    * decides placement; sharded serving folds global stats regardless
+    * of which shard holds which doc.
+    */
+  def shardOf(id: org.apache.spark.sql.Column, nShards: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(nShards))
 
   /** `onBatch(dups, novel, epoch)`: `dups` is
     * (batch_id, match_id, est_jaccard, source) where source is
@@ -360,18 +375,6 @@ object RefreshLoop {
     * marker lands only after ALL shard appends, and an un-committed
     * replay re-runs each shard append in repair mode.
     */
-  /** The deterministic shard router shared by the loop and its
-    * consumers: a document's serving shard is `xxhash64(id) mod S`.
-    * Serving-side callers pass the SAME shard table list to
-    * [[graft.operators.Retrieval.bm25ShardedQuery]] /
-    * [[graft.operators.LangModel.scoreSharded]] — the router only
-    * decides placement; sharded serving folds global stats regardless
-    * of which shard holds which doc.
-    */
-  def shardOf(id: org.apache.spark.sql.Column, nShards: Int)
-      : org.apache.spark.sql.Column =
-    pmod(xxhash64(id), lit(nShards))
-
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
                      threshold: Double = 0.5, k: Int = 3,

@@ -238,14 +238,21 @@ class FusionSpec extends AnyFunSuite {
     }
   }
 
-  test("hybridQuery: rejects two standing vector indexes") {
+  test("hybridQuery: rejects any combination of two vector sources") {
     val q = Seq((1L, "x")).toDF("qid", "qtext")
       .withColumn("qvec", array(lit(1.0f)))
     val e = intercept[IllegalArgumentException] {
       Fusion.hybridQuery(spark, "nope", q, "qid", "qtext", "qvec", 5,
         pqIndex = Some("a"), vecIndex = Some("b"))
     }
-    assert(e.getMessage.contains("BOTH"))
+    assert(e.getMessage.contains("EXACTLY ONE"))
+    // standing index + brute-force corpus is ALSO ambiguous — a silent
+    // preference would serve approximate results to a caller who
+    // passed the exact corpus on purpose
+    intercept[IllegalArgumentException] {
+      Fusion.hybridQuery(spark, "nope", q, "qid", "qtext", "qvec", 5,
+        vecIndex = Some("b"), vecCorpus = Some(q))
+    }
   }
 
   test("hybridSnippets: passages attach to lexical hits, vector-only hits keep null spans") {

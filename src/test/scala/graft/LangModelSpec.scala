@@ -278,10 +278,16 @@ class LangModelSpec extends AnyFunSuite {
       "doc_id", "text", s1, buckets = 2)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // a caller re-enabling the Spark 4.1 union-partitioning conf must
+    // not be able to corrupt the fold — the entry point re-asserts the
+    // guard (unionGuard), not just ensureRegistered once per session
+    spark.conf.set("spark.sql.unionOutputPartitioning", "true")
     assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
         "doc_id", "text")) ===
       rows(LangModel.score(spark, whole, corpus, "doc_id", "text")),
       "sharded fold diverged from the whole-trained model")
+    assert(spark.conf.get("spark.sql.unionOutputPartitioning") === "false",
+      "scoreSharded must re-assert the union guard")
     // takedown lands on ONE shard (the doc-disjoint contract: a doc's
     // counts live in exactly its own shard) and must keep equality
     val gone = corpus.filter(col("doc_id") % 10 === 0) // even ids -> s0
