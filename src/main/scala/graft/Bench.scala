@@ -142,8 +142,17 @@ object Bench {
     // and fails the process exit code — a silent drop would read as a
     // speedup.
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-      .map(only => kernels.filter(k => only(k._1)))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { only =>
+        // a typo'd kernel name must be LOUD too: silently dropping it
+        // yields a partial run that exits 0 with a tiny total
+        val unknown = only -- kernels.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown kernels: " +
+            s"${unknown.mkString(", ")} — known: " +
+            kernels.map(_._1).mkString(", "))
+        kernels.filter(k => only(k._1))
+      }
       .getOrElse(kernels)
     val results = selected.map { case (name, mk) =>
       val t = try timeMedian(mk()) catch {

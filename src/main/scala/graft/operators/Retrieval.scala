@@ -413,8 +413,13 @@ object Retrieval {
     * covers (doc-local predicate), global-stats scoring, bounded top-k
     * merge (oracle-gated at t33). Same contracts as
     * [[bm25ShardedPhraseQuery]]; `maxPosMass` budgets each shard's
-    * gated position mass independently (a shard that routes, routes
-    * loudly for its own docs only).
+    * gated position mass INDEPENDENTLY — an S-shard deployment
+    * therefore carries S× the single-index default budget, and the
+    * truncation auto-route can engage on one shard while the others
+    * stay exact. The t33 "sharded ≡ whole" contract holds only while
+    * NO shard routes (each shard that does names itself in its warn);
+    * a deployment that wants the single-index budget semantics should
+    * pass `maxPosMass / S`.
     */
   def bm25ShardedProximityQuery(spark: SparkSession, tables: Seq[String],
                                 queries: DataFrame, qidCol: String,
@@ -433,8 +438,9 @@ object Retrieval {
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val legs = tables.map { t =>
       val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
-        t, qt0, "bm25ShardedProximityQuery", 1.0, maxCandBroadcast,
-        gateMinPosMass, window = window, maxPosMass = maxPosMass)
+        t, qt0, s"bm25ShardedProximityQuery(shard=$t)", 1.0,
+        maxCandBroadcast, gateMinPosMass, window = window,
+        maxPosMass = maxPosMass)
       (proximityMatched(anchorsInput, qlenD, window), candFilter, bcast,
         qterms)
     }
@@ -521,25 +527,27 @@ object Retrieval {
   /** The query batch's distinct terms as literals for scan pruning, or
     * None past `maxPushTerms` (adversarially huge batches fall back to
     * the full-scan plan). The index tables are bucketed AND sorted by
-    * term, so the pushed filter ([[termScanFilter]]: per-value IN up to
-    * [[maxInPushValues]] values, chunked sorted ranges + post-scan
-    * InSet above — the measured stack-safety split) lets parquet skip
-    * every row group whose term range misses the batch — serving cost
-    * then tracks the query terms' posting lists instead of the index
-    * scan. The collect is a bounded control value (≤ maxPushTerms + 1
-    * rows), the mf1 point-lookup discipline.
+    * term, so the pushed filter ([[prunedByValues]]: per-value IN up to
+    * [[maxInPushValues]] = 256 values, the same `isin` with only its
+    * min/max range pushed + post-scan InSet above — the measured
+    * stack-safety split) lets parquet skip every row group whose term
+    * range misses the batch — serving cost then tracks the query terms'
+    * posting lists instead of the index scan. The collect is a bounded
+    * control value (≤ maxPushTerms + 1 rows), the mf1 point-lookup
+    * discipline.
     *
-    * SESSION-WIDE SIDE EFFECT, by design: [[termScanFilter]] raises
+    * SESSION-WIDE SIDE EFFECT, by design: [[prunedByValues]] raises
     * `spark.sql.parquet.pushdown.inFilterThreshold` to
-    * [[maxInPushValues]] + 1 and the raise is NOT restored. The term
+    * [[maxInPushValues]] and the raise is NOT restored. The term
     * list is pushed into a plan the CALLER executes later (lazily), so
     * a save-and-restore would revert the conf before the scan ever
     * plans — the raise must outlive the call. It is monotone (only
     * ever raises, never lowers, so repeated/concurrent callers
     * compose), affects plan SHAPE only, and is capped at the measured
-    * stack-safe depth — never raise it further: per-value IN lists
-    * past ~2k values overflow the executor stack inside parquet-mr
-    * (DevPushProbe; the round-15 LM incident).
+    * stack-safe depth (256 — 4× margin under the 1024-value in-vivo
+    * failure) — never raise it further: deeper per-value IN lists
+    * overflow the executor stack inside parquet-mr (DevPushProbe; the
+    * round-15 LM incident).
     */
   private[operators] def pushableTerms(spark: SparkSession, qt: DataFrame,
                                        maxPushTerms: Int = 1 << 12)
@@ -597,8 +605,13 @@ object Retrieval {
                                         values: Seq[String]): DataFrame = {
     if (values.isEmpty) df.filter(lit(false))
     else {
+      // raise to EXACTLY the cap: Spark pushes per-value when
+      // values.length <= threshold, so maxInPushValues keeps the
+      // per-value regime aligned with the documented 256 bound (a
+      // +1 here would let a later 257-value list build the per-value
+      // tree — one over the stated cap)
       if (values.size <= maxInPushValues)
-        raiseInFilterThreshold(df.sparkSession, maxInPushValues + 1)
+        raiseInFilterThreshold(df.sparkSession, maxInPushValues)
       df.filter(col(colName).isin(values: _*))
     }
   }
@@ -1303,8 +1316,8 @@ object Retrieval {
     val maxPushTerms = 1 << 12
     val qterms: Option[Seq[String]] = if (collected) {
       val ts = qdfRows.map(_.getString(1)).toSeq.distinct
-      // no threshold raise here: [[termScanFilter]] pushes the list
-      // stack-safely (per-value only up to the measured 1024 limit)
+      // no threshold raise here: [[prunedByValues]] pushes the list
+      // stack-safely (per-value only up to [[maxInPushValues]] = 256)
       if (ts.size <= maxPushTerms) Some(ts) else None
     } else None
     // truncation cap in documents (Long.MaxValue = exact; stats are

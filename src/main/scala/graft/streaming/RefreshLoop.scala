@@ -214,6 +214,12 @@ object RefreshLoop {
         // delta — silent permanent V loss (all three tables recover,
         // the LangModel.score entry discipline)
         BucketedJoin.recoverCompacted(spark, s"${t}_stats")
+        // the generation ledger too: a crash inside its compact fold
+        // would otherwise let the next absorb CREATE a fresh ledger
+        // holding only its own row (harmless to correctness — the
+        // summed generation changes either way, so caches refold —
+        // but the heal keeps the ledger's history intact)
+        BucketedJoin.recoverCompacted(spark, s"${t}_gen")
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       // repair whenever the ledger holds id rows for this epoch, even
@@ -269,27 +275,15 @@ object RefreshLoop {
                 idCol, textCol, repair = repairMode))
               lmTable.foreach(t => LangModel.append(spark, t, novel,
                 idCol, textCol, epoch, repair = repairMode))
-              // sharded twins: each admitted doc routes to exactly one
-              // shard by id hash ([[shardOf]] — deterministic, so a
-              // replay routes identically and each shard's repair
-              // anti-join sees exactly its own rows). A crash between
-              // shard appends heals like the single-table case: every
-              // shard append re-runs in repair mode on replay,
-              // row-level idempotent per table.
-              def routeToShards(ts: Seq[String])
-                               (append: (String, DataFrame) => Unit): Unit =
-                ts.zipWithIndex.foreach { case (t, i) =>
-                  val slice = novel.filter(
-                    shardOf(col(idCol), ts.size) === i)
-                  if (!slice.isEmpty) append(t, slice)
-                }
-              bm25Shards.foreach(routeToShards(_) { (t, slice) =>
-                Retrieval.bm25Append(spark, t, slice, idCol, textCol,
-                  repair = repairMode)
+              bm25Shards.foreach(routeToShards(novel, idCol, _) {
+                (t, slice) =>
+                  Retrieval.bm25Append(spark, t, slice, idCol, textCol,
+                    repair = repairMode)
               })
-              lmShards.foreach(routeToShards(_) { (t, slice) =>
-                LangModel.append(spark, t, slice, idCol, textCol,
-                  epoch, repair = repairMode)
+              lmShards.foreach(routeToShards(novel, idCol, _) {
+                (t, slice) =>
+                  LangModel.append(spark, t, slice, idCol, textCol,
+                    epoch, repair = repairMode)
               })
               Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
                 k, numHashes, bands, repair = repairMode)
@@ -318,6 +312,29 @@ object RefreshLoop {
         } finally dups.unpersist()
       } finally b.unpersist()
     }
+
+  /** Sharded-twin absorb: each admitted doc/vector routes to exactly
+    * one shard by id hash ([[shardOf]] — deterministic, so a replay
+    * routes identically and each shard's repair anti-join sees exactly
+    * its own rows). A crash between shard appends heals like the
+    * single-table case: every shard append re-runs in repair mode on
+    * replay, row-level idempotent per table. Which shards are
+    * non-empty is decided by ONE aggregation over the checkpoint-
+    * pinned `novel` rows (a single tiny action — per-shard counts are
+    * O(S) rows), not a per-shard isEmpty probe, which paid ~2
+    * extra Spark actions per shard per family on the hot refresh path.
+    */
+  private def routeToShards(novel: DataFrame, idCol: String,
+                            ts: Seq[String])
+                           (append: (String, DataFrame) => Unit): Unit = {
+    val hit = novel
+      .groupBy(shardOf(col(idCol), ts.size).as("_sh"))
+      .count().collect().map(_.getLong(0).toInt).toSet
+    ts.zipWithIndex.foreach { case (t, i) =>
+      if (hit(i))
+        append(t, novel.filter(shardOf(col(idCol), ts.size) === i))
+    }
+  }
 
   /** The deterministic shard router shared by the loop and its
     * consumers: a document's serving shard is `xxhash64(id) mod S`.
@@ -423,6 +440,35 @@ object RefreshLoop {
     }
   }
 
+  /** Shared drift response for the IVF/IVFPQ serving twins
+    * (single-table and sharded): a drifted absorb warns loudly naming
+    * the index, and `retrainOnDrift` closes the loop in-epoch — the
+    * same semantics per SHARD as per whole index (each shard carries
+    * its own build-time drift reference, so a drifting region retrains
+    * only the shards it routed to). */
+  private def handleDrift(spark: SparkSession, t: String,
+                          st: Similarity.IvfAppendStats, epoch: Long,
+                          pq: Boolean, retrainOnDrift: Boolean,
+                          nassign: Int): Unit =
+    if (st.drifted) {
+      val kind = if (pq) "IVFPQ" else "IVF"
+      val cure = if (pq) s"ProductQuant.ivfPqRetrain($t)"
+                 else s"Similarity.ivfRetrain($t)"
+      if (retrainOnDrift) {
+        log.warn(
+          s"$kind serving index $t: batch mean top-1 cosine " +
+            f"${st.batchMeanTop1Cos}%.4f vs build " +
+            f"${st.buildMeanTop1Cos}%.4f at epoch $epoch — " +
+            "drift; retraining in-epoch (retrainOnDrift)")
+        if (pq) graft.operators.ProductQuant.ivfPqRetrain(spark, t,
+          nassign = nassign)
+        else Similarity.ivfRetrain(spark, t, nassign)
+      } else log.warn(
+        s"$kind serving index $t: batch mean top-1 cosine " +
+          f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
+          s"at epoch $epoch — distribution drift; schedule $cure")
+    }
+
   /** The per-micro-batch body of [[embeddingRefresh]], exposed like
     * [[minhashBatch]]. */
   def embeddingBatch(table: String, idCol: String, vecCol: String,
@@ -432,17 +478,19 @@ object RefreshLoop {
                      ivfTable: Option[String] = None, nassign: Int = 2,
                      pqTable: Option[String] = None,
                      retrainOnDrift: Boolean = false,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0,
+                     ivfShards: Option[Seq[String]] = None,
+                     pqShards: Option[Seq[String]] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
       BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
       BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
-      ivfTable.foreach { t =>
+      (ivfTable.toSeq ++ ivfShards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         healCrashedRetrain(spark, t, pq = false, nassign)
       }
-      pqTable.foreach { t =>
+      (pqTable.toSeq ++ pqShards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
         healCrashedRetrain(spark, t, pq = true, nassign)
@@ -486,48 +534,42 @@ object RefreshLoop {
           if (!committed) {
             if (!novel.isEmpty) {
               if (!decided) recordNovel(spark, table, epoch, novel.select(idCol))
+              // default: drift is surfaced, not auto-acted (ivfRetrain
+              // swaps tables this loop reads — the maintenance cadence
+              // is the safe place). retrainOnDrift closes the loop
+              // in-epoch; a kill mid-retrain heals on the replay
+              // (healCrashedRetrain above).
               ivfTable.foreach { t =>
-                val st = Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
-                  nassign, repair = repairMode)
-                // default: surfaced, not auto-acted (ivfRetrain swaps
-                // tables this loop reads — the maintenance cadence is
-                // the safe place). retrainOnDrift closes the loop
-                // in-epoch; a kill mid-retrain heals on the replay
-                // (healCrashedRetrain above).
-                if (st.drifted) {
-                  if (retrainOnDrift) {
-                    log.warn(
-                      s"IVF serving index $t: batch mean top-1 cosine " +
-                        f"${st.batchMeanTop1Cos}%.4f vs build " +
-                        f"${st.buildMeanTop1Cos}%.4f at epoch $epoch — " +
-                        "drift; retraining in-epoch (retrainOnDrift)")
-                    Similarity.ivfRetrain(spark, t, nassign)
-                  } else log.warn(
-                    s"IVF serving index $t: batch mean top-1 cosine " +
-                      f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
-                      s"at epoch $epoch — distribution drift; schedule " +
-                      s"Similarity.ivfRetrain($t)")
-                }
+                handleDrift(spark, t,
+                  Similarity.ivfAppend(spark, t, novel, idCol, vecCol,
+                    nassign, repair = repairMode),
+                  epoch, pq = false, retrainOnDrift, nassign)
               }
               pqTable.foreach { t =>
-                val st = graft.operators.ProductQuant.ivfPqAppend(spark, t,
-                  novel, idCol, vecCol, nassign, repair = repairMode)
-                if (st.drifted) {
-                  if (retrainOnDrift) {
-                    log.warn(
-                      s"IVFPQ serving index $t: batch mean top-1 cosine " +
-                        f"${st.batchMeanTop1Cos}%.4f vs build " +
-                        f"${st.buildMeanTop1Cos}%.4f at epoch $epoch — " +
-                        "drift; retraining in-epoch (retrainOnDrift)")
-                    graft.operators.ProductQuant.ivfPqRetrain(spark, t,
-                      nassign = nassign)
-                  } else log.warn(
-                    s"IVFPQ serving index $t: batch mean top-1 cosine " +
-                      f"${st.batchMeanTop1Cos}%.4f vs build ${st.buildMeanTop1Cos}%.4f " +
-                      s"at epoch $epoch — distribution drift; schedule " +
-                      s"ProductQuant.ivfPqRetrain($t)")
-                }
+                handleDrift(spark, t,
+                  graft.operators.ProductQuant.ivfPqAppend(spark, t,
+                    novel, idCol, vecCol, nassign, repair = repairMode),
+                  epoch, pq = true, retrainOnDrift, nassign)
               }
+              // sharded vector twins — the serving layout when the
+              // standing index outgrows one table: admitted vectors
+              // route to exactly one shard by [[shardOf]] and absorb
+              // via the per-shard frozen-quantizer appends; drift is
+              // watched per shard (each shard's own build reference)
+              ivfShards.foreach(routeToShards(novel, idCol, _) {
+                (t, slice) =>
+                  handleDrift(spark, t,
+                    Similarity.ivfAppend(spark, t, slice, idCol, vecCol,
+                      nassign, repair = repairMode),
+                    epoch, pq = false, retrainOnDrift, nassign)
+              })
+              pqShards.foreach(routeToShards(novel, idCol, _) {
+                (t, slice) =>
+                  handleDrift(spark, t,
+                    graft.operators.ProductQuant.ivfPqAppend(spark, t,
+                      slice, idCol, vecCol, nassign, repair = repairMode),
+                    epoch, pq = true, retrainOnDrift, nassign)
+              })
               Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
                 nBits, nTables, seed, repair = repairMode)
               commitEpoch(spark, table, epoch, novel.select(idCol))
@@ -536,9 +578,9 @@ object RefreshLoop {
               BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")
               compactLedger(spark, table, epoch)
-              ivfTable.foreach(t =>
+              (ivfTable.toSeq ++ ivfShards.getOrElse(Nil)).foreach(t =>
                 BucketedJoin.compactBucketed(spark, t, "cid"))
-              pqTable.foreach { t =>
+              (pqTable.toSeq ++ pqShards.getOrElse(Nil)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "cid")
                 BucketedJoin.compactBucketed(spark, s"${t}_vecs", "nid")
               }
@@ -592,6 +634,24 @@ object RefreshLoop {
     * so the next scheduled compaction of that table is a near-no-op —
     * the two cadences compose without coordination; drift does not
     * reset the compaction counter.
+    *
+    * `ivfShards` / `pqShards`: the SHARDED vector serving twins — the
+    * routing that lets the loop MAINTAIN the doc-disjoint shard
+    * indexes [[graft.operators.Similarity.ivfShardedQuery]] /
+    * [[graft.operators.ProductQuant.ivfPqShardedQuery]] serve from
+    * (the `bm25Shards`/`lmShards` pattern applied to vectors: when the
+    * standing serving index outgrows one table, the loop must absorb
+    * into shards or stop maintaining them). Each admitted vector
+    * routes to exactly one shard by [[shardOf]] (deterministic —
+    * replays route identically, so each shard's repair anti-join sees
+    * exactly its own rows) and absorbs via the per-shard
+    * frozen-quantizer append ([[graft.operators.Similarity.ivfAppend]]
+    * / [[graft.operators.ProductQuant.ivfPqAppend]]); the coarse-drift
+    * signal and `retrainOnDrift` apply PER SHARD against each shard's
+    * own build-time reference, crashed per-shard retrains heal on
+    * replay, and compaction covers every shard on the same cadence.
+    * The same effectively-once ledger covers all shards: the commit
+    * marker lands only after ALL shard appends.
     */
   def embeddingRefresh(stream: DataFrame, table: String,
                        idCol: String, vecCol: String,
@@ -601,11 +661,13 @@ object RefreshLoop {
                        ivfTable: Option[String] = None, nassign: Int = 2,
                        pqTable: Option[String] = None,
                        retrainOnDrift: Boolean = false,
-                       compactEvery: Int = 0)
+                       compactEvery: Int = 0,
+                       ivfShards: Option[Seq[String]] = None,
+                       pqShards: Option[Seq[String]] = None)
                       (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
       nTables, seed, ivfTable, nassign, pqTable, retrainOnDrift,
-      compactEvery)(onBatch)
+      compactEvery, ivfShards, pqShards)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

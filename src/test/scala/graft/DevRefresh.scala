@@ -36,8 +36,8 @@ object DevRefresh {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    if (mode == "pq" || mode == "allvec") {
-      pqMain(spark, n, nEpochs, withIvf = mode == "allvec"); return
+    if (mode == "pq" || mode == "allvec" || mode == "vecshards") {
+      pqMain(spark, n, nEpochs, mode); return
     }
     import spark.implicits._
 
@@ -163,13 +163,17 @@ object DevRefresh {
     * `sbt "Test/runMain graft.DevRefresh [n] [epochs] pq"`; `allvec`
     * additionally rides a standing IVF serving index
     * ([[graft.operators.Similarity.ivfAppend]]) on the same epochs —
-    * the vector loop's full production composition.
+    * the vector loop's full production composition; `vecshards` rides
+    * the same IVF + IVFPQ absorb mass but routed across 2 shard tables
+    * each (the round-16 sharded vector twins) — the delta vs `allvec`
+    * is the sharded-vector routing tax.
     */
   private def pqMain(spark: SparkSession, n: Long, nEpochs: Int,
-                     withIvf: Boolean): Unit = {
+                     mode: String): Unit = {
     import spark.implicits._
     import graft.operators.{ProductQuant, Similarity}
-    val mode = if (withIvf) "allvec" else "pq"
+    val withIvf = mode == "allvec"
+    val sharded = mode == "vecshards"
     val dim = 64
     def vecs(ids: org.apache.spark.sql.DataFrame, seed: Long) =
       ids.select(col("id"),
@@ -191,20 +195,50 @@ object DevRefresh {
     Similarity.lshIndexBuild(corpus, "vec_id", "embedding", table,
       nBits = bits, buckets = 32)
     val tLsh = (System.nanoTime() - t0) / 1e9
-    t0 = System.nanoTime()
-    ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", pq, m = 8,
-      buckets = 32)
-    val tPq = (System.nanoTime() - t0) / 1e9
-    // allvec: a standing IVF serving index rides the same epochs
-    val ivf = if (withIvf) {
+    // vecshards: the same IVF + IVFPQ absorb mass as allvec, but the
+    // standing serving indexes are 2 doc-disjoint shards per family,
+    // routed by the loop's own shardOf
+    val (pqSingle, pqShards) = if (sharded) {
+      t0 = System.nanoTime()
+      val ps = (0 until 2).map { i =>
+        val t = s"${pq}$i"
+        ProductQuant.ivfPqBuild(
+          corpus.filter(graft.streaming.RefreshLoop.shardOf(
+            col("vec_id"), 2) === i),
+          "vec_id", "embedding", t, m = 8, buckets = 32)
+        t
+      }
+      println(f"[pqrefresh] n=$n pqShardBuilds(2)=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      (None, Some(ps))
+    } else {
+      t0 = System.nanoTime()
+      ProductQuant.ivfPqBuild(corpus, "vec_id", "embedding", pq, m = 8,
+        buckets = 32)
+      println(f"[pqrefresh] n=$n pqBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      (Some(pq), None)
+    }
+    // allvec: a standing IVF serving index rides the same epochs;
+    // vecshards: two IVF shard indexes do
+    val (ivf, ivfShards) = if (sharded) {
+      t0 = System.nanoTime()
+      val is = (0 until 2).map { i =>
+        val t = s"${table}_ivf$i"
+        Similarity.ivfBuild(
+          corpus.filter(graft.streaming.RefreshLoop.shardOf(
+            col("vec_id"), 2) === i),
+          "vec_id", "embedding", t, buckets = 32)
+        t
+      }
+      println(f"[pqrefresh] n=$n ivfShardBuilds(2)=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      (None, Some(is))
+    } else if (withIvf) {
       val t = s"${table}_ivf"
       t0 = System.nanoTime()
       Similarity.ivfBuild(corpus, "vec_id", "embedding", t, buckets = 32)
       println(f"[pqrefresh] n=$n ivfBuild=${(System.nanoTime() - t0) / 1e9}%.1fs")
-      Some(t)
-    } else None
-    println(f"[pqrefresh] n=$n nBits=$bits lshBuild=${tLsh}%.1fs " +
-      f"pqBuild=${tPq}%.1fs")
+      (Some(t), None)
+    } else (None, None)
+    println(f"[pqrefresh] n=$n nBits=$bits lshBuild=${tLsh}%.1fs")
     System.out.flush()
 
     val batchSize = (n / 50).toInt
@@ -212,7 +246,8 @@ object DevRefresh {
     @volatile var lastNovel = 0L
     val fn = graft.streaming.RefreshLoop.embeddingBatch(table,
         "vec_id", "embedding", nBits = bits, ivfTable = ivf,
-        pqTable = Some(pq), compactEvery = 3) { (dups, novel, _) =>
+        pqTable = pqSingle, compactEvery = 3,
+        ivfShards = ivfShards, pqShards = pqShards) { (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()
     }
@@ -234,8 +269,11 @@ object DevRefresh {
       val sec = (System.nanoTime() - te) / 1e9
       // drift probe: the signal the epoch computed, reproduced from the
       // standing stats vs a fresh in-distribution sample's assignment
-      spark.catalog.refreshTable(s"${pq}_stats")
-      val buildMean = spark.table(s"${pq}_stats").head().getDouble(1)
+      // (shard 0's reference in sharded mode)
+      val statsT = pqSingle.map(t => s"${t}_stats")
+        .getOrElse(s"${pqShards.get.head}_stats")
+      spark.catalog.refreshTable(statsT)
+      val buildMean = spark.table(statsT).head().getDouble(1)
       val compacted = if (e % 3 == 0) " (compacted)" else ""
       println(f"[pqrefresh] n=$n epoch=$e batch=$batchSize " +
         f"dupVecs=$lastDups novel=$lastNovel buildMean=$buildMean%.4f " +
@@ -243,10 +281,12 @@ object DevRefresh {
       System.out.flush()
     }
     // drift-signal check: one explicit in-distribution append probe
+    // (against shard 0 in sharded mode)
     val probe = vecs(spark.range(n * 20, n * 20 + 200).repartition(4)
         .toDF("id"), 3L)
       .select(col("id").as("vec_id"), col("embedding"))
-    val st = ProductQuant.ivfPqAppend(spark, pq, probe, "vec_id",
+    val st = ProductQuant.ivfPqAppend(spark,
+      pqSingle.getOrElse(pqShards.get.head), probe, "vec_id",
       "embedding")
     println(f"[pqrefresh] drift probe: batchMean=${st.batchMeanTop1Cos}%.4f " +
       f"buildMean=${st.buildMeanTop1Cos}%.4f drifted=${st.drifted}")

@@ -1000,4 +1000,133 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(lrows(LangModel.scoreSharded(spark, lmS, probe,
       "doc_id", "text")) === lmGrown, "replay changed sharded LM scores")
   }
+
+  test("sharded vector twins: loop-routed IVF/IVFPQ shards serve ≡ whole-built, " +
+       "routing doc-disjoint, replay effectively-once, crash mid-absorb repaired") {
+    import graft.operators.{BucketedJoin, ProductQuant, Similarity}
+    def mkVecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    def clustered(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.7
+      Array.tabulate(8)(j => base(j) + 0.01 * (((i * 31 + j * 7) % 11) - 5)).toSeq
+    }
+    val v110 = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val v111 = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val v112 = Seq(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3)
+    val base = mkVecs((0L until 40L).map(i => (i, clustered(i))))
+    Similarity.lshIndexBuild(base, "vec_id", "embedding", "shvec_lsh")
+    // standing shards start consistent with where the loop will route
+    val nSh = 2
+    def slice(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.filter(RefreshLoop.shardOf($"vec_id", nSh) === i)
+    val ivfS = (0 until nSh).map { i =>
+      val t = s"shvec_ivf$i"
+      Similarity.ivfBuild(slice(base, i), "vec_id", "embedding", t,
+        nlist = 4, buckets = 2)
+      t
+    }
+    val pqS = (0 until nSh).map { i =>
+      val t = s"shvec_pq$i"
+      ProductQuant.ivfPqBuild(slice(base, i), "vec_id", "embedding", t,
+        m = 2, ksub = 4, nlist = 4, buckets = 2)
+      t
+    }
+    val fn = RefreshLoop.embeddingBatch("shvec_lsh", "vec_id", "embedding",
+      ivfShards = Some(ivfS), pqShards = Some(pqS)) { (_, _, _) => }
+    // epoch 2: an exact dup of corpus vec 1 plus two novel directions
+    val batch = mkVecs(Seq((101L, clustered(1L)), (110L, v110), (111L, v111)))
+    fn(batch, 2L)
+
+    val admitted = base.unionByName(mkVecs(Seq((110L, v110), (111L, v111))))
+    def refresh(ts: Seq[String], suffixes: Seq[String]): Unit =
+      for (t <- ts; s <- suffixes)
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(t + s)))
+          spark.catalog.refreshTable(t + s)
+    refresh(ivfS, Seq("", "_cents", "_stats"))
+    refresh(pqS, Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats"))
+
+    // routing is doc-disjoint and matches the declared router — on the
+    // IVF lists (multi-assigned: distinct nids) and the PQ raw tables
+    for (i <- 0 until nSh) {
+      val expect = slice(admitted, i).select($"vec_id").as[Long]
+        .collect().toSet
+      assert(spark.table(ivfS(i)).select($"nid").distinct()
+        .as[Long].collect().toSet == expect,
+        s"IVF shard $i holds the wrong vectors")
+      assert(spark.table(s"${pqS(i)}_vecs").select($"nid").distinct()
+        .as[Long].collect().toSet == expect,
+        s"PQ shard $i raw table holds the wrong vectors")
+    }
+
+    // loop-grown sharded serving ≡ one index built whole on admitted:
+    // probeFrac = 1.0 makes IVF exact per shard and the merge exact;
+    // refineK covering the corpus makes IVFPQ reduce to exact cosine
+    val queries = base.filter($"vec_id" % 10 === 3)
+    def irows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").orderBy("qid", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    Similarity.ivfBuild(admitted, "vec_id", "embedding",
+      "shvec_ivf_oracle", nlist = 6, buckets = 2)
+    val ivfGrown = irows(Similarity.ivfShardedQuery(spark, ivfS, queries,
+      "vec_id", "embedding", 3, probeFrac = 1.0))
+    assert(ivfGrown === irows(Similarity.ivfQuery(spark, "shvec_ivf_oracle",
+      queries, "vec_id", "embedding", 3, probeFrac = 1.0)),
+      "loop-grown sharded IVF diverges from whole-built")
+    ProductQuant.ivfPqBuild(admitted, "vec_id", "embedding",
+      "shvec_pq_oracle", m = 2, ksub = 4, nlist = 6, buckets = 2)
+    val pqGrown = irows(ProductQuant.ivfPqShardedQuery(spark, pqS, queries,
+      "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 64))
+    assert(pqGrown === irows(ProductQuant.ivfPqQuery(spark,
+      "shvec_pq_oracle", queries, "vec_id", "embedding", 3,
+      probeFrac = 1.0, refineK = 64)),
+      "loop-grown sharded IVFPQ diverges from whole-built")
+
+    // replay of the committed epoch: no shard table grows, results fixed
+    val counts = (ivfS.map(spark.table(_).count()),
+      pqS.map(t => (spark.table(t).count(), spark.table(s"${t}_vecs").count())))
+    fn(batch, 2L)
+    refresh(ivfS, Seq(""))
+    refresh(pqS, Seq("", "_vecs"))
+    assert((ivfS.map(spark.table(_).count()),
+      pqS.map(t => (spark.table(t).count(),
+        spark.table(s"${t}_vecs").count()))) == counts,
+      "replayed epoch grew a shard index")
+    assert(irows(Similarity.ivfShardedQuery(spark, ivfS, queries,
+      "vec_id", "embedding", 3, probeFrac = 1.0)) === ivfGrown,
+      "replay changed sharded IVF results")
+
+    // crash mid-absorb at epoch 3: decision recorded, the routed PQ
+    // shard's raw append landed, nothing else did — the replay must
+    // complete every shard append exactly once
+    val s112 = Seq(112L).toDF("id")
+      .select(RefreshLoop.shardOf($"id", nSh)).head().getLong(0).toInt
+    BucketedJoin.appendBucketed(
+      Seq((3L, "novel", Some(112L)), (3L, "noveldone", None))
+        .toDF("epoch", "phase", "id"),
+      "shvec_lsh_epochs", "epoch", defaultBuckets = 1)
+    BucketedJoin.appendBucketed(
+      mkVecs(Seq((112L, v112))).select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nvec")),
+      s"${pqS(s112)}_vecs", "nid")
+    fn(mkVecs(Seq((112L, v112))), 3L)
+    refresh(ivfS, Seq(""))
+    refresh(pqS, Seq("", "_vecs"))
+    assert(spark.table(s"${pqS(s112)}_vecs").filter($"nid" === 112L)
+      .count() == 1, "repair duplicated the partially-landed raw row")
+    val codeRows = spark.table(pqS(s112)).filter($"nid" === 112L)
+    assert(codeRows.count() >= 1 &&
+      codeRows.count() == codeRows.select("cid").distinct().count(),
+      "repair did not complete the PQ code rows exactly once per list")
+    val ivfRows = spark.table(ivfS(s112)).filter($"nid" === 112L)
+    assert(ivfRows.count() >= 1 &&
+      ivfRows.count() == ivfRows.select("cid").distinct().count(),
+      "repair did not complete the IVF list rows exactly once per list")
+    // the OTHER shard stayed untouched by 112
+    val other = 1 - s112
+    assert(spark.table(ivfS(other)).filter($"nid" === 112L).count() == 0 &&
+      spark.table(s"${pqS(other)}_vecs").filter($"nid" === 112L).count() == 0,
+      "the crash-repair epoch leaked the vector into the wrong shard")
+  }
 }
