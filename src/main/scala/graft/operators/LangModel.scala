@@ -126,7 +126,8 @@ object LangModel {
 
   /** Build: ONE tokenize scan → `<table>` (bigram deltas, bucketed by
     * w1) + `<table>_vocab` (word-occurrence deltas, bucketed by w) +
-    * `<table>_stats` (one row: V = the corpus's distinct word count).
+    * `<table>_stats` (one row: V = the corpus's distinct word count) +
+    * `<table>_gen` (the model-generation ledger, see [[genOf]]).
     */
   def train(corpus: DataFrame, idCol: String, textCol: String,
             table: String, buckets: Int = 8): Unit = {
@@ -138,6 +139,39 @@ object LangModel {
     BucketedJoin.writeBucketed(
       vd.agg(count(lit(1)).as("v")).withColumn("epoch", lit(-1L)),
       s"${table}_stats", "v", 1)
+    BucketedJoin.writeBucketed(genRow(corpus.sparkSession, -1L),
+      s"${table}_gen", "g", 1)
+  }
+
+  /** One fresh generation row `(g, epoch)`: `g` is a random 64-bit
+    * draw, so any mutation changes the ledger's XOR-folded generation
+    * value with overwhelming probability (a collision needs later
+    * draws to XOR to exactly zero against earlier ones — ~2⁻⁶⁴). The
+    * value is a CACHE KEY, never a score input: randomness here cannot
+    * touch the determinism contract.
+    */
+  private def genRow(spark: SparkSession, epoch: Long): DataFrame =
+    spark.range(1).select(
+      lit(scala.util.Random.nextLong()).as("g"),
+      lit(epoch).as("epoch"))
+
+  /** The model's current GENERATION — the XOR-fold of the `_gen`
+    * ledger's random rows (XOR is order-independent and cannot
+    * overflow under ANSI arithmetic, unlike a long sum of random
+    * draws): train/append/remove each append a fresh draw (so the
+    * generation moves on every mutation), while [[compact]] folds the
+    * ledger to one row carrying the SAME fold (compaction changes no
+    * score, so caches keyed on the generation stay valid through it).
+    * None for a model built before the ledger existed — callers fall
+    * back to uncached reads.
+    */
+  private def genOf(spark: SparkSession, table: String): Option[Long] = {
+    val t = s"${table}_gen"
+    BucketedJoin.recoverCompacted(spark, t)
+    if (!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))) None
+    else Some(spark.table(t)
+      .agg(coalesce(expr("bit_xor(g)"), lit(0L))).head().getLong(0))
   }
 
   /** Absorb a batch of NEW documents at O(batch) cost: the batch's
@@ -214,6 +248,21 @@ object LangModel {
       !spark.table(s"${table}_stats").filter(col("epoch") === epoch).isEmpty
     if (!statsHasEpoch)
       BucketedJoin.appendBucketed(dv, s"${table}_stats", "v")
+    // move the generation ledger (idempotent per epoch under repair —
+    // a replay that already moved it must not move it twice, or a
+    // crash BETWEEN the gen append and the delta appends would leave
+    // caches keyed on a generation the deltas never joined). Models
+    // from before the ledger existed pick one up on their first
+    // mutation. Lands BEFORE the vocab/bigram deltas: a crash after
+    // any delta lands must already have invalidated the caches.
+    val genT = s"${table}_gen"
+    val genHasEpoch = repair &&
+      spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(genT)) &&
+      !spark.table(genT).filter(col("epoch") === epoch).isEmpty
+    if (!genHasEpoch)
+      BucketedJoin.appendBucketed(genRow(spark, epoch), genT, "g",
+        defaultBuckets = 1)
     val vd = if (repair)
       vd0.join(spark.table(s"${table}_vocab")
           .filter(col("epoch") === epoch).select("w"),
@@ -270,6 +319,15 @@ object LangModel {
         seam(10))(df =>
       df.agg(coalesce(sum("v"), lit(0L)).as("v"))
         .withColumn("epoch", lit(-1L)))
+    // generation ledger: fold to ONE row carrying the SAME XOR-fold —
+    // compaction changes no score, so caches keyed on the generation
+    // stay valid through it (no seam needed: the swap is itself
+    // crash-safe and every reader heals it via recoverCompacted)
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_gen")))
+      BucketedJoin.rewriteBucketed(spark, s"${table}_gen", "g")(df =>
+        df.agg(coalesce(expr("bit_xor(g)"), lit(0L)).as("g"))
+          .withColumn("epoch", lit(-1L)))
   }
 
   /** Score: per-doc Σ round(ln((c(w1,w2)+1)/(c(w1)+V))·1e6) over the
@@ -347,16 +405,25 @@ object LangModel {
     *
     * The one cost [[score]] doesn't pay: V must fold ACROSS the shard
     * vocabularies (shards overlap on words, so the per-shard stats
-    * ledgers are NOT additive) — one vocabulary-bounded driver count
-    * per call (vocabularies grow ~log with corpus mass; at the measured
+    * ledgers are NOT additive) — a vocabulary-bounded driver count
+    * (vocabularies grow ~log with corpus mass; at the measured
     * 10⁷-doc zipf corpus the vocab table is 131k rows — control-plane
-    * sized, never corpus sized). Callers on a serving cadence should
-    * memoize it per model generation.
+    * sized, never corpus sized). `statsTable` MEMOIZES that fold per
+    * model generation: pass a table name and the call reads the cached
+    * `(sig, v)` row — one tiny-table lookup, no vocab scan — refolding
+    * (and rewriting the cache, crash-safe swap) only when any shard's
+    * generation ledger moved since ([[genOf]]: every
+    * train/append/remove moves it; [[compact]] preserves it). A
+    * serving cadence thus pays the fold once per shard-family
+    * mutation, not per call. Shards built before the generation ledger
+    * existed fall back to the per-call fold until their first
+    * mutation.
     */
   def scoreSharded(spark: SparkSession, tables: Seq[String],
                    docs: DataFrame, idCol: String, textCol: String,
                    maxPushTerms: Int = 1 << 14,
-                   maxPushDocs: Int = 1 << 11): DataFrame = {
+                   maxPushDocs: Int = 1 << 11,
+                   statsTable: Option[String] = None): DataFrame = {
     require(tables.nonEmpty, "scoreSharded needs at least one shard")
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.unionGuard(spark)
@@ -365,10 +432,7 @@ object LangModel {
       BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
       BucketedJoin.recoverCompacted(spark, s"${t}_stats")
     }
-    val v = tables.map(t => spark.table(s"${t}_vocab").select("w", "c"))
-      .reduce(_.unionByName(_))
-      .groupBy("w").agg(sum("c").as("c")).filter(col("c") > 0)
-      .count()
+    val v = shardedV(spark, tables, statsTable)
     require(v > 0, s"LangModel.scoreSharded: shards $tables fold to an " +
       "empty vocabulary (trained on empty or whitespace-only corpora, " +
       "or fully removed)")
@@ -381,6 +445,120 @@ object LangModel {
       }.reduce(_.unionByName(_))
       .groupBy("w1", "w2").agg(sum("c").as("c"))
     scoreFolded(bg, docs, idCol, v, cnt)
+  }
+
+  /** Global V across DOC-DISJOINT shard models, optionally memoized
+    * per model generation (see [[scoreSharded]]'s `statsTable` note).
+    * The cache is ONE `(sig, v)` row where `sig` is the exact
+    * `shard=generation` list (full-string compare — no hash-collision
+    * exposure on a correctness value); any mismatch refolds the
+    * vocabularies and swaps the row in crash-safely
+    * ([[BucketedJoin.rewriteBucketed]]; a kill mid-swap heals at the
+    * next call's recoverCompacted, worst case one extra refold).
+    */
+  private def shardedV(spark: SparkSession, tables: Seq[String],
+                       statsTable: Option[String]): Long = {
+    def fold(): Long =
+      tables.map(t => spark.table(s"${t}_vocab").select("w", "c"))
+        .reduce(_.unionByName(_))
+        .groupBy("w").agg(sum("c").as("c")).filter(col("c") > 0)
+        .count()
+    statsTable match {
+      case None => fold()
+      case Some(st) =>
+        val gens = tables.map(genOf(spark, _))
+        if (gens.exists(_.isEmpty)) fold()
+        else {
+          val sig = tables.zip(gens)
+            .map { case (t, g) => s"$t=${g.get}" }.mkString("|")
+          BucketedJoin.recoverCompacted(spark, st)
+          val exists = spark.sessionState.catalog.tableExists(
+            org.apache.spark.sql.catalyst.TableIdentifier(st))
+          val hit = if (exists)
+            spark.table(st).filter(col("sig") === sig).select("v")
+              .collect().headOption.map(_.getLong(0))
+          else None
+          hit.getOrElse {
+            val v = fold()
+            val row = spark.range(1)
+              .select(lit(sig).as("sig"), lit(v).as("v"))
+            if (exists) BucketedJoin.rewriteBucketed(spark, st, "v")(_ => row)
+            else BucketedJoin.writeBucketed(row, st, "v", 1)
+            v
+          }
+        }
+    }
+  }
+
+  /** Grow one LM shard into two doc-disjoint children under the
+    * hierarchical router ([[Sharding.staysInFirstChild]] — the
+    * [[Retrieval.splitShard]] reshard contract applied to the LM
+    * family). The bigram/vocab tables are COUNT AGGREGATES with no doc
+    * attribution — a doc-routed split cannot be derived from the index
+    * alone — so the split re-trains the children from `docs`, which
+    * MUST be exactly the documents the parent absorbed (minus removals),
+    * with identical text: the corpus is the system of record, and the
+    * cost is O(parent shard's corpus), other shards untouched. Count
+    * additivity makes the children's union the parent's counts exactly,
+    * so sharded scoring over the family with the parent replaced by its
+    * children is numerically IDENTICAL (gated at t41); takedown keeps
+    * working because each doc's counts still live in exactly one child.
+    *
+    * Crash contract: the [[Retrieval.splitShard]] build-then-retire
+    * shape — children train completely (idempotent overwrites), a
+    * `<parent>_splitdone` marker lands, then the parent retires; a
+    * re-run resumes from the marker and never rebuilds from a
+    * half-dropped parent. Serve the parent family until the call
+    * returns; re-run after a crash before serving either family.
+    */
+  def splitShard(spark: SparkSession, parent: String,
+                 child0: String, child1: String,
+                 docs: DataFrame, idCol: String, textCol: String,
+                 shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitShardImpl(spark, parent, child0, child1, docs, idCol, textCol,
+      shardIndex, nShards, failAt = -1)
+
+  /** [[splitShard]] with the [[Retrieval.InjectedSplitCrash]] chaos
+    * seam — boundaries 0 (entry heal), 1 (child0 trained), 2 (child1
+    * trained), 3 (marker landed), 4 (parent retired). */
+  private[graft] def splitShardImpl(spark: SparkSession, parent: String,
+                                    child0: String, child1: String,
+                                    docs: DataFrame, idCol: String,
+                                    textCol: String, shardIndex: Int,
+                                    nShards: Int, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitShard: shardIndex $shardIndex out of range for $nShards shards")
+    GraftFunctions.ensureRegistered(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${parent}_splitdone"
+    if (!exists(marker)) {
+      require(exists(parent),
+        s"splitShard: $parent does not exist (and no _splitdone marker " +
+          "— nothing to resume)")
+      Seq(parent, s"${parent}_vocab", s"${parent}_stats", s"${parent}_gen")
+        .foreach(BucketedJoin.recoverCompacted(spark, _))
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col(idCol), shardIndex,
+        nShards)
+      train(docs.filter(first), idCol, textCol, child0, buckets)
+      boundary(1)
+      train(docs.filter(!first), idCol, textCol, child1, buckets)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("", "_vocab", "_stats", "_gen"); t = parent + s
+         if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
   }
 
   /** The two-step scan-narrowing gate shared by [[score]] and

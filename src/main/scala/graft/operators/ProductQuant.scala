@@ -613,4 +613,96 @@ object ProductQuant {
         excludeSelf = excludeSelf,
         maxAdcBroadcastBytes = maxAdcBroadcastBytes)), k)
   }
+
+  /** Grow one IVFPQ shard into two doc-disjoint children —
+    * [[Similarity.splitShard]]'s contract extended to the quantized
+    * family: code lists and the raw-vector table rehash by `nid`,
+    * while the coarse quantizer, PQ codebook, meta, and drift
+    * reference (`_cents`/`_pq`/`_meta`/`_stats`) copy verbatim (the
+    * frozen-quantizer contract [[ivfPqAppend]] proves; existing codes
+    * stay byte-valid because they were encoded against exactly these
+    * centroids and codebook — nothing re-encodes). Serving the family
+    * with the parent replaced by its children probes the SAME lists
+    * with the SAME ADC estimates; the one shard-count-sensitive stage
+    * is the per-shard `refineK` TRUNCATION, which RELAXES across a
+    * split (each parent refine candidate ranks at least as high inside
+    * its own child, so the children's union refine pool ⊇ the
+    * parent's) — post-split results are row-identical whenever the
+    * refine pool covers the contenders (spec-pinned at a covering
+    * refineK) and can only IMPROVE recall otherwise, never degrade.
+    * Tombstoned rows drop during the rehash. Same
+    * build → marker → retire crash contract and chaos boundaries as
+    * [[Similarity.splitShardImpl]]; a parent mid-[[ivfPqRetrain]]
+    * (live `_vecs_retrainsrc`) is rejected loudly.
+    */
+  def splitShard(spark: SparkSession, parent: String,
+                 child0: String, child1: String,
+                 shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitShardImpl(spark, parent, child0, child1, shardIndex, nShards,
+      failAt = -1)
+
+  /** [[splitShard]] with the [[Retrieval.InjectedSplitCrash]] seam. */
+  private[graft] def splitShardImpl(spark: SparkSession, parent: String,
+                                    child0: String, child1: String,
+                                    shardIndex: Int, nShards: Int,
+                                    failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitShard: shardIndex $shardIndex out of range for $nShards shards")
+    GraftFunctions.ensureRegistered(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    require(!exists(s"${parent}_vecs_retrainsrc"),
+      s"splitShard: $parent has a live retrain rename-aside " +
+        s"(${parent}_vecs_retrainsrc) — finish or heal the retrain first")
+    val marker = s"${parent}_splitdone"
+    if (!exists(marker)) {
+      require(exists(parent),
+        s"splitShard: $parent does not exist (and no _splitdone marker " +
+          "— nothing to resume)")
+      Seq(parent, s"${parent}_vecs", s"${parent}_cents", s"${parent}_pq",
+          s"${parent}_meta", s"${parent}_stats")
+        .foreach(BucketedJoin.recoverCompacted(spark, _))
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col("nid"), shardIndex,
+        nShards)
+      def build(child: String, pred: org.apache.spark.sql.Column): Unit = {
+        BucketedJoin.writeBucketed(
+          Tombstones.filterOut(spark, parent, spark.table(parent), "nid")
+            .filter(pred),
+          child, "cid", buckets)
+        BucketedJoin.writeBucketed(
+          Tombstones.filterOut(spark, parent,
+            spark.table(s"${parent}_vecs"), "nid").filter(pred),
+          s"${child}_vecs", "nid", buckets)
+        BucketedJoin.writeBucketed(spark.table(s"${parent}_cents"),
+          s"${child}_cents", "cid", 1)
+        BucketedJoin.writeBucketed(spark.table(s"${parent}_pq"),
+          s"${child}_pq", "sub", 1)
+        BucketedJoin.writeBucketed(spark.table(s"${parent}_meta"),
+          s"${child}_meta", "m", 1)
+        if (exists(s"${parent}_stats"))
+          BucketedJoin.writeBucketed(spark.table(s"${parent}_stats"),
+            s"${child}_stats", "built_n", 1)
+        Tombstones.clear(spark, child)
+      }
+      build(child0, first)
+      boundary(1)
+      build(child1, !first)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats");
+         t = parent + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Tombstones.clear(spark, parent)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
 }

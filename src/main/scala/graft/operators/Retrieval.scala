@@ -1439,4 +1439,112 @@ object Retrieval {
       } else (probe.join(pos, Seq("term")), None)
     (startsInput, candFilter, bcast, qterms)
   }
+
+  /** Grow one BM25 shard into two: rehash the parent's index rows into
+    * doc-disjoint children under the hierarchical router
+    * ([[Sharding.staysInFirstChild]] — splitting shard `shardIndex` of
+    * an `nShards`-family puts each doc at index `shardIndex` or
+    * `shardIndex + nShards` of the doubled family), recompute each
+    * child's derived dictionary/stats from its own postings, and retire
+    * the parent. Cost is O(parent shard): the OTHER shards of the
+    * family never move — the operational migration story for a
+    * deployment whose per-shard index outgrew its box (splitting all S
+    * shards yields exactly the canonical 2S family
+    * [[graft.streaming.RefreshLoop.shardOf]] routes to). Serving the
+    * family with the parent replaced by the two children is EXACTLY
+    * the pre-split ranking ([[bm25ShardedQuery]] folds global stats
+    * regardless of which shard holds which doc — gated at t40); any
+    * parent built from a doc-disjoint slice splits correctly, router-
+    * routed or not.
+    *
+    * Tombstones fold FIRST ([[bm25FoldTombstones]]), so the children
+    * are born tombstone-free and their derived tables are pure
+    * recomputations of their postings.
+    *
+    * Crash contract (the rename-aside discipline, adapted to a
+    * build-then-retire shape): both children build COMPLETELY from the
+    * live parent (idempotent overwrites — a crash mid-build leaves the
+    * parent serving and the re-run rebuilds), then a
+    * `<parent>_splitdone` marker lands, and only then does the parent
+    * retire. A re-run after ANY kill first consults the marker: present
+    * ⇒ the children are complete and only the retire resumes (the
+    * parent may be half-dropped — rebuilding from it would corrupt the
+    * children, which is exactly what the marker exists to prevent);
+    * absent ⇒ rebuild from the intact parent. Serve the PARENT family
+    * until splitShard returns; after a crash, re-run it before serving
+    * either family.
+    */
+  def splitShard(spark: SparkSession, parent: String,
+                 child0: String, child1: String,
+                 shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitShardImpl(spark, parent, child0, child1, shardIndex, nShards,
+      failAt = -1)
+
+  /** Crash injected by the split test seam ([[splitShardImpl]] and the
+    * LangModel/Similarity/ProductQuant twins). */
+  private[graft] final class InjectedSplitCrash(val at: Int)
+    extends RuntimeException(s"injected split crash after boundary $at")
+
+  /** [[splitShard]] with a crash seam: `failAt` ≥ 0 throws
+    * [[InjectedSplitCrash]] AFTER boundary 0 (tombstone fold), 1
+    * (child0 built), 2 (child1 built), 3 (marker landed), 4 (parent
+    * retired, before the marker clears). The chaos spec drives every
+    * boundary and asserts a re-run converges to the identical split.
+    */
+  private[graft] def splitShardImpl(spark: SparkSession, parent: String,
+                                    child0: String, child1: String,
+                                    shardIndex: Int, nShards: Int,
+                                    failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitShard: shardIndex $shardIndex out of range for $nShards shards")
+    GraftFunctions.ensureRegistered(spark)
+    val marker = s"${parent}_splitdone"
+    if (!tableExists(spark, marker)) {
+      require(tableExists(spark, parent),
+        s"splitShard: $parent does not exist (and no _splitdone marker " +
+          "— nothing to resume)")
+      healFold(spark, parent)
+      bm25FoldTombstones(spark, parent)
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col("doc_id"), shardIndex,
+        nShards)
+      def build(child: String, pred: org.apache.spark.sql.Column): Unit = {
+        BucketedJoin.writeBucketed(spark.table(parent).filter(pred),
+          child, "term", buckets)
+        // derived tables recompute from the WRITTEN child postings —
+        // one consistent source, the rebuildDerived exprs verbatim
+        val cp = spark.table(child)
+        BucketedJoin.writeBucketed(
+          cp.groupBy("term").agg(count(lit(1)).as("df")),
+          s"${child}_terms", "term", buckets)
+        BucketedJoin.writeBucketed(
+          cp.select("doc_id", "dl").distinct()
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("dl"), lit(0L)).as("dl_sum")),
+          s"${child}_stats", "n_docs", 1)
+        if (tableExists(spark, s"${parent}_pos"))
+          BucketedJoin.writeBucketed(
+            spark.table(s"${parent}_pos").filter(pred),
+            s"${child}_pos", "term", buckets)
+        Tombstones.clear(spark, child)
+      }
+      build(child0, first)
+      boundary(1)
+      build(child1, !first)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("", "_terms", "_stats", "_pos"); t = parent + s
+         if tableExists(spark, t))
+      BucketedJoin.dropWithLocation(spark, t)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
 }

@@ -612,6 +612,95 @@ object Similarity {
         excludeSelf = excludeSelf)), k)
   }
 
+  /** Grow one IVF shard into two doc-disjoint children under the
+    * hierarchical router ([[Sharding.staysInFirstChild]] — the
+    * [[Retrieval.splitShard]] reshard contract applied to the vector
+    * family). The inverted-list rows rehash by `nid` into the
+    * children; both children REUSE the parent's coarse quantizer
+    * (`_cents` copied verbatim — the frozen-quantizer contract
+    * [[ivfAppend]] already proves) and inherit its `_stats` drift
+    * reference, so the standing drift watch keeps firing against the
+    * same baseline and the eventual cure is the usual per-child
+    * [[ivfRetrain]]. Cost O(parent shard); other shards untouched.
+    *
+    * EXACT at any probe setting: a query against the family with the
+    * parent replaced by its children probes the SAME centroid set per
+    * child, every vector keeps its list membership, and the bounded
+    * merge re-ranks under the identical order — so
+    * [[ivfShardedQuery]] post-split ≡ pre-split row for row (not just
+    * at probeFrac = 1.0; spec-pinned). Tombstoned parent rows are
+    * dropped during the rehash (children are born clean).
+    *
+    * Crash contract: the [[Retrieval.splitShard]] build-then-retire
+    * shape — children build completely (idempotent overwrites), a
+    * `<parent>_splitdone` marker lands, then the parent retires; a
+    * re-run resumes from the marker. A parent mid-[[ivfRetrain]]
+    * (live `_retrainsrc`) is rejected loudly — finish or heal the
+    * retrain first.
+    */
+  def splitShard(spark: org.apache.spark.sql.SparkSession, parent: String,
+                 child0: String, child1: String,
+                 shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitShardImpl(spark, parent, child0, child1, shardIndex, nShards,
+      failAt = -1)
+
+  /** [[splitShard]] with the [[Retrieval.InjectedSplitCrash]] chaos
+    * seam — boundaries 0 (entry heal), 1 (child0 built), 2 (child1
+    * built), 3 (marker landed), 4 (parent retired). */
+  private[graft] def splitShardImpl(spark: org.apache.spark.sql.SparkSession,
+                                    parent: String, child0: String,
+                                    child1: String, shardIndex: Int,
+                                    nShards: Int, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitShard: shardIndex $shardIndex out of range for $nShards shards")
+    GraftFunctions.ensureRegistered(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    require(!exists(s"${parent}_retrainsrc"),
+      s"splitShard: $parent has a live retrain rename-aside " +
+        s"(${parent}_retrainsrc) — finish or heal the retrain first")
+    val marker = s"${parent}_splitdone"
+    if (!exists(marker)) {
+      require(exists(parent),
+        s"splitShard: $parent does not exist (and no _splitdone marker " +
+          "— nothing to resume)")
+      Seq(parent, s"${parent}_cents", s"${parent}_stats")
+        .foreach(BucketedJoin.recoverCompacted(spark, _))
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col("nid"), shardIndex,
+        nShards)
+      def build(child: String, pred: org.apache.spark.sql.Column): Unit = {
+        BucketedJoin.writeBucketed(
+          Tombstones.filterOut(spark, parent, spark.table(parent), "nid")
+            .filter(pred),
+          child, "cid", buckets)
+        BucketedJoin.writeBucketed(spark.table(s"${parent}_cents"),
+          s"${child}_cents", "cid", 1)
+        if (exists(s"${parent}_stats"))
+          BucketedJoin.writeBucketed(spark.table(s"${parent}_stats"),
+            s"${child}_stats", "built_n", 1)
+        Tombstones.clear(spark, child)
+      }
+      build(child0, first)
+      boundary(1)
+      build(child1, !first)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("", "_cents", "_stats"); t = parent + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Tombstones.clear(spark, parent)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
+
   /** Persisted LSH bucket index — the EMBEDDING twin of the MinHash
     * band index (`Dedup.minhashIndexBuild`), and the scalable
     * dedup-ADMISSION path for vectors: checking a batch against an IVF

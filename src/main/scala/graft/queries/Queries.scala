@@ -1444,7 +1444,16 @@ object Queries {
       "doc_id", "text", t0)
     LangModel.train(docs(s, d).filter(col("doc_id") % 2 =!= 0),
       "doc_id", "text", t1)
-    LangModel.scoreSharded(s, Seq(t0, t1), docs(s, d), "doc_id", "text")
+    // serve through the generation-memoized stats path (round 16): the
+    // first call folds the shard vocabularies and caches global V per
+    // model generation; the SECOND call — the one the oracle gates —
+    // reads V from the cache with no vocab scan, and must be
+    // numerically indistinguishable from the whole-trained model
+    val st = s"shl_vstats_${d.hashCode & Int.MaxValue}"
+    LangModel.scoreSharded(s, Seq(t0, t1), docs(s, d).limit(1),
+      "doc_id", "text", statsTable = Some(st)).count()
+    LangModel.scoreSharded(s, Seq(t0, t1), docs(s, d), "doc_id", "text",
+        statsTable = Some(st))
       .orderBy("id")
   }
 
@@ -1498,6 +1507,116 @@ object Queries {
           emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 =!= 0))))
       .orderBy("qid", "rnk")
+  }
+
+  /** Sharded-hybrid gate over the SHARDED-IVF vector leg
+    * ([[graft.operators.Fusion.hybridShardedQuery]] with `vecIndexes`
+    * — the leg t36 leaves uncovered): two doc-disjoint IVF shard
+    * indexes serve the vector candidates at probeFrac = 1.0, where
+    * each shard's probe is its exact local top-k and the bounded merge
+    * is exactly the whole-corpus brute force (the sim12 argument), so
+    * the fused ranking must equal the t22 oracle verbatim — the
+    * standing-index sharded deployment must be indistinguishable from
+    * the corpus-at-hand one.
+    */
+  val t38_shardedhybridivf: Q = (s, d) => {
+    val t0 = s"shhi0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shhi1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    val emb = Tables.embeddings(s, d)
+    val v0 = s"shhiv0_${d.hashCode & Int.MaxValue}"
+    val v1 = s"shhiv1_${d.hashCode & Int.MaxValue}"
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", v0)
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", v1)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedQuery(s, Seq(t0, t1), q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecIndexes = Some(Seq(v0, v1)), probeFrac = 1.0)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sharded LINEAR-fusion gate ([[graft.operators.Fusion
+    * .hybridShardedQuery]] with `mode = "linear"` — the mode t36
+    * leaves uncovered): both legs sharded and exact, fused by
+    * per-(leg, qid) min-max-normalized weighted scores. Since the
+    * sharded legs are exact and the normalization windows see the
+    * identical retrieved top-5 lists, the fused ranking must equal the
+    * whole-corpus t23 oracle verbatim — shard count must never touch
+    * the normalization extrema.
+    */
+  val t39_shardedhybridlinear: Q = (s, d) => {
+    val t0 = s"shhl0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shhl1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    val emb = Tables.embeddings(s, d)
+    val q = bm25Queries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedQuery(s, Seq(t0, t1), q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecShards = Some(Seq(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))),
+        mode = "linear")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Reshard gate ([[graft.operators.Retrieval.splitShard]]): a
+    * 2-shard BM25 family grows to 3 by splitting shard 0 into
+    * hierarchical children (index rows rehashed by doc, derived tables
+    * recomputed per child, parent retired), and sharded serving over
+    * the post-split family must STILL equal the whole-corpus
+    * recomputation — the t32 oracle verbatim: resharding must never
+    * touch scores.
+    */
+  val t40_splitbm25: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val t0 = s"splg0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"splg1_${d.hashCode & Int.MaxValue}"
+    val (c0, c1) = (s"${t0}a", s"${t0}b")
+    // defensive: a crashed prior run's resume marker would make the
+    // split skip rebuilding the children from THIS run's fresh parent
+    BucketedJoin.dropWithLocation(s, s"${t0}_splitdone")
+    Retrieval.bm25Build(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "doc_id", "text", t1)
+    Retrieval.splitShard(s, t0, c0, c1, shardIndex = 0, nShards = 2)
+    Retrieval.bm25ShardedQuery(s, Seq(c0, c1, t1), bm25Queries(s, d),
+        "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Reshard gate for the LM family ([[graft.operators.LangModel
+    * .splitShard]]): shard 0 of a 2-model family re-trains into two
+    * doc-hash children from its own corpus slice (counts carry no doc
+    * attribution — the corpus is the system of record), the parent
+    * retires, and sharded scoring over the 3-model family must equal
+    * the whole-trained recomputation — the t35 oracle verbatim.
+    */
+  val t41_splitlm: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val t0 = s"spll0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"spll1_${d.hashCode & Int.MaxValue}"
+    val (c0, c1) = (s"${t0}a", s"${t0}b")
+    BucketedJoin.dropWithLocation(s, s"${t0}_splitdone")
+    val slice0 = docs(s, d).filter(Sharding.shardOf(col("doc_id"), 2) === 0)
+    LangModel.train(slice0, "doc_id", "text", t0)
+    LangModel.train(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "doc_id", "text", t1)
+    LangModel.splitShard(s, t0, c0, c1, slice0, "doc_id", "text",
+      shardIndex = 0, nShards = 2)
+    LangModel.scoreSharded(s, Seq(c0, c1, t1), docs(s, d), "doc_id", "text")
+      .orderBy("id")
   }
 
   /** Every 50th document's first three (lowercased) tokens as the query
@@ -2207,6 +2326,10 @@ object Queries {
     "t35_shardedlm" -> t35_shardedlm,
     "t36_shardedhybrid" -> t36_shardedhybrid,
     "t37_shardedhybridsnip" -> t37_shardedhybridsnip,
+    "t38_shardedhybridivf" -> t38_shardedhybridivf,
+    "t39_shardedhybridlinear" -> t39_shardedhybridlinear,
+    "t40_splitbm25" -> t40_splitbm25,
+    "t41_splitlm" -> t41_splitlm,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2591,6 +2714,83 @@ object Queries {
       |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
       |SELECT qid, id, fused_micro, rnk FROM final
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** The t23/t39 hybrid-LINEAR oracle (shared: sharded linear fusion
+    * over exact legs must equal the whole-corpus linear recomputation
+    * — the t39 contract): per-(leg, qid) min-max normalization over
+    * each leg's retrieved top-5 (max = min ⇒ 1.0), weighted micro
+    * contributions floor(1e6·norm + 0.5) integer-summed. The FP
+    * expression (s − mn)/(mx − mn) is op-for-op the Spark form.
+    */
+  private val hybridLinearOracleSql: String =
+      """WITH qids AS (
+        |  SELECT d.doc_id AS qid FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT qid, term FROM (
+        |  SELECT doc_id AS qid,
+        |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> length(x) > 0), 1, 3)) AS term
+        |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
+        |lexscored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id),
+        |lexranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM lexscored),
+        |lexk AS (SELECT qid, doc_id, CAST(score_micro AS DOUBLE) AS s
+        |         FROM lexranked WHERE rnk <= 5),
+        |lexn AS (SELECT qid, min(s) AS mn, max(s) AS mx FROM lexk GROUP BY qid),
+        |lexc AS (SELECT k.qid, k.doc_id AS id,
+        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
+        |    ELSE (k.s - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
+        |  FROM lexk k JOIN lexn n USING (qid)),
+        |vq AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (SELECT qid FROM qids)),
+        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
+        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
+        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
+        |vecranked AS (SELECT qid, nid, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
+        |veck AS (SELECT qid, nid, cos FROM vecranked WHERE rnk <= 5),
+        |vecn AS (SELECT qid, min(cos) AS mn, max(cos) AS mx FROM veck GROUP BY qid),
+        |vecc AS (SELECT k.qid, k.nid AS id,
+        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
+        |    ELSE (k.cos - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
+        |  FROM veck k JOIN vecn n USING (qid)),
+        |contrib AS (SELECT qid, id, c FROM lexc
+        |  UNION ALL SELECT qid, id, c FROM vecc),
+        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
+        |          FROM contrib GROUP BY qid, id),
+        |final AS (SELECT qid, id, fused_micro,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
+        |SELECT qid, id, fused_micro, rnk FROM final
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def bm25OracleSql(corpusWhere: String = ""): String = {
     val where = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
@@ -3253,75 +3453,7 @@ object Queries {
     // normalization over each leg's retrieved top-5 (max = min ⇒ 1.0),
     // weighted micro contributions floor(1e6·norm + 0.5) integer-summed.
     // The FP expression (s − mn)/(mx − mn) is op-for-op the Spark form.
-    "t23_hybridlinear" ->
-      """WITH qids AS (
-        |  SELECT d.doc_id AS qid FROM documents d
-        |  JOIN embeddings e ON e.vec_id = d.doc_id
-        |  WHERE d.doc_id % 50 = 0),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> length(x) > 0)) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |qt AS (SELECT DISTINCT qid, term FROM (
-        |  SELECT doc_id AS qid,
-        |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      x -> length(x) > 0), 1, 3)) AS term
-        |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
-        |lexscored AS (
-        |  SELECT qt.qid, tf.doc_id,
-        |    CAST(sum(CAST(round(
-        |      ln((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2
-        |          / (CAST(tf.tf AS DOUBLE)
-        |             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
-        |  FROM qt JOIN df USING (term) JOIN tf USING (term)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  GROUP BY qt.qid, tf.doc_id),
-        |lexranked AS (
-        |  SELECT qid, doc_id, score_micro,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM lexscored),
-        |lexk AS (SELECT qid, doc_id, CAST(score_micro AS DOUBLE) AS s
-        |         FROM lexranked WHERE rnk <= 5),
-        |lexn AS (SELECT qid, min(s) AS mn, max(s) AS mx FROM lexk GROUP BY qid),
-        |lexc AS (SELECT k.qid, k.doc_id AS id,
-        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
-        |    ELSE (k.s - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
-        |  FROM lexk k JOIN lexn n USING (qid)),
-        |vq AS (SELECT vec_id, embedding FROM embeddings
-        |       WHERE vec_id IN (SELECT qid FROM qids)),
-        |vs AS (SELECT vq.vec_id AS qid, e.vec_id AS nid,
-        |  list_inner_product(vq.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-        |  (sqrt(list_inner_product(vq.embedding::DOUBLE[], vq.embedding::DOUBLE[])) *
-        |   sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
-        |  FROM vq JOIN embeddings e ON vq.vec_id <> e.vec_id),
-        |vr AS (SELECT qid, nid, floor(c * 1000000 + 0.5) / 1000000 AS cos FROM vs),
-        |vecranked AS (SELECT qid, nid, cos,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, nid) AS INTEGER) AS rnk FROM vr),
-        |veck AS (SELECT qid, nid, cos FROM vecranked WHERE rnk <= 5),
-        |vecn AS (SELECT qid, min(cos) AS mn, max(cos) AS mx FROM veck GROUP BY qid),
-        |vecc AS (SELECT k.qid, k.nid AS id,
-        |  CAST(floor(1000000.0 * (CASE WHEN n.mx = n.mn THEN 1.0
-        |    ELSE (k.cos - n.mn) / (n.mx - n.mn) END) + 0.5) AS BIGINT) AS c
-        |  FROM veck k JOIN vecn n USING (qid)),
-        |contrib AS (SELECT qid, id, c FROM lexc
-        |  UNION ALL SELECT qid, id, c FROM vecc),
-        |fused AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_micro
-        |          FROM contrib GROUP BY qid, id),
-        |final AS (SELECT qid, id, fused_micro,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
-        |SELECT qid, id, fused_micro, rnk FROM final
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "t23_hybridlinear" -> hybridLinearOracleSql,
 
     // Bigram LM: counts from the EVEN docs, add-one smoothing with V =
     // distinct train tokens, per-bigram micro contributions
@@ -3540,6 +3672,25 @@ object Queries {
     // Sharded twin: both legs sharded + sharded passage extraction
     // against the global-stats argmax — the t31 oracle VERBATIM.
     "t37_shardedhybridsnip" -> hybridSnippetsOracleSql,
+
+    // Sharded-IVF-leg hybrid: at probeFrac = 1.0 each IVF shard's
+    // probe is its exact local top-k and the merge is exactly the
+    // whole-corpus brute force (sim12's argument), so the fused
+    // ranking is the t22 recomputation verbatim.
+    "t38_shardedhybridivf" -> hybridRrfOracleSql,
+
+    // Sharded linear fusion: exact sharded legs see the identical
+    // retrieved top-5 lists, so the per-(leg, qid) normalization
+    // extrema — and therefore the fused ranking — are the t23
+    // recomputation verbatim.
+    "t39_shardedhybridlinear" -> hybridLinearOracleSql,
+
+    // Reshard: splitting a shard rehashes docs into children and
+    // recomputes their derived tables; global-stats sharded serving is
+    // placement-blind, so the post-split family must reproduce the
+    // whole-corpus recomputation exactly — t32's / t35's oracles.
+    "t40_splitbm25" -> bm25OracleSql(),
+    "t41_splitlm" -> lmWholeModelOracleSql,
 
     "f4_split" ->
       """SELECT doc_id,

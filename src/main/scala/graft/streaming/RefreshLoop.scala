@@ -346,7 +346,7 @@ object RefreshLoop {
     */
   def shardOf(id: org.apache.spark.sql.Column, nShards: Int)
       : org.apache.spark.sql.Column =
-    pmod(xxhash64(id), lit(nShards))
+    graft.operators.Sharding.shardOf(id, nShards)
 
   /** `onBatch(dups, novel, epoch)`: `dups` is
     * (batch_id, match_id, est_jaccard, source) where source is

@@ -299,4 +299,61 @@ class LangModelSpec extends AnyFunSuite {
       rows(LangModel.score(spark, whole, corpus, "doc_id", "text")),
       "sharded fold diverged after a per-shard remove + compact")
   }
+
+  test("scoreSharded statsTable: memoized V is bit-identical, survives " +
+      "compact (generation preserved), refolds after append/remove") {
+    val corpus = graft.sources.Generators.randomText(spark, 160, seed = 13L,
+        wordsMin = 4, wordsMax = 16, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val n = System.nanoTime()
+    val (s0, s1, st) = (s"lmgen_0_$n", s"lmgen_1_$n", s"lmgen_vstats_$n")
+    LangModel.train(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    LangModel.train(corpus.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    def memoRow(): (String, Long) = {
+      spark.catalog.refreshTable(st)
+      spark.table(st).as[(String, Long)].collect().toSeq match {
+        case Seq(r) => r
+        case other => fail(s"stats cache must hold exactly one row: $other")
+      }
+    }
+    val unmemo = rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+      "doc_id", "text"))
+    // first memoized call folds + writes the cache; scores identical
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+      "doc_id", "text", statsTable = Some(st))) === unmemo,
+      "memoized path diverged from the per-call fold")
+    val warm = memoRow()
+    // second call HITS: scores identical, cache row untouched
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+      "doc_id", "text", statsTable = Some(st))) === unmemo)
+    assert(memoRow() === warm, "a cache hit must not rewrite the cache")
+    // compact preserves the generation: still a hit on the same row
+    LangModel.compact(spark, s0)
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+      "doc_id", "text", statsTable = Some(st))) === unmemo,
+      "scores moved across a compact")
+    assert(memoRow() === warm,
+      "compact must preserve the generation (cache stayed valid)")
+    // a mutation MOVES the generation: the next memoized call refolds
+    // and stays exactly equal to the unmemoized fold
+    val extra = Seq((5001L, "entirely fresh vocabulary arrives here now"))
+      .toDF("doc_id", "text")
+    LangModel.append(spark, s1, extra, "doc_id", "text")
+    val grown = corpus.unionByName(extra)
+    val after = rows(LangModel.scoreSharded(spark, Seq(s0, s1), grown,
+      "doc_id", "text", statsTable = Some(st)))
+    assert(memoRow() !== warm, "append must invalidate the cache")
+    assert(after === rows(LangModel.scoreSharded(spark, Seq(s0, s1), grown,
+      "doc_id", "text")), "post-append memoized scores diverged")
+    // remove moves it again and remove ≡ train-without holds through
+    // the memoized path
+    LangModel.remove(spark, s1, extra, "doc_id", "text")
+    assert(rows(LangModel.scoreSharded(spark, Seq(s0, s1), corpus,
+      "doc_id", "text", statsTable = Some(st))) === unmemo,
+      "remove-through-the-memoized-path diverged from train-without")
+  }
 }
