@@ -36,7 +36,11 @@ import graft.functions.GraftFunctions
   *    row per train/append/remove recording the CHANGE in distinct
   *    live words, so [[score]] reads V as a one-row fold of a
   *    bounded-size table instead of scanning the vocab per call (the
-  *    BM25 `_stats` discipline, `Retrieval.scala` corpus stats).
+  *    BM25 `_stats` discipline, `Retrieval.scala` corpus stats);
+  *  - `<table>_gen`    the model-generation ledger `(g, epoch)` — one
+  *    random row per mutation, XOR-folded to a cache key that lets
+  *    [[scoreSharded]] memoize its cross-shard vocabulary fold per
+  *    model generation (see [[genOf]]).
   *
   * Counts fold at query time: [[score]] aggregates the deltas by
   * (w1, w2), then derives history totals c(w1) = Σ_w2 c from the folded

@@ -2027,6 +2027,34 @@ object Queries {
     * inside its own shard's top-k; ties resolve under the identical
     * (cos desc, nid asc) order).
     */
+  /** Vector reshard gate ([[graft.operators.Similarity.splitShard]]):
+    * a 2-shard IVF family grows to 3 by splitting shard 0 (list rows
+    * rehashed by id, the parent's frozen coarse quantizer copied into
+    * both children), and the post-split family served at
+    * probeFrac = 1.0 must reproduce the whole-corpus exact ranking —
+    * the sim1 oracle verbatim (full probe makes each shard's list scan
+    * exhaustive, and the split never moves a vector between shards'
+    * candidate sets).
+    */
+  val sim15_splitivf: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val t0 = s"splv0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"splv1_${d.hashCode & Int.MaxValue}"
+    val (c0, c1) = (s"${t0}a", s"${t0}b")
+    BucketedJoin.dropWithLocation(s, s"${t0}_splitdone")
+    Similarity.ivfBuild(emb.filter(Sharding.shardOf(col("vec_id"), 2) === 0),
+      "vec_id", "embedding", t0)
+    Similarity.ivfBuild(emb.filter(Sharding.shardOf(col("vec_id"), 2) === 1),
+      "vec_id", "embedding", t1)
+    Similarity.splitShard(s, t0, c0, c1, shardIndex = 0, nShards = 2)
+    Similarity.ivfShardedQuery(s, Seq(c0, c1, t1), q,
+        "vec_id", "embedding", 5, probeFrac = 1.0)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val sim12_shardedknn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") % 100 === 0)
@@ -2338,6 +2366,7 @@ object Queries {
     "sim12_shardedknn" -> sim12_shardedknn,
     "sim13_shardedivf" -> sim13_shardedivf,
     "sim14_shardedpq" -> sim14_shardedpq,
+    "sim15_splitivf" -> sim15_splitivf,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -3716,6 +3745,9 @@ object Queries {
     // sim1's recomputation VERBATIM — the t32/t34 sharded-serving
     // contract applied to the vector family.
     "sim12_shardedknn" -> knnOracleSql,
+    // Vector reshard: post-split IVF family at full probe is exhaustive
+    // per shard, so the merged ranking is the sim1 exact recomputation.
+    "sim15_splitivf" -> knnOracleSql,
 
     // Sharded IVF / IVFPQ recall: the sim3/sim9 contract (every qid
     // keeps >= 3/5 of the exact top-5; oracle = every qid appears).

@@ -293,7 +293,8 @@ object RefreshLoop {
               BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
               compactLedger(spark, table, epoch)
-              (bm25Table.toSeq ++ bm25Shards.getOrElse(Nil)).foreach { t =>
+              (bm25Table.toSeq ++
+                rotateShard(bm25Shards, epoch, compactEvery)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_terms", "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_stats", "n_docs")
@@ -303,15 +304,34 @@ object RefreshLoop {
                     org.apache.spark.sql.catalyst.TableIdentifier(s"${t}_pos")))
                   BucketedJoin.compactBucketed(spark, s"${t}_pos", "term")
               }
-              // LangModel.compact folds all three LM tables (bigram
-              // deltas, counted vocab, stats ledger) itself
-              (lmTable.toSeq ++ lmShards.getOrElse(Nil))
+              // LangModel.compact folds all four LM tables (bigram
+              // deltas, counted vocab, stats ledger, generation) itself
+              (lmTable.toSeq ++ rotateShard(lmShards, epoch, compactEvery))
                 .foreach(t => LangModel.compact(spark, t))
             }
           }
         } finally dups.unpersist()
       } finally b.unpersist()
     }
+
+  /** ROTATING shard compaction: each compaction epoch folds exactly
+    * ONE shard of the family — shard `(epoch+1)/compactEvery mod S` —
+    * so the compaction spike is O(1) tables per epoch regardless of
+    * shard count, while every shard still folds once per
+    * S·compactEvery epochs (hygiene cadence, correctness unaffected:
+    * compaction never changes query results, only file counts). The
+    * alternative — folding ALL shards each cadence — was measured
+    * scaling the spike with table count (BASELINE.md round-15: +5–6 s
+    * at just 4 shard tables; an O(100)-shard deployment would stall
+    * for minutes every cadence epoch). Single-table twins
+    * (`bm25Table`/`lmTable`/`ivfTable`/`pqTable`) still fold every
+    * cadence — one table is the spike floor.
+    */
+  private[graft] def rotateShard(ts: Option[Seq[String]], epoch: Long,
+                                 compactEvery: Int): Seq[String] =
+    ts.filter(_.nonEmpty).map { s =>
+      Seq(s((((epoch + 1) / compactEvery) % s.size).toInt))
+    }.getOrElse(Nil)
 
   /** Sharded-twin absorb: each admitted doc/vector routes to exactly
     * one shard by id hash ([[shardOf]] — deterministic, so a replay
@@ -375,7 +395,10 @@ object RefreshLoop {
     * file counts bounded on a long-running stream (each epoch's append
     * adds one file set per bucket; lookups stay correct either way,
     * compaction is purely about file-count/open-cost hygiene). The
-    * epoch ledger compacts on the same cadence.
+    * epoch ledger compacts on the same cadence. SHARD families fold
+    * ROTATING — one shard per family per cadence epoch
+    * ([[rotateShard]]) — so the compaction spike stays O(1) tables at
+    * any shard count.
     *
     * `bm25Shards` / `lmShards`: the SHARDED serving twins — the layout
     * when the standing serving index outgrows one table (BASELINE.md
@@ -578,9 +601,11 @@ object RefreshLoop {
               BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
               BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")
               compactLedger(spark, table, epoch)
-              (ivfTable.toSeq ++ ivfShards.getOrElse(Nil)).foreach(t =>
+              (ivfTable.toSeq ++
+                rotateShard(ivfShards, epoch, compactEvery)).foreach(t =>
                 BucketedJoin.compactBucketed(spark, t, "cid"))
-              (pqTable.toSeq ++ pqShards.getOrElse(Nil)).foreach { t =>
+              (pqTable.toSeq ++
+                rotateShard(pqShards, epoch, compactEvery)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "cid")
                 BucketedJoin.compactBucketed(spark, s"${t}_vecs", "nid")
               }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{LangModel, Retrieval, Sharding, Similarity}
+
+/** Merge-cost-vs-SHARD-COUNT probe (the round-16 growth ask): every
+  * round-15 sharded measurement ran S = 2; a 100 TB deployment is
+  * O(100) shards, so this pins the serving cost curve in S at fixed
+  * corpus mass — the claim under test is that the cross-shard work is
+  * the k·S·|queries| merge plus S tiny stat folds (bounded, linear in
+  * S with a tiny constant), while the per-shard scan mass is constant
+  * in total (doc-disjoint shards partition the same corpus).
+  *
+  * Part 1 (`sf` mode, default): sf0.1 documents/embeddings served at
+  * S ∈ {1, 2, 4, 8} — the bench_sharded kernel's own query set over
+  * BM25 bag, sharded LM scoring, and sharded brute-force vector top-k.
+  * Part 2 (`vec` mode): the third-decade leg — 4 × 5·10⁶ hash-uniform
+  * vectors (same 2·10⁷ total mass as the round-15 DevShardedVec
+  * 2×10⁷ run) through per-shard IVF builds and ivfShardedQuery, so
+  * cost-vs-S is read at FIXED mass against the S = 2 row in
+  * BASELINE.md. `sbt "Test/runMain graft.DevShardGrowth [sf|vec]"`.
+  */
+object DevShardGrowth {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "sf"
+    val spark = SparkSession.builder()
+      .master("local[32,4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def timeMedian(df: => DataFrame): Double = {
+      force(df)
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); force(df)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    }
+    def timed[T](body: => T): Double = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    if (mode == "vec") { vecMain(spark, timeMedian, timed); return }
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(operators.TextOps.tokens(lower(col("text"))),
+          1, 3)).as("qtext"))
+    val vq = emb.filter(col("vec_id") % 100 === 0)
+
+    for (s <- Seq(1, 2, 4, 8)) {
+      val bmT = (0 until s).map { i =>
+        val t = s"growth_bm${s}_$i"
+        Retrieval.bm25Build(docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
+          "doc_id", "text", t)
+        t
+      }
+      val lmT = (0 until s).map { i =>
+        val t = s"growth_lm${s}_$i"
+        LangModel.train(docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
+          "doc_id", "text", t)
+        t
+      }
+      val vecShards = (0 until s).map(i =>
+        emb.filter(Sharding.shardOf(col("vec_id"), s) === i))
+      val tBag = timeMedian(
+        Retrieval.bm25ShardedQuery(spark, bmT, queries, "qid", "qtext", 5))
+      val tLm = timeMedian(
+        LangModel.scoreSharded(spark, lmT, docs, "doc_id", "text"))
+      val tVec = timeMedian(
+        Similarity.bruteForceShardedTopK(vecShards, vq,
+          "vec_id", "embedding", 5))
+      println(f"[growth] sf=$sfDir S=$s bag=${tBag}%.3fs lm=${tLm}%.3fs " +
+        f"vec=${tVec}%.3fs")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+
+  /** 4 × 5e6 vectors — the fixed-mass S=4 comparator for the round-15
+    * DevShardedVec 2×10⁷ row. */
+  private def vecMain(spark: SparkSession,
+                      timeMedian: (=> DataFrame) => Double,
+                      timed: (=> Unit) => Double): Unit = {
+    val n = 5000000L
+    val dim = 64
+    def gen(shard: Int) =
+      spark.range(n).repartition(32)
+        .select((col("id") + shard * n).as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), d =>
+            pmod(xxhash64(col("id") + shard * n, d), lit(1000000L))
+              .cast("double") / 500000.0 - 1.0).as("embedding"))
+    val shards = (0 until 4).map { i =>
+      val dir = s"/tmp/graft-scale/gemb${n}_$i"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        gen(i).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val qs = shards.head.filter(col("vec_id") % 100000 === 3).limit(50)
+      .localCheckpoint()
+    println(s"[growthvec] 4 x $n vectors, ${qs.count()} queries")
+    val ivfT = (0 until 4).map { i =>
+      val t = s"growth_ivf4_$i"
+      val tb = timed {
+        Similarity.ivfBuild(shards(i), "vec_id", "embedding", t, buckets = 32)
+      }
+      println(f"[growthvec] ivfBuild shard$i: ${tb}%.1fs")
+      System.out.flush()
+      t
+    }
+    for (pf <- Seq(0.5, 0.125)) {
+      val t = timeMedian(Similarity.ivfShardedQuery(spark, ivfT, qs,
+        "vec_id", "embedding", 5, probeFrac = pf))
+      println(f"[growthvec] ivfShardedQuery S=4 pf=$pf: ${t}%.2fs " +
+        f"(${t * 1000 / 50}%.0f ms/q)")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

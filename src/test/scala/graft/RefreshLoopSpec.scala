@@ -1129,4 +1129,19 @@ class RefreshLoopSpec extends AnyFunSuite {
       spark.table(s"${pqS(other)}_vecs").filter($"nid" === 112L).count() == 0,
       "the crash-repair epoch leaked the vector into the wrong shard")
   }
+
+  test("rotating shard compaction: exactly one shard per cadence epoch, " +
+       "every shard covered once per S cycles") {
+    val shards = Some(Seq("s0", "s1", "s2"))
+    // compactEvery = 3: compaction fires on epochs 2, 5, 8, ... — the
+    // selected shard must walk the family one table per firing
+    val picked = Seq(2L, 5L, 8L, 11L, 14L, 17L)
+      .map(e => RefreshLoop.rotateShard(shards, e, 3))
+    assert(picked.forall(_.size == 1), "must fold exactly one shard")
+    assert(picked.take(3).flatten.toSet == Set("s0", "s1", "s2"),
+      s"three consecutive firings must cover the family: $picked")
+    assert(picked.drop(3) == picked.take(3), "rotation must cycle")
+    assert(RefreshLoop.rotateShard(None, 2L, 3).isEmpty)
+    assert(RefreshLoop.rotateShard(Some(Nil), 2L, 3).isEmpty)
+  }
 }
