@@ -258,13 +258,60 @@ object Dedup {
                           numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    // one id-partitioned exchange for the batch signatures, reused by
-    // the banding arm and the verification re-join
+    val (bsig, bband) = batchSigFrames(batch, textCol, idCol, k,
+      numHashes, bands)
+    minhashCheckShard(spark, table, bsig, bband, numHashes, threshold)
+  }
+
+  /** [[minhashDedupAgainst]] over a DOC-DISJOINT family of admission
+    * shard indexes — the layout when the standing ADMISSION index
+    * outgrows one table (the serving indexes got this form in round
+    * 15; at 10⁹ admitted docs the signature/band tables are the next
+    * single-table wall). The batch is shingled/hashed ONCE (the same
+    * id-partitioned exchange feeds every shard's banding and
+    * verification arms through exchange reuse); each shard's check is
+    * the single-index plan verbatim (co-located bucketed joins,
+    * per-shard tombstones), and the union is exact — corpus ids are
+    * disjoint across shards, so no pair can appear twice. Cost ≡
+    * Σ per-shard checks on one box, max + batch-hash on a cluster.
+    */
+  def minhashDedupAgainstSharded(spark: org.apache.spark.sql.SparkSession,
+                                 tables: Seq[String], batch: DataFrame,
+                                 textCol: String, idCol: String,
+                                 threshold: Double = 0.5, k: Int = 3,
+                                 numHashes: Int = 64,
+                                 bands: Int = 16): DataFrame = {
+    require(tables.nonEmpty,
+      "minhashDedupAgainstSharded needs at least one shard")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.functions.GraftFunctions.unionGuard(spark)
+    val (bsig, bband) = batchSigFrames(batch, textCol, idCol, k,
+      numHashes, bands)
+    tables.map(minhashCheckShard(spark, _, bsig, bband, numHashes,
+      threshold)).reduce(_.unionByName(_))
+  }
+
+  /** The batch's signature and band frames, shared by the single and
+    * sharded checks: one id-partitioned exchange for the signatures,
+    * reused by the banding arm and the verification re-join (and by
+    * every shard's arms in the sharded form). */
+  private def batchSigFrames(batch: DataFrame, textCol: String,
+                             idCol: String, k: Int, numHashes: Int,
+                             bands: Int): (DataFrame, DataFrame) = {
     val bsig = batch.select(col(idCol).as("bid"),
         minhashSignature(col(textCol), k, numHashes).as("bsig"))
       .repartition(col("bid"))
     val bband = bsig.select(col("bid"),
       explode(bandKeys(col("bsig"), bands, numHashes / bands)).as("bandkey"))
+    (bsig, bband)
+  }
+
+  /** One shard's check body (see [[minhashDedupAgainst]]). */
+  private def minhashCheckShard(spark: org.apache.spark.sql.SparkSession,
+                                table: String, bsig: DataFrame,
+                                bband: DataFrame, numHashes: Int,
+                                threshold: Double): DataFrame = {
     // tombstoned corpus ids stop matching immediately (broadcast
     // anti-join over the band scan — no new exchange)
     val bandRows = Tombstones.filterOut(spark, table,
@@ -281,6 +328,70 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Grow one minhash ADMISSION shard into two doc-disjoint children —
+    * the [[Retrieval.splitShard]] reshard contract applied to the
+    * dedup-admission family: signature and band rows rehash by id
+    * under the hierarchical router ([[Sharding.staysInFirstChild]]),
+    * tombstones fold first (children born clean), and
+    * [[minhashDedupAgainstSharded]] over the family with the parent
+    * replaced by its children finds EXACTLY the same pairs (candidate
+    * generation and verification are per-doc-row facts; the split
+    * moves rows, never changes them). Same build → marker → retire
+    * crash protocol and chaos boundaries as the other families.
+    */
+  def splitShard(spark: org.apache.spark.sql.SparkSession, parent: String,
+                 child0: String, child1: String,
+                 shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitShardImpl(spark, parent, child0, child1, shardIndex, nShards,
+      failAt = -1)
+
+  /** [[splitShard]] with the [[Retrieval.InjectedSplitCrash]] seam. */
+  private[graft] def splitShardImpl(spark: org.apache.spark.sql.SparkSession,
+                                    parent: String, child0: String,
+                                    child1: String, shardIndex: Int,
+                                    nShards: Int, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitShard: shardIndex $shardIndex out of range for $nShards shards")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${parent}_splitdone"
+    if (!exists(marker)) {
+      require(exists(s"${parent}_sigs"),
+        s"splitShard: ${parent}_sigs does not exist (and no _splitdone " +
+          "marker — nothing to resume)")
+      minhashFoldTombstones(spark, parent)
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent}_sigs"))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col("id"), shardIndex, nShards)
+      def build(child: String, pred: org.apache.spark.sql.Column): Unit = {
+        BucketedJoin.writeBucketed(
+          spark.table(s"${parent}_sigs").filter(pred),
+          s"${child}_sigs", "id", buckets)
+        BucketedJoin.writeBucketed(
+          spark.table(s"${parent}_bands").filter(pred),
+          s"${child}_bands", "bandkey", buckets)
+        Tombstones.clear(spark, child)
+      }
+      build(child0, first)
+      boundary(1)
+      build(child1, !first)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("_sigs", "_bands"); t = parent + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Tombstones.clear(spark, parent)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
   }
 
   /** Physically fold [[Tombstones]] into a [[minhashIndexBuild]] index:

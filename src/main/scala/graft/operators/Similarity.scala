@@ -758,14 +758,52 @@ object Similarity {
                       threshold: Double = 0.999, nBits: Int = 16,
                       nTables: Int = 8, seed: Long = 42L): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    // one id-partitioned exchange for the batch vectors, reused by the
-    // bucket arm and the verification re-join
+    val (bv, bb) = batchLshFrames(batch, idCol, vecCol, nBits, nTables,
+      seed)
+    lshCheckShard(spark, table, bv, bb, threshold)
+  }
+
+  /** [[lshDedupAgainst]] over a VEC-DISJOINT family of admission shard
+    * indexes — the vector twin of
+    * [[Dedup.minhashDedupAgainstSharded]]: the batch hashes once, each
+    * shard's check is the single-index plan verbatim, and the union is
+    * exact (corpus ids disjoint across shards — no pair twice). The
+    * layout when the LSH admission index outgrows one table. */
+  def lshDedupAgainstSharded(spark: org.apache.spark.sql.SparkSession,
+                             tables: Seq[String], batch: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double = 0.999, nBits: Int = 16,
+                             nTables: Int = 8,
+                             seed: Long = 42L): DataFrame = {
+    require(tables.nonEmpty, "lshDedupAgainstSharded needs at least one shard")
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
+    val (bv, bb) = batchLshFrames(batch, idCol, vecCol, nBits, nTables,
+      seed)
+    tables.map(lshCheckShard(spark, _, bv, bb, threshold))
+      .reduce(_.unionByName(_))
+  }
+
+  /** The batch's vector and bucket frames, shared by the single and
+    * sharded checks: one id-partitioned exchange for the batch
+    * vectors, reused by the bucket arm and the verification re-join
+    * (and by every shard's arms in the sharded form). */
+  private def batchLshFrames(batch: DataFrame, idCol: String,
+                             vecCol: String, nBits: Int, nTables: Int,
+                             seed: Long): (DataFrame, DataFrame) = {
     val bv = batch.select(col(idCol).as("bid"),
         col(vecCol).cast("array<double>").as("bvec"))
       .repartition(col("bid"))
     val bb = bv.select(col("bid"),
         posexplode(GraftFunctions.lshSigs(col("bvec"), nBits, nTables, seed)))
       .select(col("bid"), xxhash64(col("pos"), col("col")).as("bkey"))
+    (bv, bb)
+  }
+
+  /** One admission shard's check body (see [[lshDedupAgainst]]). */
+  private def lshCheckShard(spark: org.apache.spark.sql.SparkSession,
+                            table: String, bv: DataFrame, bb: DataFrame,
+                            threshold: Double): DataFrame = {
     // tombstoned corpus ids stop matching immediately (broadcast
     // anti-join over the bucket scan — no new exchange)
     val bucketRows = Tombstones.filterOut(spark, table,
@@ -778,6 +816,67 @@ object Similarity {
       .select(col("bid").as("batch_id"), col("cid").as("corpus_id"),
         graft.functions.Det.r6(GraftFunctions.cosineSim(col("bvec"), col("vec"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Grow one LSH ADMISSION shard into two vec-disjoint children — the
+    * [[Dedup.splitShard]] contract for the vector admission family:
+    * `_vecs`/`_buckets` rows rehash by id under the hierarchical
+    * router, tombstones fold first, and
+    * [[lshDedupAgainstSharded]] over the post-split family finds
+    * exactly the pre-split pairs. Same build → marker → retire crash
+    * protocol and boundaries.
+    */
+  def splitLshShard(spark: org.apache.spark.sql.SparkSession,
+                    parent: String, child0: String, child1: String,
+                    shardIndex: Int = 0, nShards: Int = 1): Unit =
+    splitLshShardImpl(spark, parent, child0, child1, shardIndex, nShards,
+      failAt = -1)
+
+  /** [[splitLshShard]] with the [[Retrieval.InjectedSplitCrash]] seam. */
+  private[graft] def splitLshShardImpl(
+      spark: org.apache.spark.sql.SparkSession, parent: String,
+      child0: String, child1: String, shardIndex: Int, nShards: Int,
+      failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    require(nShards >= 1 && shardIndex >= 0 && shardIndex < nShards,
+      s"splitLshShard: shardIndex $shardIndex out of range for $nShards shards")
+    GraftFunctions.ensureRegistered(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${parent}_splitdone"
+    if (!exists(marker)) {
+      require(exists(s"${parent}_vecs"),
+        s"splitLshShard: ${parent}_vecs does not exist (and no " +
+          "_splitdone marker — nothing to resume)")
+      lshFoldTombstones(spark, parent)
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent}_vecs"))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val first = Sharding.staysInFirstChild(col("id"), shardIndex, nShards)
+      def build(child: String, pred: org.apache.spark.sql.Column): Unit = {
+        BucketedJoin.writeBucketed(
+          spark.table(s"${parent}_vecs").filter(pred),
+          s"${child}_vecs", "id", buckets)
+        BucketedJoin.writeBucketed(
+          spark.table(s"${parent}_buckets").filter(pred),
+          s"${child}_buckets", "bkey", buckets)
+        Tombstones.clear(spark, child)
+      }
+      build(child0, first)
+      boundary(1)
+      build(child1, !first)
+      boundary(2)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(3)
+    }
+    for (s <- Seq("_vecs", "_buckets"); t = parent + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Tombstones.clear(spark, parent)
+    boundary(4)
+    BucketedJoin.dropWithLocation(spark, marker)
   }
 
   /** Absorb `batch` into a standing [[lshIndexBuild]] index at O(batch)

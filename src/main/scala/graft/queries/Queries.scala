@@ -908,6 +908,72 @@ object Queries {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** SHARDED-ADMISSION gate ([[graft.operators.Dedup
+    * .minhashDedupAgainstSharded]]): the corpus indexes as TWO
+    * doc-disjoint admission shards (the layout when the dedup
+    * signature/band tables outgrow one table), the batch is hashed
+    * once and checked against the family — the union of per-shard
+    * co-located lookups must find exactly the pairs the whole-built
+    * index does: the dd5 oracle verbatim.
+    */
+  val dd12_shardedadmit: Q = (s, d) => {
+    import graft.operators.Sharding
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val t0 = s"dd12a_${d.hashCode & Int.MaxValue}"
+    val t1 = s"dd12b_${d.hashCode & Int.MaxValue}"
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "text", "doc_id", t0)
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "text", "doc_id", t1)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.minhashDedupAgainstSharded(s, Seq(t0, t1), batch,
+        "text", "doc_id")
+      .select(col("corpus_id"), col("batch_id"))
+    val exact = Dedup.ngramJaccardPairs(base.unionByName(batch), "text",
+        "doc_id", k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .filter(col("ida") < 1000000L && col("idb") >= 1000000L)
+      .select(col("ida").as("corpus_id"), col("idb").as("batch_id"))
+    exact.join(found, Seq("corpus_id", "batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Admission RESHARD gate ([[graft.operators.Dedup.splitShard]]):
+    * shard 0 of the dd12 family splits into two hierarchical children
+    * (signature/band rows rehashed by doc id, parent retired) and the
+    * 3-shard family's check must still find exactly the whole-index
+    * pairs — the dd5 oracle verbatim: admission resharding never
+    * changes a decision.
+    */
+  val dd13_splitadmit: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val t0 = s"dd13a_${d.hashCode & Int.MaxValue}"
+    val t1 = s"dd13b_${d.hashCode & Int.MaxValue}"
+    val (c0, c1) = (s"${t0}x", s"${t0}y")
+    BucketedJoin.dropWithLocation(s, s"${t0}_splitdone")
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "text", "doc_id", t0)
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "text", "doc_id", t1)
+    Dedup.splitShard(s, t0, c0, c1, shardIndex = 0, nShards = 2)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.minhashDedupAgainstSharded(s, Seq(c0, c1, t1), batch,
+        "text", "doc_id")
+      .select(col("corpus_id"), col("batch_id"))
+    val exact = Dedup.ngramJaccardPairs(base.unionByName(batch), "text",
+        "doc_id", k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .filter(col("ida") < 1000000L && col("idb") >= 1000000L)
+      .select(col("ida").as("corpus_id"), col("idb").as("batch_id"))
+    exact.join(found, Seq("corpus_id", "batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Tombstone-DELETION gate (dd6 inverted): the index holds the whole
     * corpus, then every 20th document is taken down via Tombstones.add.
     * The batch re-submits every 10th document verbatim under id+1e6;
@@ -2328,6 +2394,8 @@ object Queries {
     "dd8_components_star" -> dd8_components_star,
     "dd9_simhash_sharded" -> dd9_simhash_sharded,
     "dd10_tombstone" -> dd10_tombstone, "dd11_tombfold" -> dd11_tombfold,
+    "dd12_shardedadmit" -> dd12_shardedadmit,
+    "dd13_splitadmit" -> dd13_splitadmit,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -2603,6 +2671,31 @@ object Queries {
       |  FROM scored)
       |SELECT qid, doc_id, score_micro, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+
+  /** The dd5/dd6/dd12/dd13 incremental-minhash oracle (shared: the
+    * grown, SHARDED, and post-split admission indexes must all find
+    * exactly the pairs the whole-built one does): the exact-Jaccard
+    * batch-vs-corpus recomputation in SQL, intersected with the
+    * engine's index lookups.
+    */
+  private val minhashIncOracleSql: String =
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM all_docs),
+        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
+        |SELECT ida AS corpus_id, idb AS batch_id FROM j
+        |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
+        |ORDER BY corpus_id, batch_id""".stripMargin
 
   /** The sim1/sim12 exact-kNN oracle (shared: sharded brute-force
     * serving must equal the whole-corpus ranking — the sim12 contract):
@@ -3184,42 +3277,16 @@ object Queries {
         |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
         |SELECT ida, idb FROM j WHERE jaccard >= 0.8 ORDER BY ida, idb""".stripMargin,
 
-    "dd5_incdedup" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM all_docs),
-        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
-        |SELECT ida AS corpus_id, idb AS batch_id FROM j
-        |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
-        |ORDER BY corpus_id, batch_id""".stripMargin,
+    "dd5_incdedup" -> minhashIncOracleSql,
 
     // append-built index ≡ whole-built index, so dd6 shares dd5's oracle
-    "dd6_incappend" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS w FROM all_docs),
-        |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-        |  i -> array_to_string(w[i:i+2], ' '))) AS sh FROM toks),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |  FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id)
-        |SELECT ida AS corpus_id, idb AS batch_id FROM j
-        |WHERE jaccard >= 0.8 AND ida < 1000000 AND idb >= 1000000
-        |ORDER BY corpus_id, batch_id""".stripMargin,
+    "dd6_incappend" -> minhashIncOracleSql,
+
+    // Sharded / post-split admission: the check must find exactly the
+    // whole-built index's pairs (doc-disjoint shards partition the
+    // same signature rows) — the dd5 recomputation verbatim.
+    "dd12_shardedadmit" -> minhashIncOracleSql,
+    "dd13_splitadmit" -> minhashIncOracleSql,
 
     "dd3_simhash" ->
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming

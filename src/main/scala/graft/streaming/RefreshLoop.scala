@@ -191,14 +191,20 @@ object RefreshLoop {
                    lmTable: Option[String] = None,
                    compactEvery: Int = 0,
                    bm25Shards: Option[Seq[String]] = None,
-                   lmShards: Option[Seq[String]] = None)
+                   lmShards: Option[Seq[String]] = None,
+                   indexShards: Option[Seq[String]] = None)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
       // heal any compaction swap a crash left mid-flight on the index
-      // tables before the first read (epochPhases does the ledger's)
-      BucketedJoin.recoverCompacted(spark, s"${table}_sigs")
-      BucketedJoin.recoverCompacted(spark, s"${table}_bands")
+      // tables before the first read (epochPhases does the ledger's).
+      // indexShards: the ADMISSION index itself is sharded — `table`
+      // anchors only the epoch ledger, and the check/absorb run
+      // against the shard family.
+      indexShards.getOrElse(Seq(table)).foreach { t =>
+        BucketedJoin.recoverCompacted(spark, s"${t}_sigs")
+        BucketedJoin.recoverCompacted(spark, s"${t}_bands")
+      }
       (bm25Table.toSeq ++ bm25Shards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_terms")
@@ -233,8 +239,11 @@ object RefreshLoop {
             k, numHashes, bands, threshold)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("est_jaccard"), lit("batch").as("source"))
-        val inter0 = Dedup.minhashDedupAgainst(spark, table, b,
-          textCol, idCol, threshold, k, numHashes, bands)
+        val inter0 = indexShards
+          .map(Dedup.minhashDedupAgainstSharded(spark, _, b,
+            textCol, idCol, threshold, k, numHashes, bands))
+          .getOrElse(Dedup.minhashDedupAgainst(spark, table, b,
+            textCol, idCol, threshold, k, numHashes, bands))
         // a replay of an epoch whose ledger holds id rows sees an index
         // that may already hold rows this epoch absorbed — exclude
         // exactly those, so the replay reproduces the original run's
@@ -285,13 +294,24 @@ object RefreshLoop {
                   LangModel.append(spark, t, slice, idCol, textCol,
                     epoch, repair = repairMode)
               })
-              Dedup.minhashIndexAppend(spark, table, novel, textCol, idCol,
-                k, numHashes, bands, repair = repairMode)
+              indexShards match {
+                case Some(sh) => routeToShards(novel, idCol, sh) {
+                  (t, slice) =>
+                    Dedup.minhashIndexAppend(spark, t, slice, textCol,
+                      idCol, k, numHashes, bands, repair = repairMode)
+                }
+                case None =>
+                  Dedup.minhashIndexAppend(spark, table, novel, textCol,
+                    idCol, k, numHashes, bands, repair = repairMode)
+              }
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              BucketedJoin.compactBucketed(spark, s"${table}_sigs", "id")
-              BucketedJoin.compactBucketed(spark, s"${table}_bands", "bandkey")
+              indexShards.map(sh => rotateShard(Some(sh), epoch, compactEvery))
+                .getOrElse(Seq(table)).foreach { t =>
+                BucketedJoin.compactBucketed(spark, s"${t}_sigs", "id")
+                BucketedJoin.compactBucketed(spark, s"${t}_bands", "bandkey")
+              }
               compactLedger(spark, table, epoch)
               (bm25Table.toSeq ++
                 rotateShard(bm25Shards, epoch, compactEvery)).foreach { t =>
@@ -414,6 +434,17 @@ object RefreshLoop {
     * same effectively-once ledger covers every shard: the commit
     * marker lands only after ALL shard appends, and an un-committed
     * replay re-runs each shard append in repair mode.
+    *
+    * `indexShards`: the ADMISSION index itself sharded — the last
+    * single-table structure in the loop (at 10⁹ admitted docs the
+    * signature/band tables hit the same per-box wall the serving
+    * indexes did). When set, `table` anchors ONLY the epoch ledger;
+    * the dup check runs [[graft.operators.Dedup
+    * .minhashDedupAgainstSharded]] (batch hashed once, per-shard
+    * co-located joins, exact union), admitted docs route to their
+    * [[shardOf]] shard's index, per-shard appends repair row-level on
+    * replay, and compaction rotates one admission shard per cadence
+    * epoch. Grow a shard with [[graft.operators.Dedup.splitShard]].
     */
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
@@ -423,11 +454,12 @@ object RefreshLoop {
                      lmTable: Option[String] = None,
                      compactEvery: Int = 0,
                      bm25Shards: Option[Seq[String]] = None,
-                     lmShards: Option[Seq[String]] = None)
+                     lmShards: Option[Seq[String]] = None,
+                     indexShards: Option[Seq[String]] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
       numHashes, bands, bm25Table, lmTable, compactEvery, bm25Shards,
-      lmShards)(onBatch)
+      lmShards, indexShards)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }
@@ -503,12 +535,17 @@ object RefreshLoop {
                      retrainOnDrift: Boolean = false,
                      compactEvery: Int = 0,
                      ivfShards: Option[Seq[String]] = None,
-                     pqShards: Option[Seq[String]] = None)
+                     pqShards: Option[Seq[String]] = None,
+                     indexShards: Option[Seq[String]] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
-      BucketedJoin.recoverCompacted(spark, s"${table}_vecs")
-      BucketedJoin.recoverCompacted(spark, s"${table}_buckets")
+      // indexShards: the LSH ADMISSION index itself is sharded —
+      // `table` anchors only the epoch ledger (see minhashBatch)
+      indexShards.getOrElse(Seq(table)).foreach { t =>
+        BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
+        BucketedJoin.recoverCompacted(spark, s"${t}_buckets")
+      }
       (ivfTable.toSeq ++ ivfShards.getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         healCrashedRetrain(spark, t, pq = false, nassign)
@@ -526,8 +563,11 @@ object RefreshLoop {
             threshold, nBits, nTables, seed)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("cos"), lit("batch").as("source"))
-        val inter0 = Similarity.lshDedupAgainst(spark, table, b, idCol, vecCol,
-          threshold, nBits, nTables, seed)
+        val inter0 = indexShards
+          .map(Similarity.lshDedupAgainstSharded(spark, _, b, idCol,
+            vecCol, threshold, nBits, nTables, seed))
+          .getOrElse(Similarity.lshDedupAgainst(spark, table, b, idCol,
+            vecCol, threshold, nBits, nTables, seed))
         // repairMode, not decided — see the minhashBatch note (legacy
         // uncommitted epochs must exclude recorded ids too)
         val interAdj = if (repairMode)
@@ -593,13 +633,24 @@ object RefreshLoop {
                       slice, idCol, vecCol, nassign, repair = repairMode),
                     epoch, pq = true, retrainOnDrift, nassign)
               })
-              Similarity.lshIndexAppend(spark, table, novel, idCol, vecCol,
-                nBits, nTables, seed, repair = repairMode)
+              indexShards match {
+                case Some(sh) => routeToShards(novel, idCol, sh) {
+                  (t, slice) =>
+                    Similarity.lshIndexAppend(spark, t, slice, idCol,
+                      vecCol, nBits, nTables, seed, repair = repairMode)
+                }
+                case None =>
+                  Similarity.lshIndexAppend(spark, table, novel, idCol,
+                    vecCol, nBits, nTables, seed, repair = repairMode)
+              }
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              BucketedJoin.compactBucketed(spark, s"${table}_vecs", "id")
-              BucketedJoin.compactBucketed(spark, s"${table}_buckets", "bkey")
+              indexShards.map(sh => rotateShard(Some(sh), epoch, compactEvery))
+                .getOrElse(Seq(table)).foreach { t =>
+                BucketedJoin.compactBucketed(spark, s"${t}_vecs", "id")
+                BucketedJoin.compactBucketed(spark, s"${t}_buckets", "bkey")
+              }
               compactLedger(spark, table, epoch)
               (ivfTable.toSeq ++
                 rotateShard(ivfShards, epoch, compactEvery)).foreach(t =>
@@ -677,6 +728,14 @@ object RefreshLoop {
     * replay, and compaction covers every shard on the same cadence.
     * The same effectively-once ledger covers all shards: the commit
     * marker lands only after ALL shard appends.
+    *
+    * `indexShards`: the LSH ADMISSION index itself sharded (the
+    * [[minhashRefresh]] `indexShards` contract for vectors): `table`
+    * anchors only the epoch ledger, the dup check runs
+    * [[graft.operators.Similarity.lshDedupAgainstSharded]], admitted
+    * vectors route to their [[shardOf]] shard's index, and compaction
+    * rotates one admission shard per cadence epoch. Grow a shard with
+    * [[graft.operators.Similarity.splitLshShard]].
     */
   def embeddingRefresh(stream: DataFrame, table: String,
                        idCol: String, vecCol: String,
@@ -688,11 +747,12 @@ object RefreshLoop {
                        retrainOnDrift: Boolean = false,
                        compactEvery: Int = 0,
                        ivfShards: Option[Seq[String]] = None,
-                       pqShards: Option[Seq[String]] = None)
+                       pqShards: Option[Seq[String]] = None,
+                       indexShards: Option[Seq[String]] = None)
                       (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
       nTables, seed, ivfTable, nassign, pqTable, retrainOnDrift,
-      compactEvery, ivfShards, pqShards)(onBatch)
+      compactEvery, ivfShards, pqShards, indexShards)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

@@ -1130,6 +1130,72 @@ class RefreshLoopSpec extends AnyFunSuite {
       "the crash-repair epoch leaked the vector into the wrong shard")
   }
 
+  test("sharded ADMISSION: the loop checks against and absorbs into a " +
+       "shard family, routing doc-disjoint, replay effectively-once") {
+    import graft.operators.Dedup
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines today"),
+      (3L, "a third base document with its own unique words inside"),
+      (4L, "yet another base document full of separate vocabulary"))
+      .toDF("doc_id", "text")
+    val nSh = 2
+    val idxS = (0 until nSh).map { i =>
+      val t = s"shadm_$i"
+      Dedup.minhashIndexBuild(
+        base.filter(RefreshLoop.shardOf($"doc_id", nSh) === i),
+        "text", "doc_id", t)
+      t
+    }
+    val runs = scala.collection.mutable.ArrayBuffer[(Set[(Long, Long)], Set[Long])]()
+    val fn = RefreshLoop.minhashBatch("shadm_ledger", "text", "doc_id",
+      threshold = 0.3, indexShards = Some(idxS)) { (dups, novel, _) =>
+      runs += ((dups.select("batch_id", "match_id")
+          .as[(Long, Long)].collect().toSet,
+        novel.select("doc_id").as[Long].collect().toSet))
+    }
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (110L, "entirely novel content that matches nothing else here"),
+      (111L, "more admitted text that lands in some shard too"))
+      .toDF("doc_id", "text")
+    fn(batch, 2L)
+    assert(runs(0)._1.contains((101L, 1L)),
+      "sharded admission missed the cross-shard duplicate")
+    assert(runs(0)._2 == Set(110L, 111L))
+    // admitted docs routed doc-disjoint into the admission shards
+    val admitted = base.unionByName(batch.filter($"doc_id" =!= 101L))
+    for (i <- 0 until nSh) {
+      spark.catalog.refreshTable(s"${idxS(i)}_sigs")
+      val ids = spark.table(s"${idxS(i)}_sigs").select($"id")
+        .as[Long].collect().toSet
+      val expect = admitted
+        .filter(RefreshLoop.shardOf($"doc_id", nSh) === i)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == expect, s"admission shard $i holds the wrong docs")
+    }
+    // replay of the committed epoch (the only epoch that can ever
+    // re-fire is the LAST one): outputs reproduced, no shard grows
+    val counts = idxS.map(t => (spark.table(s"${t}_sigs").count(),
+      spark.table(s"${t}_bands").count()))
+    fn(batch, 2L)
+    idxS.foreach { t =>
+      spark.catalog.refreshTable(s"${t}_sigs")
+      spark.catalog.refreshTable(s"${t}_bands")
+    }
+    assert(idxS.map(t => (spark.table(s"${t}_sigs").count(),
+      spark.table(s"${t}_bands").count())) == counts,
+      "replay grew an admission shard")
+    assert(runs(1)._1 == runs(0)._1 && runs(1)._2 == runs(0)._2,
+      "replayed epoch outputs diverged")
+    // the NEXT batch sees the absorbed docs: an exact copy of 110 dups
+    fn(Seq((210L, "entirely novel content that matches nothing else here"))
+      .toDF("doc_id", "text"), 3L)
+    assert(runs(2)._1.contains((210L, 110L)),
+      "the next epoch did not see the previous epoch's absorbed doc")
+    assert(runs(2)._2.isEmpty)
+  }
+
   test("rotating shard compaction: exactly one shard per cadence epoch, " +
        "every shard covered once per S cycles") {
     val shards = Some(Seq("s0", "s1", "s2"))

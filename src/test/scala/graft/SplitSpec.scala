@@ -164,6 +164,65 @@ class SplitSpec extends AnyFunSuite {
       "post-split IVFPQ results diverged at partial probe + covering refine")
   }
 
+  test("admission split (minhash + LSH): post-split sharded checks find " +
+       "exactly the pre-split pairs; minhash chaos converges") {
+    import graft.operators.{Dedup, Similarity}
+    val id = n
+    // minhash admission family
+    val (m0, m1) = (s"spl_mh0_$id", s"spl_mh1_$id")
+    Dedup.minhashIndexBuild(shard(0, 2), "text", "doc_id", m0)
+    Dedup.minhashIndexBuild(shard(1, 2), "text", "doc_id", m1)
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    def mrows(ts: Seq[String]) =
+      Dedup.minhashDedupAgainstSharded(spark, ts, batch, "text", "doc_id")
+        .select("batch_id", "corpus_id")
+        .as[(Long, Long)].collect().toSet
+    val pre = mrows(Seq(m0, m1))
+    assert(pre.nonEmpty, "resubmitted docs must match their sources")
+    // the sharded check equals the single-index check on a whole build
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", s"spl_mhw_$id")
+    assert(pre == Dedup.minhashDedupAgainst(spark, s"spl_mhw_$id", batch,
+        "text", "doc_id")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet,
+      "sharded admission check diverged from the whole-built index")
+    // chaos: kill at every boundary, re-run converges
+    for (b <- 0 to 4) {
+      val p = s"spl_mhb${b}_$id"
+      Dedup.minhashIndexBuild(shard(0, 2), "text", "doc_id", p)
+      val (c0, c1) = (s"${p}x", s"${p}y")
+      intercept[graft.operators.Retrieval.InjectedSplitCrash] {
+        Dedup.splitShardImpl(spark, p, c0, c1, 0, 2, failAt = b)
+      }
+      Dedup.splitShard(spark, p, c0, c1, 0, 2)
+      assert(mrows(Seq(c0, c1, m1)) == pre,
+        s"minhash admission split diverged after crash at boundary $b")
+    }
+
+    // LSH admission family (vectors)
+    def vec(i: Long): Seq[Double] =
+      Array.tabulate(8)(j => (((i * 31 + j * 7) % 11) - 5) / 5.0).toSeq
+    val emb = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def eshard(i: Int) =
+      emb.filter(graft.operators.Sharding.shardOf($"vec_id", 2) === i)
+    val (l0, l1) = (s"spl_lsh0_$id", s"spl_lsh1_$id")
+    Similarity.lshIndexBuild(eshard(0), "vec_id", "embedding", l0)
+    Similarity.lshIndexBuild(eshard(1), "vec_id", "embedding", l1)
+    val vbatch = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    def lrows(ts: Seq[String]) =
+      Similarity.lshDedupAgainstSharded(spark, ts, vbatch,
+          "vec_id", "embedding")
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lpre = lrows(Seq(l0, l1))
+    assert(lpre.nonEmpty, "resubmitted vectors must match their sources")
+    val (lc0, lc1) = (s"spl_lsh0x_$id", s"spl_lsh0y_$id")
+    Similarity.splitLshShard(spark, l0, lc0, lc1, shardIndex = 0,
+      nShards = 2)
+    assert(lrows(Seq(lc0, lc1, l1)) == lpre,
+      "LSH admission split diverged")
+  }
+
   test("split chaos: a kill after EVERY boundary converges on re-run " +
        "(BM25 and LM), serving bit-identical") {
     val id = n
