@@ -394,6 +394,63 @@ object Dedup {
     BucketedJoin.dropWithLocation(spark, marker)
   }
 
+  /** The inverse of [[splitShard]] — fold two doc-disjoint minhash
+    * ADMISSION shards into one (the shrink path): tombstones fold
+    * first, then the merged signature/band tables are the row UNIONS
+    * rebucketed (per-doc facts — doc-disjointness makes the union
+    * exact, and the sharded check over the family with the parents
+    * replaced finds identical pairs). Same build → marker → retire
+    * crash protocol as the splits.
+    */
+  def mergeShards(spark: org.apache.spark.sql.SparkSession,
+                  parent0: String, parent1: String,
+                  merged: String): Unit =
+    mergeShardsImpl(spark, parent0, parent1, merged, failAt = -1)
+
+  /** [[mergeShards]] with the [[Retrieval.InjectedSplitCrash]] seam —
+    * boundaries 0 (tombstone folds), 1 (built), 2 (marker), 3
+    * (parents retired). */
+  private[graft] def mergeShardsImpl(spark: org.apache.spark.sql.SparkSession,
+                                     parent0: String, parent1: String,
+                                     merged: String, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.functions.GraftFunctions.unionGuard(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${merged}_mergedone"
+    if (!exists(marker)) {
+      require(exists(s"${parent0}_sigs") && exists(s"${parent1}_sigs"),
+        s"mergeShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      Seq(parent0, parent1).foreach(minhashFoldTombstones(spark, _))
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_sigs"))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${parent0}_sigs")
+          .unionByName(spark.table(s"${parent1}_sigs")),
+        s"${merged}_sigs", "id", buckets)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${parent0}_bands")
+          .unionByName(spark.table(s"${parent1}_bands")),
+        s"${merged}_bands", "bandkey", buckets)
+      Tombstones.clear(spark, merged)
+      boundary(1)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(2)
+    }
+    for (p <- Seq(parent0, parent1); s <- Seq("_sigs", "_bands");
+         t = p + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    boundary(3)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
+
   /** Physically fold [[Tombstones]] into a [[minhashIndexBuild]] index:
     * signature and band rows rewritten without the tombstoned ids
     * (crash-safe swap per table, idempotent), set cleared after.

@@ -565,6 +565,73 @@ object LangModel {
     BucketedJoin.dropWithLocation(spark, marker)
   }
 
+  /** The inverse of [[splitShard]] — fold two doc-disjoint LM shards
+    * into one ([[Retrieval.mergeShards]]' shrink path for the LM
+    * family). Counts are ADDITIVE, so the merged bigram/vocab tables
+    * are the row UNIONS of the parents' delta tables verbatim (no
+    * corpus needed — unlike the split, which must re-attribute counts
+    * to docs); the stats ledger RECOMPUTES (per-shard V deltas are not
+    * additive across shards — words overlap), one vocabulary-bounded
+    * count paid at merge time; the generation ledger starts fresh (a
+    * new table is a new generation — stats caches refold on first
+    * use). Sharded scoring over the family with the parents replaced
+    * by the merge is numerically identical. Same
+    * build → marker → retire crash protocol.
+    */
+  def mergeShards(spark: SparkSession, parent0: String, parent1: String,
+                  merged: String): Unit =
+    mergeShardsImpl(spark, parent0, parent1, merged, failAt = -1)
+
+  /** [[mergeShards]] with the [[Retrieval.InjectedSplitCrash]] seam —
+    * boundaries 0 (entry heal), 1 (merged tables built), 2 (marker),
+    * 3 (parents retired). */
+  private[graft] def mergeShardsImpl(spark: SparkSession, parent0: String,
+                                     parent1: String, merged: String,
+                                     failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${merged}_mergedone"
+    if (!exists(marker)) {
+      require(exists(parent0) && exists(parent1),
+        s"mergeShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      for (p <- Seq(parent0, parent1);
+           s <- Seq("", "_vocab", "_stats", "_gen"))
+        BucketedJoin.recoverCompacted(spark, p + s)
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      BucketedJoin.writeBucketed(
+        spark.table(parent0).unionByName(spark.table(parent1)),
+        merged, "w1", buckets)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${parent0}_vocab")
+          .unionByName(spark.table(s"${parent1}_vocab")),
+        s"${merged}_vocab", "w", buckets)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${merged}_vocab")
+          .groupBy("w").agg(sum("c").as("c")).filter(col("c") > 0)
+          .agg(count(lit(1)).as("v")).withColumn("epoch", lit(-1L)),
+        s"${merged}_stats", "v", 1)
+      BucketedJoin.writeBucketed(genRow(spark, -1L), s"${merged}_gen",
+        "g", 1)
+      boundary(1)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(2)
+    }
+    for (p <- Seq(parent0, parent1);
+         s <- Seq("", "_vocab", "_stats", "_gen"); t = p + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    boundary(3)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
+
   /** The two-step scan-narrowing gate shared by [[score]] and
     * [[scoreSharded]] (see [[score]]'s SCAN NARROWING note): None ⇒
     * take the unpruned fold; Some(w1s) ⇒ prune the delta scan(s) to the

@@ -705,4 +705,46 @@ object ProductQuant {
     boundary(4)
     BucketedJoin.dropWithLocation(spark, marker)
   }
+
+  /** Merge two IVFPQ shards by RETRAINING on the union of their raw
+    * vectors ([[Similarity.mergeIvfShards]]' contract for the
+    * quantized family: coarse centroids AND codebooks differ across
+    * shards, so row unions cannot mix; the id-bucketed `_vecs` tables
+    * are the full raw copies and the merged index trains whole —
+    * `m` taken from `parent0` unless overridden). O(merged corpus),
+    * maintenance-cadence; marker-gated retire, re-run converges.
+    */
+  def mergeShards(spark: SparkSession, parent0: String, parent1: String,
+                  merged: String, m: Int = 0, nassign: Int = 2,
+                  seed: Long = 42L, pqIters: Int = 3): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    graft.functions.GraftFunctions.unionGuard(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${merged}_mergedone"
+    if (!exists(marker)) {
+      require(exists(s"${parent0}_vecs") && exists(s"${parent1}_vecs"),
+        s"mergeShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      val mEff = if (m > 0) m
+                 else spark.table(s"${parent0}_meta").head().getInt(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_vecs"))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val corpus = Seq(parent0, parent1).map { p =>
+        Tombstones.filterOut(spark, p, spark.table(s"${p}_vecs"), "nid")
+      }.reduce(_.unionByName(_))
+      ivfPqBuild(corpus, "nid", "nvec", merged, m = mEff,
+        nassign = nassign, buckets = buckets, seed = seed,
+        pqIters = pqIters)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+    }
+    for (p <- Seq(parent0, parent1);
+         s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats");
+         t = p + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
 }

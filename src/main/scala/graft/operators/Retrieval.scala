@@ -1547,4 +1547,81 @@ object Retrieval {
     boundary(4)
     BucketedJoin.dropWithLocation(spark, marker)
   }
+
+  /** The inverse of [[splitShard]] — fold two doc-disjoint BM25 shards
+    * into one (the SHRINK path: after takedowns leave a family's
+    * shards underfull, merging halves the per-query leg count and the
+    * open-file surface). Both parents' tombstones fold first, then the
+    * merged postings/positional tables are the row UNIONS rebucketed
+    * and the derived tables recompute from the merged postings —
+    * doc-disjointness makes the union exact, and sharded serving over
+    * the family with the parents replaced by the merged table is the
+    * identical ranking (global stats are placement-blind; the t40
+    * argument run backwards). Positions merge iff BOTH parents carry
+    * them (a mixed pair is rejected loudly — a silently positional-less
+    * merge would break phrase serving). Same build → marker → retire
+    * crash protocol as [[splitShard]] (marker on `merged`; a re-run
+    * resumes, never rebuilds from half-dropped parents).
+    */
+  def mergeShards(spark: SparkSession, parent0: String, parent1: String,
+                  merged: String): Unit =
+    mergeShardsImpl(spark, parent0, parent1, merged, failAt = -1)
+
+  /** [[mergeShards]] with the [[InjectedSplitCrash]] seam — boundaries
+    * 0 (tombstone folds), 1 (merged tables built), 2 (marker), 3
+    * (parents retired, before the marker clears). */
+  private[graft] def mergeShardsImpl(spark: SparkSession, parent0: String,
+                                     parent1: String, merged: String,
+                                     failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new InjectedSplitCrash(i)
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
+    val marker = s"${merged}_mergedone"
+    if (!tableExists(spark, marker)) {
+      require(tableExists(spark, parent0) && tableExists(spark, parent1),
+        s"mergeShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      val pos0 = tableExists(spark, s"${parent0}_pos")
+      val pos1 = tableExists(spark, s"${parent1}_pos")
+      require(pos0 == pos1,
+        s"mergeShards: $parent0 and $parent1 disagree on positional " +
+          "tables — merging would silently drop phrase serving for one " +
+          "side's docs; rebuild the positional side or split the other")
+      Seq(parent0, parent1).foreach { p =>
+        healFold(spark, p); bm25FoldTombstones(spark, p)
+      }
+      boundary(0)
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      BucketedJoin.writeBucketed(
+        spark.table(parent0).unionByName(spark.table(parent1)),
+        merged, "term", buckets)
+      val mp = spark.table(merged)
+      BucketedJoin.writeBucketed(
+        mp.groupBy("term").agg(count(lit(1)).as("df")),
+        s"${merged}_terms", "term", buckets)
+      BucketedJoin.writeBucketed(
+        mp.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("dl"), lit(0L)).as("dl_sum")),
+        s"${merged}_stats", "n_docs", 1)
+      if (pos0)
+        BucketedJoin.writeBucketed(
+          spark.table(s"${parent0}_pos")
+            .unionByName(spark.table(s"${parent1}_pos")),
+          s"${merged}_pos", "term", buckets)
+      Tombstones.clear(spark, merged)
+      boundary(1)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+      boundary(2)
+    }
+    for (p <- Seq(parent0, parent1); s <- Seq("", "_terms", "_stats", "_pos");
+         t = p + s if tableExists(spark, t))
+      BucketedJoin.dropWithLocation(spark, t)
+    boundary(3)
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
 }

@@ -879,6 +879,89 @@ object Similarity {
     BucketedJoin.dropWithLocation(spark, marker)
   }
 
+  /** The inverse of [[splitLshShard]] — fold two vec-disjoint LSH
+    * admission shards into one: tombstones fold first, then the
+    * merged `_vecs`/`_buckets` are the row unions rebucketed
+    * (per-vector facts; the same signatures hash to the same bucket
+    * keys, so the sharded check over the merged family is identical).
+    * Same build → marker → retire protocol.
+    */
+  def mergeLshShards(spark: org.apache.spark.sql.SparkSession,
+                     parent0: String, parent1: String,
+                     merged: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${merged}_mergedone"
+    if (!exists(marker)) {
+      require(exists(s"${parent0}_vecs") && exists(s"${parent1}_vecs"),
+        s"mergeLshShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      Seq(parent0, parent1).foreach(lshFoldTombstones(spark, _))
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_vecs"))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${parent0}_vecs")
+          .unionByName(spark.table(s"${parent1}_vecs")),
+        s"${merged}_vecs", "id", buckets)
+      BucketedJoin.writeBucketed(
+        spark.table(s"${parent0}_buckets")
+          .unionByName(spark.table(s"${parent1}_buckets")),
+        s"${merged}_buckets", "bkey", buckets)
+      Tombstones.clear(spark, merged)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+    }
+    for (p <- Seq(parent0, parent1); s <- Seq("_vecs", "_buckets");
+         t = p + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
+
+  /** Merge two IVF shards by RETRAINING on the union — the honest form
+    * for the quantized family: the parents' centroid families differ,
+    * so a row union would mix incompatible coarse spaces; instead the
+    * parents' (deduplicated) vectors union and [[ivfBuild]] trains the
+    * merged index whole (nlist re-derives as ⌈√(2N)⌉, fresh drift
+    * reference). O(merged corpus) — a maintenance-cadence operation,
+    * like [[ivfRetrain]], with the same resume story: the union reads
+    * the LIVE parents, the marker gates the retire, and a re-run after
+    * any kill converges. Tombstoned rows drop in the union.
+    */
+  def mergeIvfShards(spark: org.apache.spark.sql.SparkSession,
+                     parent0: String, parent1: String, merged: String,
+                     nassign: Int = 2, seed: Long = 42L): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.unionGuard(spark)
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val marker = s"${merged}_mergedone"
+    if (!exists(marker)) {
+      require(exists(parent0) && exists(parent1),
+        s"mergeIvfShards: both $parent0 and $parent1 must exist " +
+          "(no _mergedone marker — nothing to resume)")
+      val buckets = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val corpus = Seq(parent0, parent1).map { p =>
+        Tombstones.filterOut(spark, p, spark.table(p), "nid")
+          .select("nid", "nvec").dropDuplicates("nid")
+      }.reduce(_.unionByName(_))
+      ivfBuild(corpus, "nid", "nvec", merged, nassign = nassign,
+        buckets = buckets, seed = seed)
+      BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
+        "done", 1)
+    }
+    for (p <- Seq(parent0, parent1); s <- Seq("", "_cents", "_stats");
+         t = p + s if exists(t))
+      BucketedJoin.dropWithLocation(spark, t)
+    Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    BucketedJoin.dropWithLocation(spark, marker)
+  }
+
   /** Absorb `batch` into a standing [[lshIndexBuild]] index at O(batch)
     * cost (the dd6 pattern for vectors): only the batch is hashed, both
     * appends re-bucket into the existing layouts

@@ -20,8 +20,11 @@ import graft.streaming.RefreshLoop
   * per-twin taxes measured in isolation do not automatically add):
   * document loop — `none` (admission only), `bm25`, `lm`, `all`
   * (bm25 + LM together), `shards` (bm25 + LM each routed across 2
-  * shard tables — the sharded-twin tax vs `all`); vector loop — `pq`
-  * (LSH admission + IVFPQ), `allvec` (LSH + IVF + IVFPQ together).
+  * shard tables — the sharded-twin tax vs `all`), `admshards` (the
+  * ADMISSION index itself sharded across 2 tables — the round-16
+  * indexShards tax vs `none`); vector loop — `pq` (LSH admission +
+  * IVFPQ), `allvec` (LSH + IVF + IVFPQ together), `vecshards` (IVF +
+  * IVFPQ each routed across 2 shard tables).
   */
 object DevRefresh {
   def main(args: Array[String]): Unit = {
@@ -53,7 +56,22 @@ object DevRefresh {
 
     val table = s"devrefresh_${n}_$mode"
     val t0 = System.nanoTime()
-    Dedup.minhashIndexBuild(corpus, "text", "doc_id", table, buckets = 32)
+    // admshards: the ADMISSION index itself sharded (round-16
+    // indexShards) — `table` anchors only the ledger; the tax vs
+    // `none` is the sharded-check + routed-absorb overhead
+    val indexShards = if (mode == "admshards") {
+      val sh = (0 until 2).map { i =>
+        val t = s"${table}_adm$i"
+        Dedup.minhashIndexBuild(
+          corpus.filter(RefreshLoop.shardOf(col("doc_id"), 2) === i),
+          "text", "doc_id", t, buckets = 32)
+        t
+      }
+      Some(sh)
+    } else {
+      Dedup.minhashIndexBuild(corpus, "text", "doc_id", table, buckets = 32)
+      None
+    }
     println(f"[refresh] n=$n mode=$mode build=${(System.nanoTime() - t0) / 1e9}%.1fs")
     System.out.flush()
 
@@ -115,7 +133,8 @@ object DevRefresh {
     val q = RefreshLoop.minhashRefresh(
         ms.toDF().toDF("doc_id", "text"), table,
         "text", "doc_id", bm25Table = bm25Table, lmTable = lmTable,
-        compactEvery = 3, bm25Shards = bm25Shards, lmShards = lmShards) {
+        compactEvery = 3, bm25Shards = bm25Shards, lmShards = lmShards,
+        indexShards = indexShards) {
       (dups, novel, _) =>
       lastDups = dups.select("batch_id").distinct().count()
       lastNovel = novel.count()

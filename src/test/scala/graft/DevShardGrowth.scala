@@ -77,11 +77,17 @@ object DevShardGrowth {
         Retrieval.bm25ShardedQuery(spark, bmT, queries, "qid", "qtext", 5))
       val tLm = timeMedian(
         LangModel.scoreSharded(spark, lmT, docs, "doc_id", "text"))
+      // the serving-cadence form: the cross-shard vocab fold memoized
+      // per model generation (statsTable) — the S-linear driver fold
+      // drops out after the warm-up call
+      val tLmMemo = timeMedian(
+        LangModel.scoreSharded(spark, lmT, docs, "doc_id", "text",
+          statsTable = Some(s"growth_lmst_$s")))
       val tVec = timeMedian(
         Similarity.bruteForceShardedTopK(vecShards, vq,
           "vec_id", "embedding", 5))
       println(f"[growth] sf=$sfDir S=$s bag=${tBag}%.3fs lm=${tLm}%.3fs " +
-        f"vec=${tVec}%.3fs")
+        f"lmMemo=${tLmMemo}%.3fs vec=${tVec}%.3fs")
       System.out.flush()
     }
     spark.stop()

@@ -223,6 +223,106 @@ class SplitSpec extends AnyFunSuite {
       "LSH admission split diverged")
   }
 
+  test("mergeShards: the shrink path — merged families serve identically " +
+       "(BM25 incl. chaos, LM, minhash, LSH, IVF retrain-on-union)") {
+    import graft.operators.{Dedup, LangModel, Retrieval, Similarity}
+    val id = n
+    // ---- BM25: merge back to one table; positional mismatch rejected
+    val (b0, b1) = (s"mrg_bm0_$id", s"mrg_bm1_$id")
+    Retrieval.bm25Build(shard(0, 2), "doc_id", "text", b0)
+    Retrieval.bm25Build(shard(1, 2), "doc_id", "text", b1)
+    val pre = Retrieval.bm25ShardedQuery(spark, Seq(b0, b1), queries,
+        "qid", "qtext", 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val bp = s"mrg_bmp_$id"
+    Retrieval.bm25Build(shard(1, 2), "doc_id", "text", bp, positions = true)
+    intercept[IllegalArgumentException] {
+      Retrieval.mergeShards(spark, b0, bp, s"mrg_bad_$id")
+    }
+    // chaos on the real merge: kill at every boundary, re-run converges
+    for (b <- 0 to 3) {
+      val (p0, p1) = (s"mrg_ch0${b}_$id", s"mrg_ch1${b}_$id")
+      Retrieval.bm25Build(shard(0, 2), "doc_id", "text", p0)
+      Retrieval.bm25Build(shard(1, 2), "doc_id", "text", p1)
+      val mt = s"mrg_chm${b}_$id"
+      intercept[Retrieval.InjectedSplitCrash] {
+        Retrieval.mergeShardsImpl(spark, p0, p1, mt, failAt = b)
+      }
+      Retrieval.mergeShards(spark, p0, p1, mt)
+      assert(Retrieval.bm25Query(spark, mt, queries, "qid", "qtext", 3)
+        .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+        === pre, s"BM25 merge diverged after crash at boundary $b")
+      assert(!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(p0)),
+        "merge must retire the parents")
+    }
+
+    // ---- LM: additive union, stats recomputed, memo refolds
+    val (l0, l1) = (s"mrg_lm0_$id", s"mrg_lm1_$id")
+    LangModel.train(shard(0, 2), "doc_id", "text", l0)
+    LangModel.train(shard(1, 2), "doc_id", "text", l1)
+    val lmPre = LangModel.scoreSharded(spark, Seq(l0, l1), corpus,
+        "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val lm = s"mrg_lmm_$id"
+    LangModel.mergeShards(spark, l0, l1, lm)
+    assert(LangModel.score(spark, lm, corpus, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq === lmPre,
+      "merged LM diverged from the sharded scoring")
+
+    // ---- minhash admission
+    val (m0, m1) = (s"mrg_mh0_$id", s"mrg_mh1_$id")
+    Dedup.minhashIndexBuild(shard(0, 2), "text", "doc_id", m0)
+    Dedup.minhashIndexBuild(shard(1, 2), "text", "doc_id", m1)
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val mhPre = Dedup.minhashDedupAgainstSharded(spark, Seq(m0, m1),
+        batch, "text", "doc_id")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val mm = s"mrg_mhm_$id"
+    Dedup.mergeShards(spark, m0, m1, mm)
+    assert(Dedup.minhashDedupAgainst(spark, mm, batch, "text", "doc_id")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      == mhPre, "merged minhash admission diverged")
+
+    // ---- LSH admission + IVF retrain-on-union
+    def vec(i: Long): Seq[Double] =
+      Array.tabulate(8)(j => (((i * 31 + j * 7) % 11) - 5) / 5.0).toSeq
+    val emb = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def eshard(i: Int) =
+      emb.filter(graft.operators.Sharding.shardOf($"vec_id", 2) === i)
+    val (s0, s1) = (s"mrg_lsh0_$id", s"mrg_lsh1_$id")
+    Similarity.lshIndexBuild(eshard(0), "vec_id", "embedding", s0)
+    Similarity.lshIndexBuild(eshard(1), "vec_id", "embedding", s1)
+    val vbatch = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val lshPre = Similarity.lshDedupAgainstSharded(spark, Seq(s0, s1),
+        vbatch, "vec_id", "embedding")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lmm = s"mrg_lshm_$id"
+    Similarity.mergeLshShards(spark, s0, s1, lmm)
+    assert(Similarity.lshDedupAgainst(spark, lmm, vbatch,
+        "vec_id", "embedding")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      == lshPre, "merged LSH admission diverged")
+
+    val (i0, i1) = (s"mrg_ivf0_$id", s"mrg_ivf1_$id")
+    Similarity.ivfBuild(eshard(0), "vec_id", "embedding", i0, nlist = 4,
+      buckets = 2)
+    Similarity.ivfBuild(eshard(1), "vec_id", "embedding", i1, nlist = 4,
+      buckets = 2)
+    val q = emb.filter($"vec_id" % 10 === 3)
+    val ivfPre = Similarity.ivfShardedQuery(spark, Seq(i0, i1), q,
+        "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val im = s"mrg_ivfm_$id"
+    Similarity.mergeIvfShards(spark, i0, i1, im)
+    assert(Similarity.ivfQuery(spark, im, q, "vec_id", "embedding", 3,
+        probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet == ivfPre,
+      "merged IVF (retrain-on-union) diverged at full probe")
+  }
+
   test("split chaos: a kill after EVERY boundary converges on re-run " +
        "(BM25 and LM), serving bit-identical") {
     val id = n
