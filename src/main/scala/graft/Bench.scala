@@ -98,6 +98,15 @@ object Bench {
         "doc_id", "text", ts(1))
       ts
     }
+    lazy val vecShardTables = {
+      val ts = Seq("bench_vshard0_idx", "bench_vshard1_idx")
+      val emb = Tables.embeddings(spark, sfDir)
+      operators.Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ts.head)
+      operators.Similarity.ivfBuild(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", ts(1))
+      ts
+    }
     // BASELINE.md kernels: sort O3, agg A1, grep G1, join J1, 2sort O2,
     // + tiny-job latency probe (MRBench analog) + dedup skew kernel
     // (dd4 with the hot-shingle cap active — the 100 TB skew-guard path).
@@ -135,6 +144,11 @@ object Bench {
       // single-index bench_bm25; max(shard) + merge on a cluster)
       "bench_sharded" -> (() => operators.Retrieval.bm25ShardedQuery(spark,
         shardTables, bm25Queries, "qid", "qtext", 5)),
+      // sharded IVF serving over two standing vec-disjoint shard
+      // indexes — the sim13 path at the bench corpus (per-shard probes
+      // + bounded top-k merge); expected ≈ Σ shard legs on one box
+      "bench_shardedvec" -> (() => operators.Similarity.ivfShardedQuery(
+        spark, vecShardTables, pqQueries, "vec_id", "embedding", 5)),
       "bench_latency" -> (() => spark.range(1).toDF("id")))
 
     // A crashed kernel must be LOUD: it records -1.0 (excluded from the
