@@ -1685,6 +1685,54 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Merge gate ([[graft.operators.Retrieval.mergeShards]] — the
+    * shrink path): two doc-disjoint BM25 shards fold back into ONE
+    * table (row unions rebucketed, derived tables recomputed, parents
+    * retired) and single-table serving over the merge must equal the
+    * whole-corpus recomputation — the t32/t40 oracle verbatim:
+    * resizing a family in EITHER direction never touches scores.
+    */
+  val t42_mergebm25: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val t0 = s"mrgg0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"mrgg1_${d.hashCode & Int.MaxValue}"
+    val m = s"mrggm_${d.hashCode & Int.MaxValue}"
+    BucketedJoin.dropWithLocation(s, s"${m}_mergedone")
+    Retrieval.bm25Build(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "doc_id", "text", t1)
+    Retrieval.mergeShards(s, t0, t1, m)
+    Retrieval.bm25Query(s, m, bm25Queries(s, d), "qid", "qtext", 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** LM merge gate ([[graft.operators.LangModel.mergeShards]]): two
+    * shard-trained models fold into one by DELTA-ROW UNION (counts
+    * additive; stats recomputed — per-shard V deltas are not additive
+    * across overlapping vocabularies) and single-model scoring must
+    * equal the whole-trained recomputation — the t35/t41 oracle
+    * verbatim.
+    */
+  val t43_mergelm: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val t0 = s"mrgl0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"mrgl1_${d.hashCode & Int.MaxValue}"
+    val m = s"mrglm_${d.hashCode & Int.MaxValue}"
+    BucketedJoin.dropWithLocation(s, s"${m}_mergedone")
+    LangModel.train(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "doc_id", "text", t0)
+    LangModel.train(docs(s, d)
+        .filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "doc_id", "text", t1)
+    LangModel.mergeShards(s, t0, t1, m)
+    LangModel.score(s, m, docs(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2426,6 +2474,8 @@ object Queries {
     "t39_shardedhybridlinear" -> t39_shardedhybridlinear,
     "t40_splitbm25" -> t40_splitbm25,
     "t41_splitlm" -> t41_splitlm,
+    "t42_mergebm25" -> t42_mergebm25,
+    "t43_mergelm" -> t43_mergelm,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -3787,6 +3837,11 @@ object Queries {
     // whole-corpus recomputation exactly — t32's / t35's oracles.
     "t40_splitbm25" -> bm25OracleSql(),
     "t41_splitlm" -> lmWholeModelOracleSql,
+
+    // Merge (the shrink path): the folded single table must serve the
+    // whole-corpus recomputation exactly — same oracles, run backwards.
+    "t42_mergebm25" -> bm25OracleSql(),
+    "t43_mergelm" -> lmWholeModelOracleSql,
 
     "f4_split" ->
       """SELECT doc_id,
