@@ -500,10 +500,35 @@ object Retrieval {
                              qterms: Option[Seq[String]],
                              maxDfFrac: Double): (Long, Double, DataFrame) = {
     GraftFunctions.unionGuard(spark)
-    val stats = tables.map(correctedStats(spark, _))
-    val nDocs = stats.map(_._1).sum
+    // ONE driver action for every shard's corpus constants: each
+    // shard's one-row stats aggregate (and, where a shard has
+    // tombstones, its one-row deletion-correction aggregate, sign −1)
+    // unions into a single job. The per-shard [[correctedStats]] form
+    // paid 1-2 SERIALIZED driver actions per shard — measured
+    // (DevShardGrowth `plan` mode) at ~0.25 s of job latency per
+    // shard, 9 s of driver time at S = 32 before any posting moved;
+    // an O(100)-shard deployment's control plane must be O(1) jobs.
+    val statRows = tables.zipWithIndex.map { case (t, i) =>
+      val base = spark.table(s"${t}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+          coalesce(sum("dl_sum"), lit(0L)).as("s"))
+        .select(lit(1L).as("_sign"), col("n"), col("s"))
+      deletedRows(spark, t) match {
+        case Some(del) =>
+          base.unionByName(del.select("doc_id", "dl").distinct()
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum("dl"), lit(0L)).as("s"))
+            .select(lit(-1L).as("_sign"), col("n"), col("s")))
+        case None => base
+      }
+    }.reduce(_.unionByName(_))
+      .select((col("_sign") * col("n")).as("n"),
+        (col("_sign") * col("s")).as("s"))
+      .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("s"), lit(0L)))
+      .head()
+    val nDocs = statRows.getLong(0)
     require(nDocs > 0, s"sharded query: every shard of $tables is empty")
-    val avgdl = stats.map(_._2).sum.toDouble / nDocs.toDouble
+    val avgdl = statRows.getLong(1).toDouble / nDocs.toDouble
     val dict1 = tables.map(correctedDict(spark, _, qterms))
       .reduce(_.unionByName(_))
       .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)

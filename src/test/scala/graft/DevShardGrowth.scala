@@ -48,6 +48,7 @@ object DevShardGrowth {
     }
 
     if (mode == "vec") { vecMain(spark, timeMedian, timed); return }
+    if (mode == "plan") { planMain(spark, timeMedian); return }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, sfDir)
@@ -91,6 +92,44 @@ object DevShardGrowth {
       System.out.flush()
     }
     spark.stop()
+  }
+
+  /** Separate PLANNING cost from execution in S (`plan` mode): the S
+    * per-shard legs parallelize across a cluster, but Catalyst builds
+    * the S-leg union plan ON THE DRIVER — if planning grew superlinear
+    * in S it would bound the O(100)-shard deployment no matter how many
+    * executors. sf0.001 corpora (builds cheap), S ∈ {2, 8, 32}: time
+    * (a) executedPlan materialization alone, (b) end-to-end. */
+  private def planMain(spark: SparkSession,
+                       timeMedian: (=> DataFrame) => Double): Unit = {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(operators.TextOps.tokens(lower(col("text"))),
+          1, 3)).as("qtext"))
+    for (s <- Seq(2, 8, 32)) {
+      val bmT = (0 until s).map { i =>
+        val t = s"plang_bm${s}_$i"
+        Retrieval.bm25Build(
+          docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
+          "doc_id", "text", t)
+        t
+      }
+      def q = Retrieval.bm25ShardedQuery(spark, bmT, queries,
+        "qid", "qtext", 5)
+      // planning only: force analysis + optimization + physical planning
+      q.queryExecution.executedPlan // warm
+      val tPlan = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        q.queryExecution.executedPlan
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      val tExec = timeMedian(q)
+      println(f"[plancost] S=$s plan=${tPlan}%.3fs endToEnd=${tExec}%.3fs " +
+        f"(perLegPlan=${tPlan / s}%.3fs)")
+      System.out.flush()
+    }
   }
 
   /** 4 × 5e6 vectors — the fixed-mass S=4 comparator for the round-15
