@@ -399,9 +399,16 @@ object Retrieval {
                              maxCandBroadcast: Long = 4L << 20,
                              gateMinPosMass: Long = 1L << 22): DataFrame = {
     require(tables.nonEmpty, "bm25ShardedPhraseQuery needs at least one shard")
-    val legs = tables.map { t =>
+    // batched control plane: every shard's bounded control rows in ONE
+    // job (shardControlRows); each leg then runs collect-free
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val ctl = shardControlRows(spark, tables, qt0)
+    val legs = tables.zipWithIndex.map { case (t, i) =>
       val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
-        t, queries, qidCol, textCol, 1.0, maxCandBroadcast, gateMinPosMass)
+        t, queries, qidCol, textCol, 1.0, maxCandBroadcast, gateMinPosMass,
+        preQdfRows = Some(ctl(i)))
       (qoff, aligned.select(col("qid"), col("doc_id").as("nid")).distinct(),
         candFilter, bcast, qterms)
     }
@@ -436,11 +443,16 @@ object Retrieval {
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val legs = tables.map { t =>
+    // batched control plane: one job for every shard's control rows,
+    // one for every shard's stats (the NEAR budget's dial facts)
+    val ctl = shardControlRows(spark, tables, qt0)
+    val stats = shardStatRows(spark, tables)
+    val legs = tables.zipWithIndex.map { case (t, i) =>
       val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
         t, qt0, s"bm25ShardedProximityQuery(shard=$t)", 1.0,
         maxCandBroadcast, gateMinPosMass, window = window,
-        maxPosMass = maxPosMass)
+        maxPosMass = maxPosMass, preQdfRows = Some(ctl(i)),
+        preStats = Some(stats(i)))
       (proximityMatched(anchorsInput, qlenD, window), candFilter, bcast,
         qterms)
     }
@@ -605,6 +617,12 @@ object Retrieval {
     * measured batch ever crossing a few hundred.)
     */
   private[operators] val maxInPushValues = 256
+
+  /** Bounded control-read cap shared by [[posGatedProbe]]'s per-call
+    * collect and [[shardControlRows]]'s batched form: a positional
+    * control plane reads at most this many (qid, term, df) rows per
+    * index; batches past it fall back to frame-only plans. */
+  private val maxControlRows = 1 << 13
 
   /** Exact value-pruned scan at ANY list size — the stack-safe form of
     * the per-value parquet pushdown, two regimes:
@@ -878,7 +896,8 @@ object Retrieval {
   private def phraseAligned(spark: SparkSession, table: String,
                             queries: DataFrame, qidCol: String,
                             textCol: String, maxDfFrac: Double,
-                            maxCandBroadcast: Long, gateMinPosMass: Long)
+                            maxCandBroadcast: Long, gateMinPosMass: Long,
+                            preQdfRows: Option[Array[org.apache.spark.sql.Row]] = None)
       : (DataFrame, DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     val qoff = queries
       .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
@@ -886,7 +905,7 @@ object Retrieval {
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val (startsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
       table, qoff, "bm25PhraseQuery", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass)
+      gateMinPosMass, preQdfRows = preQdfRows)
     val starts = startsInput
       .select(col("qid"), col("doc_id"), col("off"),
         explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
@@ -1302,6 +1321,53 @@ object Retrieval {
         col("rank").as("rnk"))
   }
 
+  /** Every shard's bounded positional-control rows in ONE Spark job —
+    * the [[foldShardStats]] batching discipline applied to
+    * [[posGatedProbe]]'s collect: S per-shard-LIMITED (qid, term, df)
+    * legs union with a shard tag and collect once, instead of one
+    * serialized driver collect per shard (measured at ~0.25 s of job
+    * latency per shard — linear driver time an O(100)-shard
+    * deployment's control plane cannot afford). The `limit` lives
+    * INSIDE each union leg, so every shard's row set — and its
+    * collected/overflow decision — is byte-identical to the per-call
+    * form. */
+  private def shardControlRows(spark: SparkSession, tables: Seq[String],
+                               qt: DataFrame)
+      : Seq[Array[org.apache.spark.sql.Row]] = {
+    GraftFunctions.unionGuard(spark)
+    val rows = tables.zipWithIndex.map { case (t, i) =>
+      qt.join(spark.table(s"${t}_terms")
+          .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
+        .select(col("qid"), col("term"),
+          coalesce(col("df"), lit(0L)).as("df"))
+        .limit(maxControlRows + 1)
+        .select(lit(i).as("_sh"), col("qid"), col("term"), col("df"))
+    }.reduce(_.unionByName(_)).collect()
+    val bySh = rows.groupBy(_.getInt(0))
+    tables.indices.map(i =>
+      bySh.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+        .map(r => org.apache.spark.sql.Row(r.get(1), r.get(2), r.get(3))))
+  }
+
+  /** Every shard's raw (n_docs, avgdl-ceiling) stats in ONE job — the
+    * dial facts [[posGatedProbe]]'s NEAR budget reads per shard,
+    * batched like [[shardControlRows]]. */
+  private def shardStatRows(spark: SparkSession, tables: Seq[String])
+      : Seq[(Long, Long)] = {
+    GraftFunctions.unionGuard(spark)
+    val rows = tables.zipWithIndex.map { case (t, i) =>
+      spark.table(s"${t}_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+          coalesce(sum("dl_sum"), lit(0L)).as("s"))
+        .select(lit(i).as("_sh"), col("n"), col("s"))
+    }.reduce(_.unionByName(_)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    tables.indices.map { i =>
+      val (n, s) = rows(i)
+      (n, math.max(1L, if (n > 0) (s + n - 1) / n else 1L))
+    }
+  }
+
   /** The shared positional control plane behind [[bm25PhraseQuery]]
     * and [[bm25ProximityQuery]] (the plan notes live on the phrase
     * scaladoc): takes the per-(qid, …, term) probe frame, returns the
@@ -1313,7 +1379,9 @@ object Retrieval {
                             probe: DataFrame, caller: String,
                             maxDfFrac: Double, maxCandBroadcast: Long,
                             gateMinPosMass: Long, window: Int = 0,
-                            maxPosMass: Long = Long.MaxValue)
+                            maxPosMass: Long = Long.MaxValue,
+                            preQdfRows: Option[Array[org.apache.spark.sql.Row]] = None,
+                            preStats: Option[(Long, Long)] = None)
       : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
@@ -1331,12 +1399,17 @@ object Retrieval {
     // point-lookup discipline). The dictionary aggregate it reads is
     // term-bucketed and tiny relative to any posting scan. Batches past
     // the cap fall back to frame-only plans (no collect, no pushdown).
+    // `preQdfRows`/`preStats`: the SHARDED entry points collect every
+    // shard's control rows / stats row in ONE batched job
+    // ([[shardControlRows]]/[[shardStatRows]] — per-shard limits
+    // preserved inside the union, so the semantics per shard are
+    // byte-identical to collecting here) and pass each shard its
+    // slice; the per-call collect below is the single-index path.
     val qdf = qt
       .join(spark.table(s"${table}_terms")
         .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
       .select(col("qid"), col("term"), coalesce(col("df"), lit(0L)).as("df"))
-    val maxControlRows = 1 << 13
-    val qdfRows = qdf.limit(maxControlRows + 1).collect()
+    val qdfRows = preQdfRows.getOrElse(qdf.limit(maxControlRows + 1).collect())
     val collected = qdfRows.length <= maxControlRows
     val maxPushTerms = 1 << 12
     val qterms: Option[Seq[String]] = if (collected) {
@@ -1348,7 +1421,7 @@ object Retrieval {
     // truncation cap in documents (Long.MaxValue = exact; stats are
     // read only when a dial needs corpus facts — the maxDfFrac cap and
     // the NEAR anchor budget both do)
-    lazy val (nDocsStat, avgdlCeil) = {
+    lazy val (nDocsStat, avgdlCeil) = preStats.getOrElse {
       val st = spark.table(s"${table}_stats")
         .agg(coalesce(sum("n_docs"), lit(0L)),
           coalesce(sum("dl_sum"), lit(0L))).head()

@@ -113,21 +113,28 @@ object DevShardGrowth {
         val t = s"plang_bm${s}_$i"
         Retrieval.bm25Build(
           docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
-          "doc_id", "text", t)
+          "doc_id", "text", t, positions = true)
         t
       }
       def q = Retrieval.bm25ShardedQuery(spark, bmT, queries,
         "qid", "qtext", 5)
       // planning only: force analysis + optimization + physical planning
       q.queryExecution.executedPlan // warm
-      val tPlan = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        q.queryExecution.executedPlan
-        (System.nanoTime() - t0) / 1e9
-      }.sorted.apply(1)
+      def planTime(mk: => DataFrame): Double = {
+        mk.queryExecution.executedPlan // warm
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.queryExecution.executedPlan
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      }
+      val tPlan = planTime(q)
       val tExec = timeMedian(q)
+      def near = Retrieval.bm25ShardedProximityQuery(spark, bmT, queries,
+        "qid", "qtext", 5, window = 8)
+      val tNearPlan = planTime(near)
       println(f"[plancost] S=$s plan=${tPlan}%.3fs endToEnd=${tExec}%.3fs " +
-        f"(perLegPlan=${tPlan / s}%.3fs)")
+        f"(perLegPlan=${tPlan / s}%.3fs) nearPlan=${tNearPlan}%.3fs")
       System.out.flush()
     }
   }
