@@ -18,6 +18,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedJoin {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The bucket count a shard MERGE should build with: `table0`'s
+    * layout wins (the merged tables rebucket `table1`'s rows into it),
+    * and a differing `table1` spec is warned about loudly — the merge
+    * is correct either way (bucketing is a co-location/file-layout
+    * property, never a correctness one), but silently changing a
+    * family's bucket profile surprises capacity planning. Shared by
+    * every family's mergeShards twin.
+    */
+  private[operators] def mergedBucketCount(spark: SparkSession,
+                                           table0: String,
+                                           table1: String): Int = {
+    def spec(t: String) = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+    val (b0, b1) = (spec(table0), spec(table1))
+    if (b0 != b1)
+      log.warn(s"mergeShards: $table0 (${b0.getOrElse("unbucketed")} " +
+        s"buckets) and $table1 (${b1.getOrElse("unbucketed")} buckets) " +
+        s"disagree on bucket layout — the merged family keeps $table0's; " +
+        s"$table1's rows rebucket into it")
+    b0.getOrElse(8)
+  }
+
   /** Drop `table` from the catalog AND delete its warehouse directory:
     * the default in-memory catalog forgets tables across JVMs while
     * their files survive, and saveAsTable/RENAME refuse a fresh managed

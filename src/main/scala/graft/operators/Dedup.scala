@@ -426,9 +426,8 @@ object Dedup {
           "(no _mergedone marker — nothing to resume)")
       Seq(parent0, parent1).foreach(minhashFoldTombstones(spark, _))
       boundary(0)
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_sigs"))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val buckets = BucketedJoin.mergedBucketCount(spark,
+        s"${parent0}_sigs", s"${parent1}_sigs")
       BucketedJoin.writeBucketed(
         spark.table(s"${parent0}_sigs")
           .unionByName(spark.table(s"${parent1}_sigs")),

@@ -252,21 +252,22 @@ object LangModel {
       !spark.table(s"${table}_stats").filter(col("epoch") === epoch).isEmpty
     if (!statsHasEpoch)
       BucketedJoin.appendBucketed(dv, s"${table}_stats", "v")
-    // move the generation ledger (idempotent per epoch under repair —
-    // a replay that already moved it must not move it twice, or a
-    // crash BETWEEN the gen append and the delta appends would leave
-    // caches keyed on a generation the deltas never joined). Models
-    // from before the ledger existed pick one up on their first
-    // mutation. Lands BEFORE the vocab/bigram deltas: a crash after
-    // any delta lands must already have invalidated the caches.
-    val genT = s"${table}_gen"
-    val genHasEpoch = repair &&
-      spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(genT)) &&
-      !spark.table(genT).filter(col("epoch") === epoch).isEmpty
-    if (!genHasEpoch)
-      BucketedJoin.appendBucketed(genRow(spark, epoch), genT, "g",
-        defaultBuckets = 1)
+    // move the generation ledger. Lands BEFORE the vocab/bigram deltas:
+    // a crash after any delta lands must already have invalidated the
+    // caches. The append is UNCONDITIONAL — on repair replays too, even
+    // when this epoch already holds a gen row: a crash between the
+    // original gen append and the delta appends lets a scoreSharded in
+    // that window cache the pre-delta V under the post-append
+    // generation, and a replay that skipped the ledger (the old
+    // idempotent-per-epoch form) would land the missing deltas WITHOUT
+    // moving the generation — serving the stale cached V indefinitely,
+    // the one heal path that used to survive repair wrong. A fresh draw
+    // per replay costs at most one extra refold (the generation is a
+    // cache KEY, never a score input — extra rows only move the XOR
+    // fold again). Models from before the ledger existed pick one up on
+    // their first mutation.
+    BucketedJoin.appendBucketed(genRow(spark, epoch), s"${table}_gen", "g",
+      defaultBuckets = 1)
     val vd = if (repair)
       vd0.join(spark.table(s"${table}_vocab")
           .filter(col("epoch") === epoch).select("w"),
@@ -603,9 +604,7 @@ object LangModel {
            s <- Seq("", "_vocab", "_stats", "_gen"))
         BucketedJoin.recoverCompacted(spark, p + s)
       boundary(0)
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val buckets = BucketedJoin.mergedBucketCount(spark, parent0, parent1)
       BucketedJoin.writeBucketed(
         spark.table(parent0).unionByName(spark.table(parent1)),
         merged, "w1", buckets)

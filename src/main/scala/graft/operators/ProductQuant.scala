@@ -716,7 +716,19 @@ object ProductQuant {
     */
   def mergeShards(spark: SparkSession, parent0: String, parent1: String,
                   merged: String, m: Int = 0, nassign: Int = 2,
-                  seed: Long = 42L, pqIters: Int = 3): Unit = {
+                  seed: Long = 42L, pqIters: Int = 3): Unit =
+    mergeShardsImpl(spark, parent0, parent1, merged, m, nassign, seed,
+      pqIters, failAt = -1)
+
+  /** [[mergeShards]] with the [[Retrieval.InjectedSplitCrash]] seam —
+    * boundaries 0 (entry checks), 1 (merged index retrained), 2 (marker
+    * landed), 3 (parents retired, before the marker clears). */
+  private[graft] def mergeShardsImpl(spark: SparkSession, parent0: String,
+                                     parent1: String, merged: String,
+                                     m: Int, nassign: Int, seed: Long,
+                                     pqIters: Int, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
     GraftFunctions.ensureRegistered(spark)
     graft.functions.GraftFunctions.unionGuard(spark)
     def exists(t: String) = spark.sessionState.catalog.tableExists(
@@ -726,25 +738,28 @@ object ProductQuant {
       require(exists(s"${parent0}_vecs") && exists(s"${parent1}_vecs"),
         s"mergeShards: both $parent0 and $parent1 must exist " +
           "(no _mergedone marker — nothing to resume)")
+      boundary(0)
       val mEff = if (m > 0) m
                  else spark.table(s"${parent0}_meta").head().getInt(0)
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_vecs"))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val buckets = BucketedJoin.mergedBucketCount(spark,
+        s"${parent0}_vecs", s"${parent1}_vecs")
       val corpus = Seq(parent0, parent1).map { p =>
         Tombstones.filterOut(spark, p, spark.table(s"${p}_vecs"), "nid")
       }.reduce(_.unionByName(_))
       ivfPqBuild(corpus, "nid", "nvec", merged, m = mEff,
         nassign = nassign, buckets = buckets, seed = seed,
         pqIters = pqIters)
+      boundary(1)
       BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
         "done", 1)
+      boundary(2)
     }
     for (p <- Seq(parent0, parent1);
          s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats");
          t = p + s if exists(t))
       BucketedJoin.dropWithLocation(spark, t)
     Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    boundary(3)
     BucketedJoin.dropWithLocation(spark, marker)
   }
 }

@@ -1642,6 +1642,10 @@ object Retrieval {
     for (s <- Seq("", "_terms", "_stats", "_pos"); t = parent + s
          if tableExists(spark, t))
       BucketedJoin.dropWithLocation(spark, t)
+    // retire the parent's tombstone set too (the Dedup/Similarity split
+    // discipline): a tombstone added between the pre-build fold and this
+    // retire would otherwise linger under the dead table name
+    Tombstones.clear(spark, parent)
     boundary(4)
     BucketedJoin.dropWithLocation(spark, marker)
   }
@@ -1690,9 +1694,7 @@ object Retrieval {
         healFold(spark, p); bm25FoldTombstones(spark, p)
       }
       boundary(0)
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val buckets = BucketedJoin.mergedBucketCount(spark, parent0, parent1)
       BucketedJoin.writeBucketed(
         spark.table(parent0).unionByName(spark.table(parent1)),
         merged, "term", buckets)
@@ -1719,6 +1721,8 @@ object Retrieval {
     for (p <- Seq(parent0, parent1); s <- Seq("", "_terms", "_stats", "_pos");
          t = p + s if tableExists(spark, t))
       BucketedJoin.dropWithLocation(spark, t)
+    // clear the retired parents' tombstone sets (see splitShardImpl)
+    Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
     boundary(3)
     BucketedJoin.dropWithLocation(spark, marker)
   }

@@ -888,7 +888,17 @@ object Similarity {
     */
   def mergeLshShards(spark: org.apache.spark.sql.SparkSession,
                      parent0: String, parent1: String,
-                     merged: String): Unit = {
+                     merged: String): Unit =
+    mergeLshShardsImpl(spark, parent0, parent1, merged, failAt = -1)
+
+  /** [[mergeLshShards]] with the [[Retrieval.InjectedSplitCrash]] seam —
+    * boundaries 0 (tombstone folds), 1 (merged tables built), 2
+    * (marker landed), 3 (parents retired, before the marker clears). */
+  private[graft] def mergeLshShardsImpl(
+      spark: org.apache.spark.sql.SparkSession, parent0: String,
+      parent1: String, merged: String, failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.unionGuard(spark)
     def exists(t: String) = spark.sessionState.catalog.tableExists(
@@ -899,9 +909,9 @@ object Similarity {
         s"mergeLshShards: both $parent0 and $parent1 must exist " +
           "(no _mergedone marker — nothing to resume)")
       Seq(parent0, parent1).foreach(lshFoldTombstones(spark, _))
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(s"${parent0}_vecs"))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      boundary(0)
+      val buckets = BucketedJoin.mergedBucketCount(spark,
+        s"${parent0}_vecs", s"${parent1}_vecs")
       BucketedJoin.writeBucketed(
         spark.table(s"${parent0}_vecs")
           .unionByName(spark.table(s"${parent1}_vecs")),
@@ -911,13 +921,16 @@ object Similarity {
           .unionByName(spark.table(s"${parent1}_buckets")),
         s"${merged}_buckets", "bkey", buckets)
       Tombstones.clear(spark, merged)
+      boundary(1)
       BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
         "done", 1)
+      boundary(2)
     }
     for (p <- Seq(parent0, parent1); s <- Seq("_vecs", "_buckets");
          t = p + s if exists(t))
       BucketedJoin.dropWithLocation(spark, t)
     Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    boundary(3)
     BucketedJoin.dropWithLocation(spark, marker)
   }
 
@@ -933,7 +946,19 @@ object Similarity {
     */
   def mergeIvfShards(spark: org.apache.spark.sql.SparkSession,
                      parent0: String, parent1: String, merged: String,
-                     nassign: Int = 2, seed: Long = 42L): Unit = {
+                     nassign: Int = 2, seed: Long = 42L): Unit =
+    mergeIvfShardsImpl(spark, parent0, parent1, merged, nassign, seed,
+      failAt = -1)
+
+  /** [[mergeIvfShards]] with the [[Retrieval.InjectedSplitCrash]] seam —
+    * boundaries 0 (entry checks), 1 (merged index retrained), 2 (marker
+    * landed), 3 (parents retired, before the marker clears). */
+  private[graft] def mergeIvfShardsImpl(
+      spark: org.apache.spark.sql.SparkSession, parent0: String,
+      parent1: String, merged: String, nassign: Int, seed: Long,
+      failAt: Int): Unit = {
+    def boundary(i: Int): Unit =
+      if (failAt == i) throw new Retrieval.InjectedSplitCrash(i)
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.unionGuard(spark)
     def exists(t: String) = spark.sessionState.catalog.tableExists(
@@ -943,22 +968,24 @@ object Similarity {
       require(exists(parent0) && exists(parent1),
         s"mergeIvfShards: both $parent0 and $parent1 must exist " +
           "(no _mergedone marker — nothing to resume)")
-      val buckets = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(parent0))
-        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      boundary(0)
+      val buckets = BucketedJoin.mergedBucketCount(spark, parent0, parent1)
       val corpus = Seq(parent0, parent1).map { p =>
         Tombstones.filterOut(spark, p, spark.table(p), "nid")
           .select("nid", "nvec").dropDuplicates("nid")
       }.reduce(_.unionByName(_))
       ivfBuild(corpus, "nid", "nvec", merged, nassign = nassign,
         buckets = buckets, seed = seed)
+      boundary(1)
       BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
         "done", 1)
+      boundary(2)
     }
     for (p <- Seq(parent0, parent1); s <- Seq("", "_cents", "_stats");
          t = p + s if exists(t))
       BucketedJoin.dropWithLocation(spark, t)
     Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))
+    boundary(3)
     BucketedJoin.dropWithLocation(spark, marker)
   }
 

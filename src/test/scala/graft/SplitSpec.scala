@@ -323,6 +323,107 @@ class SplitSpec extends AnyFunSuite {
       "merged IVF (retrain-on-union) diverged at full probe")
   }
 
+  test("vector-family merge chaos: a kill after EVERY boundary converges " +
+       "on re-run (LSH admission, IVF, IVFPQ retrain-on-union)") {
+    val id = n
+    def vec(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.7
+      Array.tabulate(8)(j => base(j) + 0.01 * (((i * 31 + j * 7) % 11) - 5)).toSeq
+    }
+    val emb = (0L until 80L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def eshard(i: Int) = emb.filter(Sharding.shardOf($"vec_id", 2) === i)
+    val q = emb.filter($"vec_id" % 10 === 3)
+    val vbatch = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+
+    // ---- LSH admission: the merged check must reproduce the sharded one
+    val (e0, e1) = (s"mch_le0_$id", s"mch_le1_$id")
+    Similarity.lshIndexBuild(eshard(0), "vec_id", "embedding", e0)
+    Similarity.lshIndexBuild(eshard(1), "vec_id", "embedding", e1)
+    val lshPre = Similarity.lshDedupAgainstSharded(spark, Seq(e0, e1),
+        vbatch, "vec_id", "embedding")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    for (b <- 0 to 3) {
+      val (p0, p1) = (s"mch_l0${b}_$id", s"mch_l1${b}_$id")
+      Similarity.lshIndexBuild(eshard(0), "vec_id", "embedding", p0)
+      Similarity.lshIndexBuild(eshard(1), "vec_id", "embedding", p1)
+      val mt = s"mch_lm${b}_$id"
+      intercept[Retrieval.InjectedSplitCrash] {
+        Similarity.mergeLshShardsImpl(spark, p0, p1, mt, failAt = b)
+      }
+      Similarity.mergeLshShards(spark, p0, p1, mt)
+      assert(Similarity.lshDedupAgainst(spark, mt, vbatch, "vec_id",
+          "embedding")
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+        == lshPre, s"LSH merge diverged after crash at boundary $b")
+      assert(!exists(s"${p0}_vecs") && !exists(s"${p1}_vecs"),
+        "merge must retire the parents")
+    }
+
+    // ---- IVF: full probe is exhaustive, so the healed retrain-on-union
+    // must serve exactly the pre-merge sharded full-probe winners
+    val (iv0, iv1) = (s"mch_ie0_$id", s"mch_ie1_$id")
+    Similarity.ivfBuild(eshard(0), "vec_id", "embedding", iv0, nlist = 6,
+      buckets = 2)
+    Similarity.ivfBuild(eshard(1), "vec_id", "embedding", iv1, nlist = 6,
+      buckets = 2)
+    val ivfPre = Similarity.ivfShardedQuery(spark, Seq(iv0, iv1), q,
+        "vec_id", "embedding", 3, probeFrac = 1.0)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    for (b <- 0 to 3) {
+      val (p0, p1) = (s"mch_i0${b}_$id", s"mch_i1${b}_$id")
+      Similarity.ivfBuild(eshard(0), "vec_id", "embedding", p0, nlist = 6,
+        buckets = 2)
+      Similarity.ivfBuild(eshard(1), "vec_id", "embedding", p1, nlist = 6,
+        buckets = 2)
+      val mt = s"mch_im${b}_$id"
+      intercept[Retrieval.InjectedSplitCrash] {
+        Similarity.mergeIvfShardsImpl(spark, p0, p1, mt, nassign = 2,
+          seed = 42L, failAt = b)
+      }
+      Similarity.mergeIvfShards(spark, p0, p1, mt)
+      assert(Similarity.ivfQuery(spark, mt, q, "vec_id", "embedding", 3,
+          probeFrac = 1.0)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet == ivfPre,
+        s"IVF merge diverged after crash at boundary $b")
+      assert(!exists(p0) && !exists(p1), "merge must retire the parents")
+    }
+
+    // ---- IVFPQ: full probe + covering refine re-ranks on exact cosines,
+    // so the healed merge matches the pre-merge sharded winners
+    val (pq0, pq1) = (s"mch_pe0_$id", s"mch_pe1_$id")
+    ProductQuant.ivfPqBuild(eshard(0), "vec_id", "embedding", pq0,
+      m = 2, ksub = 4, nlist = 6, buckets = 2)
+    ProductQuant.ivfPqBuild(eshard(1), "vec_id", "embedding", pq1,
+      m = 2, ksub = 4, nlist = 6, buckets = 2)
+    val pqPre = ProductQuant.ivfPqShardedQuery(spark, Seq(pq0, pq1), q,
+        "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 64)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    for (b <- 0 to 3) {
+      val (p0, p1) = (s"mch_p0${b}_$id", s"mch_p1${b}_$id")
+      ProductQuant.ivfPqBuild(eshard(0), "vec_id", "embedding", p0,
+        m = 2, ksub = 4, nlist = 6, buckets = 2)
+      ProductQuant.ivfPqBuild(eshard(1), "vec_id", "embedding", p1,
+        m = 2, ksub = 4, nlist = 6, buckets = 2)
+      val mt = s"mch_pm${b}_$id"
+      intercept[Retrieval.InjectedSplitCrash] {
+        ProductQuant.mergeShardsImpl(spark, p0, p1, mt, m = 0,
+          nassign = 2, seed = 42L, pqIters = 3, failAt = b)
+      }
+      ProductQuant.mergeShards(spark, p0, p1, mt)
+      assert(ProductQuant.ivfPqQuery(spark, mt, q, "vec_id", "embedding",
+          3, probeFrac = 1.0, refineK = 64)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet == pqPre,
+        s"IVFPQ merge diverged after crash at boundary $b")
+      assert(!exists(s"${p0}_vecs") && !exists(s"${p1}_vecs"),
+        "merge must retire the parents")
+    }
+  }
+
   test("split chaos: a kill after EVERY boundary converges on re-run " +
        "(BM25 and LM), serving bit-identical") {
     val id = n
