@@ -974,6 +974,39 @@ object Queries {
       .orderBy("corpus_id", "batch_id")
   }
 
+  /** Admission MERGE gate ([[graft.operators.Dedup.mergeShards]]) — the
+    * dd13 contract run backwards: two shard-built admission indexes
+    * fold into one (signature/band row unions rebucketed, parents
+    * retired) and the single-index check must still find exactly the
+    * whole-index pairs — the dd5 oracle verbatim: shrinking the family
+    * never changes a decision.
+    */
+  val dd14_mergeadmit: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val t0 = s"dd14a_${d.hashCode & Int.MaxValue}"
+    val t1 = s"dd14b_${d.hashCode & Int.MaxValue}"
+    val m = s"dd14m_${d.hashCode & Int.MaxValue}"
+    BucketedJoin.dropWithLocation(s, s"${m}_mergedone")
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 0),
+      "text", "doc_id", t0)
+    Dedup.minhashIndexBuild(
+      base.filter(Sharding.shardOf(col("doc_id"), 2) === 1),
+      "text", "doc_id", t1)
+    Dedup.mergeShards(s, t0, t1, m)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.minhashDedupAgainst(s, m, batch, "text", "doc_id")
+      .select(col("corpus_id"), col("batch_id"))
+    val exact = Dedup.ngramJaccardPairs(base.unionByName(batch), "text",
+        "doc_id", k = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .filter(col("ida") < 1000000L && col("idb") >= 1000000L)
+      .select(col("ida").as("corpus_id"), col("idb").as("batch_id"))
+    exact.join(found, Seq("corpus_id", "batch_id"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Tombstone-DELETION gate (dd6 inverted): the index holds the whole
     * corpus, then every 20th document is taken down via Tombstones.add.
     * The batch re-submits every 10th document verbatim under id+1e6;
@@ -2169,6 +2202,33 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Vector merge gate ([[graft.operators.Similarity.mergeIvfShards]])
+    * — the sim15 contract run backwards: two shard-built IVF indexes
+    * fold into one by RETRAINING on the union of their vectors
+    * (quantizer spaces differ across shards, so row unions cannot mix),
+    * and the merged index served at probeFrac = 1.0 must reproduce the
+    * whole-corpus exact ranking — the sim1 oracle verbatim (full probe
+    * makes the list scan exhaustive regardless of the retrained
+    * centroid family).
+    */
+  val sim16_mergeivf: Q = (s, d) => {
+    import graft.operators.{BucketedJoin, Sharding}
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val t0 = s"mrgv0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"mrgv1_${d.hashCode & Int.MaxValue}"
+    val m = s"mrgvm_${d.hashCode & Int.MaxValue}"
+    BucketedJoin.dropWithLocation(s, s"${m}_mergedone")
+    Similarity.ivfBuild(emb.filter(Sharding.shardOf(col("vec_id"), 2) === 0),
+      "vec_id", "embedding", t0)
+    Similarity.ivfBuild(emb.filter(Sharding.shardOf(col("vec_id"), 2) === 1),
+      "vec_id", "embedding", t1)
+    Similarity.mergeIvfShards(s, t0, t1, m)
+    Similarity.ivfQuery(s, m, q, "vec_id", "embedding", 5, probeFrac = 1.0)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val sim12_shardedknn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") % 100 === 0)
@@ -2444,6 +2504,7 @@ object Queries {
     "dd10_tombstone" -> dd10_tombstone, "dd11_tombfold" -> dd11_tombfold,
     "dd12_shardedadmit" -> dd12_shardedadmit,
     "dd13_splitadmit" -> dd13_splitadmit,
+    "dd14_mergeadmit" -> dd14_mergeadmit,
     "t1_tokens" -> t1_tokens, "t2_quality" -> t2_quality,
     "t3_langid" -> t3_langid, "t4_fingerprint" -> t4_fingerprint,
     "t5_commonality" -> t5_commonality, "t6_chunks" -> t6_chunks,
@@ -2485,6 +2546,7 @@ object Queries {
     "sim13_shardedivf" -> sim13_shardedivf,
     "sim14_shardedpq" -> sim14_shardedpq,
     "sim15_splitivf" -> sim15_splitivf,
+    "sim16_mergeivf" -> sim16_mergeivf,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -3337,6 +3399,7 @@ object Queries {
     // same signature rows) — the dd5 recomputation verbatim.
     "dd12_shardedadmit" -> minhashIncOracleSql,
     "dd13_splitadmit" -> minhashIncOracleSql,
+    "dd14_mergeadmit" -> minhashIncOracleSql,
 
     "dd3_simhash" ->
       """SELECT doc_id AS ida, doc_id + 1000000 AS idb, CAST(0 AS INTEGER) AS hamming
@@ -3870,6 +3933,7 @@ object Queries {
     // Vector reshard: post-split IVF family at full probe is exhaustive
     // per shard, so the merged ranking is the sim1 exact recomputation.
     "sim15_splitivf" -> knnOracleSql,
+    "sim16_mergeivf" -> knnOracleSql,
 
     // Sharded IVF / IVFPQ recall: the sim3/sim9 contract (every qid
     // keeps >= 3/5 of the exact top-5; oracle = every qid appears).
