@@ -419,14 +419,20 @@ object Retrieval {
   /** [[bm25ProximityQuery]] over doc-disjoint shards — per-shard window
     * covers (doc-local predicate), global-stats scoring, bounded top-k
     * merge (oracle-gated at t33). Same contracts as
-    * [[bm25ShardedPhraseQuery]]; `maxPosMass` budgets each shard's
-    * gated position mass INDEPENDENTLY — an S-shard deployment
-    * therefore carries S× the single-index default budget, and the
+    * [[bm25ShardedPhraseQuery]].
+    *
+    * `maxPosMass` is by default the FAMILY budget — each shard's gated
+    * position mass is budgeted at `max(1, maxPosMass / S)`, so an
+    * S-shard deployment carries the same total mass bound as the single
+    * index it replaced (the single-index semantics a caller who never
+    * thinks about shard counts expects; on a cluster where shards are
+    * executor groups the honest per-box bound is the divided one too).
+    * `perShardBudget = true` restores the legacy semantics: every shard
+    * budgets `maxPosMass` independently — S× the family total, for
+    * deployments sizing the budget per shard box. Either way the
     * truncation auto-route can engage on one shard while the others
-    * stay exact. The t33 "sharded ≡ whole" contract holds only while
-    * NO shard routes (each shard that does names itself in its warn);
-    * a deployment that wants the single-index budget semantics should
-    * pass `maxPosMass / S`.
+    * stay exact (each routing shard names itself in its warn); the t33
+    * "sharded ≡ whole" contract holds only while NO shard routes.
     */
   def bm25ShardedProximityQuery(spark: SparkSession, tables: Seq[String],
                                 queries: DataFrame, qidCol: String,
@@ -434,11 +440,15 @@ object Retrieval {
                                 k1: Double = 1.2, b: Double = 0.75,
                                 maxCandBroadcast: Long = 4L << 20,
                                 gateMinPosMass: Long = 1L << 22,
-                                maxPosMass: Long = 1L << 31): DataFrame = {
+                                maxPosMass: Long = 1L << 31,
+                                perShardBudget: Boolean = false): DataFrame = {
     require(tables.nonEmpty,
       "bm25ShardedProximityQuery needs at least one shard")
     require(window >= 1 && window <= 256,
       s"window must be in [1, 256], got $window")
+    val shardPosMass =
+      if (perShardBudget || maxPosMass == Long.MaxValue) maxPosMass
+      else math.max(1L, maxPosMass / tables.size)
     val qt0 = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
@@ -451,7 +461,7 @@ object Retrieval {
       val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
         t, qt0, s"bm25ShardedProximityQuery(shard=$t)", 1.0,
         maxCandBroadcast, gateMinPosMass, window = window,
-        maxPosMass = maxPosMass, preQdfRows = Some(ctl(i)),
+        maxPosMass = shardPosMass, preQdfRows = Some(ctl(i)),
         preStats = Some(stats(i)))
       (proximityMatched(anchorsInput, qlenD, window), candFilter, bcast,
         qterms)

@@ -378,6 +378,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(posMass = 1L << 20) == exact)
   }
 
+  test("sharded NEAR budget divides across shards: routes exactly when " +
+       "the single-index plan routes; perShardBudget restores legacy") {
+    // 200 3-token docs split evenly: family budget 30 divides to 15 per
+    // shard → capEff 5 over per-shard df 100 — the SAME 5% hash-sample
+    // rate the single index derives (capEff 10 over df 200), so the
+    // divided route must reproduce the single-index routed output
+    // bit-for-bit (the hash sample keys on doc_id alone and each doc
+    // lives in exactly one shard)
+    val docs = (1L to 200L).map(i => (i, s"red blue w$i")).toDF("doc_id", "text")
+    val stamp = System.nanoTime()
+    val (whole, s0, s1) =
+      (s"bm25_nbw_$stamp", s"bm25_nb0_$stamp", s"bm25_nb1_$stamp")
+    Retrieval.bm25Build(docs, "doc_id", "text", whole, buckets = 2,
+      positions = true)
+    Retrieval.bm25Build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      s0, buckets = 2, positions = true)
+    Retrieval.bm25Build(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text",
+      s1, buckets = 2, positions = true)
+    val q = Seq((9L, "red blue")).toDF("qid", "qtext")
+    def one(posMass: Long) = Retrieval.bm25ProximityQuery(spark, whole, q,
+        "qid", "qtext", 300, window = 4, maxPosMass = posMass)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    def sharded(posMass: Long, perShard: Boolean = false) =
+      Retrieval.bm25ShardedProximityQuery(spark, Seq(s0, s1), q, "qid",
+          "qtext", 300, window = 4, maxPosMass = posMass,
+          perShardBudget = perShard)
+        .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val exact = one(1L << 31)
+    assert(sharded(1L << 31) == exact, "roomy family budget must stay exact")
+    val routedOne = one(30L)
+    val routedSharded = sharded(30L)
+    assert(routedSharded == routedOne,
+      "divided budget must route exactly when the single-index plan routes")
+    assert(routedSharded.nonEmpty && routedSharded.size < exact.size,
+      s"expected a strict sampled subset, got ${routedSharded.size}/${exact.size}")
+    // legacy per-shard budget carries S x the family mass: a 10% rate
+    // per shard — a strict superset of the divided sample
+    // (hash-threshold samples nest)
+    val legacy = sharded(30L, perShard = true)
+    assert(routedSharded.keySet.subsetOf(legacy.keySet) &&
+      legacy.size > routedSharded.size,
+      "perShardBudget must relax the dial to the legacy S x budget")
+  }
+
   test("bm25PhraseQuery requires a positional index; plain build drops a stale one") {
     val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     Retrieval.bm25Build(docs, "doc_id", "text", "bm25_ph4", buckets = 2)
