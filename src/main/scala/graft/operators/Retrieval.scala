@@ -470,6 +470,209 @@ object Retrieval {
       legs.map(l => (l._1, l._2, l._3)), legs.head._4, k, k1, b)
   }
 
+  /** [[bm25ShardedQuery]] with the S shard legs PLANNED AND EXECUTED in
+    * parallel driver-thread groups — the answer to the measured per-leg
+    * Catalyst planning residual (BASELINE.md round-16 plan addendum:
+    * ~0.24-0.35 s of PURE PLANNING per shard leg, because an S-table
+    * union is ONE Catalyst plan built serially on the driver — at
+    * O(100) shards that is ~25-35 s per query batch no matter how many
+    * executors the scans parallelize over; the reference's JobConf-is-
+    * the-plan never paid a per-query planning tax, SURVEY §3.1).
+    *
+    * Mechanics: the corpus constants (N, Σdl → avgdl, per-term df) fold
+    * ONCE across ALL shards ([[foldShardStats]] — one Spark job), then
+    * the shards partition into ⌈S/parallelism⌉-leg GROUPS, each of
+    * which becomes its OWN plan: scored against the injected GLOBAL
+    * constants (so every per-(query, doc) score is the single-index
+    * value), ranked to the exact group-local top-k, and COLLECTED
+    * (k·|queries| rows — bounded) in its own driver thread. Planning
+    * and execution of the groups overlap across threads; the final
+    * merge re-ranks the bounded union under the identical
+    * (score desc, doc_id asc) total order — the
+    * [[Similarity.mergeShardTopK]] exactness argument applied to
+    * doc-disjoint GROUPS instead of shards. Results are EXACTLY
+    * [[bm25ShardedQuery]]'s, row for row (spec-pinned).
+    *
+    * EAGER, by design: this entry executes at call time and returns the
+    * merged top-k as a LOCAL frame (k·|queries|·⌈S/parallelism⌉ rows
+    * pass through the driver — with the default k this is control-plane
+    * mass). The lazy S-leg entry remains the right form when composing
+    * into a larger plan or when a single plan per batch amortizes fine;
+    * this one is for interactive/small-batch serving at high S, where
+    * serial planning dominates.
+    */
+  def bm25ShardedQueryGrouped(spark: SparkSession, tables: Seq[String],
+                              queries: DataFrame, qidCol: String,
+                              textCol: String, k: Int,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              maxDfFrac: Double = 1.0,
+                              parallelism: Int = 8): DataFrame = {
+    require(tables.nonEmpty, "bm25ShardedQueryGrouped needs at least one shard")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    GraftFunctions.ensureRegistered(spark)
+    tables.foreach(healFold(spark, _))
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+      maxDfFrac)
+    groupedRankMerge(spark, tables.size, parallelism, k) { g =>
+      g.map(i => partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl,
+          dict, qterms, docFilter = None, broadcastDocs = false))
+        .reduce(_.unionByName(_))
+        .groupBy("qid", "nid")
+        .agg(sum("partial").cast("double").as("cos"))
+    }
+  }
+
+  /** [[bm25ShardedPhraseQuery]] in the plan-parallel grouped form (see
+    * [[bm25ShardedQueryGrouped]] — the positional legs carry the
+    * heaviest per-leg planning, ~0.35 s each, so grouping pays off
+    * most here). Control collects stay batched up front (ONE job for
+    * all shards' control rows); each group's phrase alignment +
+    * global-stats scoring plans in its own thread. EAGER; results
+    * exactly [[bm25ShardedPhraseQuery]]'s.
+    */
+  def bm25ShardedPhraseQueryGrouped(spark: SparkSession,
+                                    tables: Seq[String],
+                                    queries: DataFrame, qidCol: String,
+                                    textCol: String, k: Int,
+                                    k1: Double = 1.2, b: Double = 0.75,
+                                    maxCandBroadcast: Long = 4L << 20,
+                                    gateMinPosMass: Long = 1L << 22,
+                                    parallelism: Int = 8): DataFrame = {
+    require(tables.nonEmpty,
+      "bm25ShardedPhraseQueryGrouped needs at least one shard")
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val ctl = shardControlRows(spark, tables, qt0)
+    val qterms = pushableTerms(spark, qt0)
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms, 1.0)
+    groupedRankMerge(spark, tables.size, parallelism, k) { g =>
+      val legs = g.map { i =>
+        val (_, aligned, candFilter, bcast, _) = phraseAligned(spark,
+          tables(i), queries, qidCol, textCol, 1.0, maxCandBroadcast,
+          gateMinPosMass, preQdfRows = Some(ctl(i)))
+        (aligned.select(col("qid"), col("doc_id").as("nid")).distinct(),
+          candFilter, bcast)
+      }
+      groupScored(spark, g.map(tables), qt0, k1, b, nDocs, avgdl, dict,
+        qterms, legs)
+    }
+  }
+
+  /** [[bm25ShardedProximityQuery]] in the plan-parallel grouped form
+    * (see [[bm25ShardedQueryGrouped]]). Same divided `maxPosMass`
+    * family-budget semantics as the lazy entry. EAGER; results exactly
+    * [[bm25ShardedProximityQuery]]'s.
+    */
+  def bm25ShardedProximityQueryGrouped(spark: SparkSession,
+                                       tables: Seq[String],
+                                       queries: DataFrame, qidCol: String,
+                                       textCol: String, k: Int,
+                                       window: Int,
+                                       k1: Double = 1.2, b: Double = 0.75,
+                                       maxCandBroadcast: Long = 4L << 20,
+                                       gateMinPosMass: Long = 1L << 22,
+                                       maxPosMass: Long = 1L << 31,
+                                       perShardBudget: Boolean = false,
+                                       parallelism: Int = 8): DataFrame = {
+    require(tables.nonEmpty,
+      "bm25ShardedProximityQueryGrouped needs at least one shard")
+    require(window >= 1 && window <= 256,
+      s"window must be in [1, 256], got $window")
+    val shardPosMass =
+      if (perShardBudget || maxPosMass == Long.MaxValue) maxPosMass
+      else math.max(1L, maxPosMass / tables.size)
+    val qt0 = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val ctl = shardControlRows(spark, tables, qt0)
+    val stats = shardStatRows(spark, tables)
+    val qterms = pushableTerms(spark, qt0)
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms, 1.0)
+    groupedRankMerge(spark, tables.size, parallelism, k) { g =>
+      val legs = g.map { i =>
+        val (anchorsInput, candFilter, bcast, _) = posGatedProbe(spark,
+          tables(i), qt0,
+          s"bm25ShardedProximityQueryGrouped(shard=${tables(i)})", 1.0,
+          maxCandBroadcast, gateMinPosMass, window = window,
+          maxPosMass = shardPosMass, preQdfRows = Some(ctl(i)),
+          preStats = Some(stats(i)))
+        (proximityMatched(anchorsInput, qlenD, window), candFilter, bcast)
+      }
+      groupScored(spark, g.map(tables), qt0, k1, b, nDocs, avgdl, dict,
+        qterms, legs)
+    }
+  }
+
+  /** One group's scored frame for the grouped positional entries:
+    * global-stats partials per group shard gated by that shard's
+    * candidate filter, union, per-(qid, doc) sum, keep only matched
+    * docs — [[shardedPosRank]]'s body restricted to a group. */
+  private def groupScored(spark: SparkSession, groupTables: Seq[String],
+                          qt: DataFrame, k1: Double, b: Double,
+                          nDocs: Long, avgdl: Double, dict: DataFrame,
+                          qterms: Option[Seq[String]],
+                          legs: Seq[(DataFrame, Option[DataFrame], Boolean)])
+      : DataFrame = {
+    val matchedU = legs.map(_._1).reduce(_.unionByName(_))
+    groupTables.indices.map(j => partialsWith(spark, groupTables(j), qt,
+        k1, b, nDocs, avgdl, dict, qterms, legs(j)._2, legs(j)._3))
+      .reduce(_.unionByName(_))
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+      .join(matchedU, Seq("qid", "nid"), "left_semi")
+  }
+
+  /** The grouped entries' shared tail: plan + rank + collect each shard
+    * group's exact local top-k in its own driver thread, then re-rank
+    * the bounded union. Thread-safety notes: concurrent actions on one
+    * SparkSession are supported; the only session mutation on these
+    * paths is [[raiseInFilterThreshold]], which is monotone by contract
+    * (concurrent raisers compose). Group-level exactness is the
+    * [[Similarity.mergeShardTopK]] argument: groups partition the
+    * doc-disjoint shards, every score is computed against the SAME
+    * injected global constants, and the comparator is identical — so
+    * each global winner survives its group's top-k and the merge keeps
+    * it. */
+  private def groupedRankMerge(spark: SparkSession, nShards: Int,
+                               parallelism: Int, k: Int)
+                              (scored: Seq[Int] => DataFrame): DataFrame = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val par = math.max(1, math.min(parallelism, nShards))
+    val groups = (0 until nShards)
+      .grouped(math.ceil(nShards.toDouble / par).toInt).map(_.toSeq).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val proto = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.types.StructType]()
+      val futs = groups.map { g =>
+        scala.concurrent.Future {
+          val df = Similarity.rankTopK(scored(g), k)
+            .select(col("qid"), col("nid"), col("cos"))
+          proto.compareAndSet(null, df.schema)
+          df.collect()
+        }
+      }
+      val rows = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).flatten
+      val merged = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), proto.get)
+      Similarity.rankTopK(merged, k)
+        .select(col("qid"), col("nid").as("doc_id"),
+          col("cos").cast("long").as("score_micro"),
+          col("rank").as("rnk"))
+    } finally pool.shutdown()
+  }
+
   /** Shared tail of the sharded positional entry points: global-stats
     * partials per shard gated by that shard's candidate filter, union,
     * per-(qid, doc) sum, keep only matched docs, rank top-k. */

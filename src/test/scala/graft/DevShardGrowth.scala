@@ -133,8 +133,51 @@ object DevShardGrowth {
       def near = Retrieval.bm25ShardedProximityQuery(spark, bmT, queries,
         "qid", "qtext", 5, window = 8)
       val tNearPlan = planTime(near)
+      // lazy NEAR end-to-end (serial S-leg plan + execution) vs the
+      // round-17 GROUPED form (plan-parallel driver threads, eager) —
+      // the grouped call has no separate plan phase, so its wall-clock
+      // IS plan+exec and compares against tNearE2E directly
+      val tNearE2E = timeMedian(near)
+      val grouped = Seq(8, 16, 32).filter(_ <= math.max(8, s)).map { par =>
+        def nearGrouped(): Unit = Retrieval.bm25ShardedProximityQueryGrouped(
+          spark, bmT, queries, "qid", "qtext", 5, window = 8,
+          parallelism = par)
+        nearGrouped() // warm
+        val t = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); nearGrouped()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        f"par$par=${t}%.3fs"
+      }.mkString(" ")
+      // PLAN-ONLY in parallel groups: what the driver pays before any
+      // executor moves — the cluster-relevant number (execution
+      // parallelizes on executors; planning is driver-serial unless
+      // grouped). Each group plans its own ⌈S/8⌉-leg lazy entry.
+      val tParPlan = if (s >= 8) {
+        val groups = bmT.grouped(math.ceil(s / 8.0).toInt).toSeq
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          groups.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        def once(): Unit = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(groups.map(g =>
+            scala.concurrent.Future {
+              Retrieval.bm25ShardedProximityQuery(spark, g, queries,
+                "qid", "qtext", 5, window = 8)
+                .queryExecution.executedPlan
+              ()
+            })), scala.concurrent.duration.Duration.Inf)
+        once() // warm
+        val t = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); once()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        pool.shutdown()
+        f" nearParPlanOnly=${t}%.3fs"
+      } else ""
       println(f"[plancost] S=$s plan=${tPlan}%.3fs endToEnd=${tExec}%.3fs " +
-        f"(perLegPlan=${tPlan / s}%.3fs) nearPlan=${tNearPlan}%.3fs")
+        f"(perLegPlan=${tPlan / s}%.3fs) nearPlan=${tNearPlan}%.3fs " +
+        f"nearE2E=${tNearE2E}%.3fs nearGroupedE2E: $grouped$tParPlan")
       System.out.flush()
     }
   }

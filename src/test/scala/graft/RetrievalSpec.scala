@@ -539,4 +539,43 @@ class RetrievalSpec extends AnyFunSuite {
       rows(Retrieval.bm25Query(spark, whole, q, "qid", "qtext", 5)),
       "sharded deletion corrections diverged from the whole index")
   }
+
+  test("grouped (plan-parallel) sharded serving == lazy sharded serving " +
+       "(bag, phrase, NEAR), uneven groups included") {
+    val docs = graft.sources.Generators.randomText(spark, 200, seed = 91L,
+        wordsMin = 5, wordsMax = 25, partitions = 4)
+      .select(col("id").as("doc_id"), col("text"))
+    val stamp = System.nanoTime()
+    val shards = (0 until 4).map { i =>
+      val t = s"bm25_grp${i}_$stamp"
+      Retrieval.bm25Build(docs.filter(
+          graft.operators.Sharding.shardOf(col("doc_id"), 4) === i),
+        "doc_id", "text", t, buckets = 2, positions = true)
+      t
+    }
+    val q = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(
+          lower(col("text"))), 1, 3)).as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    // parallelism 3 over 4 shards → groups of 2+2; parallelism > S and
+    // parallelism 1 degenerate correctly
+    for (par <- Seq(1, 3, 8)) {
+      assert(rows(Retrieval.bm25ShardedQueryGrouped(spark, shards, q,
+          "qid", "qtext", 5, parallelism = par)) ===
+        rows(Retrieval.bm25ShardedQuery(spark, shards, q, "qid", "qtext", 5)),
+        s"grouped bag (par=$par) diverged from the lazy sharded plan")
+    }
+    assert(rows(Retrieval.bm25ShardedPhraseQueryGrouped(spark, shards, q,
+        "qid", "qtext", 5, parallelism = 3)) ===
+      rows(Retrieval.bm25ShardedPhraseQuery(spark, shards, q,
+        "qid", "qtext", 5)),
+      "grouped phrase diverged from the lazy sharded plan")
+    assert(rows(Retrieval.bm25ShardedProximityQueryGrouped(spark, shards, q,
+        "qid", "qtext", 5, window = 8, parallelism = 3)) ===
+      rows(Retrieval.bm25ShardedProximityQuery(spark, shards, q,
+        "qid", "qtext", 5, window = 8)),
+      "grouped NEAR diverged from the lazy sharded plan")
+  }
 }
