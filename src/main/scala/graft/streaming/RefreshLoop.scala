@@ -192,7 +192,10 @@ object RefreshLoop {
                    compactEvery: Int = 0,
                    bm25Shards: Option[Seq[String]] = None,
                    lmShards: Option[Seq[String]] = None,
-                   indexShards: Option[Seq[String]] = None)
+                   indexShards: Option[Seq[String]] = None,
+                   bm25Family: Option[ShardFamily] = None,
+                   lmFamily: Option[ShardFamily] = None,
+                   indexFamily: Option[ShardFamily] = None)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
@@ -200,18 +203,23 @@ object RefreshLoop {
       // tables before the first read (epochPhases does the ledger's).
       // indexShards: the ADMISSION index itself is sharded — `table`
       // anchors only the epoch ledger, and the check/absorb run
-      // against the shard family.
-      indexShards.getOrElse(Seq(table)).foreach { t =>
-        BucketedJoin.recoverCompacted(spark, s"${t}_sigs")
-        BucketedJoin.recoverCompacted(spark, s"${t}_bands")
-      }
-      (bm25Table.toSeq ++ bm25Shards.getOrElse(Nil)).foreach { t =>
+      // against the shard family. The heals run over the CURRENT
+      // (pre-reshard) tables, so a queued online split/merge never
+      // reads a mid-swap parent; reshard children are born healed.
+      indexFamily.map(_.tables).orElse(indexShards).getOrElse(Seq(table))
+        .foreach { t =>
+          BucketedJoin.recoverCompacted(spark, s"${t}_sigs")
+          BucketedJoin.recoverCompacted(spark, s"${t}_bands")
+        }
+      (bm25Table.toSeq ++
+        bm25Family.map(_.tables).orElse(bm25Shards).getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_terms")
         BucketedJoin.recoverCompacted(spark, s"${t}_stats")
         BucketedJoin.recoverCompacted(spark, s"${t}_pos")
       }
-      (lmTable.toSeq ++ lmShards.getOrElse(Nil)).foreach { t =>
+      (lmTable.toSeq ++
+        lmFamily.map(_.tables).orElse(lmShards).getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vocab")
         // the V ledger too: a crash inside LangModel.compact's _stats
@@ -232,6 +240,25 @@ object RefreshLoop {
       // if the completeness marker is missing (legacy pre-noveldone
       // ledgers): appends may have partially landed either way
       val repairMode = decided || hasNovelRows
+      // ONLINE RESHARD: run queued split/merge requests at this epoch
+      // boundary — but ONLY when the epoch is not a repair replay: a
+      // crashed epoch's partial appends live under the PARENT tables,
+      // and its repair anti-joins must see them there. A request that
+      // arrives during a repair epoch defers one epoch (the next entry
+      // follows a committed epoch) — the routed-absorb replay therefore
+      // stays exact across any swap.
+      if (!repairMode)
+        Seq(bm25Family, lmFamily, indexFamily).flatten
+          .foreach(_.applyPending(spark))
+      // EPOCH SNAPSHOT of each family's slots: routing, repair, and
+      // compaction all read this one list, so a request arriving
+      // mid-epoch cannot shift the family under the running epoch
+      val bm25Slots = bm25Family.map(_.slots)
+        .orElse(bm25Shards.map(ShardFamily.canonicalSlots))
+      val lmSlots = lmFamily.map(_.slots)
+        .orElse(lmShards.map(ShardFamily.canonicalSlots))
+      val admSlots = indexFamily.map(_.slots)
+        .orElse(indexShards.map(ShardFamily.canonicalSlots))
       // micro-batch sources re-read on every action; pin the batch once
       val b = batch.persist()
       try {
@@ -239,9 +266,10 @@ object RefreshLoop {
             k, numHashes, bands, threshold)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("est_jaccard"), lit("batch").as("source"))
-        val inter0 = indexShards
-          .map(Dedup.minhashDedupAgainstSharded(spark, _, b,
-            textCol, idCol, threshold, k, numHashes, bands))
+        val inter0 = admSlots
+          .map(sl => Dedup.minhashDedupAgainstSharded(spark,
+            sl.map(_.table), b, textCol, idCol, threshold, k, numHashes,
+            bands))
           .getOrElse(Dedup.minhashDedupAgainst(spark, table, b,
             textCol, idCol, threshold, k, numHashes, bands))
         // a replay of an epoch whose ledger holds id rows sees an index
@@ -284,18 +312,18 @@ object RefreshLoop {
                 idCol, textCol, repair = repairMode))
               lmTable.foreach(t => LangModel.append(spark, t, novel,
                 idCol, textCol, epoch, repair = repairMode))
-              bm25Shards.foreach(routeToShards(novel, idCol, _) {
+              bm25Slots.foreach(routeToSlots(novel, idCol, _) {
                 (t, slice) =>
                   Retrieval.bm25Append(spark, t, slice, idCol, textCol,
                     repair = repairMode)
               })
-              lmShards.foreach(routeToShards(novel, idCol, _) {
+              lmSlots.foreach(routeToSlots(novel, idCol, _) {
                 (t, slice) =>
                   LangModel.append(spark, t, slice, idCol, textCol,
                     epoch, repair = repairMode)
               })
-              indexShards match {
-                case Some(sh) => routeToShards(novel, idCol, sh) {
+              admSlots match {
+                case Some(sl) => routeToSlots(novel, idCol, sl) {
                   (t, slice) =>
                     Dedup.minhashIndexAppend(spark, t, slice, textCol,
                       idCol, k, numHashes, bands, repair = repairMode)
@@ -307,14 +335,16 @@ object RefreshLoop {
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              indexShards.map(sh => rotateShard(Some(sh), epoch, compactEvery))
+              admSlots.map(sl =>
+                  rotateShard(Some(sl.map(_.table)), epoch, compactEvery))
                 .getOrElse(Seq(table)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, s"${t}_sigs", "id")
                 BucketedJoin.compactBucketed(spark, s"${t}_bands", "bandkey")
               }
               compactLedger(spark, table, epoch)
               (bm25Table.toSeq ++
-                rotateShard(bm25Shards, epoch, compactEvery)).foreach { t =>
+                rotateShard(bm25Slots.map(_.map(_.table)), epoch,
+                  compactEvery)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_terms", "term")
                 BucketedJoin.compactBucketed(spark, s"${t}_stats", "n_docs")
@@ -326,7 +356,8 @@ object RefreshLoop {
               }
               // LangModel.compact folds all four LM tables (bigram
               // deltas, counted vocab, stats ledger, generation) itself
-              (lmTable.toSeq ++ rotateShard(lmShards, epoch, compactEvery))
+              (lmTable.toSeq ++ rotateShard(lmSlots.map(_.map(_.table)),
+                  epoch, compactEvery))
                 .foreach(t => LangModel.compact(spark, t))
             }
           }
@@ -354,25 +385,30 @@ object RefreshLoop {
     }.getOrElse(Nil)
 
   /** Sharded-twin absorb: each admitted doc/vector routes to exactly
-    * one shard by id hash ([[shardOf]] — deterministic, so a replay
-    * routes identically and each shard's repair anti-join sees exactly
-    * its own rows). A crash between shard appends heals like the
-    * single-table case: every shard append re-runs in repair mode on
-    * replay, row-level idempotent per table. Which shards are
-    * non-empty is decided by ONE aggregation over the checkpoint-
-    * pinned `novel` rows (a single tiny action — per-shard counts are
-    * O(S) rows), not a per-shard isEmpty probe, which paid ~2
-    * extra Spark actions per shard per family on the hot refresh path.
+    * one SLOT by id hash (the slot's own (shardIndex, nShards) level —
+    * [[ShardFamily.Slot]]; a canonical S-family degenerates to
+    * `shardOf(id, S)`). Deterministic, so a replay routes identically
+    * and each shard's repair anti-join sees exactly its own rows. A
+    * crash between shard appends heals like the single-table case:
+    * every shard append re-runs in repair mode on replay, row-level
+    * idempotent per table. Which slots are non-empty is decided by ONE
+    * aggregation over the checkpoint-pinned `novel` rows at the
+    * family's FINEST level (per-residue counts are O(finest) rows; a
+    * slot is non-empty iff one of its residue classes is), not a
+    * per-shard isEmpty probe, which paid ~2 extra Spark actions per
+    * shard per family on the hot refresh path.
     */
-  private def routeToShards(novel: DataFrame, idCol: String,
-                            ts: Seq[String])
-                           (append: (String, DataFrame) => Unit): Unit = {
+  private def routeToSlots(novel: DataFrame, idCol: String,
+                           slots: Seq[ShardFamily.Slot])
+                          (append: (String, DataFrame) => Unit): Unit = {
+    val finest = slots.map(_.nShards).max
     val hit = novel
-      .groupBy(shardOf(col(idCol), ts.size).as("_sh"))
-      .count().collect().map(_.getLong(0).toInt).toSet
-    ts.zipWithIndex.foreach { case (t, i) =>
-      if (hit(i))
-        append(t, novel.filter(shardOf(col(idCol), ts.size) === i))
+      .groupBy(shardOf(col(idCol), finest).as("_r"))
+      .count().collect().map(_.getLong(0)).toSet
+    slots.foreach { s =>
+      if ((s.shardIndex until finest by s.nShards).exists(r => hit(r.toLong)))
+        append(s.table, novel.filter(
+          shardOf(col(idCol), s.nShards) === s.shardIndex))
     }
   }
 
@@ -445,6 +481,18 @@ object RefreshLoop {
     * [[shardOf]] shard's index, per-shard appends repair row-level on
     * replay, and compaction rotates one admission shard per cadence
     * epoch. Grow a shard with [[graft.operators.Dedup.splitShard]].
+    *
+    * `bm25Family` / `lmFamily` / `indexFamily`: the ONLINE-RESHARD form
+    * of the `*Shards` parameters (pass one or the other per family —
+    * the Family wins when both are set). A [[ShardFamily]] is a
+    * resizable slot list: `requestSplit`/`requestMerge` queue while the
+    * stream runs, the loop applies them at the next epoch boundary
+    * whose predecessor committed (a repair replay defers the swap one
+    * epoch so its anti-joins see the crashed attempt's tables), and the
+    * epoch snapshots the slot list once at entry — routing, repair and
+    * compaction all see one consistent family per epoch. The realistic
+    * trigger is exactly a hot, growing stream: the family grows without
+    * stopping the loop, under the same effectively-once ledger.
     */
   def minhashRefresh(stream: DataFrame, table: String,
                      textCol: String, idCol: String,
@@ -455,11 +503,14 @@ object RefreshLoop {
                      compactEvery: Int = 0,
                      bm25Shards: Option[Seq[String]] = None,
                      lmShards: Option[Seq[String]] = None,
-                     indexShards: Option[Seq[String]] = None)
+                     indexShards: Option[Seq[String]] = None,
+                     bm25Family: Option[ShardFamily] = None,
+                     lmFamily: Option[ShardFamily] = None,
+                     indexFamily: Option[ShardFamily] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
       numHashes, bands, bm25Table, lmTable, compactEvery, bm25Shards,
-      lmShards, indexShards)(onBatch)
+      lmShards, indexShards, bm25Family, lmFamily, indexFamily)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }
@@ -536,36 +587,56 @@ object RefreshLoop {
                      compactEvery: Int = 0,
                      ivfShards: Option[Seq[String]] = None,
                      pqShards: Option[Seq[String]] = None,
-                     indexShards: Option[Seq[String]] = None)
+                     indexShards: Option[Seq[String]] = None,
+                     ivfFamily: Option[ShardFamily] = None,
+                     pqFamily: Option[ShardFamily] = None,
+                     indexFamily: Option[ShardFamily] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
       // indexShards: the LSH ADMISSION index itself is sharded —
-      // `table` anchors only the epoch ledger (see minhashBatch)
-      indexShards.getOrElse(Seq(table)).foreach { t =>
-        BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
-        BucketedJoin.recoverCompacted(spark, s"${t}_buckets")
-      }
-      (ivfTable.toSeq ++ ivfShards.getOrElse(Nil)).foreach { t =>
+      // `table` anchors only the epoch ledger (see minhashBatch). Heals
+      // run over the CURRENT (pre-reshard) tables, like minhashBatch —
+      // in particular healCrashedRetrain runs BEFORE any queued split,
+      // which rejects a live retrain rename-aside.
+      indexFamily.map(_.tables).orElse(indexShards).getOrElse(Seq(table))
+        .foreach { t =>
+          BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
+          BucketedJoin.recoverCompacted(spark, s"${t}_buckets")
+        }
+      (ivfTable.toSeq ++
+        ivfFamily.map(_.tables).orElse(ivfShards).getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         healCrashedRetrain(spark, t, pq = false, nassign)
       }
-      (pqTable.toSeq ++ pqShards.getOrElse(Nil)).foreach { t =>
+      (pqTable.toSeq ++
+        pqFamily.map(_.tables).orElse(pqShards).getOrElse(Nil)).foreach { t =>
         BucketedJoin.recoverCompacted(spark, t)
         BucketedJoin.recoverCompacted(spark, s"${t}_vecs")
         healCrashedRetrain(spark, t, pq = true, nassign)
       }
       val (decided, committed, hasNovelRows) = epochPhases(spark, table, epoch)
       val repairMode = decided || hasNovelRows
+      // ONLINE RESHARD at a safe boundary only — see minhashBatch
+      if (!repairMode)
+        Seq(ivfFamily, pqFamily, indexFamily).flatten
+          .foreach(_.applyPending(spark))
+      val ivfSlots = ivfFamily.map(_.slots)
+        .orElse(ivfShards.map(ShardFamily.canonicalSlots))
+      val pqSlots = pqFamily.map(_.slots)
+        .orElse(pqShards.map(ShardFamily.canonicalSlots))
+      val admSlots = indexFamily.map(_.slots)
+        .orElse(indexShards.map(ShardFamily.canonicalSlots))
       val b = batch.persist()
       try {
         val intra = Similarity.cosineNearDupPairsBlocked(b, idCol, vecCol,
             threshold, nBits, nTables, seed)
           .select(col("idb").as("batch_id"), col("ida").as("match_id"),
             col("cos"), lit("batch").as("source"))
-        val inter0 = indexShards
-          .map(Similarity.lshDedupAgainstSharded(spark, _, b, idCol,
-            vecCol, threshold, nBits, nTables, seed))
+        val inter0 = admSlots
+          .map(sl => Similarity.lshDedupAgainstSharded(spark,
+            sl.map(_.table), b, idCol, vecCol, threshold, nBits, nTables,
+            seed))
           .getOrElse(Similarity.lshDedupAgainst(spark, table, b, idCol,
             vecCol, threshold, nBits, nTables, seed))
         // repairMode, not decided — see the minhashBatch note (legacy
@@ -619,22 +690,22 @@ object RefreshLoop {
               // route to exactly one shard by [[shardOf]] and absorb
               // via the per-shard frozen-quantizer appends; drift is
               // watched per shard (each shard's own build reference)
-              ivfShards.foreach(routeToShards(novel, idCol, _) {
+              ivfSlots.foreach(routeToSlots(novel, idCol, _) {
                 (t, slice) =>
                   handleDrift(spark, t,
                     Similarity.ivfAppend(spark, t, slice, idCol, vecCol,
                       nassign, repair = repairMode),
                     epoch, pq = false, retrainOnDrift, nassign)
               })
-              pqShards.foreach(routeToShards(novel, idCol, _) {
+              pqSlots.foreach(routeToSlots(novel, idCol, _) {
                 (t, slice) =>
                   handleDrift(spark, t,
                     graft.operators.ProductQuant.ivfPqAppend(spark, t,
                       slice, idCol, vecCol, nassign, repair = repairMode),
                     epoch, pq = true, retrainOnDrift, nassign)
               })
-              indexShards match {
-                case Some(sh) => routeToShards(novel, idCol, sh) {
+              admSlots match {
+                case Some(sl) => routeToSlots(novel, idCol, sl) {
                   (t, slice) =>
                     Similarity.lshIndexAppend(spark, t, slice, idCol,
                       vecCol, nBits, nTables, seed, repair = repairMode)
@@ -646,17 +717,20 @@ object RefreshLoop {
               commitEpoch(spark, table, epoch, novel.select(idCol))
             }
             if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-              indexShards.map(sh => rotateShard(Some(sh), epoch, compactEvery))
+              admSlots.map(sl =>
+                  rotateShard(Some(sl.map(_.table)), epoch, compactEvery))
                 .getOrElse(Seq(table)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, s"${t}_vecs", "id")
                 BucketedJoin.compactBucketed(spark, s"${t}_buckets", "bkey")
               }
               compactLedger(spark, table, epoch)
               (ivfTable.toSeq ++
-                rotateShard(ivfShards, epoch, compactEvery)).foreach(t =>
+                rotateShard(ivfSlots.map(_.map(_.table)), epoch,
+                  compactEvery)).foreach(t =>
                 BucketedJoin.compactBucketed(spark, t, "cid"))
               (pqTable.toSeq ++
-                rotateShard(pqShards, epoch, compactEvery)).foreach { t =>
+                rotateShard(pqSlots.map(_.map(_.table)), epoch,
+                  compactEvery)).foreach { t =>
                 BucketedJoin.compactBucketed(spark, t, "cid")
                 BucketedJoin.compactBucketed(spark, s"${t}_vecs", "nid")
               }
@@ -748,11 +822,15 @@ object RefreshLoop {
                        compactEvery: Int = 0,
                        ivfShards: Option[Seq[String]] = None,
                        pqShards: Option[Seq[String]] = None,
-                       indexShards: Option[Seq[String]] = None)
+                       indexShards: Option[Seq[String]] = None,
+                       ivfFamily: Option[ShardFamily] = None,
+                       pqFamily: Option[ShardFamily] = None,
+                       indexFamily: Option[ShardFamily] = None)
                       (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = embeddingBatch(table, idCol, vecCol, threshold, nBits,
       nTables, seed, ivfTable, nassign, pqTable, retrainOnDrift,
-      compactEvery, ivfShards, pqShards, indexShards)(onBatch)
+      compactEvery, ivfShards, pqShards, indexShards, ivfFamily,
+      pqFamily, indexFamily)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

@@ -1210,4 +1210,202 @@ class RefreshLoopSpec extends AnyFunSuite {
     assert(RefreshLoop.rotateShard(None, 2L, 3).isEmpty)
     assert(RefreshLoop.rotateShard(Some(Nil), 2L, 3).isEmpty)
   }
+
+  test("online reshard (BM25 family): split applies at the next epoch " +
+       "boundary, repair replay defers the swap, merge shrinks back, " +
+       "grown family ≡ whole-built throughout") {
+    import graft.operators.Retrieval
+    import graft.streaming.ShardFamily
+    val base = Seq(
+      (1L, "alpha beta gamma delta words about streams"),
+      (2L, "epsilon zeta eta theta completely other content"),
+      (3L, "iota kappa lambda mu third base document"),
+      (4L, "nu xi omicron pi fourth base document entirely"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "onrs_idx")
+    val nSh = 2
+    val bmS = (0 until nSh).map { i =>
+      val t = s"onrs_bm$i"
+      Retrieval.bm25Build(
+        base.filter(RefreshLoop.shardOf($"doc_id", nSh) === i),
+        "doc_id", "text", t)
+      t
+    }
+    val fam = ShardFamily(ShardFamily.Bm25, bmS)
+    val fn = RefreshLoop.minhashBatch("onrs_idx", "text", "doc_id",
+      threshold = 0.3, bm25Family = Some(fam)) { (_, _, _) => }
+    val batch2 = Seq(
+      (101L, "alpha beta gamma delta words about streams"), // dup of 1
+      (110L, "rho sigma tau upsilon novel admitted text one"),
+      (111L, "phi chi psi omega novel admitted text two"))
+      .toDF("doc_id", "text")
+    fn(batch2, 2L)
+    assert(fam.tables == bmS, "no request queued — family unchanged")
+
+    // request a split of shard 0 while the stream is 'up'; it must NOT
+    // apply until the next epoch boundary
+    fam.requestSplit(bmS(0), "onrs_bm0a", "onrs_bm0b")
+    assert(fam.hasPending && fam.tables == bmS,
+      "a queued request must not move the family mid-epoch")
+    val batch3 = Seq(
+      (120L, "aleph bet gimel dalet more novel words here"),
+      (121L, "he vav zayin het still more novel vocabulary"))
+      .toDF("doc_id", "text")
+    fn(batch3, 3L)
+    assert(!fam.hasPending &&
+      fam.tables == Seq("onrs_bm0a", "onrs_bm0b", bmS(1)),
+      s"split must apply at the epoch-3 boundary, got ${fam.tables}")
+
+    def refresh(): Unit =
+      for (t <- fam.tables; s <- Seq("", "_terms", "_stats"))
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(t + s)))
+          spark.catalog.refreshTable(t + s)
+    refresh()
+    val admitted3 = base
+      .unionByName(batch2.filter($"doc_id" =!= 101L))
+      .unionByName(batch3)
+    // every slot holds exactly its residue class — epoch-3 docs routed
+    // into the POST-SWAP 3-slot family, pre-split docs rehashed by the
+    // split: no admission lost or duplicated across the swap
+    for (s <- fam.slots) {
+      val got = spark.table(s.table).select($"doc_id").distinct()
+        .as[Long].collect().toSet
+      val expect = admitted3
+        .filter(RefreshLoop.shardOf($"doc_id", s.nShards) === s.shardIndex)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == expect, s"slot $s holds the wrong docs")
+    }
+    val q = Seq((1L, "novel admitted text"), (2L, "base document"))
+      .toDF("qid", "qtext")
+    def brows(ts: Seq[String]) =
+      Retrieval.bm25ShardedQuery(spark, ts, q, "qid", "qtext", 3)
+        .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    Retrieval.bm25Build(admitted3, "doc_id", "text", "onrs_oracle3")
+    val grown = brows(fam.tables)
+    assert(grown === Retrieval.bm25Query(spark, "onrs_oracle3", q,
+        "qid", "qtext", 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq,
+      "post-swap family diverges from whole-built (the t40 oracle)")
+
+    // a REPAIR replay must DEFER a queued reshard: replaying committed
+    // epoch 3 (decided ⇒ repairMode) leaves the request queued and the
+    // family unmoved; the next fresh epoch applies it
+    fam.requestMerge("onrs_bm0a", "onrs_bm0b", "onrs_bmm")
+    fn(batch3, 3L) // replay
+    assert(fam.hasPending &&
+      fam.tables == Seq("onrs_bm0a", "onrs_bm0b", bmS(1)),
+      "a repair replay must not apply a queued reshard")
+    refresh()
+    assert(brows(fam.tables) === grown,
+      "replay across a queued reshard changed scores")
+    val batch4 = Seq((130L, "tet yod kaf lamed final novel document"))
+      .toDF("doc_id", "text")
+    fn(batch4, 4L)
+    assert(!fam.hasPending && fam.tables == Seq(bmS(1), "onrs_bmm"),
+      s"merge must apply at the epoch-4 boundary, got ${fam.tables}")
+    refresh()
+    val admitted4 = admitted3.unionByName(batch4)
+    Retrieval.bm25Build(admitted4, "doc_id", "text", "onrs_oracle4")
+    assert(brows(fam.tables) === Retrieval.bm25Query(spark, "onrs_oracle4",
+        q, "qid", "qtext", 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq,
+      "post-merge family diverges from whole-built (the t42 oracle)")
+  }
+
+  test("online reshard: a crash between retire and swap heals — " +
+       "re-requesting a COMPLETED split applies only the slot transform") {
+    import graft.operators.Retrieval
+    import graft.streaming.ShardFamily
+    val docs = graft.sources.Generators.randomText(spark, 60, seed = 33L,
+        wordsMin = 5, wordsMax = 15, partitions = 2)
+      .select(col("id").as("doc_id"), col("text"))
+    val (p0, p1) = ("onrh_bm0", "onrh_bm1")
+    Retrieval.bm25Build(docs.filter(RefreshLoop.shardOf($"doc_id", 2) === 0),
+      "doc_id", "text", p0)
+    Retrieval.bm25Build(docs.filter(RefreshLoop.shardOf($"doc_id", 2) === 1),
+      "doc_id", "text", p1)
+    // the split ran to completion (parent retired, marker cleared), but
+    // the driver died before the family swap — a restarted operator
+    // re-creates the family from the stale pre-split list and
+    // re-requests the split
+    Retrieval.splitShard(spark, p0, "onrh_bm0a", "onrh_bm0b", 0, 2)
+    val fam = ShardFamily(ShardFamily.Bm25, Seq(p0, p1))
+    fam.requestSplit(p0, "onrh_bm0a", "onrh_bm0b")
+    fam.applyPending(spark)
+    assert(fam.tables == Seq("onrh_bm0a", "onrh_bm0b", p1),
+      "heal must apply the slot transform without re-splitting")
+    val q = docs.filter($"doc_id" % 20 === 0)
+      .select($"doc_id".as("qid"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(
+          lower($"text")), 1, 3)).as("qtext"))
+    Retrieval.bm25Build(docs, "doc_id", "text", "onrh_oracle")
+    assert(Retrieval.bm25ShardedQuery(spark, fam.tables, q,
+        "qid", "qtext", 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+      === Retrieval.bm25Query(spark, "onrh_oracle", q, "qid", "qtext", 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq,
+      "healed family diverges from whole-built")
+    // a parent that is gone WITHOUT complete children fails loudly
+    val fam2 = ShardFamily(ShardFamily.Bm25, Seq("onrh_ghost", p1))
+    fam2.requestSplit("onrh_ghost", "onrh_gx", "onrh_gy")
+    intercept[IllegalArgumentException] { fam2.applyPending(spark) }
+  }
+
+  test("online reshard (IVF family): split mid-stream, post-swap sharded " +
+       "serving at full probe ≡ whole-built (the sim15 oracle)") {
+    import graft.operators.Similarity
+    import graft.streaming.ShardFamily
+    def mkVecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    def clustered(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.7
+      Array.tabulate(8)(j => base(j) + 0.01 * (((i * 31 + j * 7) % 11) - 5)).toSeq
+    }
+    val base = mkVecs((0L until 40L).map(i => (i, clustered(i))))
+    Similarity.lshIndexBuild(base, "vec_id", "embedding", "onrv_lsh")
+    val ivfS = (0 until 2).map { i =>
+      val t = s"onrv_ivf$i"
+      Similarity.ivfBuild(
+        base.filter(RefreshLoop.shardOf($"vec_id", 2) === i),
+        "vec_id", "embedding", t, nlist = 4, buckets = 2)
+      t
+    }
+    val fam = ShardFamily(ShardFamily.Ivf, ivfS)
+    val fn = RefreshLoop.embeddingBatch("onrv_lsh", "vec_id", "embedding",
+      ivfFamily = Some(fam)) { (_, _, _) => }
+    val v110 = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val v111 = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    fn(mkVecs(Seq((101L, clustered(1L)), (110L, v110))), 2L)
+    fam.requestSplit(ivfS(0), "onrv_ivf0a", "onrv_ivf0b")
+    fn(mkVecs(Seq((111L, v111))), 3L)
+    assert(fam.tables == Seq("onrv_ivf0a", "onrv_ivf0b", ivfS(1)),
+      s"split must apply at the epoch-3 boundary, got ${fam.tables}")
+    for (t <- fam.tables; s <- Seq("", "_cents", "_stats"))
+      if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(t + s)))
+        spark.catalog.refreshTable(t + s)
+    val admitted = base.unionByName(mkVecs(Seq((110L, v110), (111L, v111))))
+    // routing doc-disjoint per SLOT level across the swap
+    for (s <- fam.slots) {
+      val got = spark.table(s.table).select($"nid").distinct()
+        .as[Long].collect().toSet
+      val expect = admitted
+        .filter(RefreshLoop.shardOf($"vec_id", s.nShards) === s.shardIndex)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(got == expect, s"slot $s holds the wrong vectors")
+    }
+    val queries = base.filter($"vec_id" % 10 === 3)
+    def irows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").orderBy("qid", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    Similarity.ivfBuild(admitted, "vec_id", "embedding", "onrv_oracle",
+      nlist = 6, buckets = 2)
+    assert(irows(Similarity.ivfShardedQuery(spark, fam.tables, queries,
+        "vec_id", "embedding", 3, probeFrac = 1.0))
+      === irows(Similarity.ivfQuery(spark, "onrv_oracle", queries,
+        "vec_id", "embedding", 3, probeFrac = 1.0)),
+      "post-swap IVF family diverges from whole-built at full probe")
+  }
 }
