@@ -1543,7 +1543,18 @@ object Retrieval {
     * deployment's control plane cannot afford). The `limit` lives
     * INSIDE each union leg, so every shard's row set — and its
     * collected/overflow decision — is byte-identical to the per-call
-    * form. */
+    * form.
+    *
+    * Driver residency: the batched collect holds S·(maxControlRows+1)
+    * rows AT ONCE where the serialized form held one shard's at a time
+    * — at S = 100 that is ~820k tiny (qid, term, df) rows, ~25-50 MB,
+    * control-plane sized for any driver that can run 100-leg plans at
+    * all (the per-leg Catalyst state dwarfs it). The bound is a
+    * worst-case: a shard contributes maxControlRows+1 rows only when
+    * its (qid, term) frame overflows, and overflow also disables its
+    * pushdown — real batches sit far under the cap. If a deployment
+    * ever needs S ≫ 100 with full caps, chunk this collect into
+    * ⌈S/100⌉ jobs; until measured, one job is the right default. */
   private def shardControlRows(spark: SparkSession, tables: Seq[String],
                                qt: DataFrame)
       : Seq[Array[org.apache.spark.sql.Row]] = {
