@@ -59,7 +59,7 @@ object DevShardGrowth {
           1, 3)).as("qtext"))
     val vq = emb.filter(col("vec_id") % 100 === 0)
 
-    for (s <- Seq(1, 2, 4, 8)) {
+    for (s <- Seq(1, 2, 4, 8, 32)) {
       val bmT = (0 until s).map { i =>
         val t = s"growth_bm${s}_$i"
         Retrieval.bm25Build(docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
@@ -76,6 +76,16 @@ object DevShardGrowth {
         emb.filter(Sharding.shardOf(col("vec_id"), s) === i))
       val tBag = timeMedian(
         Retrieval.bm25ShardedQuery(spark, bmT, queries, "qid", "qtext", 5))
+      // the round-17 plan-parallel grouped form (eager — wall-clock IS
+      // plan+exec); at high S the serial per-leg planning dominates the
+      // lazy entry and the grouped one should hold the line
+      def bagGrouped(): Unit = Retrieval.bm25ShardedQueryGrouped(spark,
+        bmT, queries, "qid", "qtext", 5, parallelism = 8)
+      bagGrouped() // warm
+      val tBagGrouped = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); bagGrouped()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
       val tLm = timeMedian(
         LangModel.scoreSharded(spark, lmT, docs, "doc_id", "text"))
       // the serving-cadence form: the cross-shard vocab fold memoized
@@ -87,7 +97,8 @@ object DevShardGrowth {
       val tVec = timeMedian(
         Similarity.bruteForceShardedTopK(vecShards, vq,
           "vec_id", "embedding", 5))
-      println(f"[growth] sf=$sfDir S=$s bag=${tBag}%.3fs lm=${tLm}%.3fs " +
+      println(f"[growth] sf=$sfDir S=$s bag=${tBag}%.3fs " +
+        f"bagGrouped=${tBagGrouped}%.3fs lm=${tLm}%.3fs " +
         f"lmMemo=${tLmMemo}%.3fs vec=${tVec}%.3fs")
       System.out.flush()
     }
