@@ -122,6 +122,11 @@ object Bench {
       "bench_clean" -> (() => Q.p1_clean(spark, sfDir)),
       "bench_bm25" -> (() => operators.Retrieval.bm25Query(spark,
         bm25Table, bm25Queries, "qid", "qtext", 5)),
+      // the MaxScore two-pass pruned plan on the SAME index and batch
+      // as bench_bm25 (t44 serving path) — the delta between the two
+      // kernels is what dynamic pruning buys on the bench batch shape
+      "bench_maxscore" -> (() => operators.Retrieval.bm25QueryMaxScore(
+        spark, bm25Table, bm25Queries, "qid", "qtext", 5)),
       "bench_phrase" -> (() => operators.Retrieval.bm25PhraseQuery(spark,
         phraseTable, bm25Queries, "qid", "qtext", 5)),
       // NEAR proximity over the same standing positional index (order-

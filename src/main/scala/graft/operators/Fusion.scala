@@ -244,9 +244,11 @@ object Fusion {
                          maxDfFrac: Double = 1.0,
                          mode: String = "rrf",
                          pqIndexes: Option[Seq[String]] = None,
-                         refineK: Int = 0): DataFrame = {
+                         refineK: Int = 0,
+                         planPar: Int = 0): DataFrame = {
     require(bm25Tables.nonEmpty,
       "hybridShardedQuery needs at least one BM25 shard")
+    require(planPar >= 0, s"planPar must be >= 0, got $planPar")
     require(Seq(pqIndexes, vecIndexes, vecShards).count(_.nonEmpty) == 1,
       "hybridShardedQuery needs EXACTLY ONE vector leg: pqIndexes " +
         "(standing IVFPQ shards), vecIndexes (standing IVF shards) or " +
@@ -254,8 +256,20 @@ object Fusion {
         "among several would mask a misconfiguration")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
-    val lex = Retrieval.bm25ShardedQuery(spark, bm25Tables, queries,
-        qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac)
+    // planPar > 0 routes the lexical leg through the plan-parallel
+    // grouped entry ([[Retrieval.bm25ShardedQueryGrouped]]) — identical
+    // rows (spec-pinned), but the S shard legs plan in ⌈S/planPar⌉
+    // driver-thread groups instead of one serial S-leg Catalyst plan:
+    // the high-S interactive-fusion form. EAGER on the lexical leg
+    // (bounded kPerLeg·|queries| rows through the driver); 0 keeps the
+    // lazy single-plan composition.
+    val lex = (if (planPar > 0)
+        Retrieval.bm25ShardedQueryGrouped(spark, bm25Tables, queries,
+          qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac,
+          parallelism = planPar)
+      else
+        Retrieval.bm25ShardedQuery(spark, bm25Tables, queries,
+          qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac))
       .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
         col("score_micro").cast("double").as("score"))
     val vec = ((pqIndexes, vecIndexes) match {
@@ -353,12 +367,13 @@ object Fusion {
                             maxDfFrac: Double = 1.0,
                             mode: String = "rrf",
                             pqIndexes: Option[Seq[String]] = None,
-                            refineK: Int = 0): DataFrame = {
+                            refineK: Int = 0,
+                            planPar: Int = 0): DataFrame = {
     require(context >= 0, s"context must be non-negative, got $context")
     val fused = hybridShardedQuery(spark, bm25Tables, queries, qidCol,
         textCol, vecCol, k, kPerLeg, rrfK, wLex, wVec, vecIndexes,
         vecShards, embIdCol, embVecCol, probeFrac, maxDfFrac, mode,
-        pqIndexes, refineK)
+        pqIndexes, refineK, planPar)
       .select(col("qid"), col("id").as("doc_id"), col("fused_micro"),
         col("rnk"))
     val qt = queries

@@ -341,6 +341,281 @@ object Retrieval {
         col("rank").as("rnk"))
   }
 
+  /** [[bm25Query]] with EXACT MaxScore-style dynamic pruning (Turtle &
+    * Flood, "Query evaluation: strategies and optimizations", IP&M
+    * 1995 — the set-at-a-time batch form): results are bit-identical to
+    * [[bm25Query]] at the same dials, but a query mixing RARE and HEAD
+    * terms no longer pushes the head terms' full posting lists through
+    * the partial-score shuffle and aggregate — the round-17-adjudicated
+    * dominant cost of the scoring leg (BASELINE.md: the pushed scan →
+    * partials → top-k machinery is 58% of bench_phrase and all of
+    * bench_bm25).
+    *
+    * How the pruning stays exact. Per query, terms split into ESSENTIAL
+    * (df ≤ `essentialDfFrac`·N, always at least the rarest term) and
+    * NON-ESSENTIAL (the head). Every term's per-doc contribution is
+    * bounded above by ub(t) = ⌈idf(t)·(k1+1)·10⁶⌉ micro-units (w < k1+1
+    * for every tf, dl). Pass 1 scores the essential terms alone — rare
+    * lists, cheap by construction — and one bounded control read takes
+    * each query's k-th best essential-only sum L. If Σ_{t∈head} ub(t) <
+    * L strictly, then at least k documents carrying an essential term
+    * have FULL score ≥ L (full ≥ essential-only per doc), while any
+    * document with NO essential term scores ≤ Σ ub < L — so the true
+    * top-k live entirely inside pass 1's candidate docs, regardless of
+    * tie-breaking. Pass 2 then scores ALL terms with the postings
+    * doc-gated to those candidates (the phrase path's `docFilter`
+    * semi-join, broadcast under `maxCandBroadcast`): the head terms'
+    * partial mass shrinks from their df to the candidate count. Queries
+    * that FAIL the check (all-head batches, fewer than k candidates, a
+    * head mass too large to bound) fall back to the exact ungated plan
+    * IN THE SAME JOB — per-query, not per-batch — and a batch with
+    * nothing to prune short-circuits to [[bm25Query]] verbatim.
+    *
+    * Control plane: one bounded (qid, term, df) collect against the
+    * tombstone-CORRECTED dictionary (corrections raise idf, so the
+    * bound must use the corrected df — the same value scoring uses),
+    * one bounded (qid, k-th score) collect from pass 1; both under the
+    * [[maxControlRows]] cap, overflow → [[bm25Query]] fallback. The
+    * collected dictionary slice is re-injected as a literal frame, so
+    * neither pass re-plans the dictionary fold.
+    *
+    * Dials: `essentialDfFrac` positions the essential/head split — it
+    * is a COST dial only (any split is exact; too low starves pass 1 of
+    * candidates and forces fallbacks, too high makes pass 1 itself
+    * expensive). The default 0.01 matches the measured df≤1% serving
+    * knee (round-12 curve). `maxDfFrac` keeps [[bm25Query]]'s stop-term
+    * contract: over-cap terms are DROPPED before anything else, so the
+    * result equals bm25Query's at the same dial.
+    *
+    * COST GATE (all driver-side, from the already-collected control
+    * rows — exactness never depends on it): a query only ENGAGES the
+    * two-pass machinery when its head posting mass is worth
+    * eliminating (Σ_{head} df ≥ `gateMinHeadMass`) AND the candidate
+    * set genuinely shrinks it (Σ_{essential} df ≤
+    * `gateCandFrac`·Σ_{head} df — when the rarest term's list is
+    * nearly the corpus, gating pays semi-join cost to prune nothing).
+    * Ungated queries run the exact single-pass leg. MEASURED
+    * (DevMaxScore, 1e6-doc zipf, medians of 3): tail+head mixed
+    * batches serve at 229 vs 2599 ms/q exact (11.3×, the head term's
+    * 948k-row posting list gated to the tail candidates), while
+    * without the gate natural first-3-token batches paid 1.32× for
+    * pass-1 work their geometry couldn't repay and all-head batches
+    * 1.06× for candidates ≈ corpus — both of which the gate routes to
+    * the exact leg.
+    */
+  def bm25QueryMaxScore(spark: SparkSession, table: String,
+                        queries: DataFrame, qidCol: String,
+                        textCol: String, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxDfFrac: Double = 1.0,
+                        essentialDfFrac: Double = 0.01,
+                        maxCandBroadcast: Long = 4L << 20,
+                        gateMinHeadMass: Long = 1L << 16,
+                        gateCandFrac: Double = 0.25): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(essentialDfFrac > 0.0 && essentialDfFrac <= 1.0,
+      s"essentialDfFrac must be in (0, 1], got $essentialDfFrac")
+    require(k >= 1, s"k must be positive, got $k")
+    require(gateMinHeadMass >= 0,
+      s"gateMinHeadMass must be non-negative, got $gateMinHeadMass")
+    require(gateCandFrac > 0.0,
+      s"gateCandFrac must be positive, got $gateCandFrac")
+    GraftFunctions.ensureRegistered(spark)
+    healFold(spark, table)
+    def exact() = bm25Query(spark, table, queries, qidCol, textCol, k,
+      k1, b, maxDfFrac)
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    if (qterms.isEmpty) return exact() // term list over the push cap
+    // ---- bounded control read #1: per-(qid, term) CORRECTED df
+    val qdf = qt.join(correctedDict(spark, table, qterms), Seq("term"))
+      .select(col("qid"), col("term"), col("df"))
+    val qdfRows = qdf.limit(maxControlRows + 1).collect()
+    if (qdfRows.length > maxControlRows) return exact()
+    if (qdfRows.isEmpty) return exact() // no indexed term anywhere
+    val (nDocs, dlSum) = correctedStats(spark, table)
+    require(nDocs > 0, s"bm25QueryMaxScore: index $table is empty")
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    // the stop-term dial, applied exactly where bm25Query applies it
+    val capDf = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
+      else Long.MaxValue
+    val rows = qdfRows.filter(_.getLong(2) <= capDf).toSeq
+    maxScoreRank(spark, rows, qdf.schema, k, k1, nDocs,
+      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+      partials = (qtF, dictF, terms, docFilter, bcast) =>
+        partialsWith(spark, table, qtF, k1, b, nDocs, avgdl, dictF,
+          terms, docFilter, bcast),
+      exact = () => exact())
+  }
+
+  /** The shared two-pass MaxScore core behind [[bm25QueryMaxScore]] and
+    * [[bm25ShardedQueryMaxScore]] — everything after the control rows
+    * are in hand: per-query essential/head split, the cost gate, pass
+    * 1, the threshold verification, pass 2 with the candidate doc-gate,
+    * the exact leg for everyone else, final top-k. `rows` are the
+    * collected (qid, term, df) control rows AFTER the stop-term dial;
+    * `partials(qt, dict, qterms, docFilter, broadcastDocs)` is the
+    * caller's scoring-leg builder (single table or shard union —
+    * doc-disjoint shards make the per-(qid, doc) sums identical either
+    * way, the t32 argument). `exact` is the caller's untouched
+    * single-pass plan, returned whenever nothing engages or verifies.
+    */
+  private def maxScoreRank(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      qdfSchema: org.apache.spark.sql.types.StructType,
+      k: Int, k1: Double, nDocs: Long,
+      essentialDfFrac: Double, maxCandBroadcast: Long,
+      gateMinHeadMass: Long, gateCandFrac: Double,
+      partials: (DataFrame, DataFrame, Option[Seq[String]],
+        Option[DataFrame], Boolean) => DataFrame,
+      exact: () => DataFrame): DataFrame = {
+    if (rows.isEmpty) return exact() // every term over the dial
+    val essCap = math.max(1L, (essentialDfFrac * nDocs).toLong)
+    def ubMicro(df: Long): Long = math.ceil(
+      math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+        * (k1 + 1.0) * 1000000.0).toLong
+    val perQid = rows.groupBy(_.get(0))
+    // per query: the essential set, the head upper-bound mass, the
+    // candidate-count bound (Σ essential df), and the head posting
+    // mass (Σ head df — what pass 2's gating would eliminate)
+    val plans = perQid.map { case (qid, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getString(1)))
+      val rarest = sorted.head.getString(1)
+      val ess = sorted.iterator.filter(_.getLong(2) <= essCap)
+        .map(_.getString(1)).toSet + rarest
+      val neSum = sorted.iterator.filter(r => !ess(r.getString(1)))
+        .map(r => ubMicro(r.getLong(2))).sum
+      val candBound = sorted.iterator.filter(r => ess(r.getString(1)))
+        .map(_.getLong(2)).sum
+      val headMass = sorted.iterator.filter(r => !ess(r.getString(1)))
+        .map(_.getLong(2)).sum
+      (qid, (ess, neSum, candBound, headMass))
+    }
+    // the COST GATE (see the entry-point scaladoc): engage only
+    // queries whose head mass is material and whose candidate set
+    // shrinks it; no query engaging → the single-pass plan IS the
+    // right plan
+    def engages(p: (Set[String], Long, Long, Long)): Boolean =
+      p._2 > 0L && p._4 >= gateMinHeadMass &&
+        p._3.toDouble <= gateCandFrac * p._4.toDouble
+    if (!plans.valuesIterator.exists(engages)) return exact()
+    // literal re-injection of the collected control rows: a LOCAL
+    // relation (bounded by maxControlRows; Catalyst sees its size, so
+    // the tiny query/dict sides broadcast into the postings joins)
+    // from which both passes draw their query pairs and dictionary
+    // slices without re-planning the dictionary fold
+    def litFrame(rs: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), qdfSchema)
+    def dictOf(rs: Seq[org.apache.spark.sql.Row]): DataFrame =
+      litFrame(rs.groupBy(_.getString(1)).map(_._2.head).toSeq)
+        .select("term", "df")
+    // ---- pass 1: exact essential-only sums for the queries that
+    // engage (pruned-scan pushdown narrowed to essential terms)
+    val pruneQids = plans.filter(p => engages(p._2)).keySet
+    val essRows = rows.filter(r =>
+      pruneQids(r.get(0)) && plans(r.get(0))._1(r.getString(1)))
+    val essTerms = essRows.map(_.getString(1)).distinct
+    def p1sums() = partials(litFrame(essRows).select("qid", "term"),
+        dictOf(essRows), Some(essTerms), None, false)
+      .groupBy("qid", "nid")
+      .agg(sum("partial").cast("double").as("cos"))
+    // ---- bounded control read #2: each query's k-th best pass-1 sum
+    val l1 = Similarity.rankTopK(p1sums(), k)
+      .filter(col("rank") === k).select("qid", "cos")
+      .collect().map(r => r.get(0) -> r.getDouble(1).toLong).toMap
+    val safeQids: Set[Any] = pruneQids.filter(q =>
+      l1.get(q).exists(_ > plans(q)._2)).toSet
+    if (safeQids.isEmpty) return exact() // no query verified — one pass
+    // ---- pass 2: safe queries score ALL their terms doc-gated to the
+    // pass-1 candidates; everyone else runs the exact ungated plan in
+    // the same job
+    val safeRows = rows.filter(r => safeQids(r.get(0)))
+    val otherRows = rows.filterNot(r => safeQids(r.get(0)))
+    val safeTerms = safeRows.map(_.getString(1)).distinct
+    val candDocs = p1sums()
+      .join(litFrame(safeRows).select("qid").distinct(),
+        Seq("qid"), "left_semi")
+      .select(col("nid").as("doc_id")).distinct()
+    val candBound = safeQids.iterator.map(q => plans(q)._3).sum
+    val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
+      dictOf(safeRows), Some(safeTerms), Some(candDocs),
+      candBound <= maxCandBroadcast)
+    val scored = if (otherRows.isEmpty) scoredSafe else {
+      val otherTerms = otherRows.map(_.getString(1)).distinct
+      scoredSafe.unionByName(partials(
+        litFrame(otherRows).select("qid", "term"), dictOf(otherRows),
+        Some(otherTerms), None, false))
+    }
+    Similarity.rankTopK(
+        scored.groupBy("qid", "nid")
+          .agg(sum("partial").cast("double").as("cos")), k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** [[bm25ShardedQuery]] with the MaxScore two-pass pruning of
+    * [[bm25QueryMaxScore]] — the sharded serving layer's head-term
+    * dial. The control plane stays the t32 shape: ONE global stats+df
+    * fold across the shard dictionaries ([[foldShardStats]]), one
+    * bounded control collect from the folded (therefore
+    * tombstone-corrected, dial-filtered) dictionary; both passes union
+    * per-shard [[partialsWith]] legs scored against the injected
+    * GLOBAL constants, so every per-(query, doc) sum is the
+    * whole-index value and the exactness argument of the single-index
+    * form carries over verbatim (doc-disjoint shards never split a
+    * document's sum). The candidate doc-gate applies per shard leg —
+    * each shard's head postings semi-join down to the candidates that
+    * live in THAT shard, which is exactly where the saved aggregate
+    * mass was. Same dials, same per-query fallback, same
+    * bit-identical-to-[[bm25ShardedQuery]] contract (gated at t45).
+    */
+  def bm25ShardedQueryMaxScore(spark: SparkSession, tables: Seq[String],
+                               queries: DataFrame, qidCol: String,
+                               textCol: String, k: Int,
+                               k1: Double = 1.2, b: Double = 0.75,
+                               maxDfFrac: Double = 1.0,
+                               essentialDfFrac: Double = 0.01,
+                               maxCandBroadcast: Long = 4L << 20,
+                               gateMinHeadMass: Long = 1L << 16,
+                               gateCandFrac: Double = 0.25): DataFrame = {
+    require(tables.nonEmpty,
+      "bm25ShardedQueryMaxScore needs at least one shard")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(essentialDfFrac > 0.0 && essentialDfFrac <= 1.0,
+      s"essentialDfFrac must be in (0, 1], got $essentialDfFrac")
+    require(k >= 1, s"k must be positive, got $k")
+    GraftFunctions.ensureRegistered(spark)
+    tables.foreach(healFold(spark, _))
+    def exact() = bm25ShardedQuery(spark, tables, queries, qidCol,
+      textCol, k, k1, b, maxDfFrac)
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    if (qterms.isEmpty) return exact()
+    // the t32 global fold: (N, avgdl) across shard stats, per-term df
+    // across shard dictionaries, stop-term dial applied to the FOLDED
+    // df — the collected control rows below need no further filtering
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+      maxDfFrac)
+    val qdf = qt.join(dict, Seq("term"))
+      .select(col("qid"), col("term"), col("df"))
+    val qdfRows = qdf.limit(maxControlRows + 1).collect()
+    if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exact()
+    maxScoreRank(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
+      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+      partials = (qtF, dictF, terms, docFilter, bcast) =>
+        tables.map(t => partialsWith(spark, t, qtF, k1, b, nDocs,
+            avgdl, dictF, terms, docFilter, bcast))
+          .reduce(_.unionByName(_)),
+      exact = () => exact())
+  }
+
   /** Multi-shard BM25 serving — the layout for a corpus whose index
     * cannot live in one table (measured: BASELINE.md round-15 — at 10⁸
     * docs the postings+positional index extrapolates to ~73 GB against

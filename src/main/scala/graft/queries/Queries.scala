@@ -1766,6 +1766,48 @@ object Queries {
       .orderBy("id")
   }
 
+  /** MaxScore dynamic-pruning gate
+    * ([[graft.operators.Retrieval.bm25QueryMaxScore]]): the t16 query
+    * batch served through the two-pass pruned plan — essential-term
+    * scoring, per-query threshold verification, head postings doc-gated
+    * to the candidates — must answer the FULL-BM25 oracle verbatim.
+    * Queries that fail verification fall back to the exact plan inside
+    * the same job, so every branch (safe, unsafe, all-essential) is
+    * under the same hash gate.
+    */
+  val t44_maxscore: Q = (s, d) => {
+    val table = s"bm25ms_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
+    // toy-scale gate dials (engage on any head mass): the PRUNED
+    // two-pass path is what answers the oracle here, not the cost
+    // gate's exact routing
+    Retrieval.bm25QueryMaxScore(s, table, bm25Queries(s, d), "qid",
+        "qtext", 5, essentialDfFrac = 0.05, gateMinHeadMass = 1L,
+        gateCandFrac = 1.0)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sharded MaxScore gate
+    * ([[graft.operators.Retrieval.bm25ShardedQueryMaxScore]]): the t32
+    * parity-shard layout served through the two-pass pruned plan —
+    * global stats fold, per-shard essential scoring, candidate gating
+    * across shard legs — against the same whole-corpus full-BM25
+    * oracle. Passing requires the pruning to be invisible AND the
+    * shard split to be invisible, simultaneously.
+    */
+  val t45_shardedmaxscore: Q = (s, d) => {
+    val t0 = s"shms0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shms1_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    Retrieval.bm25ShardedQueryMaxScore(s, Seq(t0, t1),
+        bm25Queries(s, d), "qid", "qtext", 5, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2537,6 +2579,8 @@ object Queries {
     "t41_splitlm" -> t41_splitlm,
     "t42_mergebm25" -> t42_mergebm25,
     "t43_mergelm" -> t43_mergelm,
+    "t44_maxscore" -> t44_maxscore,
+    "t45_shardedmaxscore" -> t45_shardedmaxscore,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -3905,6 +3949,8 @@ object Queries {
     // whole-corpus recomputation exactly — same oracles, run backwards.
     "t42_mergebm25" -> bm25OracleSql(),
     "t43_mergelm" -> lmWholeModelOracleSql,
+    "t44_maxscore" -> bm25OracleSql(),
+    "t45_shardedmaxscore" -> bm25OracleSql(),
 
     "f4_split" ->
       """SELECT doc_id,

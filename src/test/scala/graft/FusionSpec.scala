@@ -324,6 +324,16 @@ class FusionSpec extends AnyFunSuite {
           emb.filter(col("vec_id") % 2 =!= 0))), mode = mode))
       assert(sh === one, s"sharded hybrid ($mode) diverged from whole")
     }
+    // plan-parallel lexical leg (planPar > 0 routes through
+    // bm25ShardedQueryGrouped): identical fused rows
+    val one = rows(Fusion.hybridQuery(spark, whole, q,
+      "qid", "qtext", "qvec", 4, kPerLeg = 4, vecCorpus = Some(emb)))
+    val grouped = rows(Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
+      "qid", "qtext", "qvec", 4, kPerLeg = 4,
+      vecShards = Some(Seq(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0))), planPar = 2))
+    assert(grouped === one,
+      "plan-parallel lexical leg diverged from the lazy sharded hybrid")
   }
 
   test("hybridShardedSnippets == hybridSnippets on the union corpus") {

@@ -107,6 +107,86 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1.0) == run(0.4) && run(1.0).nonEmpty)
   }
 
+  test("bm25QueryMaxScore ≡ bm25Query: safe pruning, per-query fallback, " +
+       "sub-k candidates, tombstones, stop-term dial") {
+    // every doc carries the head terms aaa/bbb (df = N, near-zero ub),
+    // a rare w-term (df 4 — essential at the default dial), and a
+    // mid-df x-term (df ~17 — head, but with real upper-bound mass);
+    // doc 0 is head-only-heavy (high aaa tf) to catch wrongful pruning
+    val n = 120
+    val docsMS = (0 until n).map { i =>
+      (i.toLong, s"aaa bbb w${i % 30} x${i % 7}" +
+        (if (i == 0) " aaa aaa aaa" else ""))
+    }.toDF("doc_id", "text")
+    Retrieval.bm25Build(docsMS, "doc_id", "text", "bm25_spec_ms",
+      buckets = 2)
+    val q = Seq(
+      (1L, "aaa bbb w3"), // SAFE: tiny head ub < rare-term threshold
+      (2L, "aaa x2 x3"),  // unsafe: mid-df heads out-bound the rarest
+      (3L, "aaa bbb"),    // all-head boundary probe (rarest forced in)
+      (4L, "w5"),         // all-essential — nothing to prune
+      (5L, "zzzz aaa")    // unindexed term + head
+    ).toDF("qid", "qtext")
+    def exact(k: Int, frac: Double = 1.0) =
+      Retrieval.bm25Query(spark, "bm25_spec_ms", q, "qid", "qtext", k,
+        maxDfFrac = frac).as[(Long, Long, Long, Int)].collect().toSet
+    def ms(k: Int, ess: Double = 0.05, frac: Double = 1.0) =
+      Retrieval.bm25QueryMaxScore(spark, "bm25_spec_ms", q, "qid",
+        "qtext", k, essentialDfFrac = ess, maxDfFrac = frac,
+        // toy-scale gate dials: engage on ANY head mass so the pruned
+        // path (not the cost gate's exact routing) is what's tested
+        gateMinHeadMass = 1L, gateCandFrac = 1.0)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(ms(3) == exact(3) && ms(3).nonEmpty)
+    // k above the candidate counts → the <k-candidates per-query
+    // fallback must keep head-only docs (doc 0) rankable
+    assert(ms(10) == exact(10))
+    // dial extremes: everything essential (short-circuits to the exact
+    // single pass) and near-nothing essential (rarest-only sets)
+    assert(ms(3, ess = 1.0) == exact(3))
+    assert(ms(3, ess = 0.001) == exact(3))
+    // the bound must use the tombstone-CORRECTED df (corrections raise
+    // idf — a raw-df bound would under-estimate and prune wrongly)
+    Retrieval.bm25Delete(spark, "bm25_spec_ms",
+      docsMS.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    assert(ms(3) == exact(3) && ms(3).nonEmpty)
+    // stop-term dial drops over-cap terms BEFORE the essential split,
+    // exactly bm25Query's contract
+    assert(ms(3, frac = 0.5) == exact(3, frac = 0.5))
+  }
+
+  test("bm25ShardedQueryMaxScore ≡ bm25ShardedQuery ≡ whole-index " +
+       "exact, pruning and shard split both invisible") {
+    val n = 120
+    val docsMS = (0 until n).map { i =>
+      (i.toLong, s"aaa bbb w${i % 30} x${i % 7}" +
+        (if (i == 0) " aaa aaa aaa" else ""))
+    }.toDF("doc_id", "text")
+    Retrieval.bm25Build(docsMS.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "bm25_spec_sms0", buckets = 2)
+    Retrieval.bm25Build(docsMS.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", "bm25_spec_sms1", buckets = 2)
+    Retrieval.bm25Build(docsMS, "doc_id", "text", "bm25_spec_smsw",
+      buckets = 2)
+    val q = Seq((1L, "aaa bbb w3"), (2L, "aaa x2 x3"), (3L, "aaa bbb"),
+      (4L, "w5"), (5L, "zzzz aaa")).toDF("qid", "qtext")
+    val shards = Seq("bm25_spec_sms0", "bm25_spec_sms1")
+    def whole(k: Int) = Retrieval.bm25Query(spark, "bm25_spec_smsw", q,
+      "qid", "qtext", k).as[(Long, Long, Long, Int)].collect().toSet
+    def sms(k: Int) = Retrieval.bm25ShardedQueryMaxScore(spark, shards,
+      q, "qid", "qtext", k, essentialDfFrac = 0.05,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(sms(3) == whole(3) && sms(3).nonEmpty)
+    assert(sms(10) == whole(10)) // sub-k per-query fallback, sharded
+    // per-shard tombstones: the GLOBAL fold must drive bound + scores
+    Retrieval.bm25Delete(spark, "bm25_spec_sms0",
+      docsMS.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    Retrieval.bm25Delete(spark, "bm25_spec_smsw",
+      docsMS.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    assert(sms(3) == whole(3) && sms(3).nonEmpty)
+  }
+
   test("bm25PhraseQuery: consecutive-in-order matches only, scored like bm25Query") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),   // contains "alpha beta gamma"
