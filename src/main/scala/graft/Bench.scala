@@ -123,10 +123,14 @@ object Bench {
       "bench_bm25" -> (() => operators.Retrieval.bm25Query(spark,
         bm25Table, bm25Queries, "qid", "qtext", 5)),
       // the MaxScore two-pass pruned plan on the SAME index and batch
-      // as bench_bm25 (t44 serving path) — the delta between the two
-      // kernels is what dynamic pruning buys on the bench batch shape
+      // as bench_bm25 (the t44 serving path, t44's toy-scale gate
+      // dials so the TWO-PASS machinery is what's timed — the default
+      // gate would route this small corpus's batch to the exact leg
+      // and measure only control overhead)
       "bench_maxscore" -> (() => operators.Retrieval.bm25QueryMaxScore(
-        spark, bm25Table, bm25Queries, "qid", "qtext", 5)),
+        spark, bm25Table, bm25Queries, "qid", "qtext", 5,
+        essentialDfFrac = 0.05, gateMinHeadMass = 1L,
+        gateCandFrac = 1.0)),
       "bench_phrase" -> (() => operators.Retrieval.bm25PhraseQuery(spark,
         phraseTable, bm25Queries, "qid", "qtext", 5)),
       // NEAR proximity over the same standing positional index (order-

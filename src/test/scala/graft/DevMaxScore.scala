@@ -21,11 +21,17 @@ import graft.operators.Retrieval
   *
   * Each leg also asserts row-set equality exact-vs-pruned — a probe
   * that measured a wrong answer would be worse than no probe.
-  * `sbt "Test/runMain graft.DevMaxScore [nDocs]"`.
+  * `sbt "Test/runMain graft.DevMaxScore [nDocs] [batches-csv] [nq]"`
+  * — batches defaults to all four, nq to 100 (the 1e7 decade run uses
+  * `mixed,natural 25`: the exact legs there cost ~10 s/q).
   */
 object DevMaxScore {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val batchFilter: Set[String] = if (args.length > 1)
+      args(1).split(",").map(_.trim).toSet
+    else Set("mixed", "natural", "rare", "head")
+    val nqTarget = if (args.length > 2) args(2).toLong else 100L
     val spark = SparkSession.builder()
       .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,7 +74,7 @@ object DevMaxScore {
       headTerms.map { case (t, d) => s"$t(df=$d)" }.mkString(" "))
 
     // natural batch: DevRetrieval's first-3-tokens protocol
-    val natural = corpus.filter(col("doc_id") % (n / 100) === 0)
+    val natural = corpus.filter(col("doc_id") % (n / nqTarget) === 0)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
       .localCheckpoint()
@@ -93,7 +99,8 @@ object DevMaxScore {
       .localCheckpoint()
 
     for ((tag, q) <- Seq("mixed" -> mixed, "natural" -> natural,
-                         "rare" -> rare, "head" -> head)) {
+                         "rare" -> rare, "head" -> head)
+         if batchFilter(tag)) {
       val nq = q.count()
       if (nq == 0) println(s"[maxscore] $tag: empty batch, skipped")
       else {
