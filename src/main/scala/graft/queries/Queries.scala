@@ -1777,15 +1777,36 @@ object Queries {
     */
   val t44_maxscore: Q = (s, d) => {
     val table = s"bm25ms_${d.hashCode & Int.MaxValue}"
-    Retrieval.bm25Build(docs(s, d), "doc_id", "text", table)
-    // toy-scale gate dials (engage on any head mass): the PRUNED
-    // two-pass path is what answers the oracle here, not the cost
-    // gate's exact routing
-    Retrieval.bm25QueryMaxScore(s, table, bm25Queries(s, d), "qid",
-        "qtext", 5, essentialDfFrac = 0.05, gateMinHeadMass = 1L,
-        gateCandFrac = 1.0)
+    // `zzhead` appended to every doc (df = N) and to every query: the
+    // one term whose upper bound is provably negligible at ANY corpus
+    // size, so the threshold verification PASSES and the two-pass
+    // pruned plan — head postings doc-gated to essential candidates —
+    // is what answers the full-BM25 oracle (which replays the same
+    // corpus/query transform). Toy-scale dials neutralize the cost
+    // gate; queries with too few candidates still exercise the
+    // per-query exact fallback under the same hash.
+    Retrieval.bm25Build(maxScoreDocs(s, d), "doc_id", "text", table)
+    Retrieval.bm25QueryMaxScore(s, table, maxScoreQueries(s, d), "qid",
+        "qtext", 5, essentialDfFrac = 0.9, gateMinHeadMass = 1L,
+        gateCandFrac = 1000000.0)
       .orderBy("qid", "rnk")
   }
+
+  /** The t44/t45 corpus: every document with the guaranteed head term
+    * appended (see t44's note). */
+  private def maxScoreDocs(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" zzhead")).as("text"))
+
+  /** The t44/t45 queries: t16's first-3-tokens protocol (on the
+    * ORIGINAL text) + the guaranteed head term. */
+  private def maxScoreQueries(s: SparkSession, d: String) =
+    bm25Queries(s, d).select(col("qid"),
+      concat(col("qtext"), lit(" zzhead")).as("qtext"))
+
+  private val maxScoreQtExtra =
+    " UNION ALL SELECT doc_id AS qid, 'zzhead' AS term" +
+      " FROM documents WHERE doc_id % 50 = 0"
 
   /** Sharded MaxScore gate
     * ([[graft.operators.Retrieval.bm25ShardedQueryMaxScore]]): the t32
@@ -1798,13 +1819,15 @@ object Queries {
   val t45_shardedmaxscore: Q = (s, d) => {
     val t0 = s"shms0_${d.hashCode & Int.MaxValue}"
     val t1 = s"shms1_${d.hashCode & Int.MaxValue}"
-    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 === 0),
+    val c = maxScoreDocs(s, d)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", t0)
-    Retrieval.bm25Build(docs(s, d).filter(col("doc_id") % 2 =!= 0),
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
       "doc_id", "text", t1)
     Retrieval.bm25ShardedQueryMaxScore(s, Seq(t0, t1),
-        bm25Queries(s, d), "qid", "qtext", 5, essentialDfFrac = 0.05,
-        gateMinHeadMass = 1L, gateCandFrac = 1.0)
+        maxScoreQueries(s, d), "qid", "qtext", 5,
+        essentialDfFrac = 0.9, gateMinHeadMass = 1L,
+        gateCandFrac = 1000000.0)
       .orderBy("qid", "rnk")
   }
 
@@ -3070,10 +3093,19 @@ object Queries {
         |SELECT qid, id, fused_micro, rnk FROM final
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
-  private def bm25OracleSql(corpusWhere: String = ""): String = {
+  /** `textExpr`/`qtExtra`: the t44/t45 MaxScore gates index the corpus
+    * with a guaranteed head term appended to EVERY document
+    * (`text || ' zzhead'`, df = N) and add that term to every query —
+    * the deterministic way to make the two-pass pruned plan (not its
+    * exact fallback) be what answers the oracle at toy scale, where no
+    * natural term's upper bound is small enough to verify. The oracle
+    * replays the same transform. */
+  private def bm25OracleSql(corpusWhere: String = "",
+                            textExpr: String = "text",
+                            qtExtra: String = ""): String = {
     val where = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     s"""WITH toks AS (
-      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower($textExpr), '\\s+'),
       |    x -> length(x) > 0)) AS term
       |  FROM documents$where),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -3085,7 +3117,7 @@ object Queries {
       |  SELECT doc_id AS qid,
       |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |      x -> length(x) > 0), 1, 3)) AS term
-      |  FROM documents WHERE doc_id % 50 = 0)),
+      |  FROM documents WHERE doc_id % 50 = 0$qtExtra)),
       |scored AS (
       |  SELECT qt.qid, tf.doc_id,
       |    CAST(sum(CAST(round(
@@ -3949,8 +3981,10 @@ object Queries {
     // whole-corpus recomputation exactly — same oracles, run backwards.
     "t42_mergebm25" -> bm25OracleSql(),
     "t43_mergelm" -> lmWholeModelOracleSql,
-    "t44_maxscore" -> bm25OracleSql(),
-    "t45_shardedmaxscore" -> bm25OracleSql(),
+    "t44_maxscore" -> bm25OracleSql(textExpr = "text || ' zzhead'",
+      qtExtra = maxScoreQtExtra),
+    "t45_shardedmaxscore" -> bm25OracleSql(textExpr = "text || ' zzhead'",
+      qtExtra = maxScoreQtExtra),
 
     "f4_split" ->
       """SELECT doc_id,

@@ -48,7 +48,9 @@ object DevPlans {
       "t33_shardednear", "t34_shardedphrase",
       // r15 surface, second pass: the sharded vector/LM/hybrid family
       "sim12_shardedknn", "sim13_shardedivf", "sim14_shardedpq",
-      "t35_shardedlm", "t36_shardedhybrid", "t37_shardedhybridsnip")
+      "t35_shardedlm", "t36_shardedhybrid", "t37_shardedhybridsnip",
+      // r17 surface: MaxScore dynamic pruning (single + sharded)
+      "t44_maxscore", "t45_shardedmaxscore")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -106,7 +108,9 @@ object DevPlans {
       "sim14_shardedpq" -> "Per-shard codebooks trained on their own residuals; refined exact cosine makes scores globally comparable across differently-trained shards, so the merge needs no calibration.",
       "t35_shardedlm" -> "Counts are additive: per-shard folds stay bucket-local zero-exchange, only folded term-pruned rows cross shards, and V folds across vocab tables once per call (control-plane sized).",
       "t36_shardedhybrid" -> "Both legs sharded end-to-end (global-stats BM25 fold + exact vector merge) hand fusion the same bounded kPerLeg lists as one index — shard count never touches scores.",
-      "t37_shardedhybridsnip" -> "Passage argmax against the GLOBAL stats fold (never per-shard df) keeps snippets identical to one index; every shard's span pass is doc-gated by the same broadcast fused top-k, text joins strictly after fusion.")
+      "t37_shardedhybridsnip" -> "Passage argmax against the GLOBAL stats fold (never per-shard df) keeps snippets identical to one index; every shard's span pass is doc-gated by the same broadcast fused top-k, text joins strictly after fusion.",
+      "t44_maxscore" -> "MaxScore two-pass: the head terms' postings semi-join down to the essential candidates BEFORE the partial aggregate, so shuffle/agg mass tracks the rare terms' df, not the head lists (35.6x at 1e7, BASELINE) — both passes keep the pushed-term IN scans and the broadcast candidate gate.",
+      "t45_shardedmaxscore" -> "The t44 pruning under the t32 control plane: ONE global stats+df fold drives the threshold, each shard leg scores against injected global constants with the SAME broadcast candidate doc-gate — the saved head mass is per-shard, the control cost is O(1) jobs.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
