@@ -171,6 +171,18 @@ object Fusion {
     * the entire fusion working set), `maxDfFrac` passes through to the
     * BM25 leg's stop-term dial, `probeFrac` to whichever ANN leg
     * serves.
+    *
+    * `lexMaxScore` routes the lexical leg through
+    * [[Retrieval.bm25QueryMaxScore]] (the round-17 exact MaxScore
+    * pruning) at the given dials — bit-identical fused output (the
+    * pruned leg equals [[Retrieval.bm25Query]] by construction, gated
+    * at t44/t46), but a query batch mixing rare and head terms stops
+    * pushing the head terms' full posting lists through the scoring
+    * leg that the round-17 adjudication named as the hybrid's dominant
+    * lexical cost. EAGER when set (the MaxScore control plane collects
+    * its bounded (qid, term, df) and threshold rows at call time, like
+    * `planPar` on the sharded form); None keeps the lazy single-plan
+    * composition.
     */
   def hybridQuery(spark: SparkSession, bm25Table: String, queries: DataFrame,
                   qidCol: String, textCol: String, vecCol: String, k: Int,
@@ -183,16 +195,27 @@ object Fusion {
                   maxDfFrac: Double = 1.0,
                   mode: String = "rrf",
                   pqIndex: Option[String] = None,
-                  refineK: Int = 0): DataFrame = {
+                  refineK: Int = 0,
+                  lexMaxScore: Option[Retrieval.MaxScoreDials] = None)
+      : DataFrame = {
     require(Seq(pqIndex, vecIndex, vecCorpus).count(_.nonEmpty) == 1,
       "hybridQuery needs EXACTLY ONE vector leg: pqIndex (standing " +
         "IVFPQ), vecIndex (standing IVF) or vecCorpus (brute-force) — " +
         "a silent preference among several would mask a misconfiguration")
     require(mode == "rrf" || mode == "linear",
       s"""mode must be "rrf" or "linear", got "$mode"""")
-    val lex = Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
-        kPerLeg, maxDfFrac = maxDfFrac)
-      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
+    val lex = (lexMaxScore match {
+      case Some(dl) =>
+        Retrieval.bm25QueryMaxScore(spark, bm25Table, queries, qidCol,
+          textCol, kPerLeg, maxDfFrac = maxDfFrac,
+          essentialDfFrac = dl.essentialDfFrac,
+          maxCandBroadcast = dl.maxCandBroadcast,
+          gateMinHeadMass = dl.gateMinHeadMass,
+          gateCandFrac = dl.gateCandFrac)
+      case None =>
+        Retrieval.bm25Query(spark, bm25Table, queries, qidCol, textCol,
+          kPerLeg, maxDfFrac = maxDfFrac)
+    }).select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
         col("score_micro").cast("double").as("score"))
     val vec = ((pqIndex, vecIndex) match {
       case (Some(t), _) =>
@@ -245,10 +268,16 @@ object Fusion {
                          mode: String = "rrf",
                          pqIndexes: Option[Seq[String]] = None,
                          refineK: Int = 0,
-                         planPar: Int = 0): DataFrame = {
+                         planPar: Int = 0,
+                         lexMaxScore: Option[Retrieval.MaxScoreDials] = None)
+      : DataFrame = {
     require(bm25Tables.nonEmpty,
       "hybridShardedQuery needs at least one BM25 shard")
     require(planPar >= 0, s"planPar must be >= 0, got $planPar")
+    require(planPar == 0 || lexMaxScore.isEmpty,
+      "planPar and lexMaxScore both rewire the lexical leg " +
+        "(grouped plan-parallel vs MaxScore pruning) — pass one; a " +
+        "silent preference would mask a misconfiguration")
     require(Seq(pqIndexes, vecIndexes, vecShards).count(_.nonEmpty) == 1,
       "hybridShardedQuery needs EXACTLY ONE vector leg: pqIndexes " +
         "(standing IVFPQ shards), vecIndexes (standing IVF shards) or " +
@@ -263,14 +292,26 @@ object Fusion {
     // the high-S interactive-fusion form. EAGER on the lexical leg
     // (bounded kPerLeg·|queries| rows through the driver); 0 keeps the
     // lazy single-plan composition.
-    val lex = (if (planPar > 0)
+    // lexMaxScore routes the sharded lexical leg through
+    // [[Retrieval.bm25ShardedQueryMaxScore]] — bit-identical rows
+    // (t45/t47), head postings doc-gated to essential candidates per
+    // shard leg; EAGER like planPar (bounded control collects)
+    val lex = (lexMaxScore match {
+      case Some(dl) =>
+        Retrieval.bm25ShardedQueryMaxScore(spark, bm25Tables, queries,
+          qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac,
+          essentialDfFrac = dl.essentialDfFrac,
+          maxCandBroadcast = dl.maxCandBroadcast,
+          gateMinHeadMass = dl.gateMinHeadMass,
+          gateCandFrac = dl.gateCandFrac)
+      case None if planPar > 0 =>
         Retrieval.bm25ShardedQueryGrouped(spark, bm25Tables, queries,
           qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac,
           parallelism = planPar)
-      else
+      case None =>
         Retrieval.bm25ShardedQuery(spark, bm25Tables, queries,
-          qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac))
-      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
+          qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac)
+    }).select(col("qid"), col("doc_id").as("id"), col("rnk").as("rank"),
         col("score_micro").cast("double").as("score"))
     val vec = ((pqIndexes, vecIndexes) match {
       case (Some(ts), _) =>
@@ -324,11 +365,14 @@ object Fusion {
                      maxDfFrac: Double = 1.0,
                      mode: String = "rrf",
                      pqIndex: Option[String] = None,
-                     refineK: Int = 0): DataFrame = {
+                     refineK: Int = 0,
+                     lexMaxScore: Option[Retrieval.MaxScoreDials] = None)
+      : DataFrame = {
     require(context >= 0, s"context must be non-negative, got $context")
     val fused = hybridQuery(spark, bm25Table, queries, qidCol, textCol,
         vecCol, k, kPerLeg, rrfK, wLex, wVec, vecIndex, vecCorpus,
-        embIdCol, embVecCol, probeFrac, maxDfFrac, mode, pqIndex, refineK)
+        embIdCol, embVecCol, probeFrac, maxDfFrac, mode, pqIndex, refineK,
+        lexMaxScore)
       .select(col("qid"), col("id").as("doc_id"), col("fused_micro"),
         col("rnk"))
     val qt = queries
@@ -368,12 +412,14 @@ object Fusion {
                             mode: String = "rrf",
                             pqIndexes: Option[Seq[String]] = None,
                             refineK: Int = 0,
-                            planPar: Int = 0): DataFrame = {
+                            planPar: Int = 0,
+                            lexMaxScore: Option[Retrieval.MaxScoreDials] =
+                              None): DataFrame = {
     require(context >= 0, s"context must be non-negative, got $context")
     val fused = hybridShardedQuery(spark, bm25Tables, queries, qidCol,
         textCol, vecCol, k, kPerLeg, rrfK, wLex, wVec, vecIndexes,
         vecShards, embIdCol, embVecCol, probeFrac, maxDfFrac, mode,
-        pqIndexes, refineK, planPar)
+        pqIndexes, refineK, planPar, lexMaxScore)
       .select(col("qid"), col("id").as("doc_id"), col("fused_micro"),
         col("rnk"))
     val qt = queries

@@ -341,6 +341,18 @@ object Retrieval {
         col("rank").as("rnk"))
   }
 
+  /** The MaxScore dial bundle — the four cost dials of
+    * [[bm25QueryMaxScore]]/[[bm25ShardedQueryMaxScore]] as one value,
+    * for callers that ROUTE through the pruned entry points rather
+    * than call them directly (e.g. [[graft.operators.Fusion]]'s
+    * `lexMaxScore` leg selector). Defaults are the entry points'
+    * defaults; every dial is cost-only — any setting is exact.
+    */
+  case class MaxScoreDials(essentialDfFrac: Double = 0.01,
+                           maxCandBroadcast: Long = 4L << 20,
+                           gateMinHeadMass: Long = 1L << 16,
+                           gateCandFrac: Double = 0.25)
+
   /** [[bm25Query]] with EXACT MaxScore-style dynamic pruning (Turtle &
     * Flood, "Query evaluation: strategies and optimizations", IP&M
     * 1995 — the set-at-a-time batch form): results are bit-identical to

@@ -1831,6 +1831,61 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** The t44 forced-engagement dials as a [[graft.operators.Retrieval
+    * .MaxScoreDials]] bundle, shared by the hybrid MaxScore gates. */
+  private val maxScoreForcedDials = Retrieval.MaxScoreDials(
+    essentialDfFrac = 0.9, gateMinHeadMass = 1L, gateCandFrac = 1000000.0)
+
+  /** Hybrid fusion with the MAXSCORE lexical leg ([[graft.operators
+    * .Fusion.hybridQuery]] `lexMaxScore` — the round-17 pruned scoring
+    * leg routed through the fusion layer): t22's RRF fusion on the
+    * t44 zzhead corpus, the lexical top-5 answered by the two-pass
+    * pruned plan (the df = N head term's postings doc-gated to the
+    * essential candidates) and the vector leg exact brute force. The
+    * oracle replays the t22 fusion over the transformed corpus with
+    * FULL BM25 — passing requires the pruning to be invisible through
+    * the fusion arithmetic, not just through the lexical ranking.
+    */
+  val t46_hybridmaxscore: Q = (s, d) => {
+    val table = s"hybms_${d.hashCode & Int.MaxValue}"
+    Retrieval.bm25Build(maxScoreDocs(s, d), "doc_id", "text", table)
+    val emb = Tables.embeddings(s, d)
+    val q = maxScoreQueries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridQuery(s, table, q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecCorpus = Some(emb),
+        lexMaxScore = Some(maxScoreForcedDials))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Sharded-hybrid gate with the MAXSCORE lexical leg
+    * ([[graft.operators.Fusion.hybridShardedQuery]] `lexMaxScore`):
+    * t36's fully sharded fusion on the zzhead corpus, the lexical leg
+    * served by [[graft.operators.Retrieval.bm25ShardedQueryMaxScore]]
+    * (global stats fold + per-shard candidate gating) and the vector
+    * leg exact sharded brute force. Same whole-corpus oracle as t46 —
+    * the pruning AND the shard split must both be invisible through
+    * fusion, simultaneously.
+    */
+  val t47_shardedhybridmaxscore: Q = (s, d) => {
+    val t0 = s"shhm0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"shhm1_${d.hashCode & Int.MaxValue}"
+    val c = maxScoreDocs(s, d)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    val emb = Tables.embeddings(s, d)
+    val q = maxScoreQueries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedQuery(s, Seq(t0, t1), q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecShards = Some(Seq(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))),
+        lexMaxScore = Some(maxScoreForcedDials))
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2604,6 +2659,8 @@ object Queries {
     "t43_mergelm" -> t43_mergelm,
     "t44_maxscore" -> t44_maxscore,
     "t45_shardedmaxscore" -> t45_shardedmaxscore,
+    "t46_hybridmaxscore" -> t46_hybridmaxscore,
+    "t47_shardedhybridmaxscore" -> t47_shardedhybridmaxscore,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -2953,14 +3010,20 @@ object Queries {
   /** The t22/t27 hybrid-RRF oracle (shared: the IVFPQ gate runs at
     * probeFrac = 1.0 with corpus-covering refineK, so its vector leg
     * is the exact cosine leg and the RRF recomputation is identical).
+    * `textExpr`/`qtExtra` parameterize the t46/t47 MaxScore-leg twins
+    * exactly as [[bm25OracleSql]]'s do: the corpus indexes
+    * `text || ' zzhead'` and every query gains the guaranteed head
+    * term, so the two-pass pruned plan is what answers the fused
+    * oracle (the t44 protocol through the fusion layer).
     */
-  private val hybridRrfOracleSql: String =
-    """WITH qids AS (
+  private def hybridRrfOracleSqlWith(textExpr: String = "text",
+                                     qtExtra: String = ""): String =
+    s"""WITH qids AS (
       |  SELECT d.doc_id AS qid FROM documents d
       |  JOIN embeddings e ON e.vec_id = d.doc_id
       |  WHERE d.doc_id % 50 = 0),
       |toks AS (
-      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower($textExpr), '\\s+'),
       |    x -> length(x) > 0)) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -2970,9 +3033,9 @@ object Queries {
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |qt AS (SELECT DISTINCT qid, term FROM (
       |  SELECT doc_id AS qid,
-      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    unnest(list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |      x -> length(x) > 0), 1, 3)) AS term
-      |  FROM documents WHERE doc_id IN (SELECT qid FROM qids))),
+      |  FROM documents WHERE doc_id IN (SELECT qid FROM qids)$qtExtra)),
       |lexscored AS (
       |  SELECT qt.qid, tf.doc_id,
       |    CAST(sum(CAST(round(
@@ -3015,6 +3078,8 @@ object Queries {
       |    ORDER BY fused_micro DESC, id) AS INTEGER) AS rnk FROM fused)
       |SELECT qid, id, fused_micro, rnk FROM final
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private val hybridRrfOracleSql: String = hybridRrfOracleSqlWith()
 
   /** The t23/t39 hybrid-LINEAR oracle (shared: sharded linear fusion
     * over exact legs must equal the whole-corpus linear recomputation
@@ -3985,6 +4050,16 @@ object Queries {
       qtExtra = maxScoreQtExtra),
     "t45_shardedmaxscore" -> bm25OracleSql(textExpr = "text || ' zzhead'",
       qtExtra = maxScoreQtExtra),
+    // Hybrid fusion with the MaxScore lexical leg (t44 protocol through
+    // the fusion layer): the t22 RRF oracle over the zzhead corpus with
+    // FULL BM25 on the lexical leg — the pruning must be invisible
+    // through the fusion arithmetic, single-index and sharded alike.
+    "t46_hybridmaxscore" -> hybridRrfOracleSqlWith(
+      textExpr = "text || ' zzhead'",
+      qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
+    "t47_shardedhybridmaxscore" -> hybridRrfOracleSqlWith(
+      textExpr = "text || ' zzhead'",
+      qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
 
     "f4_split" ->
       """SELECT doc_id,

@@ -371,6 +371,58 @@ class FusionSpec extends AnyFunSuite {
       "fixture produced no lexical passages — the equality proved nothing")
   }
 
+  test("lexMaxScore leg: hybrid fusion identical to the exact lexical leg") {
+    val docs = spark.read.parquet(s"${SharedSpark.sfDir}/documents.parquet")
+      // the t44 zzhead protocol: a guaranteed df = N head term so the
+      // two-pass pruned plan (not its exact fallback) serves the leg
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zzhead")).as("text"))
+    val emb = spark.read.parquet(s"${SharedSpark.sfDir}/embeddings.parquet")
+    val q = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"),
+        concat(substring(lower(col("text")), 1, 30), lit(" zzhead"))
+          .as("qtext"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec")), "qid")
+    val n = System.nanoTime()
+    val (whole, s0, s1) = (s"hms_w_$n", s"hms_0_$n", s"hms_1_$n")
+    Retrieval.bm25Build(docs, "doc_id", "text", whole, buckets = 2)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    Retrieval.bm25Build(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val forced = Retrieval.MaxScoreDials(essentialDfFrac = 0.9,
+      gateMinHeadMass = 1L, gateCandFrac = 1e6)
+    // single index: MaxScore leg == exact leg through fusion, at the
+    // forced dials (pruned path) AND the defaults (gate may fall back
+    // per query — either branch must be invisible)
+    val exact = rows(Fusion.hybridQuery(spark, whole, q,
+      "qid", "qtext", "qvec", 4, kPerLeg = 4, vecCorpus = Some(emb)))
+    for (dials <- Seq(forced, Retrieval.MaxScoreDials())) {
+      val ms = rows(Fusion.hybridQuery(spark, whole, q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 4, vecCorpus = Some(emb),
+        lexMaxScore = Some(dials)))
+      assert(ms === exact, s"lexMaxScore($dials) changed the fusion")
+    }
+    // sharded: pruning and the shard split both invisible at once
+    val msSharded = rows(Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
+      "qid", "qtext", "qvec", 4, kPerLeg = 4,
+      vecShards = Some(Seq(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0))),
+      lexMaxScore = Some(forced)))
+    assert(msSharded === exact,
+      "sharded lexMaxScore fusion diverged from the whole-corpus exact")
+    // planPar and lexMaxScore both rewire the lexical leg: reject
+    intercept[IllegalArgumentException] {
+      Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
+        "qid", "qtext", "qvec", 4, kPerLeg = 4,
+        vecShards = Some(Seq(emb)), planPar = 2,
+        lexMaxScore = Some(forced))
+    }
+  }
+
   test("hybridShardedQuery: argument validation fails loudly") {
     val q = Seq((1L, "x", Array(1.0f))).toDF("qid", "qtext", "qvec")
     intercept[IllegalArgumentException] {

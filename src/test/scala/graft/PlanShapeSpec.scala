@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Fusion, Retrieval}
+
+/** Plan-MECHANISM assertions for the flagship serving paths — the t44
+  * lesson generalized: a hash-green gate proves the ANSWER, not that
+  * the intended machinery produced it (round 17's post-close audit
+  * found the first MaxScore gate timing its exact FALLBACK, hash-green
+  * and vacuous). These cases pin the mechanism itself in the executed
+  * plan, so a refactor that silently reroutes a pruned path to its
+  * fallback — same rows, wrong plan — fails a spec instead of waiting
+  * for a human plan audit:
+  *
+  *  - the query-term IN filter must REACH the postings scan (pushdown,
+  *    not post-scan filtering — the round-12 serving-cost mechanism);
+  *  - the MaxScore candidate gate must appear as a LeftSemi join when
+  *    the geometry verifies (single, sharded, and routed through
+  *    fusion), and must NOT appear when the entry point correctly
+  *    serves the exact leg;
+  *  - the candidate-gated plans must still aggregate bounded top-k
+  *    (no window sort reintroduced).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  /** The RetrievalSpec MaxScore corpus: head terms aaa/bbb on every
+    * doc (df = N, negligible ub), rare w-terms, mid-df x-terms. Query
+    * (1, "aaa bbb w3") VERIFIES (tiny head ub under the rare-term
+    * threshold) — the pruned two-pass plan, deterministically. */
+  private def msCorpus(n: Int = 120) = (0 until n).map { i =>
+    (i.toLong, s"aaa bbb w${i % 30} x${i % 7}")
+  }.toDF("doc_id", "text")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE wraps the physical plan in AdaptiveSparkPlanExec, whose
+    * TreeNode children do not include the inner plan — a `collect`
+    * over it silently matches nothing (a trivially-green assertion).
+    * Structural assertions build their plans with AQE off. String
+    * (`toString`) assertions are AQE-safe either way. */
+  private def withNoAqe[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bm25Query: the query-term IN filter reaches the postings scan") {
+    val t = s"plan_push_${System.nanoTime()}"
+    Retrieval.bm25Build(msCorpus(), "doc_id", "text", t, buckets = 2)
+    val q = Seq((1L, "aaa w3")).toDF("qid", "qtext")
+    val plan = planOf(Retrieval.bm25Query(spark, t, q, "qid", "qtext", 5))
+    assert(plan.contains(t), "no postings scan found in the plan")
+    assert(plan.contains("In(term"),
+      s"query-term IN filter not pushed into the postings scan:\n$plan")
+  }
+
+  test("bm25QueryMaxScore: verified geometry plans the LeftSemi " +
+       "candidate gate; exact routing plans none") {
+    val t = s"plan_ms_${System.nanoTime()}"
+    Retrieval.bm25Build(msCorpus(), "doc_id", "text", t, buckets = 2)
+    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+    // forced dials: the two-pass pruned plan must be what's returned,
+    // and its head-postings doc-gate is a LeftSemi join
+    val pruned = planOf(Retrieval.bm25QueryMaxScore(spark, t, q,
+      "qid", "qtext", 3, essentialDfFrac = 0.05,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0))
+    assert(pruned.contains("LeftSemi"),
+      s"MaxScore pruned path lost its candidate semi-join:\n$pruned")
+    // defaults at toy scale: the cost gate routes to the exact leg —
+    // whose plan must NOT carry a candidate gate (it would be paying
+    // semi-join cost with nothing to prune)
+    val exact = planOf(Retrieval.bm25QueryMaxScore(spark, t, q,
+      "qid", "qtext", 3))
+    assert(!exact.contains("LeftSemi"),
+      s"exact-routed MaxScore call still plans a semi-join:\n$exact")
+    // all-essential dial short-circuits to the single-pass plan too
+    val onePass = planOf(Retrieval.bm25QueryMaxScore(spark, t, q,
+      "qid", "qtext", 3, essentialDfFrac = 1.0,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0))
+    assert(!onePass.contains("LeftSemi"),
+      "all-essential split has no head terms yet planned a semi-join")
+  }
+
+  test("bm25ShardedQueryMaxScore: the candidate gate survives the " +
+       "shard union (every shard leg doc-gated)") {
+    val stamp = System.nanoTime()
+    val (s0, s1) = (s"plan_sms0_$stamp", s"plan_sms1_$stamp")
+    val c = msCorpus()
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+    val r = withNoAqe(Retrieval.bm25ShardedQueryMaxScore(spark,
+      Seq(s0, s1), q, "qid", "qtext", 3, essentialDfFrac = 0.05,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0))
+    val plan = withNoAqe(planOf(r))
+    assert(plan.contains("LeftSemi"),
+      s"sharded MaxScore lost its candidate semi-join:\n$plan")
+    // the gate applies per shard leg: each shard's postings scan sits
+    // under SOME LeftSemi (one gated leg going missing would silently
+    // push that shard's head postings ungated)
+    val semis = withNoAqe(r.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    })
+    assert(semis.nonEmpty,
+      s"no LeftSemi node collected — structural walk found nothing:\n$plan")
+    for (shard <- Seq(s0, s1)) {
+      assert(semis.exists(_.collectLeaves().exists(
+          _.toString.contains(shard))),
+        s"shard $shard's postings leg is not candidate-gated:\n$plan")
+    }
+  }
+
+  test("Fusion lexMaxScore: the candidate gate reaches the fused plan " +
+       "(the t46 mechanism, asserted not eyeballed)") {
+    val t = s"plan_fms_${System.nanoTime()}"
+    val c = msCorpus()
+    Retrieval.bm25Build(c, "doc_id", "text", t, buckets = 2)
+    val emb = c.select(col("doc_id").as("vec_id"),
+      array((col("doc_id") % 7).cast("float"), lit(1.0f)).as("embedding"))
+    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec")), "qid")
+    val fused = Fusion.hybridQuery(spark, t, q, "qid", "qtext", "qvec",
+      3, kPerLeg = 3, vecCorpus = Some(emb),
+      lexMaxScore = Some(Retrieval.MaxScoreDials(essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0)))
+    val plan = planOf(fused)
+    assert(plan.contains("LeftSemi"),
+      s"fused plan lost the MaxScore candidate gate:\n$plan")
+    // and the fusion tail is still the bounded top-k aggregate, not a
+    // window sort over the fused candidates
+    assert(!plan.contains("Window"),
+      s"fusion tail reintroduced a window sort:\n$plan")
+  }
+}
