@@ -344,6 +344,48 @@ object GraftFunctions {
     override def prettyName: String = "delta_enc"
   }
 
+  /** Codegen'd dense matrix-vector product `R · v` for a PLAN-CONSTANT
+    * row-major d×d matrix — the OPQ rotation kernel
+    * ([[graft.operators.ProductQuant.ivfPqBuild]] `opq = true`). The
+    * matrix rides as a reference object on the expression (the
+    * CmsProbe payload discipline: one deserialization per task), so a
+    * rotate is ONE kernel node per row instead of the d-way
+    * transform/slice/aggregate builtin chain over a d²-element literal
+    * — which carried d copies of the literal through the plan and
+    * roughly DOUBLED opq-build wall at d = 64 (measured; BASELINE.md
+    * OPQ section). Output: array<double>, length d.
+    */
+  case class MatVec(child: Expression, rot: Array[Double])
+      extends UnaryExpression {
+    private val dim = math.sqrt(rot.length.toDouble).toInt
+    require(dim * dim == rot.length,
+      s"mat_vec: matrix of ${rot.length} cells is not square")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    /** Public so generated code can call it. */
+    def mv(a: ArrayData): ArrayData = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val base = i * dim
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += rot(base + j) * a.getDouble(j); j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(v: Any): Any = mv(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mv", this, classOf[MatVec].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.mv($a);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "mat_vec"
+  }
+
   /** Inverse of [[DeltaEncode]]: running sum restores the absolute
     * sorted offsets. */
   case class DeltaDecode(child: Expression) extends UnaryExpression {
@@ -924,6 +966,8 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Number].intValue()))
     put("delta_enc")(es => DeltaEncode(es.head))
     put("delta_dec")(es => DeltaDecode(es.head))
+    put("mat_vec")(es => MatVec(es.head,
+      es(1).eval().asInstanceOf[ArrayData].toDoubleArray()))
     put("cms_probe")(es => CmsProbe(es.head,
       es(1).eval().asInstanceOf[Array[Byte]]))
     put("bloom_probe")(es => BloomProbe(es.head,
@@ -982,6 +1026,8 @@ object GraftFunctions {
     call_function("pq_adc_dot", codes, table, lit(ksub))
   def deltaEnc(sortedInts: Column): Column = call_function("delta_enc", sortedInts)
   def deltaDec(gaps: Column): Column = call_function("delta_dec", gaps)
+  def matVec(vec: Column, rot: Array[Double]): Column =
+    call_function("mat_vec", vec, lit(rot))
   def cmsProbe(value: Column, sketch: org.apache.spark.util.sketch.CountMinSketch): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(baos)

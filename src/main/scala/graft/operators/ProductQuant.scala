@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,213 @@ object ProductQuant {
   private[graft] def codebookKsub(cb: DataFrame): Int =
     cb.agg(max("code")).head().getInt(0) + 1
 
+  // ------------------------------------------------------------------
+  // OPQ: optimized (rotated) product quantization
+  // ------------------------------------------------------------------
+
+  /** Parametric OPQ rotation (Ge, He, Ke, Sun, CVPR 2013 "Optimized
+    * Product Quantization", §4 — the closed-form Gaussian solution, the
+    * variant faiss ships as `OPQMatrix` in its non-iterative mode):
+    * eigendecompose the corpus covariance, then allocate principal
+    * directions to the `m` subspaces so the PRODUCT of eigenvalues
+    * (the per-subspace variance "volume" the codebook must cover) is
+    * balanced — plain PQ cuts the raw dimensions into contiguous
+    * blocks, so on ANISOTROPIC embeddings (every real text/image
+    * embedding model) a few blocks soak up most of the variance and
+    * their 8-bit codebooks saturate while others quantize noise.
+    * Returns the row-major d×d rotation R (rows orthonormal: distinct
+    * eigenvectors of a symmetric matrix); `R·x` is the vector PQ sees.
+    *
+    * Rotation is a COST/RECALL transform only — exactness of the
+    * serving contract is untouched because [[ivfPqQuery]]'s refine
+    * stage re-ranks on the UNROTATED raw vectors (stored verbatim in
+    * `<table>_vecs`), so at covering refineK the output is bit-equal
+    * to the unrotated index's. What changes is how often the true
+    * neighbors survive the ADC cut at small refineK (measured in
+    * BASELINE.md's OPQ section; isotropic corpora gain ~nothing by
+    * construction — there is no variance imbalance to fix).
+    *
+    * Control-plane shapes: covariance accumulates on the driver from a
+    * bounded hash-threshold sample (≤ `sampleElems` array cells — the
+    * [[pqTrain]] sampling discipline; rotation quality converges long
+    * before that bound), and the Jacobi eigensolve is O(d³)·sweeps
+    * driver work — sub-second at d ≤ 256, and guarded at d ≤ 1024
+    * (~seconds; past that an iterative solver would be the tool).
+    */
+  private[graft] def opqRotation(vecs: DataFrame, idCol: String,
+                                 vecCol: String, m: Int, seed: Long = 42L,
+                                 sampleElems: Long = 1L << 22)
+      : Array[Double] = {
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val n = v.count()
+    require(n > 0, "opqRotation: empty corpus")
+    val dim = v.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0,
+      s"opqRotation: dimension $dim not divisible by m=$m")
+    require(dim <= 1024,
+      s"opqRotation: d=$dim exceeds the dense-eigensolve guard (1024)")
+    val dsub = dim / m
+    val maxRows = math.max(4L * dim, sampleElems / dim)
+    val rows = (if (n <= maxRows) v
+                else {
+                  val den = 1L << 20
+                  val thr = math.max(1L, den * maxRows / n)
+                  v.filter(pmod(xxhash64(col("id"), lit(seed + 7)),
+                    lit(den)) < lit(thr))
+                }).select("vec").collect()
+    val ns = rows.length
+    require(ns >= dim,
+      s"opqRotation: sample of $ns rows cannot estimate a $dim-dim " +
+        "covariance (need at least d rows)")
+    val xs = rows.map(_.getSeq[Double](0).toArray)
+    val mean = new Array[Double](dim)
+    for (x <- xs) {
+      var j = 0; while (j < dim) { mean(j) += x(j); j += 1 }
+    }
+    for (j <- 0 until dim) mean(j) /= ns
+    val cov = Array.ofDim[Double](dim, dim)
+    for (x <- xs) {
+      var i = 0
+      while (i < dim) {
+        val xi = x(i) - mean(i)
+        var j = i
+        while (j < dim) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= ns; cov(j)(i) = cov(i)(j)
+    }
+    val (eig, vecsM) = jacobiEigen(cov)
+    // eigen-balanced allocation: directions in descending-variance
+    // order, each to the (non-full) subspace with the smallest running
+    // log-product of assigned eigenvalues — CVPR'13's balanced-volume
+    // criterion, greedy (their Alg. is the same greedy on sorted λ)
+    val order = eig.indices.sortBy(i => -eig(i))
+    val logs = new Array[Double](m)
+    val fill = new Array[Int](m)
+    val assign = Array.ofDim[Int](m, dsub)
+    order.foreach { e =>
+      val s = (0 until m).filter(fill(_) < dsub).minBy(logs(_))
+      assign(s)(fill(s)) = e
+      fill(s) += 1
+      logs(s) += math.log(math.max(eig(e), 1e-12))
+    }
+    // R's row (s·dsub + t) is the eigenvector assigned to slot t of
+    // subspace s (eigenvectors are COLUMNS of the Jacobi V)
+    val rot = new Array[Double](dim * dim)
+    for (s <- 0 until m; t <- 0 until dsub) {
+      val e = assign(s)(t)
+      var j = 0
+      while (j < dim) {
+        rot((s * dsub + t) * dim + j) = vecsM(j)(e); j += 1
+      }
+    }
+    rot
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, V) with the eigenvectors as COLUMNS of V (V(j)(e) =
+    * component j of eigenvector e). Converges quadratically; 30 sweeps
+    * is far past machine precision for any d this module admits.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 30 && off() > 1e-20 * d * d) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // tan of the annihilating angle; θ=0 (equal diagonal) is
+            // the 45° rotation, t=1
+            val t = if (theta == 0.0) 1.0
+                    else math.signum(theta) /
+                      (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) { // right-multiply columns p, q
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) { // left-multiply rows p, q
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) { // accumulate the eigenvector columns
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** `R · v` through the codegen'd [[GraftFunctions.MatVec]] kernel —
+    * one expression node per rotate, the matrix as a task-level
+    * reference object. (The first cut unrolled d builtin
+    * slice→zip_with→aggregate chains over a d²-element literal; that
+    * shape carried d copies of the literal through every plan and
+    * measured a ~2× opq-build wall tax at d = 64 before the kernel
+    * replaced it.)
+    */
+  private def matVec(rot: Array[Double], dim: Int, v: Column): Column =
+    GraftFunctions.matVec(v, rot)
+
+  /** The persisted rotation of an OPQ-built index, if any — `_rot` is
+    * the presence signal (the `_pos` discipline: derived tables mark
+    * their own capabilities; one bounded one-row control read). */
+  private def rotationOf(spark: SparkSession, table: String)
+      : Option[(Int, Array[Double])] = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_rot")
+    if (!spark.sessionState.catalog.tableExists(ident)) None
+    else {
+      val r = spark.table(s"${table}_rot").head()
+      Some((r.getInt(0), r.getSeq[Double](1).toArray))
+    }
+  }
+
+  /** Rotate `vecCol`-style `nvec`/`qvec` frames when a rotation is
+    * present; identity otherwise. */
+  private def rotated(df: DataFrame, keep: Seq[String], vecCol: String,
+                      rot: Option[(Int, Array[Double])]): DataFrame =
+    rot match {
+      case Some((d0, r)) =>
+        df.select((keep.map(col) :+
+          matVec(r, d0, col(vecCol)).as(vecCol)): _*)
+      case None => df
+    }
+
   /** Encode a corpus: `(nid, codes binary, nrm double)` — one map-only
     * scan against the broadcast codebook, `m` bytes + one double per
     * row out.
@@ -269,24 +476,40 @@ object ProductQuant {
     * at 10¹⁰ vectors), identical table layout, so queries and appends
     * are unchanged.
     */
+  /** `opq = true` trains a parametric OPQ rotation ([[opqRotation]])
+    * and builds the ENTIRE quantized side — coarse centroids,
+    * residuals, codebook, codes — in the rotated space, while
+    * `<table>_vecs` keeps the UNROTATED raw vectors (the refine stage
+    * and every exactness contract are untouched; rotation only decides
+    * which candidates survive the ADC cut). The rotation persists as
+    * `<table>_rot` and every query/append against the index detects
+    * and applies it — callers never pass it again.
+    */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  table: String, m: Int = 8, ksub: Int = 0, nlist: Int = 0,
                  nassign: Int = 2, buckets: Int = 8, seed: Long = 42L,
                  pqIters: Int = 3, lloydIters: Int = 0,
-                 twoLevel: Boolean = false): Unit = {
+                 twoLevel: Boolean = false, opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.ensureRegistered(spark)
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val n = c.count()
+    val rotOpt = if (!opq) None else {
+      val dim = c.select(size(col("nvec"))).head().getInt(0)
+      Some((dim, opqRotation(c, "nid", "nvec", m, seed)))
+    }
+    // all quantized-side structure (centroids, residuals, codebook,
+    // codes) lives in the rotated space; `c` (and `_vecs`) stay raw
+    val cq = rotated(c, Seq("nid"), "nvec", rotOpt)
     val nl = if (nlist > 0) nlist
              else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val seeds = Similarity.seedCentroids(c, nl, n, seed)
+    val seeds = Similarity.seedCentroids(cq, nl, n, seed)
     val cents = if (lloydIters > 0)
-      Similarity.refineCentroids(c, seeds, lloydIters) else seeds
+      Similarity.refineCentroids(cq, seeds, lloydIters) else seeds
     val assigned = if (twoLevel)
-      Similarity.assignListsTwoLevel(c, cents, nassign, nlist = nl.toLong)
-    else Similarity.assignLists(c, cents, nassign)
+      Similarity.assignListsTwoLevel(cq, cents, nassign, nlist = nl.toLong)
+    else Similarity.assignLists(cq, cents, nassign)
     val res = withResiduals(assigned, cents)
     // train on the residual distribution (a multi-assigned vector
     // contributes one residual per list copy — each is a draw from the
@@ -309,13 +532,27 @@ object ProductQuant {
     BucketedJoin.writeBucketed(
       Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
       s"${table}_meta", "m", 1)
+    rotOpt match {
+      case Some((dim, rot)) =>
+        BucketedJoin.writeBucketed(
+          Seq((dim, rot.toSeq)).toDF("dim", "rot"), s"${table}_rot",
+          "dim", 1)
+      case None =>
+        // a rebuild WITHOUT opq over a prior OPQ index must drop the
+        // stale rotation — queries detect `_rot` by presence, and a
+        // leftover one would rotate queries against unrotated centroids
+        BucketedJoin.dropWithLocation(spark, s"${table}_rot")
+    }
     // Build-time coarse-assignment quality — [[ivfPqAppend]]'s drift
     // reference, as in [[Similarity.ivfBuild]]. The code lists carry no
     // vectors, so the WRITTEN (cid, nid) keys rejoin the id-bucketed raw
     // table: tiny key rows shuffle to the vectors, never the reverse.
+    // (`_vecs` is raw; the drift metric lives in the space the
+    // centroids live in, so rotate when OPQ-built.)
     val buildMean = Similarity.meanTop1Cos(
-      spark.table(table).select("cid", "nid")
-        .join(spark.table(s"${table}_vecs"), Seq("nid")),
+      rotated(spark.table(table).select("cid", "nid")
+          .join(spark.table(s"${table}_vecs"), Seq("nid")),
+        Seq("cid", "nid"), "nvec", rotOpt),
       spark.table(s"${table}_cents"))
     BucketedJoin.writeBucketed(
       Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
@@ -362,7 +599,11 @@ object ProductQuant {
       col(vecCol).cast("array<double>").as("nvec")).persist()
     try {
       val cents = spark.table(s"${table}_cents")
-      val assigned = Similarity.assignLists(c, cents, nassign)
+      // STANDING rotation too (the frozen-quantizer contract covers
+      // the OPQ rotation: codes must stay comparable to the standing
+      // codebook's space); `_vecs` keeps the raw rows below
+      val cq = rotated(c, Seq("nid"), "nvec", rotationOf(spark, table))
+      val assigned = Similarity.assignLists(cq, cents, nassign)
       // STANDING centroids, STANDING codebook — the frozen-quantizer
       // append; residuals are vs the same centroids the batch assigned to
       val enc = withResiduals(assigned, cents)
@@ -428,8 +669,20 @@ object ProductQuant {
                  spark.table(s"${table}_retrainmeta").head().getInt(0)
                else sys.error(s"ivfPqRetrain: ${table}_meta is gone and no " +
                  "retrain stash exists — pass m explicitly")
+    // an OPQ-built index retrains WITH a fresh rotation (the corpus
+    // the rotation summarizes is exactly what drifted). The answer
+    // must survive a crash AFTER `_rot` drops, so it rides the same
+    // stash as m — a resumed run reads the stash, never re-detects
+    // (an old two-less-column stash from a pre-OPQ build reads false,
+    // which is also what such an index was).
+    val hadRot = if (exists(s"${table}_rot")) true
+                 else if (exists(s"${table}_retrainmeta")) {
+                   val r = spark.table(s"${table}_retrainmeta").head()
+                   r.schema.fieldNames.contains("opq") &&
+                     r.getAs[Boolean]("opq")
+                 } else false
     import spark.implicits._
-    BucketedJoin.writeBucketed(Seq(mEff).toDF("m"),
+    BucketedJoin.writeBucketed(Seq((mEff, hadRot)).toDF("m", "opq"),
       s"${table}_retrainmeta", "m", 1)
     if (exists(vecs)) {
       spark.sql(s"ALTER TABLE $vecs RENAME TO $src")
@@ -440,11 +693,12 @@ object ProductQuant {
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     try {
       for (t <- Seq(table, s"${table}_cents", s"${table}_pq",
-                    s"${table}_meta", s"${table}_stats"); if exists(t))
+                    s"${table}_meta", s"${table}_stats",
+                    s"${table}_rot"); if exists(t))
         BucketedJoin.dropWithLocation(spark, t)
       ivfPqBuild(spark.table(src), "nid", "nvec", table, m = mEff,
         nassign = nassign, buckets = buckets, seed = seed,
-        pqIters = pqIters, lloydIters = lloydIters)
+        pqIters = pqIters, lloydIters = lloydIters, opq = hadRot)
     } catch {
       case t: Throwable =>
         // roll back only when the rebuilt raw table didn't land
@@ -523,18 +777,24 @@ object ProductQuant {
     val q0 = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val cbArr = broadcast(codebookArray(spark.table(s"${table}_pq")))
+    // OPQ-built index: probe and ADC-score in the ROTATED space (the
+    // space the centroids/codes live in); the refine stage below keeps
+    // the RAW query against the raw `_vecs` rows, so refined scores
+    // are bit-identical to an unrotated index's
+    val rotOpt = rotationOf(spark, table)
     // tombstoned docs leave results immediately (broadcast anti-join
     // over the code-list scan; cand is derived from it, so the refine
     // join never resurrects a deleted id). Physical rows go at fold.
     val lists = Tombstones.filterOut(spark, table, spark.table(table), "nid")
 
     def run(q: DataFrame): DataFrame = {
-      val tabs = q.crossJoin(cbArr)
+      val qr = rotated(q, Seq("qid"), "qvec", rotOpt)
+      val tabs = qr.crossJoin(cbArr)
         .select(col("qid"),
           GraftFunctions.pqAdcTable(col("qvec"), col("_cb"), m, ks).as("_tab"),
           sqrt(aggregate(col("qvec"), lit(0.0d),
             (acc, x) => acc + x * x)).as("qnrm"))
-      val probes0 = q.crossJoin(broadcast(Similarity.centroidArray(cents)))
+      val probes0 = qr.crossJoin(broadcast(Similarity.centroidArray(cents)))
         .select(col("qid"), col("qvec"),
           explode(GraftFunctions.ivfTopCents(col("qvec"), col("_cents"), np))
             .as("cid"))
@@ -662,8 +922,8 @@ object ProductQuant {
         s"splitShard: $parent does not exist (and no _splitdone marker " +
           "— nothing to resume)")
       Seq(parent, s"${parent}_vecs", s"${parent}_cents", s"${parent}_pq",
-          s"${parent}_meta", s"${parent}_stats")
-        .foreach(BucketedJoin.recoverCompacted(spark, _))
+          s"${parent}_meta", s"${parent}_stats", s"${parent}_rot")
+        .filter(exists).foreach(BucketedJoin.recoverCompacted(spark, _))
       boundary(0)
       val buckets = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(parent))
@@ -688,6 +948,11 @@ object ProductQuant {
         if (exists(s"${parent}_stats"))
           BucketedJoin.writeBucketed(spark.table(s"${parent}_stats"),
             s"${child}_stats", "built_n", 1)
+        // the OPQ rotation copies verbatim like the quantizer it
+        // parameterizes: children's codes were encoded in its space
+        if (exists(s"${parent}_rot"))
+          BucketedJoin.writeBucketed(spark.table(s"${parent}_rot"),
+            s"${child}_rot", "dim", 1)
         Tombstones.clear(spark, child)
       }
       build(child0, first)
@@ -698,7 +963,7 @@ object ProductQuant {
         "done", 1)
       boundary(3)
     }
-    for (s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats");
+    for (s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats", "_rot");
          t = parent + s if exists(t))
       BucketedJoin.dropWithLocation(spark, t)
     Tombstones.clear(spark, parent)
@@ -746,16 +1011,24 @@ object ProductQuant {
       val corpus = Seq(parent0, parent1).map { p =>
         Tombstones.filterOut(spark, p, spark.table(s"${p}_vecs"), "nid")
       }.reduce(_.unionByName(_))
+      // retrain-on-union keeps the family's quantization mode: the
+      // merge is OPQ iff parent0 is (a mode mismatch gets the
+      // mergedBucketCount treatment — proceed, but say so)
+      val opqEff = exists(s"${parent0}_rot")
+      if (opqEff != exists(s"${parent1}_rot"))
+        System.err.println(s"[graft] mergeShards: $parent0 and " +
+          s"$parent1 disagree on OPQ rotation — merging with " +
+          s"parent0's mode (opq=$opqEff)")
       ivfPqBuild(corpus, "nid", "nvec", merged, m = mEff,
         nassign = nassign, buckets = buckets, seed = seed,
-        pqIters = pqIters)
+        pqIters = pqIters, opq = opqEff)
       boundary(1)
       BucketedJoin.writeBucketed(spark.range(1).toDF("done"), marker,
         "done", 1)
       boundary(2)
     }
     for (p <- Seq(parent0, parent1);
-         s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats");
+         s <- Seq("", "_vecs", "_cents", "_pq", "_meta", "_stats", "_rot");
          t = p + s if exists(t))
       BucketedJoin.dropWithLocation(spark, t)
     Seq(parent0, parent1).foreach(Tombstones.clear(spark, _))

@@ -2227,6 +2227,38 @@ object Queries {
       .select("qid").orderBy("qid")
   }
 
+  /** OPQ gate ([[graft.operators.ProductQuant.ivfPqBuild]] `opq = true`
+    * — the rotated-quantizer variant): sim9's recall contract served
+    * through an index whose coarse centroids, codebook, and codes all
+    * live in the learned rotation's space while queries rotate at the
+    * ADC stage and the refine stage re-ranks on the UNROTATED raw
+    * vectors. The tight refineK keeps the gate MECHANISM-honest (the
+    * t44 lesson): if the query-side rotation, the rotated encode, or
+    * the rotation persistence broke, the ADC estimates turn to noise,
+    * the true neighbors miss the 50-candidate refine pool, and the
+    * ≥3/5 filter drops qids — a covering-refine gate would stay green
+    * through all of those breaks. On these hash-uniform (isotropic)
+    * embeddings OPQ ≈ PQ by construction; the recall WIN is measured
+    * on anisotropic corpora in BASELINE.md, the EXACTNESS (opq ≡ plain
+    * at covering refine) is spec-pinned in ProductQuantSpec.
+    */
+  val sim17_opq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val table = s"sim17_idx_${d.hashCode & Int.MaxValue}"
+    ProductQuant.ivfPqBuild(emb, "vec_id", "embedding", table, m = 16,
+      opq = true)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid")
+    val approx = ProductQuant.ivfPqQuery(s, table, q, "vec_id", "embedding",
+      5, refineK = 50)
+      .select("qid", "nid")
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3)
+      .select("qid").orderBy("qid")
+  }
+
   /** IVFPQ APPEND gate (sim7's grown-index contract for the quantized
     * index): build on the even vec_ids only — coarse centroids AND the
     * PQ codebook train on half the corpus — then absorb the odd half
@@ -2671,6 +2703,7 @@ object Queries {
     "sim14_shardedpq" -> sim14_shardedpq,
     "sim15_splitivf" -> sim15_splitivf,
     "sim16_mergeivf" -> sim16_mergeivf,
+    "sim17_opq" -> sim17_opq,
     "mm1_decode" -> mm1_decode, "mm2_image" -> mm2_image,
     "mm3_frames" -> mm3_frames, "mm4_audio" -> mm4_audio,
     "w1_tumbling" -> w1_tumbling,
@@ -4124,6 +4157,13 @@ object Queries {
         |FROM embeddings ORDER BY batch_id""".stripMargin,
 
     "sim9_ivfpq" ->
+      """SELECT DISTINCT vec_id AS qid FROM embeddings
+        |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    // OPQ-rotated IVFPQ: sim9's contract through the rotated quantizer
+    // (every qid keeps >= 3/5 of the exact top-5 at tight refineK —
+    // the mechanism-honest dial; see the gate's scaladoc).
+    "sim17_opq" ->
       """SELECT DISTINCT vec_id AS qid FROM embeddings
         |WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 

@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths}
   */
 object DevPlans {
   /** The one place the doc's provenance label lives — bump per regen. */
-  private val round = 15
+  private val round = 17
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -49,8 +49,10 @@ object DevPlans {
       // r15 surface, second pass: the sharded vector/LM/hybrid family
       "sim12_shardedknn", "sim13_shardedivf", "sim14_shardedpq",
       "t35_shardedlm", "t36_shardedhybrid", "t37_shardedhybridsnip",
-      // r17 surface: MaxScore dynamic pruning (single + sharded)
-      "t44_maxscore", "t45_shardedmaxscore")
+      // r17 surface: MaxScore dynamic pruning (single + sharded), the
+      // MaxScore-leg hybrid fusion, and the OPQ-rotated IVFPQ
+      "t44_maxscore", "t45_shardedmaxscore", "t46_hybridmaxscore",
+      "t47_shardedhybridmaxscore", "sim17_opq")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -110,7 +112,10 @@ object DevPlans {
       "t36_shardedhybrid" -> "Both legs sharded end-to-end (global-stats BM25 fold + exact vector merge) hand fusion the same bounded kPerLeg lists as one index — shard count never touches scores.",
       "t37_shardedhybridsnip" -> "Passage argmax against the GLOBAL stats fold (never per-shard df) keeps snippets identical to one index; every shard's span pass is doc-gated by the same broadcast fused top-k, text joins strictly after fusion.",
       "t44_maxscore" -> "MaxScore two-pass: the head terms' postings semi-join down to the essential candidates BEFORE the partial aggregate, so shuffle/agg mass tracks the rare terms' df, not the head lists (35.6x at 1e7, BASELINE) — both passes keep the pushed-term IN scans and the broadcast candidate gate.",
-      "t45_shardedmaxscore" -> "The t44 pruning under the t32 control plane: ONE global stats+df fold drives the threshold, each shard leg scores against injected global constants with the SAME broadcast candidate doc-gate — the saved head mass is per-shard, the control cost is O(1) jobs.")
+      "t45_shardedmaxscore" -> "The t44 pruning under the t32 control plane: ONE global stats+df fold drives the threshold, each shard leg scores against injected global constants with the SAME broadcast candidate doc-gate — the saved head mass is per-shard, the control cost is O(1) jobs.",
+      "t46_hybridmaxscore" -> "The MaxScore pruned plan as the hybrid's LEXICAL leg: the LeftSemi candidate gate sits under the fusion union, the vector leg is untouched, and the fused tail stays the bounded top-k aggregate — per-query fused mass is legs×kPerLeg rows no matter how big the head postings were.",
+      "t47_shardedhybridmaxscore" -> "t46 with BOTH legs sharded: per-shard gated scoring legs union under one global threshold fold; only per-term df rows, k·|queries| candidates, and the fused merge cross shards.",
+      "sim17_opq" -> "OPQ-rotated IVFPQ serving: queries pay ONE mat_vec kernel each (plan-constant matrix, no broadcast), then the plan is sim9's verbatim — probes shuffle TO the cid-bucketed code lists, ADC tables ride the qid-keyed broadcast, refine joins the raw (UNROTATED) id-bucketed table at refineK rows/query.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")

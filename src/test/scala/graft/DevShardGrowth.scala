@@ -48,7 +48,13 @@ object DevShardGrowth {
     }
 
     if (mode == "vec") { vecMain(spark, timeMedian, timed); return }
-    if (mode == "plan") { planMain(spark, timeMedian); return }
+    if (mode == "plan") {
+      // optional second arg: comma-separated shard counts (default the
+      // round-17 {2,8,32}; "64,100" extends to the O(100) decade)
+      val sList = if (args.length > 1)
+        args(1).split(",").map(_.trim.toInt).toSeq else Seq(2, 8, 32)
+      planMain(spark, timeMedian, sList); return
+    }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = Tables.documents(spark, sfDir)
@@ -112,14 +118,15 @@ object DevShardGrowth {
     * executors. sf0.001 corpora (builds cheap), S ∈ {2, 8, 32}: time
     * (a) executedPlan materialization alone, (b) end-to-end. */
   private def planMain(spark: SparkSession,
-                       timeMedian: (=> DataFrame) => Double): Unit = {
+                       timeMedian: (=> DataFrame) => Double,
+                       sList: Seq[Int]): Unit = {
     val sfDir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sfDir)
     val queries = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(operators.TextOps.tokens(lower(col("text"))),
           1, 3)).as("qtext"))
-    for (s <- Seq(2, 8, 32)) {
+    for (s <- sList) {
       val bmT = (0 until s).map { i =>
         val t = s"plang_bm${s}_$i"
         Retrieval.bm25Build(

@@ -328,6 +328,193 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(unchunked.nonEmpty)
   }
 
+  /** Strongly ANISOTROPIC corpus — the geometry OPQ exists for: all the
+    * variance lives in the FIRST four raw coordinates (= exactly the
+    * first PQ block at m = 4), the rest is near-noise. Contiguous-block
+    * PQ hands the whole signal to subspace 0's lone byte codebook;
+    * OPQ's eigen-balanced rotation spreads the four strong directions
+    * one per subspace. Deterministic integer-hash jitter.
+    */
+  /** splitmix64 finalizer → uniform in [-1, 1). Properly MIXED
+    * per-(i, j) randomness matters here: an affine integer hash
+    * (a·i + b·j mod m) — and even java.util.Random's FIRST draw from
+    * sequential seeds (a weakly-scrambled LCG) — make the signal
+    * coordinates correlate at 0.99+ across j, collapsing the fixture
+    * to rank-1 covariance, a different geometry entirely. */
+  private def mix01(z0: Long): Double = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+  }
+
+  private def anisoRow(i: Int): Array[Double] = {
+    def h(j: Int): Double = mix01(i.toLong * 131071L + j)
+    Array.tabulate(16)(j => if (j < 4) 10.0 * h(j) else 0.1 * h(j))
+  }
+
+  private def anisotropic(n: Int) =
+    (0 until n).map(i => (i.toLong, anisoRow(i))).toDF("vec_id", "embedding")
+
+  test("opqRotation: orthonormal rows; rotated variance balances " +
+       "across subspaces") {
+    val vecs = anisotropic(500)
+    val rot = ProductQuant.opqRotation(vecs, "vec_id", "embedding", m = 4)
+    val d = 16
+    assert(rot.length == d * d)
+    // rows orthonormal: R·Rᵀ = I
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => rot(i * d + k) * rot(j * d + k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9,
+        s"R·Rᵀ($i,$j) = $dot, want $want")
+    }
+    // per-subspace variance mass: raw data is maximally imbalanced
+    // (block 0 carries ~everything); the rotated view must spread it
+    val xs = vecs.select("embedding").as[Seq[Double]].collect()
+      .map(_.toArray)
+    def subVars(f: Array[Double] => Array[Double]): Seq[Double] = {
+      val ys = xs.map(f)
+      val mean = Array.tabulate(d)(j => ys.map(_(j)).sum / ys.length)
+      val v = Array.tabulate(d)(j =>
+        ys.map(y => (y(j) - mean(j)) * (y(j) - mean(j))).sum / ys.length)
+      (0 until 4).map(s => (0 until 4).map(t => v(s * 4 + t)).sum)
+    }
+    def imbalance(vs: Seq[Double]): Double = vs.max / math.max(vs.min, 1e-12)
+    val rawImb = imbalance(subVars(identity))
+    val rotImb = imbalance(subVars { x =>
+      Array.tabulate(d)(i =>
+        (0 until d).map(j => rot(i * d + j) * x(j)).sum)
+    })
+    assert(rawImb > 100.0, s"fixture lost its anisotropy (raw $rawImb)")
+    assert(rotImb < 2.0,
+      s"rotation failed to balance subspace variance (rot $rotImb)")
+  }
+
+  test("OPQ index: covering refine equals brute force and the plain " +
+       "index (rotation never touches exactness); _rot persists") {
+    val vecs = anisotropic(200)
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+    val (opqT, plainT) = ("pq_spec_opq", "pq_spec_opq_plain")
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", opqT,
+      m = 4, ksub = 8, nlist = 5, buckets = 2, opq = true)
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", plainT,
+      m = 4, ksub = 8, nlist = 5, buckets = 2)
+    val rotRow = spark.table(s"${opqT}_rot")
+      .as[(Int, Seq[Double])].head()
+    assert(rotRow._1 == 16 && rotRow._2.length == 256)
+    // raw refine table stays UNROTATED — byte-equal to the plain one
+    assert(spark.table(s"${opqT}_vecs").orderBy("nid")
+        .as[(Long, Seq[Double])].collect().toSeq ==
+      spark.table(s"${plainT}_vecs").orderBy("nid")
+        .as[(Long, Seq[Double])].collect().toSeq)
+    def rows(t: String) = ProductQuant.ivfPqQuery(spark, t, q,
+        "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 200)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(opqT) == exact, "OPQ covering refine diverged from exact")
+    assert(rows(plainT) == exact, "plain covering refine diverged")
+    // a rebuild WITHOUT opq over the same name must drop the rotation
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", opqT,
+      m = 4, ksub = 8, nlist = 5, buckets = 2)
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${opqT}_rot")),
+      "rebuild without opq left a stale _rot behind")
+  }
+
+  test("OPQ beats plain PQ recall at tight refine on anisotropic data; " +
+       "frozen-rotation append stays code-valid") {
+    val vecs = anisotropic(400)
+    val q = vecs.filter(col("vec_id") % 10 === 0)
+    val (opqT, plainT) = ("pq_spec_opqr", "pq_spec_opqr_plain")
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", opqT,
+      m = 4, ksub = 8, nlist = 4, buckets = 2, opq = true)
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", plainT,
+      m = 4, ksub = 8, nlist = 4, buckets = 2)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // tight refine (refineK = k): the ADC ranking IS the result pool —
+    // recall here reads quantization quality directly
+    def recall(t: String): Double = {
+      val got = ProductQuant.ivfPqQuery(spark, t, q,
+          "vec_id", "embedding", 5, probeFrac = 1.0, refineK = 5)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val (rOpq, rPlain) = (recall(opqT), recall(plainT))
+    assert(rOpq > rPlain + 0.05,
+      f"OPQ recall $rOpq%.3f did not beat plain $rPlain%.3f on the " +
+        "anisotropic fixture — the rotation is not doing its job")
+    // frozen-rotation append: absorbed rows encode in the STANDING
+    // rotation's space. Re-query each appended id for ITSELF at a tiny
+    // refine pool — junk codes (e.g. an unrotated encode) would sink
+    // the self-estimate below the pool cut
+    val more = (400 until 440).map(i => (i.toLong, anisoRow(i)))
+      .toDF("vec_id", "embedding")
+    val stats = ProductQuant.ivfPqAppend(spark, opqT, more,
+      "vec_id", "embedding")
+    // off-space discriminators (tight-pool self-rank rates are ±15%
+    // small-sample noise even between two BUILT id groups — measured —
+    // so they can't carry this assertion):
+    //  1. the drift stat compares the batch's mean top-1 centroid
+    //     cosine IN THE ROTATED SPACE against the build's — a batch
+    //     assigned unrotated against rotated centroids reads as
+    //     catastrophic drift;
+    assert(!stats.drifted && stats.batchMeanTop1Cos > 0.5,
+      s"appended batch reads as drifted ($stats) — the append path " +
+        "lost the standing rotation")
+    //  2. a generous 20-candidate ADC pool: quantization noise never
+    //     drops a self-match from it, junk (off-space) codes rank
+    //     self ~uniformly (P(top-20 of 440) ≈ 5%)
+    val self = ProductQuant.ivfPqQuery(spark, opqT, more,
+        "vec_id", "embedding", 4, probeFrac = 1.0, refineK = 20,
+        excludeSelf = false)
+      .filter(col("qid") === col("nid"))
+      .select("qid").as[Long].collect().size
+    assert(self >= 32,
+      s"only $self/40 appended ids rank themselves inside a " +
+        "20-candidate ADC pool — appended codes are off-space")
+  }
+
+  test("OPQ survives splitShard (rotation copies) and ivfPqRetrain " +
+       "(fresh rotation, mode kept)") {
+    import graft.operators.BucketedJoin
+    val vecs = anisotropic(300)
+    val parent = "pq_spec_opqsplit"
+    val (c0, c1) = (s"${parent}a", s"${parent}b")
+    BucketedJoin.dropWithLocation(spark, s"${parent}_splitdone")
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", parent,
+      m = 4, ksub = 8, nlist = 4, buckets = 2, opq = true)
+    val parentRot = spark.table(s"${parent}_rot")
+      .as[(Int, Seq[Double])].head()
+    ProductQuant.splitShard(spark, parent, c0, c1)
+    for (c <- Seq(c0, c1)) {
+      val childRot = spark.table(s"${c}_rot").as[(Int, Seq[Double])].head()
+      assert(childRot == parentRot, s"$c's rotation diverged from parent")
+    }
+    // children still serve (rotated ADC + raw refine), exactly at cover
+    val q = vecs.filter(col("vec_id") % 30 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val sharded = ProductQuant.ivfPqShardedQuery(spark, Seq(c0, c1), q,
+        "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 300)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(sharded == exact)
+    // retrain keeps the OPQ mode with a FRESH rotation
+    ProductQuant.ivfPqRetrain(spark, c0)
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${c0}_rot")),
+      "retrain dropped the OPQ mode")
+    for (c <- Seq(c0, c1))
+      Seq(c, s"${c}_vecs", s"${c}_cents", s"${c}_pq", s"${c}_meta",
+          s"${c}_stats", s"${c}_rot")
+        .foreach(BucketedJoin.dropWithLocation(spark, _))
+  }
+
   test("ivfPqQuery excludeSelf=false lets a resubmitted id match itself") {
     val vecs = clustered(40)
     val table = "pq_spec_self"
