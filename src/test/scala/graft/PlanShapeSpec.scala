@@ -117,6 +117,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ serving: the mat_vec rotation reaches the query plan " +
+       "exactly when the index is OPQ-built; refine scans the raw table") {
+    import graft.operators.ProductQuant
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 11) / 10.0))
+    }.toDF("vec_id", "embedding")
+    val (opqT, plainT) = (s"plan_opq_${System.nanoTime()}",
+      s"plan_opqp_${System.nanoTime()}")
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", opqT,
+      m = 2, ksub = 4, nlist = 3, buckets = 2, opq = true)
+    ProductQuant.ivfPqBuild(vecs, "vec_id", "embedding", plainT,
+      m = 2, ksub = 4, nlist = 3, buckets = 2)
+    // the query frame must come from a SOURCE, not a LocalRelation:
+    // Catalyst's ConvertToLocalRelation constant-folds mat_vec over
+    // in-memory rows at plan time (rotation applied, node invisible) —
+    // reading the index's own parquet raw table keeps the kernel
+    // where production query plans have it
+    def plan(t: String) = {
+      val q = spark.table(s"${t}_vecs")
+        .filter(col("nid") % 20 === 0)
+        .select(col("nid").as("vec_id"), col("nvec").as("embedding"))
+      planOf(ProductQuant.ivfPqQuery(spark, t, q,
+        "vec_id", "embedding", 3, probeFrac = 1.0))
+    }
+    val opqPlan = plan(opqT)
+    assert(opqPlan.contains("mat_vec"),
+      s"OPQ index served without the rotation kernel:\n$opqPlan")
+    assert(opqPlan.contains(s"${opqT}_vecs"),
+      "refine leg lost its raw-vector scan")
+    // the plain index must NOT pay a rotation it doesn't have
+    assert(!plan(plainT).contains("mat_vec"),
+      "plain index's query plan grew a rotation kernel")
+  }
+
   test("Fusion lexMaxScore: the candidate gate reaches the fused plan " +
        "(the t46 mechanism, asserted not eyeballed)") {
     val t = s"plan_fms_${System.nanoTime()}"
