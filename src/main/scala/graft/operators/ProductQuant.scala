@@ -191,8 +191,12 @@ object ProductQuant {
     * bounded hash-threshold sample (≤ `sampleElems` array cells — the
     * [[pqTrain]] sampling discipline; rotation quality converges long
     * before that bound), and the Jacobi eigensolve is O(d³)·sweeps
-    * driver work — sub-second at d ≤ 256, and guarded at d ≤ 1024
-    * (~seconds; past that an iterative solver would be the tool).
+    * driver work. MEASURED (DevOpq `rot` mode, 20k-row sample): 0.98 s
+    * at d = 64, 1.26 s at 256, **43.9 s at 768, 171 s at the d = 1024
+    * guard** — a one-time BUILD cost (queries/appends pay only
+    * `mat_vec`), acceptable on a maintenance cadence but not free:
+    * past the guard, or if minutes matter at 768+, an iterative
+    * top-k eigensolver is the tool.
     */
   private[graft] def opqRotation(vecs: DataFrame, idCol: String,
                                  vecCol: String, m: Int, seed: Long = 42L,

@@ -21,6 +21,7 @@ import graft.operators.{ProductQuant, Similarity}
   */
 object DevOpq {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rot")) { rotMain(); return }
     val n = if (args.length > 0) args(0).toInt else 200000
     val sig = if (args.length > 1) args(1).toInt else 8
     val m = if (args.length > 2) args(2).toInt else 8
@@ -87,6 +88,37 @@ object DevOpq {
       println(f"[opq] refineK=$rk%3d probe=$pf plain=${rp}%.3f " +
         f"(${tp}%.1fs) opq=${ro}%.3f (${to}%.1fs) " +
         f"delta=+${(ro - rp) * 100}%.1fpp")
+    }
+    spark.stop()
+  }
+
+  /** `rot` mode: pins the rotation-ESTIMATE cost claim across the
+    * dimension range real embedding models use — the scaladoc's
+    * "sub-second at d ≤ 256, seconds at 768, guarded at 1024" must be
+    * measured, not asserted. 20k rows each (the covariance sample cap
+    * binds anyway above d = 209 at the default 1<<22 element budget).
+    */
+  private def rotMain(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    for (d <- Seq(64, 256, 768, 1024)) {
+      val vecs = spark.range(20000).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array((0 until d).map(j =>
+          (pmod(xxhash64(col("id"), lit(j.toLong)), lit(1000L))
+            .cast("double") / lit(500.0)) - lit(1.0)): _*).as("embedding"))
+        .persist()
+      vecs.count()
+      val t0 = System.nanoTime()
+      val rot = graft.operators.ProductQuant.opqRotation(
+        vecs, "vec_id", "embedding", m = 8)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[rot] d=$d%4d wall=${wall}%.2fs cells=${rot.length}")
+      vecs.unpersist()
     }
     spark.stop()
   }
