@@ -1130,6 +1130,73 @@ class RefreshLoopSpec extends AnyFunSuite {
       "the crash-repair epoch leaked the vector into the wrong shard")
   }
 
+  test("OPQ family under the loop: rotated pqShards absorb with the " +
+       "FROZEN rotation, grown ≡ whole-built OPQ, _rot tables untouched") {
+    import graft.operators.{ProductQuant, Similarity}
+    def mkVecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    def clustered(i: Long): Seq[Double] = {
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.7
+      Array.tabulate(8)(j => base(j) + 0.01 * (((i * 31 + j * 7) % 11) - 5)).toSeq
+    }
+    val v110 = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val v111 = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val base = mkVecs((0L until 40L).map(i => (i, clustered(i))))
+    Similarity.lshIndexBuild(base, "vec_id", "embedding", "opql_lsh")
+    val nSh = 2
+    def slice(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.filter(RefreshLoop.shardOf($"vec_id", nSh) === i)
+    val pqS = (0 until nSh).map { i =>
+      val t = s"opql_pq$i"
+      ProductQuant.ivfPqBuild(slice(base, i), "vec_id", "embedding", t,
+        m = 2, ksub = 4, nlist = 4, buckets = 2, opq = true)
+      t
+    }
+    def rotRows() = pqS.map(t => spark.table(s"${t}_rot")
+      .as[(Int, Seq[Double])].head())
+    val rotBefore = rotRows()
+    val fn = RefreshLoop.embeddingBatch("opql_lsh", "vec_id", "embedding",
+      pqShards = Some(pqS)) { (_, _, _) => }
+    // epoch 2: an exact dup of corpus vec 1 plus two novel directions —
+    // the absorb must route through ivfPqAppend's STANDING-rotation path
+    fn(mkVecs(Seq((201L, clustered(1L)), (110L, v110), (111L, v111))), 2L)
+    for (t <- pqS; s <- Seq("", "_vecs"))
+      spark.catalog.refreshTable(t + s)
+    // the frozen-quantizer contract covers the rotation: absorbs never
+    // rewrite (or re-learn) _rot
+    assert(rotRows() == rotBefore,
+      "the loop's absorb touched a shard's OPQ rotation")
+    // loop-grown rotated shards ≡ one OPQ index built whole on the
+    // admitted corpus, at covering dials (refine is raw-exact, so the
+    // equality holds across DIFFERENT rotations — build vs grown)
+    val admitted = base.unionByName(mkVecs(Seq((110L, v110), (111L, v111))))
+    ProductQuant.ivfPqBuild(admitted, "vec_id", "embedding",
+      "opql_pq_oracle", m = 2, ksub = 4, nlist = 6, buckets = 2,
+      opq = true)
+    val queries = base.filter($"vec_id" % 10 === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rank").orderBy("qid", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    assert(rows(ProductQuant.ivfPqShardedQuery(spark, pqS, queries,
+        "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 64)) ===
+      rows(ProductQuant.ivfPqQuery(spark, "opql_pq_oracle", queries,
+        "vec_id", "embedding", 3, probeFrac = 1.0, refineK = 64)),
+      "loop-grown rotated shards diverge from the whole-built OPQ index")
+    // the novel rows landed as code rows exactly once per list, in the
+    // routed shard only
+    for (id <- Seq(110L, 111L)) {
+      val sh = Seq(id).toDF("id")
+        .select(RefreshLoop.shardOf($"id", nSh)).head().getLong(0).toInt
+      val codeRows = spark.table(pqS(sh)).filter($"nid" === id)
+      assert(codeRows.count() >= 1 &&
+        codeRows.count() == codeRows.select("cid").distinct().count(),
+        s"vector $id's code rows are missing or duplicated")
+      assert(spark.table(pqS(1 - sh)).filter($"nid" === id).count() == 0,
+        s"vector $id leaked into the wrong shard")
+    }
+  }
+
   test("sharded ADMISSION: the loop checks against and absorbs into a " +
        "shard family, routing doc-disjoint, replay effectively-once") {
     import graft.operators.Dedup
