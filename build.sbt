@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc diagnostic flags for the forked JVM (e.g. -Xlog:gc* during
+  // the round-18 heap-geometry bench adjudication) — space-separated
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

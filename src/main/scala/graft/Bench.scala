@@ -10,6 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Results are forced with a noop-sink write (count() would let Catalyst
   * drop sorts/projections; noop executes the full physical plan).
   *
+  * Adjudication instrumentation (round-18, VERDICT r17 asks #1/#2): the
+  * JSON additionally carries, per kernel, the warm-up wall(s), ALL timed
+  * run values (a 3-4x median breach must be distinguishable from one
+  * poisoned run), and the JVM GC seconds accrued during the kernel's
+  * timed runs (the round-17 driver-context divergence's prime suspect
+  * is heap/GC geometry: the driver runs this JVM at SPARK_DRIVER_MEM
+  * ~89g — 53.2 GiB block manager — while quiet closes used the 8g
+  * default). It also re-times the bench_ann calibrator mid-suite
+  * (after bench_maxscore's index build, i.e. immediately before the
+  * phrase/near block that diverged) and at suite end, and records
+  * heap geometry, so a hot/poisoned context is visible in the artifact
+  * of record instead of requiring a post-hoc judge re-run.
+  *
   * SPARK_GRAFT_BENCH_ONLY (comma-separated kernel names) restricts the
   * run — the adjudication dial for re-measuring one kernel quietly
   * without paying the whole suite (BASELINE.md bench_sort rulings).
@@ -19,15 +32,34 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  private def timeMedian(df: => DataFrame, warmups: Int = 1, runs: Int = 3): Double = {
-    (0 until warmups).foreach(_ => force(df))
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** One kernel measurement: warm-up wall(s), timed run walls, median,
+    * and GC seconds accrued across the timed runs only. */
+  private final case class Timing(median: Double, runs: Seq[Double],
+      warmups: Seq[Double], gcSec: Double)
+
+  private def timeKernel(df: => DataFrame, warmups: Int = 1, runs: Int = 3): Timing = {
+    val ws = (0 until warmups).map { _ =>
+      val t0 = System.nanoTime()
+      force(df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val gc0 = gcSeconds()
     val ts = (0 until runs).map { _ =>
       val t0 = System.nanoTime()
       force(df)
       (System.nanoTime() - t0) / 1e9
-    }.sorted
-    ts(runs / 2)
+    }
+    val gc = gcSeconds() - gc0
+    Timing(ts.sorted.apply(runs / 2), ts, ws, gc)
   }
+
+  private def fmt(d: Double): String = f"$d%.4f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,22 +222,57 @@ object Bench {
         kernels.filter(k => only(k._1))
       }
       .getOrElse(kernels)
+    // Mid-suite calibrator re-reads: the round-17 divergence hit the
+    // phrase/near/hybrid block while the SUITE-HEAD calibrator read calm;
+    // a calibrator sample taken right where the breach happens is the
+    // missing discriminator (box/JVM state vs kernel code).
+    val calibKernel: () => DataFrame = () => Q.sim1_knn(spark, sfDir)
+    val calibAfter = Set("bench_maxscore", "bench_hybrid")
+    val calibReads = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val suiteT0 = System.nanoTime()
+    val detail = scala.collection.mutable.ArrayBuffer[(String, Timing, Double)]()
     val results = selected.map { case (name, mk) =>
-      val t = try timeMedian(mk()) catch {
+      val at = (System.nanoTime() - suiteT0) / 1e9
+      val t = try {
+        val tm = timeKernel(mk())
+        detail += ((name, tm, at))
+        tm.median
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] KERNEL FAILED: $name — $e")
           e.printStackTrace()
           -1.0
       }
+      if (calibAfter(name) && selected.size > 3) {
+        // median of 3, no extra warm-up: the calibrator's standing state
+        // is already hot from the suite head (or deliberately NOT, in
+        // which case that is exactly the signal being measured)
+        val c = try timeKernel(calibKernel(), warmups = 0).median
+                catch { case _: Throwable => -1.0 }
+        calibReads += ((s"after_$name", c))
+      }
       name -> t
+    }
+    if (selected.size > 3) {
+      val c = try timeKernel(calibKernel(), warmups = 0).median
+              catch { case _: Throwable => -1.0 }
+      calibReads += (("suite_end", c))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val runsJson = detail.map { case (k, tm, at) =>
+      "\"" + k + "\":{\"warmup\":[" + tm.warmups.map(fmt).mkString(",") +
+        "],\"timed\":[" + tm.runs.map(fmt).mkString(",") +
+        "],\"gc_sec\":" + fmt(tm.gcSec) + ",\"at_sec\":" + fmt(at) + "}"
+    }.mkString("{", ",", "}")
+    val calibJson = calibReads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val heapGib = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsJson,"calibrators":$calibJson,"heap_max_gib":${fmt(heapGib)},"gc_total_sec":${fmt(gcSeconds())}}"""
     // stdout for humans, a file for the driver (sbt log noise makes the
     // stdout line hard to machine-parse)
     println(json)

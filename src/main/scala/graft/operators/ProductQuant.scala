@@ -337,17 +337,6 @@ object ProductQuant {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
-  /** `R · v` through the codegen'd [[GraftFunctions.MatVec]] kernel —
-    * one expression node per rotate, the matrix as a task-level
-    * reference object. (The first cut unrolled d builtin
-    * slice→zip_with→aggregate chains over a d²-element literal; that
-    * shape carried d copies of the literal through every plan and
-    * measured a ~2× opq-build wall tax at d = 64 before the kernel
-    * replaced it.)
-    */
-  private def matVec(rot: Array[Double], dim: Int, v: Column): Column =
-    GraftFunctions.matVec(v, rot)
-
   /** The persisted rotation of an OPQ-built index, if any — `_rot` is
     * the presence signal (the `_pos` discipline: derived tables mark
     * their own capabilities; one bounded one-row control read). */
@@ -367,8 +356,12 @@ object ProductQuant {
                       rot: Option[(Int, Array[Double])]): DataFrame =
     rot match {
       case Some((d0, r)) =>
+        // `R · v` through the codegen'd [[GraftFunctions.MatVec]] kernel —
+        // one expression node per rotate, the matrix as a task-level
+        // reference object (the unrolled builtin-chain first cut carried
+        // d copies of the d²-literal per plan: ~2× build tax at d = 64)
         df.select((keep.map(col) :+
-          matVec(r, d0, col(vecCol)).as(vecCol)): _*)
+          GraftFunctions.matVec(col(vecCol), r).as(vecCol)): _*)
       case None => df
     }
 
@@ -528,14 +521,13 @@ object ProductQuant {
         GraftFunctions.pqEncode(col("rvec"), col("_cb"), m, ks)
           .getField("codes").as("codes"),
         col("nrm"))
-    BucketedJoin.writeBucketed(enc, table, "cid", buckets)
-    BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
-    BucketedJoin.writeBucketed(cbook, s"${table}_pq", "sub", 1)
-    BucketedJoin.writeBucketed(c, s"${table}_vecs", "nid", buckets)
     import spark.implicits._
-    BucketedJoin.writeBucketed(
-      Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
-      s"${table}_meta", "m", 1)
+    // `_rot` lands BEFORE the core tables: rotationOf detects OPQ by
+    // `_rot` presence, so a crash after the code lists but before the
+    // rotation would otherwise leave a fully serveable index whose
+    // codes are rotated but whose queries/appends are not — a silent
+    // ADC-recall collapse. Written first, a torn build fails loudly on
+    // the missing `_meta`/code table instead.
     rotOpt match {
       case Some((dim, rot)) =>
         BucketedJoin.writeBucketed(
@@ -547,6 +539,13 @@ object ProductQuant {
         // leftover one would rotate queries against unrotated centroids
         BucketedJoin.dropWithLocation(spark, s"${table}_rot")
     }
+    BucketedJoin.writeBucketed(enc, table, "cid", buckets)
+    BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
+    BucketedJoin.writeBucketed(cbook, s"${table}_pq", "sub", 1)
+    BucketedJoin.writeBucketed(c, s"${table}_vecs", "nid", buckets)
+    BucketedJoin.writeBucketed(
+      Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
+      s"${table}_meta", "m", 1)
     // Build-time coarse-assignment quality — [[ivfPqAppend]]'s drift
     // reference, as in [[Similarity.ivfBuild]]. The code lists carry no
     // vectors, so the WRITTEN (cid, nid) keys rejoin the id-bucketed raw

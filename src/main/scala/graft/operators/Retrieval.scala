@@ -348,10 +348,20 @@ object Retrieval {
     * `lexMaxScore` leg selector). Defaults are the entry points'
     * defaults; every dial is cost-only — any setting is exact.
     */
-  case class MaxScoreDials(essentialDfFrac: Double = 0.01,
-                           maxCandBroadcast: Long = 4L << 20,
-                           gateMinHeadMass: Long = 1L << 16,
-                           gateCandFrac: Double = 0.25)
+  // The four MaxScore cost-dial defaults, defined ONCE — referenced by
+  // [[MaxScoreDials]] and both pruned entry points so a future change to
+  // one cannot silently diverge from the others (Fusion's
+  // `lexMaxScore = Some(MaxScoreDials())` is documented to mean "the
+  // entry points' defaults").
+  val DefaultEssentialDfFrac: Double = 0.01
+  val DefaultMaxCandBroadcast: Long = 4L << 20
+  val DefaultGateMinHeadMass: Long = 1L << 16
+  val DefaultGateCandFrac: Double = 0.25
+
+  case class MaxScoreDials(essentialDfFrac: Double = DefaultEssentialDfFrac,
+                           maxCandBroadcast: Long = DefaultMaxCandBroadcast,
+                           gateMinHeadMass: Long = DefaultGateMinHeadMass,
+                           gateCandFrac: Double = DefaultGateCandFrac)
 
   /** [[bm25Query]] with EXACT MaxScore-style dynamic pruning (Turtle &
     * Flood, "Query evaluation: strategies and optimizations", IP&M
@@ -420,10 +430,10 @@ object Retrieval {
                         textCol: String, k: Int,
                         k1: Double = 1.2, b: Double = 0.75,
                         maxDfFrac: Double = 1.0,
-                        essentialDfFrac: Double = 0.01,
-                        maxCandBroadcast: Long = 4L << 20,
-                        gateMinHeadMass: Long = 1L << 16,
-                        gateCandFrac: Double = 0.25): DataFrame = {
+                        essentialDfFrac: Double = DefaultEssentialDfFrac,
+                        maxCandBroadcast: Long = DefaultMaxCandBroadcast,
+                        gateMinHeadMass: Long = DefaultGateMinHeadMass,
+                        gateCandFrac: Double = DefaultGateCandFrac): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     require(essentialDfFrac > 0.0 && essentialDfFrac <= 1.0,
@@ -590,10 +600,10 @@ object Retrieval {
                                textCol: String, k: Int,
                                k1: Double = 1.2, b: Double = 0.75,
                                maxDfFrac: Double = 1.0,
-                               essentialDfFrac: Double = 0.01,
-                               maxCandBroadcast: Long = 4L << 20,
-                               gateMinHeadMass: Long = 1L << 16,
-                               gateCandFrac: Double = 0.25): DataFrame = {
+                               essentialDfFrac: Double = DefaultEssentialDfFrac,
+                               maxCandBroadcast: Long = DefaultMaxCandBroadcast,
+                               gateMinHeadMass: Long = DefaultGateMinHeadMass,
+                               gateCandFrac: Double = DefaultGateCandFrac): DataFrame = {
     require(tables.nonEmpty,
       "bm25ShardedQueryMaxScore needs at least one shard")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,

@@ -51,7 +51,9 @@ object DevOpq {
         s + h(23, col("id"), 1000 + j) * lit(0.05)
       }: _*).as("embedding")).persist()
     vecs.count()
-    val q = vecs.filter(col("vec_id") % (n / 100) === 0).persist()
+    // max(1, …): n is a CLI arg — n < 100 must select every row, not
+    // divide by zero inside a measurement tool
+    val q = vecs.filter(col("vec_id") % math.max(1L, n / 100) === 0).persist()
     val nq = q.count()
     println(s"[opq] corpus n=$n dim=$dim sig=$sig m=$m queries=$nq")
 
