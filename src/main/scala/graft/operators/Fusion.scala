@@ -274,10 +274,6 @@ object Fusion {
     require(bm25Tables.nonEmpty,
       "hybridShardedQuery needs at least one BM25 shard")
     require(planPar >= 0, s"planPar must be >= 0, got $planPar")
-    require(planPar == 0 || lexMaxScore.isEmpty,
-      "planPar and lexMaxScore both rewire the lexical leg " +
-        "(grouped plan-parallel vs MaxScore pruning) — pass one; a " +
-        "silent preference would mask a misconfiguration")
     require(Seq(pqIndexes, vecIndexes, vecShards).count(_.nonEmpty) == 1,
       "hybridShardedQuery needs EXACTLY ONE vector leg: pqIndexes " +
         "(standing IVFPQ shards), vecIndexes (standing IVF shards) or " +
@@ -295,8 +291,20 @@ object Fusion {
     // lexMaxScore routes the sharded lexical leg through
     // [[Retrieval.bm25ShardedQueryMaxScore]] — bit-identical rows
     // (t45/t47), head postings doc-gated to essential candidates per
-    // shard leg; EAGER like planPar (bounded control collects)
+    // shard leg; EAGER like planPar (bounded control collects).
+    // BOTH dials set compose (round 18, t48):
+    // [[Retrieval.bm25ShardedQueryMaxScoreGrouped]] runs each MaxScore
+    // pass as a plan-parallel grouped stage — grouped planning for the
+    // S ≥ 32 leg count, pruning for the per-leg scoring cost.
     val lex = (lexMaxScore match {
+      case Some(dl) if planPar > 0 =>
+        Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, bm25Tables,
+          queries, qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac,
+          essentialDfFrac = dl.essentialDfFrac,
+          maxCandBroadcast = dl.maxCandBroadcast,
+          gateMinHeadMass = dl.gateMinHeadMass,
+          gateCandFrac = dl.gateCandFrac,
+          parallelism = planPar)
       case Some(dl) =>
         Retrieval.bm25ShardedQueryMaxScore(spark, bm25Tables, queries,
           qidCol, textCol, kPerLeg, maxDfFrac = maxDfFrac,

@@ -190,13 +190,13 @@ object ProductQuant {
     * Control-plane shapes: covariance accumulates on the driver from a
     * bounded hash-threshold sample (≤ `sampleElems` array cells — the
     * [[pqTrain]] sampling discipline; rotation quality converges long
-    * before that bound), and the Jacobi eigensolve is O(d³)·sweeps
-    * driver work. MEASURED (DevOpq `rot` mode, 20k-row sample): 0.98 s
-    * at d = 64, 1.26 s at 256, **43.9 s at 768, 171 s at the d = 1024
-    * guard** — a one-time BUILD cost (queries/appends pay only
-    * `mat_vec`), acceptable on a maintenance cadence but not free:
-    * past the guard, or if minutes matter at 768+, an iterative
-    * top-k eigensolver is the tool.
+    * before that bound), and the eigensolve is O(d³) driver work:
+    * cyclic Jacobi up to d = 256 (sub-second there, round-17 pins
+    * unchanged), Householder tridiagonalization + implicit-shift QL
+    * ([[tridiagEigen]]) above it — Jacobi's O(d³·sweeps) constant
+    * measured 43.9 s at d = 768 and 171 s at d = 1024 (BASELINE.md
+    * round-17 rot table), which the round-18 switch retired along
+    * with the d ≤ 1024 guard (re-measured in BASELINE.md round-18).
     */
   private[graft] def opqRotation(vecs: DataFrame, idCol: String,
                                  vecCol: String, m: Int, seed: Long = 42L,
@@ -209,8 +209,6 @@ object ProductQuant {
     val dim = v.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0,
       s"opqRotation: dimension $dim not divisible by m=$m")
-    require(dim <= 1024,
-      s"opqRotation: d=$dim exceeds the dense-eigensolve guard (1024)")
     val dsub = dim / m
     val maxRows = math.max(4L * dim, sampleElems / dim)
     val rows = (if (n <= maxRows) v
@@ -243,7 +241,11 @@ object ProductQuant {
     for (i <- 0 until dim; j <- i until dim) {
       cov(i)(j) /= ns; cov(j)(i) = cov(i)(j)
     }
-    val (eig, vecsM) = jacobiEigen(cov)
+    // Jacobi below d = 256 (keeps every existing small-d pin bit-equal);
+    // the Householder+QL path above it, where Jacobi's sweep constant
+    // dominates (43.9 s at 768, 171 s at 1024 — the retired guard)
+    val (eig, vecsM) = if (dim <= 256) jacobiEigen(cov)
+                       else tridiagEigen(cov)
     // eigen-balanced allocation: directions in descending-variance
     // order, each to the (non-full) subspace with the smallest running
     // log-product of assigned eigenvalues — CVPR'13's balanced-volume
@@ -276,6 +278,161 @@ object ProductQuant {
     * component j of eigenvector e). Converges quadratically; 30 sweeps
     * is far past machine precision for any d this module admits.
     */
+  /** Dense symmetric eigendecomposition via Householder reduction to
+    * tridiagonal form followed by implicit-shift QL iteration — the
+    * classic O(d³)-with-small-constant pairing (Golub & Van Loan,
+    * "Matrix Computations" §8.3; the EISPACK TRED2/TQL2 lineage).
+    * Same contract as [[jacobiEigen]]: returns (eigenvalues, V) with
+    * the eigenvectors as COLUMNS of V (V(j)(e) = component j of
+    * eigenvector e), unsorted. Replaces Jacobi past d = 256, where the
+    * sweep constant made a one-time build step cost minutes.
+    */
+  private[graft] def tridiagEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val z = a0.map(_.clone())
+    val d = new Array[Double](n)
+    val e = new Array[Double](n)
+    // ---- Householder reduction: A = Q·T·Qᵀ, Q accumulated in z
+    var i = n - 1
+    while (i >= 1) {
+      val l = i - 1
+      var h = 0.0
+      if (l > 0) {
+        var scale = 0.0
+        var k = 0
+        while (k <= l) { scale += math.abs(z(i)(k)); k += 1 }
+        if (scale == 0.0) e(i) = z(i)(l)
+        else {
+          k = 0
+          while (k <= l) {
+            z(i)(k) /= scale; h += z(i)(k) * z(i)(k); k += 1
+          }
+          var f = z(i)(l)
+          var g = if (f >= 0.0) -math.sqrt(h) else math.sqrt(h)
+          e(i) = scale * g
+          h -= f * g
+          z(i)(l) = f - g
+          f = 0.0
+          var j = 0
+          while (j <= l) {
+            z(j)(i) = z(i)(j) / h
+            g = 0.0
+            k = 0
+            while (k <= j) { g += z(j)(k) * z(i)(k); k += 1 }
+            k = j + 1
+            while (k <= l) { g += z(k)(j) * z(i)(k); k += 1 }
+            e(j) = g / h
+            f += e(j) * z(i)(j)
+            j += 1
+          }
+          val hh = f / (h + h)
+          j = 0
+          while (j <= l) {
+            f = z(i)(j)
+            g = e(j) - hh * f
+            e(j) = g
+            k = 0
+            while (k <= j) {
+              z(j)(k) -= f * e(k) + g * z(i)(k); k += 1
+            }
+            j += 1
+          }
+        }
+      } else e(i) = z(i)(l)
+      d(i) = h
+      i -= 1
+    }
+    d(0) = 0.0; e(0) = 0.0
+    i = 0
+    while (i < n) {
+      val l = i - 1
+      if (d(i) != 0.0) {
+        var j = 0
+        while (j <= l) {
+          var g = 0.0
+          var k = 0
+          while (k <= l) { g += z(i)(k) * z(k)(j); k += 1 }
+          k = 0
+          while (k <= l) { z(k)(j) -= g * z(k)(i); k += 1 }
+          j += 1
+        }
+      }
+      d(i) = z(i)(i)
+      z(i)(i) = 1.0
+      var j = 0
+      while (j <= l) { z(j)(i) = 0.0; z(i)(j) = 0.0; j += 1 }
+      i += 1
+    }
+    // ---- implicit-shift QL on the tridiagonal, rotations folded into z
+    i = 1
+    while (i < n) { e(i - 1) = e(i); i += 1 }
+    e(n - 1) = 0.0
+    val eps = 2.220446049250313e-16
+    var l = 0
+    while (l < n) {
+      var iter = 0
+      var done = false
+      while (!done) {
+        var m = l
+        var found = false
+        while (m < n - 1 && !found) {
+          val dd = math.abs(d(m)) + math.abs(d(m + 1))
+          if (math.abs(e(m)) <= eps * dd) found = true else m += 1
+        }
+        if (m == l) done = true
+        else {
+          iter += 1
+          require(iter <= 60,
+            s"tridiagEigen: QL failed to converge at row $l")
+          var g = (d(l + 1) - d(l)) / (2.0 * e(l))
+          var r = math.hypot(g, 1.0)
+          g = d(m) - d(l) + e(l) / (g + (if (g >= 0.0) math.abs(r)
+                                         else -math.abs(r)))
+          var s2 = 1.0
+          var c = 1.0
+          var p = 0.0
+          var ii = m - 1
+          var underflow = false
+          while (ii >= l && !underflow) {
+            var f = s2 * e(ii)
+            val b = c * e(ii)
+            r = math.hypot(f, g)
+            e(ii + 1) = r
+            if (r == 0.0) {
+              d(ii + 1) -= p
+              e(m) = 0.0
+              underflow = true
+            } else {
+              s2 = f / r
+              c = g / r
+              g = d(ii + 1) - p
+              r = (d(ii) - g) * s2 + 2.0 * c * b
+              p = s2 * r
+              d(ii + 1) = g + p
+              g = c * r - b
+              var k = 0
+              while (k < n) {
+                f = z(k)(ii + 1)
+                z(k)(ii + 1) = s2 * z(k)(ii) + c * f
+                z(k)(ii) = c * z(k)(ii) - s2 * f
+                k += 1
+              }
+              ii -= 1
+            }
+          }
+          if (!(underflow && ii >= l)) {
+            d(l) -= p
+            e(l) = g
+            e(m) = 0.0
+          }
+        }
+      }
+      l += 1
+    }
+    (d, z)
+  }
+
   private def jacobiEigen(a0: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length

@@ -485,25 +485,24 @@ object Retrieval {
     * way, the t32 argument). `exact` is the caller's untouched
     * single-pass plan, returned whenever nothing engages or verifies.
     */
-  private def maxScoreRank(spark: SparkSession,
-      rows: Seq[org.apache.spark.sql.Row],
-      qdfSchema: org.apache.spark.sql.types.StructType,
-      k: Int, k1: Double, nDocs: Long,
-      essentialDfFrac: Double, maxCandBroadcast: Long,
-      gateMinHeadMass: Long, gateCandFrac: Double,
-      partials: (DataFrame, DataFrame, Option[Seq[String]],
-        Option[DataFrame], Boolean) => DataFrame,
-      exact: () => DataFrame): DataFrame = {
-    if (rows.isEmpty) return exact() // every term over the dial
+  /** One query's MaxScore plan facts, computed from the bounded
+    * (qid, term, df) control rows: the essential term set (df ≤
+    * essCap, always at least the rarest term), the head terms' summed
+    * score upper bound in micro-units (`neSum` — what pass 1's k-th
+    * best must beat), the candidate-count bound (Σ essential df), and
+    * the head posting mass (Σ head df — what pass 2's doc gate
+    * eliminates). */
+  private final case class MsPlan(ess: Set[String], neSum: Long,
+                                  candBound: Long, headMass: Long)
+
+  private def maxScorePlans(rows: Seq[org.apache.spark.sql.Row],
+                            nDocs: Long, k1: Double,
+                            essentialDfFrac: Double): Map[Any, MsPlan] = {
     val essCap = math.max(1L, (essentialDfFrac * nDocs).toLong)
     def ubMicro(df: Long): Long = math.ceil(
       math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
         * (k1 + 1.0) * 1000000.0).toLong
-    val perQid = rows.groupBy(_.get(0))
-    // per query: the essential set, the head upper-bound mass, the
-    // candidate-count bound (Σ essential df), and the head posting
-    // mass (Σ head df — what pass 2's gating would eliminate)
-    val plans = perQid.map { case (qid, rs) =>
+    rows.groupBy(_.get(0)).map { case (qid, rs) =>
       val sorted = rs.sortBy(r => (r.getLong(2), r.getString(1)))
       val rarest = sorted.head.getString(1)
       val ess = sorted.iterator.filter(_.getLong(2) <= essCap)
@@ -514,15 +513,32 @@ object Retrieval {
         .map(_.getLong(2)).sum
       val headMass = sorted.iterator.filter(r => !ess(r.getString(1)))
         .map(_.getLong(2)).sum
-      (qid, (ess, neSum, candBound, headMass))
+      (qid, MsPlan(ess, neSum, candBound, headMass))
     }
-    // the COST GATE (see the entry-point scaladoc): engage only
-    // queries whose head mass is material and whose candidate set
-    // shrinks it; no query engaging → the single-pass plan IS the
-    // right plan
-    def engages(p: (Set[String], Long, Long, Long)): Boolean =
-      p._2 > 0L && p._4 >= gateMinHeadMass &&
-        p._3.toDouble <= gateCandFrac * p._4.toDouble
+  }
+
+  /** The COST GATE (entry-point scaladocs): a query engages the
+    * two-pass plan only when its head mass is material and its
+    * candidate set shrinks it; no query engaging → the single-pass
+    * plan IS the right plan. */
+  private def msEngages(p: MsPlan, gateMinHeadMass: Long,
+                        gateCandFrac: Double): Boolean =
+    p.neSum > 0L && p.headMass >= gateMinHeadMass &&
+      p.candBound.toDouble <= gateCandFrac * p.headMass.toDouble
+
+  private def maxScoreRank(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      qdfSchema: org.apache.spark.sql.types.StructType,
+      k: Int, k1: Double, nDocs: Long,
+      essentialDfFrac: Double, maxCandBroadcast: Long,
+      gateMinHeadMass: Long, gateCandFrac: Double,
+      partials: (DataFrame, DataFrame, Option[Seq[String]],
+        Option[DataFrame], Boolean) => DataFrame,
+      exact: () => DataFrame): DataFrame = {
+    if (rows.isEmpty) return exact() // every term over the dial
+    val plans = maxScorePlans(rows, nDocs, k1, essentialDfFrac)
+    def engages(p: MsPlan): Boolean =
+      msEngages(p, gateMinHeadMass, gateCandFrac)
     if (!plans.valuesIterator.exists(engages)) return exact()
     // literal re-injection of the collected control rows: a LOCAL
     // relation (bounded by maxControlRows; Catalyst sees its size, so
@@ -538,7 +554,7 @@ object Retrieval {
     // engage (pruned-scan pushdown narrowed to essential terms)
     val pruneQids = plans.filter(p => engages(p._2)).keySet
     val essRows = rows.filter(r =>
-      pruneQids(r.get(0)) && plans(r.get(0))._1(r.getString(1)))
+      pruneQids(r.get(0)) && plans(r.get(0)).ess(r.getString(1)))
     val essTerms = essRows.map(_.getString(1)).distinct
     def p1sums() = partials(litFrame(essRows).select("qid", "term"),
         dictOf(essRows), Some(essTerms), None, false)
@@ -549,7 +565,7 @@ object Retrieval {
       .filter(col("rank") === k).select("qid", "cos")
       .collect().map(r => r.get(0) -> r.getDouble(1).toLong).toMap
     val safeQids: Set[Any] = pruneQids.filter(q =>
-      l1.get(q).exists(_ > plans(q)._2)).toSet
+      l1.get(q).exists(_ > plans(q).neSum)).toSet
     if (safeQids.isEmpty) return exact() // no query verified — one pass
     // ---- pass 2: safe queries score ALL their terms doc-gated to the
     // pass-1 candidates; everyone else runs the exact ungated plan in
@@ -561,7 +577,7 @@ object Retrieval {
       .join(litFrame(safeRows).select("qid").distinct(),
         Seq("qid"), "left_semi")
       .select(col("nid").as("doc_id")).distinct()
-    val candBound = safeQids.iterator.map(q => plans(q)._3).sum
+    val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
     val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
       dictOf(safeRows), Some(safeTerms), Some(candDocs),
       candBound <= maxCandBroadcast)
@@ -636,6 +652,173 @@ object Retrieval {
             avgdl, dictF, terms, docFilter, bcast))
           .reduce(_.unionByName(_)),
       exact = () => exact())
+  }
+
+  /** [[bm25ShardedQueryMaxScore]] × [[bm25ShardedQueryGrouped]] — the
+    * round-18 composition the 100 TB serving story needs at high S:
+    * plan-parallel grouped legs (the S ≥ 32 planning-cost fix, round
+    * 17's superlinear-in-S measurement) AND MaxScore head-term pruning
+    * (the per-leg scoring-cost fix) on the SAME query batch. Until
+    * this entry the two dials were mutually exclusive
+    * (Fusion loudly rejected the pair).
+    *
+    * Mechanism: the control plane is [[bm25ShardedQueryMaxScore]]'s
+    * verbatim (ONE global stats+df fold, one bounded control collect,
+    * per-query plans and the cost gate computed from GLOBAL df) —
+    * then each of the two passes runs as a plan-parallel grouped
+    * stage ([[groupedTopKRows]]): every shard group plans its own
+    * essential-sum (pass 1) and candidate-gated full-sum (pass 2)
+    * legs in its own driver thread and collects an exact group-local
+    * top-k. Exactness composes from the two standing arguments:
+    *  - doc-disjoint shards never split a (query, doc) sum, so a
+    *    group's per-doc sums are the whole-index values and a group
+    *    top-k preserves every global winner (the
+    *    [[bm25ShardedQueryGrouped]] merge argument) — applied to
+    *    pass 1, the merged per-query k-th best IS the global k-th
+    *    best essential-only score, the only fact the MaxScore
+    *    threshold verification reads;
+    *  - the pass-2 candidate gate is per-group the intersection of
+    *    the global candidate set with the group's docs (again
+    *    disjointness), so gating each group's head postings by its
+    *    OWN pass-1 candidates equals the single-plan form's global
+    *    gate.
+    * Per-query fallback, dial semantics, and the bit-identical-to-
+    * [[bm25ShardedQuery]] contract all carry over (gated at t48).
+    * EAGER like the grouped entries (bounded collects: queries·k rows
+    * per group per pass).
+    */
+  def bm25ShardedQueryMaxScoreGrouped(spark: SparkSession,
+                                      tables: Seq[String],
+                                      queries: DataFrame, qidCol: String,
+                                      textCol: String, k: Int,
+                                      k1: Double = 1.2, b: Double = 0.75,
+                                      maxDfFrac: Double = 1.0,
+                                      essentialDfFrac: Double =
+                                        DefaultEssentialDfFrac,
+                                      maxCandBroadcast: Long =
+                                        DefaultMaxCandBroadcast,
+                                      gateMinHeadMass: Long =
+                                        DefaultGateMinHeadMass,
+                                      gateCandFrac: Double =
+                                        DefaultGateCandFrac,
+                                      parallelism: Int = 8): DataFrame = {
+    require(tables.nonEmpty,
+      "bm25ShardedQueryMaxScoreGrouped needs at least one shard")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(essentialDfFrac > 0.0 && essentialDfFrac <= 1.0,
+      s"essentialDfFrac must be in (0, 1], got $essentialDfFrac")
+    require(k >= 1, s"k must be positive, got $k")
+    GraftFunctions.ensureRegistered(spark)
+    tables.foreach(healFold(spark, _))
+    def exactG() = bm25ShardedQueryGrouped(spark, tables, queries,
+      qidCol, textCol, k, k1, b, maxDfFrac, parallelism)
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
+      .distinct()
+    val qterms = pushableTerms(spark, qt)
+    if (qterms.isEmpty) return exactG()
+    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+      maxDfFrac)
+    val qdf = qt.join(dict, Seq("term"))
+      .select(col("qid"), col("term"), col("df"))
+    val qdfRows = qdf.limit(maxControlRows + 1).collect()
+    if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exactG()
+    maxScoreRankGrouped(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
+      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+      shardGroups(tables.size, parallelism),
+      partialsFor = (i, qtF, dictF, terms, docFilter, bcast) =>
+        partialsWith(spark, tables(i), qtF, k1, b, nDocs, avgdl, dictF,
+          terms, docFilter, bcast),
+      exact = () => exactG())
+  }
+
+  /** The grouped two-pass core behind
+    * [[bm25ShardedQueryMaxScoreGrouped]] — [[maxScoreRank]]'s exact
+    * flow with each pass run as a [[groupedTopKRows]] stage (plan
+    * parallelism) instead of one S-leg union plan. `partialsFor`
+    * builds ONE shard's partials frame; grouping composes the legs
+    * per driver thread. See the entry point's scaladoc for the
+    * exactness argument.
+    */
+  private def maxScoreRankGrouped(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      qdfSchema: org.apache.spark.sql.types.StructType,
+      k: Int, k1: Double, nDocs: Long,
+      essentialDfFrac: Double, maxCandBroadcast: Long,
+      gateMinHeadMass: Long, gateCandFrac: Double,
+      groups: Seq[Seq[Int]],
+      partialsFor: (Int, DataFrame, DataFrame, Option[Seq[String]],
+        Option[DataFrame], Boolean) => DataFrame,
+      exact: () => DataFrame): DataFrame = {
+    if (rows.isEmpty) return exact()
+    val plans = maxScorePlans(rows, nDocs, k1, essentialDfFrac)
+    def engages(p: MsPlan): Boolean =
+      msEngages(p, gateMinHeadMass, gateCandFrac)
+    if (!plans.valuesIterator.exists(engages)) return exact()
+    def litFrame(rs: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), qdfSchema)
+    def dictOf(rs: Seq[org.apache.spark.sql.Row]): DataFrame =
+      litFrame(rs.groupBy(_.getString(1)).map(_._2.head).toSeq)
+        .select("term", "df")
+    val pruneQids = plans.filter(p => engages(p._2)).keySet
+    val essRows = rows.filter(r =>
+      pruneQids(r.get(0)) && plans(r.get(0)).ess(r.getString(1)))
+    val essTerms = essRows.map(_.getString(1)).distinct
+    def p1group(g: Seq[Int]): DataFrame =
+      g.map(i => partialsFor(i, litFrame(essRows).select("qid", "term"),
+          dictOf(essRows), Some(essTerms), None, false))
+        .reduce(_.unionByName(_))
+        .groupBy("qid", "nid")
+        .agg(sum("partial").cast("double").as("cos"))
+    // ---- pass 1 (grouped): each group's exact local top-k of the
+    // essential-only sums; the merged per-query k-th best is the
+    // GLOBAL k-th best (each global top-k member survives its own
+    // group's top-k), the only fact the threshold verification reads
+    val (_, p1rows) = groupedTopKRows(k, groups)(p1group)
+    val l1: Map[Any, Long] = p1rows.groupBy(_.get(0)).flatMap {
+      case (q, rs) =>
+        val top = rs.map(_.getDouble(2)).sorted(Ordering[Double].reverse)
+        if (top.length >= k) Some(q -> top(k - 1).toLong) else None
+    }
+    val safeQids: Set[Any] = pruneQids.filter(q =>
+      l1.get(q).exists(_ > plans(q).neSum)).toSet
+    if (safeQids.isEmpty) return exact()
+    val safeRows = rows.filter(r => safeQids(r.get(0)))
+    val otherRows = rows.filterNot(r => safeQids(r.get(0)))
+    val safeTerms = safeRows.map(_.getString(1)).distinct
+    val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
+    // ---- pass 2 (grouped): a group's head postings gate to its OWN
+    // pass-1 candidates — by doc-disjointness exactly the global
+    // candidate set restricted to the group's docs; unverified
+    // queries run their exact ungated legs in the same group job
+    def p2group(g: Seq[Int]): DataFrame = {
+      val candDocsG = p1group(g)
+        .join(litFrame(safeRows).select("qid").distinct(),
+          Seq("qid"), "left_semi")
+        .select(col("nid").as("doc_id")).distinct()
+      val scoredSafe = g.map(i => partialsFor(i,
+          litFrame(safeRows).select("qid", "term"), dictOf(safeRows),
+          Some(safeTerms), Some(candDocsG),
+          candBound <= maxCandBroadcast))
+        .reduce(_.unionByName(_))
+      val scored = if (otherRows.isEmpty) scoredSafe else {
+        val otherTerms = otherRows.map(_.getString(1)).distinct
+        scoredSafe.unionByName(g.map(i => partialsFor(i,
+            litFrame(otherRows).select("qid", "term"), dictOf(otherRows),
+            Some(otherTerms), None, false))
+          .reduce(_.unionByName(_)))
+      }
+      scored.groupBy("qid", "nid")
+        .agg(sum("partial").cast("double").as("cos"))
+    }
+    val (schema2, p2rows) = groupedTopKRows(k, groups)(p2group)
+    val merged = spark.createDataFrame(
+      java.util.Arrays.asList(p2rows: _*), schema2)
+    Similarity.rankTopK(merged, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
   }
 
   /** Multi-shard BM25 serving — the layout for a corpus whose index
@@ -940,10 +1123,44 @@ object Retrieval {
   private def groupedRankMerge(spark: SparkSession, nShards: Int,
                                parallelism: Int, k: Int)
                               (scored: Seq[Int] => DataFrame): DataFrame = {
+    val groups = shardGroups(nShards, parallelism)
+    val (schema, rows) = groupedTopKRows(k, groups)(scored)
+    val merged = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    Similarity.rankTopK(merged, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** Shard indices chunked into ⌈S/parallelism⌉-sized plan groups. */
+  private def shardGroups(nShards: Int, parallelism: Int): Seq[Seq[Int]] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val par = math.max(1, math.min(parallelism, nShards))
-    val groups = (0 until nShards)
+    (0 until nShards)
       .grouped(math.ceil(nShards.toDouble / par).toInt).map(_.toSeq).toSeq
+  }
+
+  /** Test-only plan probe: the grouped entries are EAGER (per-thread
+    * plan + collect), so their per-group physical plans never appear in
+    * the returned DataFrame — a mechanism assertion (PlanShapeSpec)
+    * cannot see them post-hoc. When non-null, every grouped stage
+    * deposits (group-indices, executedPlan string) here before its
+    * collect. Never set outside tests; null costs one atomic read per
+    * group. */
+  private[graft] val groupPlanProbe = new java.util.concurrent.atomic
+    .AtomicReference[java.util.concurrent.ConcurrentLinkedQueue[
+      (Seq[Int], String)]](null)
+
+  /** One plan-parallel grouped STAGE: plan + rank + collect each shard
+    * group's exact local top-k in its own driver thread, return the
+    * bounded (qid, nid, cos) row union. The two-stage
+    * [[maxScoreRankGrouped]] runs this once per pass; the single-stage
+    * entries wrap it in [[groupedRankMerge]]. */
+  private def groupedTopKRows(k: Int, groups: Seq[Seq[Int]])
+                             (scored: Seq[Int] => DataFrame)
+      : (org.apache.spark.sql.types.StructType,
+         Seq[org.apache.spark.sql.Row]) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -955,18 +1172,16 @@ object Retrieval {
           val df = Similarity.rankTopK(scored(g), k)
             .select(col("qid"), col("nid"), col("cos"))
           proto.compareAndSet(null, df.schema)
+          val probe = groupPlanProbe.get()
+          if (probe != null)
+            probe.add((g, df.queryExecution.executedPlan.toString))
           df.collect()
         }
       }
       val rows = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
         scala.concurrent.duration.Duration.Inf).flatten
-      val merged = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), proto.get)
-      Similarity.rankTopK(merged, k)
-        .select(col("qid"), col("nid").as("doc_id"),
-          col("cos").cast("long").as("score_micro"),
-          col("rank").as("rnk"))
+      (proto.get, rows)
     } finally pool.shutdown()
   }
 
@@ -1133,6 +1348,15 @@ object Retrieval {
     * control plane reads at most this many (qid, term, df) rows per
     * index; batches past it fall back to frame-only plans. */
   private val maxControlRows = 1 << 13
+
+  /** Cap on the MATCHED-set control read behind [[posScoreRank]]'s
+    * match-gated scoring (round 18): (qid, nid) pairs are two longs, so
+    * 2¹⁷ rows is a few MB of driver heap — far above any real phrase/
+    * NEAR batch (matched counts run tens-per-batch at 10⁶-10⁷,
+    * BASELINE.md rounds 13-14) while bounding the pathological one
+    * (adjacent head-term phrase). Over the cap the round-17 plan runs
+    * verbatim. */
+  private val maxMatchedRows = 1 << 17
 
   /** Exact value-pruned scan at ANY list size — the stack-safe form of
     * the per-value parquet pushdown, two regimes:
@@ -1822,9 +2046,33 @@ object Retrieval {
                            qterms: Option[Seq[String]], k: Int,
                            k1: Double, b: Double): DataFrame = {
     val qt = probe.select("qid", "term").distinct()
-    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
-        qterms, docFilter = candFilter, broadcastDocs = bcast)
-      .join(matched, Seq("qid", "nid"), "left_semi")
+    // Match-gated scoring (round 18, the MaxScore lesson applied to the
+    // positional ranking stage): a MATCHED doc carries every query term
+    // at qualifying offsets, while the scoring stage's candidate gate
+    // (`candFilter`) only knows the rarest term — so the matched set is
+    // the far tighter doc gate, and it is ALREADY the output domain
+    // (the old plan semi-joined scores to `matched` after aggregating).
+    // When it fits the control budget, collect it once (this is the
+    // only execution of the positional-match subtree), broadcast its
+    // doc ids as the scan's doc gate for EVERY term — head terms
+    // included, the 58%-of-phrase-cost posting mass DevPhraseProfile
+    // measured in round 17 — and make the final (qid, nid) semi-join a
+    // local relation. Results are bit-identical by construction: the
+    // earlier gate removes only rows the old semi-join discarded.
+    // Over-cap batches (and empty matches, where nothing ranks) keep
+    // the round-17 single-job plan verbatim.
+    val mRows = matched.limit(maxMatchedRows + 1).collect()
+    val scored = if (mRows.nonEmpty && mRows.length <= maxMatchedRows) {
+      val mLit = spark.createDataFrame(
+        java.util.Arrays.asList(mRows.toIndexedSeq: _*), matched.schema)
+      bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0, qterms,
+          docFilter = Some(mLit.select(col("nid").as("doc_id")).distinct()),
+          broadcastDocs = true)
+        .join(mLit, Seq("qid", "nid"), "left_semi")
+    } else
+      bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
+          qterms, docFilter = candFilter, broadcastDocs = bcast)
+        .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),

@@ -1886,6 +1886,37 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** The round-18 COMPOSED serving path: plan-parallel grouped legs AND
+    * MaxScore pruning on the same sharded lexical leg
+    * ([[graft.operators.Fusion.hybridShardedQuery]] with BOTH
+    * `planPar > 0` and `lexMaxScore` set →
+    * [[graft.operators.Retrieval.bm25ShardedQueryMaxScoreGrouped]]) —
+    * t47's protocol with the shards split across plan groups
+    * (parallelism 2 over 2 shards = one shard per driver-thread
+    * group, the degenerate-but-real grouping this scale admits).
+    * Same whole-corpus RRF oracle as t46/t47: the grouping, the
+    * pruning, and the shard split must ALL be invisible through the
+    * fusion arithmetic at once.
+    */
+  val t48_groupedhybridmaxscore: Q = (s, d) => {
+    val t0 = s"ghm0_${d.hashCode & Int.MaxValue}"
+    val t1 = s"ghm1_${d.hashCode & Int.MaxValue}"
+    val c = maxScoreDocs(s, d)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", t0)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", t1)
+    val emb = Tables.embeddings(s, d)
+    val q = maxScoreQueries(s, d).join(
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+    Fusion.hybridShardedQuery(s, Seq(t0, t1), q, "qid", "qtext", "qvec", 5,
+        kPerLeg = 5, vecShards = Some(Seq(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0))),
+        planPar = 2, lexMaxScore = Some(maxScoreForcedDials))
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2693,6 +2724,7 @@ object Queries {
     "t45_shardedmaxscore" -> t45_shardedmaxscore,
     "t46_hybridmaxscore" -> t46_hybridmaxscore,
     "t47_shardedhybridmaxscore" -> t47_shardedhybridmaxscore,
+    "t48_groupedhybridmaxscore" -> t48_groupedhybridmaxscore,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -4091,6 +4123,12 @@ object Queries {
       textExpr = "text || ' zzhead'",
       qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
     "t47_shardedhybridmaxscore" -> hybridRrfOracleSqlWith(
+      textExpr = "text || ' zzhead'",
+      qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
+    // Composed grouped + pruned sharded lexical leg (round 18): same
+    // whole-corpus RRF oracle — grouping, pruning, and the shard split
+    // must all be invisible at once.
+    "t48_groupedhybridmaxscore" -> hybridRrfOracleSqlWith(
       textExpr = "text || ' zzhead'",
       qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
 

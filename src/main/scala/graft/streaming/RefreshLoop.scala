@@ -195,7 +195,8 @@ object RefreshLoop {
                    indexShards: Option[Seq[String]] = None,
                    bm25Family: Option[ShardFamily] = None,
                    lmFamily: Option[ShardFamily] = None,
-                   indexFamily: Option[ShardFamily] = None)
+                   indexFamily: Option[ShardFamily] = None,
+                   maxShardsPerFamily: Option[Int] = None)
                   (onBatch: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       val spark = batch.sparkSession
@@ -247,9 +248,21 @@ object RefreshLoop {
       // arrives during a repair epoch defers one epoch (the next entry
       // follows a committed epoch) — the routed-absorb replay therefore
       // stays exact across any swap.
-      if (!repairMode)
-        Seq(bm25Family, lmFamily, indexFamily).flatten
-          .foreach(_.applyPending(spark))
+      if (!repairMode) {
+        val fams = Seq(bm25Family, lmFamily, indexFamily).flatten
+        fams.foreach(_.applyPending(spark))
+        // AUTO-MERGE dial (round 18): families whose serving cost is
+        // inherently S-linear (LM's additive count folds — BASELINE.md
+        // S=32 table) get capped here as policy, not advice. Queue at
+        // this safe boundary and apply IMMEDIATELY (still the same
+        // committed-predecessor boundary); a mixed-granularity family
+        // without enough sibling pairs converges over epochs.
+        maxShardsPerFamily.foreach { cap =>
+          fams.foreach { f =>
+            if (f.enforceMaxShards(cap) > 0) f.applyPending(spark)
+          }
+        }
+      }
       // EPOCH SNAPSHOT of each family's slots: routing, repair, and
       // compaction all read this one list, so a request arriving
       // mid-epoch cannot shift the family under the running epoch
@@ -506,11 +519,13 @@ object RefreshLoop {
                      indexShards: Option[Seq[String]] = None,
                      bm25Family: Option[ShardFamily] = None,
                      lmFamily: Option[ShardFamily] = None,
-                     indexFamily: Option[ShardFamily] = None)
+                     indexFamily: Option[ShardFamily] = None,
+                     maxShardsPerFamily: Option[Int] = None)
                     (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val body = minhashBatch(table, textCol, idCol, threshold, k,
       numHashes, bands, bm25Table, lmTable, compactEvery, bm25Shards,
-      lmShards, indexShards, bm25Family, lmFamily, indexFamily)(onBatch)
+      lmShards, indexShards, bm25Family, lmFamily, indexFamily,
+      maxShardsPerFamily)(onBatch)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       body(batch, epoch)
     }

@@ -260,6 +260,62 @@ final class ShardFamily private (val kind: ShardFamily.Kind,
         Slot(merged, lo, n)
     }
 
+  /** AUTO-MERGE policy (round 18): queue sibling merges until the
+    * PROJECTED slot count is at most `maxShards`, returning how many
+    * were queued (0 when the family already fits, the queue is
+    * non-empty, or no sibling pair exists yet). The serving motivation
+    * is the families whose per-query cost is inherently S-linear —
+    * additive-count folds like LM scoring (BASELINE.md round-17 S=32
+    * table: lm grows with S while bag/vector hold), which plan
+    * grouping provably cannot flatten because every shard's counts
+    * contribute to every score. For those, the lever is FEWER shards;
+    * this applies it as loop policy instead of operator advice.
+    *
+    * Mechanics: deepest levels merge first (undoing the most recent
+    * doublings); each queued merge shrinks the projected count by one.
+    * A mixed-granularity family may lack enough sibling pairs to reach
+    * the cap in one pass — the policy converges over successive calls
+    * (each merge creates the next level's sibling), which is exactly
+    * the safe-boundary cadence the loop runs it at. Merged names come
+    * from `nameFor(loTable, hiTable)` — the default is deterministic
+    * (`<lo>_mg<level>`), so a crashed-and-restarted loop re-queues the
+    * SAME merge and the marker protocol resumes it instead of
+    * orphaning a half-built table under a fresh name. No-op (0) when
+    * requests are already pending: enforcement on a stale projection
+    * would double-queue the same siblings.
+    */
+  def enforceMaxShards(maxShards: Int,
+                       nameFor: (String, String) => String =
+                         (lo, _) => s"${lo}_mg"): Int = synchronized {
+    require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
+    if (hasPending || cur.size <= maxShards) return 0
+    var projected = cur
+    var queued = 0
+    var progress = true
+    while (projected.size > maxShards && progress) {
+      progress = false
+      // deepest level first; within a level, lowest index first
+      val byDepth = projected.sortBy(s => (-s.nShards, s.shardIndex))
+      byDepth.find { lo =>
+        lo.nShards % 2 == 0 && lo.shardIndex < lo.nShards / 2 &&
+          projected.exists(hi => hi.nShards == lo.nShards &&
+            hi.shardIndex == lo.shardIndex + lo.nShards / 2)
+      }.foreach { lo =>
+        val n = lo.nShards / 2
+        val hi = projected.find(h => h.nShards == lo.nShards &&
+          h.shardIndex == lo.shardIndex + n).get
+        val merged = nameFor(lo.table, hi.table)
+        requestMerge(lo.table, hi.table, merged)
+        projected = projected.filterNot(s =>
+          s.table == lo.table || s.table == hi.table) :+
+          Slot(merged, lo.shardIndex, n)
+        queued += 1
+        progress = true
+      }
+    }
+    queued
+  }
+
   /** Run every queued reshard and swap the slot list. The refresh loop
     * calls this at epoch entry ONLY when the epoch is not a repair
     * replay (see the class doc); non-streaming callers may call it

@@ -48,6 +48,11 @@ object DevShardGrowth {
     }
 
     if (mode == "vec") { vecMain(spark, timeMedian, timed); return }
+    if (mode == "ms") {
+      // composed-dial probe (round-18 ask #4): S from arg 2, default 32
+      msMain(spark, if (args.length > 1) args(1).toInt else 32)
+      return
+    }
     if (mode == "plan") {
       // optional second arg: comma-separated shard counts (default the
       // round-17 {2,8,32}; "64,100" extends to the O(100) decade)
@@ -198,6 +203,88 @@ object DevShardGrowth {
         f"nearE2E=${tNearE2E}%.3fs nearGroupedE2E: $grouped$tParPlan")
       System.out.flush()
     }
+  }
+
+  /** Composed-dial serving probe (`ms` mode): at high S, is
+    * plan-parallel grouping × MaxScore pruning
+    * ([[Retrieval.bm25ShardedQueryMaxScoreGrouped]]) better than each
+    * dial alone? DevMaxScore's 1e6 zipf corpus and MIXED batch (tail
+    * terms + the hottest head term — the geometry where pruning pays
+    * and verification succeeds naturally), sharded S ways; four
+    * serving paths timed end-to-end (the grouped entries are eager, so
+    * wall-clock IS plan+exec; the lazy entries time plan+exec the same
+    * way for comparability). Row equality asserted across all four
+    * before timing. */
+  private def msMain(spark: SparkSession, s: Int): Unit = {
+    import spark.implicits._
+    val n = 1000000L
+    val dir = s"/tmp/graft-scale/zdocs$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      sources.Generators.zipfText(spark, n, seed = 11L, partitions = 32)
+        .select(col("id").as("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val corpus = spark.read.parquet(dir)
+    val t0 = System.nanoTime()
+    val bmT = (0 until s).map { i =>
+      val t = s"growth_ms${s}_$i"
+      Retrieval.bm25Build(corpus.filter(
+          Sharding.shardOf(col("doc_id"), s) === i),
+        "doc_id", "text", t)
+      t
+    }
+    println(f"[growthms] n=$n S=$s builds=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val dict = bmT.map(t => spark.table(s"${t}_terms"))
+      .reduce(_.unionByName(_))
+      .groupBy("term").agg(sum("df").as("df"))
+    val topHead = dict.orderBy(col("df").desc).limit(1)
+      .as[(String, Long)].collect().head._1
+    val natural = corpus.filter(col("doc_id") % (n / 100) === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+    val qdf = natural.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .join(dict, Seq("term"), "left").na.fill(0L, Seq("df"))
+      .groupBy("qid").agg(min("df").as("mindf"))
+    val mixed = natural.join(
+        qdf.filter(col("mindf") <= n / 1000).select("qid"), "qid")
+      .select(col("qid"), concat_ws(" ", col("qtext"), lit(topHead))
+        .as("qtext"))
+      .localCheckpoint()
+    println(s"[growthms] mixed batch nq=${mixed.count()} head=$topHead")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().toSet
+    def lazyExact() = Retrieval.bm25ShardedQuery(spark, bmT, mixed,
+      "qid", "qtext", 5)
+    def lazyMs() = Retrieval.bm25ShardedQueryMaxScore(spark, bmT, mixed,
+      "qid", "qtext", 5)
+    def grpExact() = Retrieval.bm25ShardedQueryGrouped(spark, bmT, mixed,
+      "qid", "qtext", 5, parallelism = 8)
+    def composed() = Retrieval.bm25ShardedQueryMaxScoreGrouped(spark,
+      bmT, mixed, "qid", "qtext", 5, parallelism = 8)
+    val base = rows(lazyExact())
+    for ((tag, mk) <- Seq("lazyMs" -> (() => lazyMs()),
+                          "grpExact" -> (() => grpExact()),
+                          "composed" -> (() => composed()))) {
+      assert(rows(mk()) == base, s"[growthms] $tag diverged — BUG")
+    }
+    def timedMed(body: => Unit): Double = {
+      body // warm
+      (0 until 3).map { _ =>
+        val t1 = System.nanoTime(); body
+        (System.nanoTime() - t1) / 1e9
+      }.sorted.apply(1)
+    }
+    val tEx = timedMed { lazyExact().count(); () }
+    val tMs = timedMed { lazyMs().count(); () }
+    val tGr = timedMed { grpExact(); () }
+    val tCo = timedMed { composed(); () }
+    println(f"[growthms] S=$s lazyExact=${tEx}%.2fs lazyMaxScore=${tMs}%.2fs " +
+      f"groupedExact=${tGr}%.2fs composed=${tCo}%.2fs " +
+      f"(composed vs best single dial: " +
+      f"${tCo / math.min(tMs, tGr)}%.2fx)")
+    System.out.flush()
+    spark.stop()
   }
 
   /** 4 × 5e6 vectors — the fixed-mass S=4 comparator for the round-15

@@ -58,6 +58,86 @@ class DistCopySpec extends AnyFunSuite {
     assert(s2.copied == 0 && s2.skipped == 3)
   }
 
+  test("copyDiff: rename-only delta moves ZERO payload bytes; deletes " +
+       "propagate; modified copies checksum-gated; first sync = full copy") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("graft-distcp-dst").toString + "/out"
+    // first sync: empty prev listing degenerates to a full copy
+    import SharedSpark.spark.implicits._
+    val empty = SharedSpark.spark.emptyDataset[DistCopy.FileMeta]
+    val s1 = DistCopy.copyDiff(spark, src, dst, empty)
+    assert(s1.copied == 3 && s1.renamed == 0 && s1.deleted == 0,
+      s"first sync should full-copy, got $s1")
+    val snap1 = DistCopy.listingMetaDs(spark, src).collect().toSeq.toDS()
+    // no-op sync: everything unchanged, zero reads beyond metadata
+    val s2 = DistCopy.copyDiff(spark, src, dst, snap1)
+    assert(s2 == DistCopy.DiffStats(0, 0, 0, 3, 0), s"no-op sync got $s2")
+    // RENAME at the source (payload untouched) + a DELETE + a NEW file
+    Files.move(Paths.get(s"$src/a/f2.txt"), Paths.get(s"$src/a/renamed.txt"))
+    Files.delete(Paths.get(s"$src/f1.txt"))
+    Files.writeString(Paths.get(s"$src/brand_new.txt"), "fresh content")
+    val s3 = DistCopy.copyDiff(spark, src, dst, snap1)
+    assert(s3.renamed == 1, s"rename not inferred: $s3")
+    assert(s3.deleted == 1, s"delete not propagated: $s3")
+    assert(s3.copied == 1 && s3.bytes == "fresh content".length,
+      s"rename/delete delta must move only the NEW file's bytes: $s3")
+    assert(Files.readString(Paths.get(s"$dst/a/renamed.txt")) == "world!",
+      "renamed target content wrong")
+    assert(!Files.exists(Paths.get(s"$dst/a/f2.txt")),
+      "old rel survived the rename at the target")
+    assert(!Files.exists(Paths.get(s"$dst/f1.txt")),
+      "deleted rel survived at the target")
+    // MODIFIED file: copies; a merely-TOUCHED file (new mtime, same
+    // content) is caught by the checksum gate and skipped
+    val snap2 = DistCopy.listingMetaDs(spark, src).collect().toSeq.toDS()
+    Files.writeString(Paths.get(s"$src/a/b/f3.log"), "deep file CHANGED")
+    val f = Paths.get(s"$src/brand_new.txt")
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(f).toMillis + 5000))
+    val s4 = DistCopy.copyDiff(spark, src, dst, snap2)
+    assert(s4.copied == 1 && s4.renamed == 0 && s4.deleted == 0,
+      s"modified-only delta got $s4")
+    assert(s4.skipped == 2, // 1 unchanged + the touched-but-identical
+      s"touched-but-identical file must checksum-skip: $s4")
+    assert(Files.readString(Paths.get(s"$dst/a/b/f3.log"))
+      == "deep file CHANGED")
+  }
+
+  test("copyDiff rename inference: same-content twins pair " +
+       "deterministically; CRC pairing never renames wrong content") {
+    val src = Files.createTempDirectory("graft-diff-src").toString
+    val dst = Files.createTempDirectory("graft-diff-dst").toString + "/out"
+    // two IDENTICAL files (same size + content) both renamed: the
+    // (size, crc, k) pairing must consume both without duplicating
+    Files.writeString(Paths.get(s"$src/t1.txt"), "same body")
+    Files.writeString(Paths.get(s"$src/t2.txt"), "same body")
+    Files.writeString(Paths.get(s"$src/other.txt"), "unrelated")
+    import SharedSpark.spark.implicits._
+    DistCopy.copyDiff(spark, src, dst,
+      SharedSpark.spark.emptyDataset[DistCopy.FileMeta])
+    val snap = DistCopy.listingMetaDs(spark, src).collect().toSeq.toDS()
+    Files.move(Paths.get(s"$src/t1.txt"), Paths.get(s"$src/m1.txt"))
+    Files.move(Paths.get(s"$src/t2.txt"), Paths.get(s"$src/m2.txt"))
+    val st = DistCopy.copyDiff(spark, src, dst, snap)
+    assert(st.renamed == 2 && st.copied == 0 && st.bytes == 0,
+      s"twin renames must both resolve with zero payload: $st")
+    assert(Files.readString(Paths.get(s"$dst/m1.txt")) == "same body")
+    assert(Files.readString(Paths.get(s"$dst/m2.txt")) == "same body")
+    assert(!Files.exists(Paths.get(s"$dst/t1.txt")) &&
+      !Files.exists(Paths.get(s"$dst/t2.txt")))
+    // a vanished rel whose target copy is MISSING (user deleted it at
+    // the destination) cannot rename-match: the appeared rel copies
+    val snap2 = DistCopy.listingMetaDs(spark, src).collect().toSeq.toDS()
+    Files.move(Paths.get(s"$src/other.txt"), Paths.get(s"$src/moved.txt"))
+    Files.delete(Paths.get(s"$dst/other.txt"))
+    val st2 = DistCopy.copyDiff(spark, src, dst, snap2)
+    assert(st2.renamed == 0 && st2.copied == 1 &&
+      st2.bytes == "unrelated".length,
+      s"missing-target rename candidate must demote to copy: $st2")
+    assert(Files.readString(Paths.get(s"$dst/moved.txt")) == "unrelated")
+  }
+
   test("listingDs matches the driver-side listing") {
     val src = mkTree()
     val ds = DistCopy.listingDs(spark, src).collect().toSeq.sortBy(_.rel)

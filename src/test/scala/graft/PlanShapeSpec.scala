@@ -151,6 +151,48 @@ class PlanShapeSpec extends AnyFunSuite {
       "plain index's query plan grew a rotation kernel")
   }
 
+  test("bm25ShardedQueryMaxScoreGrouped: BOTH mechanisms present — " +
+       "per-thread group plans, each pass-2 leg candidate-gated") {
+    val stamp = System.nanoTime()
+    val (s0, s1) = (s"plan_gms0_$stamp", s"plan_gms1_$stamp")
+    val c = msCorpus()
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2)
+    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+    val probe = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Seq[Int], String)]()
+    Retrieval.groupPlanProbe.set(probe)
+    try {
+      Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, Seq(s0, s1), q,
+        "qid", "qtext", 3, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0, parallelism = 2)
+    } finally Retrieval.groupPlanProbe.set(null)
+    import scala.jdk.CollectionConverters._
+    val plans = probe.asScala.toSeq
+    // mechanism 1 (plan parallelism): 2 groups × 2 passes = 4 group
+    // plans deposited by the per-thread stages — a silent reroute to
+    // the single-plan form (or to the exact leg) deposits 2 or 0
+    assert(plans.size == 4,
+      s"expected 4 thread-group plans (2 groups × 2 passes), got " +
+        s"${plans.size}: ${plans.map(_._1)}")
+    assert(plans.map(_._1).distinct.size == 2,
+      s"expected 2 distinct shard groups, got ${plans.map(_._1).distinct}")
+    // mechanism 2 (MaxScore pruning): each group's PASS-2 plan carries
+    // the LeftSemi candidate gate over that group's own shard scan
+    // (pass 1 is the ungated essential leg, so per group: exactly one
+    // of the two deposited plans is gated)
+    for ((g, shard) <- Seq(Seq(0) -> s0, Seq(1) -> s1)) {
+      val mine = plans.filter(_._1 == g).map(_._2)
+      assert(mine.count(_.contains("LeftSemi")) == 1,
+        s"group $g: expected exactly one candidate-gated pass over " +
+          s"$shard, got ${mine.count(_.contains("LeftSemi"))}")
+      assert(mine.forall(_.contains(shard)),
+        s"group $g's plans do not scan its shard $shard")
+    }
+  }
+
   test("Fusion lexMaxScore: the candidate gate reaches the fused plan " +
        "(the t46 mechanism, asserted not eyeballed)") {
     val t = s"plan_fms_${System.nanoTime()}"

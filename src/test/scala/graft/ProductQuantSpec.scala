@@ -392,6 +392,79 @@ class ProductQuantSpec extends AnyFunSuite {
       s"rotation failed to balance subspace variance (rot $rotImb)")
   }
 
+  test("tridiagEigen (the d > 256 path): orthonormal eigenbasis that " +
+       "diagonalizes a dense symmetric matrix") {
+    val d = 48
+    // deterministic dense symmetric matrix with a spread spectrum
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val lo = math.min(i, j); val hi = math.max(i, j)
+      mix01(lo.toLong * 7919L + hi) + (if (i == j) 4.0 + i * 0.1 else 0.0)
+    }
+    val (eig, v) = ProductQuant.tridiagEigen(a)
+    // columns orthonormal: VᵀV = I
+    for (p <- 0 until d; q <- p until d) {
+      val dot = (0 until d).map(k => v(k)(p) * v(k)(q)).sum
+      val want = if (p == q) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"VᵀV($p,$q) = $dot")
+    }
+    // eigen-equation residual: ‖A·v_e − λ_e·v_e‖ small per pair
+    val anorm = math.sqrt(a.map(_.map(x => x * x).sum).sum)
+    for (e <- 0 until d) {
+      val res = math.sqrt((0 until d).map { i =>
+        val av = (0 until d).map(j => a(i)(j) * v(j)(e)).sum
+        val r = av - eig(e) * v(i)(e); r * r
+      }.sum)
+      assert(res < 1e-8 * anorm, s"eigenpair $e residual $res")
+    }
+    // spectrum conserves the trace
+    val tr = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(eig.sum - tr) < 1e-8 * math.abs(tr),
+      s"Σλ = ${eig.sum}, trace = $tr")
+  }
+
+  test("opqRotation above the Jacobi cutoff (d = 512 → tridiagEigen): " +
+       "orthonormal rows, variance balances") {
+    val d = 512
+    // the anisotropic geometry at scale: all signal in the first 8
+    // coordinates (= the first PQ block at m = 4), noise elsewhere
+    val rows = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(d) { j =>
+        val h = mix01(i.toLong * 524287L + j)
+        if (j < 8) 10.0 * h else 0.1 * h
+      })
+    }.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val rot = ProductQuant.opqRotation(rows, "vec_id", "embedding", m = 4)
+    val wall = (System.nanoTime() - t0) / 1e9
+    info(f"opqRotation d=512 wall $wall%.2f s")
+    assert(rot.length == d * d)
+    // spot-check orthonormality on a deterministic row subset (full
+    // d² check is O(d³) of test time for no extra assurance)
+    val picks = (0 until 16).map(_ * 31 % d)
+    for (i <- picks; j <- picks if i <= j) {
+      val dot = (0 until d).map(k => rot(i * d + k) * rot(j * d + k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"R·Rᵀ($i,$j) = $dot")
+    }
+    // the 8 signal directions must spread across the 4 subspaces: each
+    // subspace's projected variance within 4x of the others
+    val xs = rows.select("embedding").as[Seq[Double]].collect().map(_.toArray)
+    val dsub = d / 4
+    val ys = xs.map { x =>
+      Array.tabulate(d)(i => {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += rot(i * d + j) * x(j); j += 1 }
+        acc
+      })
+    }
+    val mean = Array.tabulate(d)(j => ys.map(_(j)).sum / ys.length)
+    val vr = Array.tabulate(d)(j =>
+      ys.map(y => (y(j) - mean(j)) * (y(j) - mean(j))).sum / ys.length)
+    val sub = (0 until 4).map(s2 => (0 until dsub).map(t => vr(s2 * dsub + t)).sum)
+    assert(sub.max / sub.min < 4.0,
+      s"rotated subspace variance imbalanced: $sub")
+  }
+
   test("OPQ index: covering refine equals brute force and the plain " +
        "index (rotation never touches exactness); _rot persists") {
     val vecs = anisotropic(200)

@@ -1380,6 +1380,80 @@ class RefreshLoopSpec extends AnyFunSuite {
       "post-merge family diverges from whole-built (the t42 oracle)")
   }
 
+  test("auto-merge dial (maxShardsPerFamily): the LM family caps at a " +
+       "safe boundary, repair replays skip enforcement, capped ≡ " +
+       "whole-built") {
+    import graft.operators.LangModel
+    import graft.streaming.ShardFamily
+    val base = (1L to 8L).map(i =>
+      (i, s"base document number $i with shared words and token$i"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, "text", "doc_id", "amrg_idx")
+    val lmS = (0 until 4).map { i =>
+      val t = s"amrg_lm$i"
+      LangModel.train(
+        base.filter(RefreshLoop.shardOf($"doc_id", 4) === i),
+        "doc_id", "text", t)
+      t
+    }
+    val fam = ShardFamily(ShardFamily.Lm, lmS)
+    val fn = RefreshLoop.minhashBatch("amrg_idx", "text", "doc_id",
+      threshold = 0.3, lmFamily = Some(fam),
+      maxShardsPerFamily = Some(2)) { (_, _, _) => }
+    // fresh epoch: the policy fires at entry and applies at the SAME
+    // safe boundary — level-4 siblings (0,2) and (1,3) fold to level 2
+    // under the deterministic `_mg` names, and THEN the batch routes
+    // into the post-merge family
+    val batch2 = Seq(
+      (110L, "novel admitted vocabulary one entirely fresh"),
+      (111L, "novel admitted vocabulary two also fresh"))
+      .toDF("doc_id", "text")
+    fn(batch2, 2L)
+    assert(!fam.hasPending &&
+      fam.tables.toSet == Set("amrg_lm0_mg", "amrg_lm1_mg"),
+      s"auto-merge did not cap the family, got ${fam.tables}")
+    val probe = Seq((1L, "shared words and"), (2L, "novel admitted"))
+      .toDF("doc_id", "text")
+    def famScores(): Seq[(Long, Long, Long)] = {
+      for (t <- fam.tables; sfx <- Seq("", "_vocab"))
+        if (spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(t + sfx)))
+          spark.catalog.refreshTable(t + sfx)
+      LangModel.scoreSharded(spark, fam.tables, probe, "doc_id", "text")
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    }
+    val admitted2 = base.unionByName(batch2)
+    LangModel.train(admitted2, "doc_id", "text", "amrg_oracle2")
+    assert(famScores() == LangModel.score(spark, "amrg_oracle2", probe,
+        "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq,
+      "capped family diverges from whole-built")
+    // push the family over the cap again with a split request; a REPAIR
+    // replay (committed epoch 2) must neither apply it nor enforce
+    // lmDocs = EXACTLY the parent shard's absorbed corpus (the
+    // splitShard contract — off-residue docs would leak into a child)
+    fam.requestSplit("amrg_lm0_mg", "amrg_lma", "amrg_lmb",
+      lmDocs = Some((admitted2.filter(
+        RefreshLoop.shardOf($"doc_id", 2) === 0), "doc_id", "text")))
+    fn(batch2, 2L) // replay
+    assert(fam.hasPending &&
+      fam.tables.toSet == Set("amrg_lm0_mg", "amrg_lm1_mg"),
+      "a repair replay applied a reshard or ran the auto-merge policy")
+    // next FRESH epoch: the split applies, the policy immediately folds
+    // the family back under the cap at the same boundary
+    val batch3 = Seq((120L, "third wave of novel text arrives"))
+      .toDF("doc_id", "text")
+    fn(batch3, 3L)
+    assert(!fam.hasPending && fam.tables.size == 2,
+      s"policy did not re-cap after the split, got ${fam.tables}")
+    val admitted3 = admitted2.unionByName(batch3)
+    LangModel.train(admitted3, "doc_id", "text", "amrg_oracle3")
+    assert(famScores() == LangModel.score(spark, "amrg_oracle3", probe,
+        "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq,
+      "re-capped family diverges from whole-built")
+  }
+
   test("online reshard: a crash between retire and swap heals — " +
        "re-requesting a COMPLETED split applies only the slot transform") {
     import graft.operators.Retrieval

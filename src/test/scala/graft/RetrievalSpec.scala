@@ -187,6 +187,57 @@ class RetrievalSpec extends AnyFunSuite {
     assert(sms(3) == whole(3) && sms(3).nonEmpty)
   }
 
+  test("bm25ShardedQueryMaxScoreGrouped ≡ lazy sharded MaxScore ≡ " +
+       "whole-index exact: grouping, pruning, shard split all invisible") {
+    val n = 120
+    val docsMS = (0 until n).map { i =>
+      (i.toLong, s"aaa bbb w${i % 30} x${i % 7}" +
+        (if (i == 0) " aaa aaa aaa" else ""))
+    }.toDF("doc_id", "text")
+    val stamp = System.nanoTime()
+    // 4 shards so parallelism 3 exercises UNEVEN groups (2+2) through
+    // both MaxScore passes, not just the degenerate one-shard-per-group
+    val shards = (0 until 4).map { i =>
+      val t = s"bm25_gms${i}_$stamp"
+      Retrieval.bm25Build(docsMS.filter(
+          graft.operators.Sharding.shardOf(col("doc_id"), 4) === i),
+        "doc_id", "text", t, buckets = 2)
+      t
+    }
+    val w = s"bm25_gmsw_$stamp"
+    Retrieval.bm25Build(docsMS, "doc_id", "text", w, buckets = 2)
+    val q = Seq((1L, "aaa bbb w3"), (2L, "aaa x2 x3"), (3L, "aaa bbb"),
+      (4L, "w5"), (5L, "zzzz aaa")).toDF("qid", "qtext")
+    def whole(k: Int) = Retrieval.bm25Query(spark, w, q,
+      "qid", "qtext", k).as[(Long, Long, Long, Int)].collect().toSet
+    def gms(k: Int, par: Int) =
+      Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, shards, q,
+        "qid", "qtext", k, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0, parallelism = par)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    for (par <- Seq(1, 3, 8)) {
+      assert(gms(3, par) == whole(3) && gms(3, par).nonEmpty,
+        s"grouped MaxScore (par=$par) diverged from whole-index exact")
+      // k above the per-query candidate counts → grouped pass-1 finds
+      // no rank-k threshold, the per-query exact fallback must fire
+      assert(gms(10, par) == whole(10),
+        s"grouped MaxScore sub-k fallback (par=$par) diverged")
+    }
+    // natural dials at toy scale: the cost gate routes the WHOLE batch
+    // to the grouped exact plan — still whole-index rows
+    assert(Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, shards, q,
+        "qid", "qtext", 3, parallelism = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet == whole(3))
+    // per-shard tombstones: the GLOBAL fold drives bound + scores
+    // through the grouped passes too
+    // (ids restricted to shard 0's own docs — the sharding contract)
+    val del = docsMS.filter(col("doc_id") % 8 === 0 &&
+      graft.operators.Sharding.shardOf(col("doc_id"), 4) === 0)
+    Retrieval.bm25Delete(spark, shards.head, del.select("doc_id"), "doc_id")
+    Retrieval.bm25Delete(spark, w, del.select("doc_id"), "doc_id")
+    assert(gms(3, 3) == whole(3) && gms(3, 3).nonEmpty)
+  }
+
   test("bm25PhraseQuery: consecutive-in-order matches only, scored like bm25Query") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),   // contains "alpha beta gamma"
