@@ -62,16 +62,59 @@ object Bench {
   private def fmt(d: Double): String = f"$d%.4f"
 
   def main(args: Array[String]): Unit = {
+    // Every gate/band in BASELINE.md was pinned in an 8 GiB JVM, and at
+    // a large -Xmx THREE independent mechanisms move the serving
+    // kernels off those bands (round-18 adjudication, each measured):
+    // G1's adaptive young gen scales committed heap with Xmx; Spark's
+    // unified pool scales with Xmx (big positional aggregates stop
+    // spilling and expand the heap into this host's ~80 MB/s
+    // page-fault service — multi-second episodic stalls); and
+    // Xmx > 32 GiB drops compressed oops (+35% on the pointer-heavy
+    // positional kernels even with the first two capped). A benchmark
+    // that silently measures a different JVM profile than its gates is
+    // not an artifact of record — so if launched with a bigger heap
+    // (the driver's SPARK_DRIVER_MEM=89g), re-exec this main in a
+    // fresh 8 GiB JVM with the same classpath/module flags/env.
+    val launchedGiB = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    if (launchedGiB > 9.0 &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_NO_REEXEC")) {
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cmd = (Seq(javaBin, "-Xmx8g") ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
+        args).asJava
+      System.err.println(f"[bench] launched at $launchedGiB%.0fg — " +
+        "re-exec at the pinned 8g measurement profile " +
+        "(set SPARK_GRAFT_BENCH_NO_REEXEC=1 to measure off-profile)")
+      val pb = new ProcessBuilder(cmd).inheritIO()
+      pb.environment().put("SPARK_GRAFT_BENCH_NO_REEXEC", "1")
+      sys.exit(pb.start().waitFor())
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Second line of defense for explicit off-profile runs
+    // (SPARK_GRAFT_BENCH_NO_REEXEC with a big heap): pin the unified
+    // memory pool to the 8 GiB profile's ~4.6 GiB so the positional
+    // aggregates keep the spill behavior the gates were measured with
+    // instead of expanding the heap into the slow-fault regime. At
+    // Xmx ≤ 9g this leaves the default 0.6 untouched.
+    val heapB = Runtime.getRuntime.maxMemory.toDouble
+    val poolPin: Option[String] =
+      if (heapB <= 9.0 * 1024 * 1024 * 1024) None
+      else Some(f"${4.6 * 1024 * 1024 * 1024 /
+        (heapB - 300.0 * 1024 * 1024)}%.4f")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = poolPin.fold(builder)(f =>
+      builder.config("spark.memory.fraction", f)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val Q = queries.Queries

@@ -21,7 +21,13 @@ import graft.operators.{ProductQuant, Similarity}
   */
 object DevOpq {
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("rot")) { rotMain(); return }
+    if (args.headOption.contains("rot")) {
+      // optional dim list: `rot 64,256,768,1024,1536`
+      rotMain(if (args.length > 1)
+        args(1).split(",").map(_.trim.toInt).toSeq
+      else Seq(64, 256, 768, 1024))
+      return
+    }
     val n = if (args.length > 0) args(0).toInt else 200000
     val sig = if (args.length > 1) args(1).toInt else 8
     val m = if (args.length > 2) args(2).toInt else 8
@@ -100,7 +106,7 @@ object DevOpq {
     * measured, not asserted. 20k rows each (the covariance sample cap
     * binds anyway above d = 209 at the default 1<<22 element budget).
     */
-  private def rotMain(): Unit = {
+  private def rotMain(dims: Seq[Int]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -108,7 +114,7 @@ object DevOpq {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    for (d <- Seq(64, 256, 768, 1024)) {
+    for (d <- dims) {
       val vecs = spark.range(20000).select(col("id").as("vec_id"),
         org.apache.spark.sql.functions.array((0 until d).map(j =>
           (pmod(xxhash64(col("id"), lit(j.toLong)), lit(1000L))
