@@ -573,14 +573,30 @@ object Retrieval {
     val safeRows = rows.filter(r => safeQids(r.get(0)))
     val otherRows = rows.filterNot(r => safeQids(r.get(0)))
     val safeTerms = safeRows.map(_.getString(1)).distinct
-    val candDocs = p1sums()
+    val candDocsPlan = p1sums()
       .join(litFrame(safeRows).select("qid").distinct(),
         Seq("qid"), "left_semi")
       .select(col("nid").as("doc_id")).distinct()
     val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
+    val bcastCand = candBound <= maxCandBroadcast
+    // On the broadcast path, MATERIALIZE the candidate set once (it is
+    // ≤ candBound ≤ maxCandBroadcast rows of one long by construction)
+    // instead of handing the plan to the partials callback: a sharded
+    // caller embeds the docFilter into EVERY shard leg, so the
+    // plan-side form carries S copies of the S-leg pass-1 union —
+    // an S² plan/execution blowup, invisible at the S=2 gates and
+    // measured as a multi-minute single-core planning hang at S=32
+    // (BASELINE.md round-18, DevShardGrowth `ms`). The literal keeps
+    // pass 2's legs O(S) total. Over-cap batches keep the lazy plan
+    // (they route to shuffle semi-joins, where the join input is
+    // computed once per leg by necessity).
+    val candDocs = if (bcastCand) {
+      val rows2 = candDocsPlan.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows2.toIndexedSeq: _*),
+        candDocsPlan.schema)
+    } else candDocsPlan
     val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
-      dictOf(safeRows), Some(safeTerms), Some(candDocs),
-      candBound <= maxCandBroadcast)
+      dictOf(safeRows), Some(safeTerms), Some(candDocs), bcastCand)
     val scored = if (otherRows.isEmpty) scoredSafe else {
       val otherTerms = otherRows.map(_.getString(1)).distinct
       scoredSafe.unionByName(partials(
@@ -645,8 +661,18 @@ object Retrieval {
       .select(col("qid"), col("term"), col("df"))
     val qdfRows = qdf.limit(maxControlRows + 1).collect()
     if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exact()
+    // the head-mass knee is PER SHARD LEG: each leg prunes only its own
+    // 1/S share of a head term's postings while paying its own
+    // two-pass overhead, so the GLOBAL engagement threshold scales
+    // with S. Measured (DevShardGrowth `ms`, 1e6 × S=32 mixed batch):
+    // with the unscaled gate the global mass engages but per-leg head
+    // lists are ~1/32 of the single-index knee — pruning read 1.26×
+    // the exact leg and 1.79× the grouped one; the scaled gate routes
+    // that batch to the exact plan. At production shard sizes (per-leg
+    // head mass over the knee) the gate engages exactly as before.
     maxScoreRank(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
-      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+      essentialDfFrac, maxCandBroadcast,
+      gateMinHeadMass * tables.size, gateCandFrac,
       partials = (qtF, dictF, terms, docFilter, bcast) =>
         tables.map(t => partialsWith(spark, t, qtF, k1, b, nDocs,
             avgdl, dictF, terms, docFilter, bcast))
@@ -724,8 +750,10 @@ object Retrieval {
       .select(col("qid"), col("term"), col("df"))
     val qdfRows = qdf.limit(maxControlRows + 1).collect()
     if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exactG()
+    // per-leg head-mass knee, as in [[bm25ShardedQueryMaxScore]]
     maxScoreRankGrouped(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
-      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+      essentialDfFrac, maxCandBroadcast,
+      gateMinHeadMass * tables.size, gateCandFrac,
       shardGroups(tables.size, parallelism),
       partialsFor = (i, qtF, dictF, terms, docFilter, bcast) =>
         partialsWith(spark, tables(i), qtF, k1, b, nDocs, avgdl, dictF,
@@ -792,15 +820,24 @@ object Retrieval {
     // pass-1 candidates — by doc-disjointness exactly the global
     // candidate set restricted to the group's docs; unverified
     // queries run their exact ungated legs in the same group job
+    val bcastCand = candBound <= maxCandBroadcast
     def p2group(g: Seq[Int]): DataFrame = {
-      val candDocsG = p1group(g)
+      val candDocsGPlan = p1group(g)
         .join(litFrame(safeRows).select("qid").distinct(),
           Seq("qid"), "left_semi")
         .select(col("nid").as("doc_id")).distinct()
+      // materialized per group on the broadcast path — the same S²
+      // plan-blowup guard as [[maxScoreRank]]'s pass 2 (each group leg
+      // would otherwise embed the group's whole pass-1 union)
+      val candDocsG = if (bcastCand) {
+        val rows2 = candDocsGPlan.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows2.toIndexedSeq: _*),
+          candDocsGPlan.schema)
+      } else candDocsGPlan
       val scoredSafe = g.map(i => partialsFor(i,
           litFrame(safeRows).select("qid", "term"), dictOf(safeRows),
-          Some(safeTerms), Some(candDocsG),
-          candBound <= maxCandBroadcast))
+          Some(safeTerms), Some(candDocsG), bcastCand))
         .reduce(_.unionByName(_))
       val scored = if (otherRows.isEmpty) scoredSafe else {
         val otherTerms = otherRows.map(_.getString(1)).distinct
@@ -1348,15 +1385,6 @@ object Retrieval {
     * control plane reads at most this many (qid, term, df) rows per
     * index; batches past it fall back to frame-only plans. */
   private val maxControlRows = 1 << 13
-
-  /** Cap on the MATCHED-set control read behind [[posScoreRank]]'s
-    * match-gated scoring (round 18): (qid, nid) pairs are two longs, so
-    * 2¹⁷ rows is a few MB of driver heap — far above any real phrase/
-    * NEAR batch (matched counts run tens-per-batch at 10⁶-10⁷,
-    * BASELINE.md rounds 13-14) while bounding the pathological one
-    * (adjacent head-term phrase). Over the cap the round-17 plan runs
-    * verbatim. */
-  private val maxMatchedRows = 1 << 17
 
   /** Exact value-pruned scan at ANY list size — the stack-safe form of
     * the per-value parquet pushdown, two regimes:
@@ -2046,33 +2074,21 @@ object Retrieval {
                            qterms: Option[Seq[String]], k: Int,
                            k1: Double, b: Double): DataFrame = {
     val qt = probe.select("qid", "term").distinct()
-    // Match-gated scoring (round 18, the MaxScore lesson applied to the
-    // positional ranking stage): a MATCHED doc carries every query term
-    // at qualifying offsets, while the scoring stage's candidate gate
-    // (`candFilter`) only knows the rarest term — so the matched set is
-    // the far tighter doc gate, and it is ALREADY the output domain
-    // (the old plan semi-joined scores to `matched` after aggregating).
-    // When it fits the control budget, collect it once (this is the
-    // only execution of the positional-match subtree), broadcast its
-    // doc ids as the scan's doc gate for EVERY term — head terms
-    // included, the 58%-of-phrase-cost posting mass DevPhraseProfile
-    // measured in round 17 — and make the final (qid, nid) semi-join a
-    // local relation. Results are bit-identical by construction: the
-    // earlier gate removes only rows the old semi-join discarded.
-    // Over-cap batches (and empty matches, where nothing ranks) keep
-    // the round-17 single-job plan verbatim.
-    val mRows = matched.limit(maxMatchedRows + 1).collect()
-    val scored = if (mRows.nonEmpty && mRows.length <= maxMatchedRows) {
-      val mLit = spark.createDataFrame(
-        java.util.Arrays.asList(mRows.toIndexedSeq: _*), matched.schema)
-      bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0, qterms,
-          docFilter = Some(mLit.select(col("nid").as("doc_id")).distinct()),
-          broadcastDocs = true)
-        .join(mLit, Seq("qid", "nid"), "left_semi")
-    } else
-      bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
-          qterms, docFilter = candFilter, broadcastDocs = bcast)
-        .join(matched, Seq("qid", "nid"), "left_semi")
+    // Round-18 note (measured, then REVERTED): gating the scoring
+    // stage's postings to the collected MATCHED set — the MaxScore
+    // lesson applied to positional ranking — was built, hash-gated
+    // green (t20/t21 unchanged), and then A/B'd at median-of-3 on the
+    // bench kernels: phrase +21%, NEAR +53% SLOWER gated (BASELINE.md
+    // round-18 "match-gated scoring" section). The ranking stage is
+    // SCAN-bound: the term-bucketed postings are read per query term
+    // regardless of any doc gate, the aggregate is already
+    // candidate-gated, and the extra control job costs more than the
+    // aggregate mass it removes. The lever that WOULD cut this cost is
+    // a different index layout (impact-ordered/quantized posting
+    // blocks), not a tighter doc gate on this one.
+    val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
+        qterms, docFilter = candFilter, broadcastDocs = bcast)
+      .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),

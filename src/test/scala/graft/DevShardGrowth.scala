@@ -49,8 +49,11 @@ object DevShardGrowth {
 
     if (mode == "vec") { vecMain(spark, timeMedian, timed); return }
     if (mode == "ms") {
-      // composed-dial probe (round-18 ask #4): S from arg 2, default 32
-      msMain(spark, if (args.length > 1) args(1).toInt else 32)
+      // composed-dial probe (round-18 ask #4): S from arg 2 (default
+      // 32), corpus size from arg 3 (default 1e6 — pass 1e7 for the
+      // decade where per-leg head mass clears the engagement knee)
+      msMain(spark, if (args.length > 1) args(1).toInt else 32,
+        if (args.length > 2) args(2).toLong else 1000000L)
       return
     }
     if (mode == "plan") {
@@ -215,9 +218,8 @@ object DevShardGrowth {
     * wall-clock IS plan+exec; the lazy entries time plan+exec the same
     * way for comparability). Row equality asserted across all four
     * before timing. */
-  private def msMain(spark: SparkSession, s: Int): Unit = {
+  private def msMain(spark: SparkSession, s: Int, n: Long): Unit = {
     import spark.implicits._
-    val n = 1000000L
     val dir = s"/tmp/graft-scale/zdocs$n"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       sources.Generators.zipfText(spark, n, seed = 11L, partitions = 32)
@@ -250,6 +252,7 @@ object DevShardGrowth {
         qdf.filter(col("mindf") <= n / 1000).select("qid"), "qid")
       .select(col("qid"), concat_ws(" ", col("qtext"), lit(topHead))
         .as("qtext"))
+      .orderBy("qid").limit(20) // bounded: exact legs cost ~s/q at 1e7
       .localCheckpoint()
     println(s"[growthms] mixed batch nq=${mixed.count()} head=$topHead")
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -414,13 +414,19 @@ class FusionSpec extends AnyFunSuite {
       lexMaxScore = Some(forced)))
     assert(msSharded === exact,
       "sharded lexMaxScore fusion diverged from the whole-corpus exact")
-    // planPar and lexMaxScore both rewire the lexical leg: reject
-    intercept[IllegalArgumentException] {
-      Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
-        "qid", "qtext", "qvec", 4, kPerLeg = 4,
-        vecShards = Some(Seq(emb)), planPar = 2,
-        lexMaxScore = Some(forced))
-    }
+    // planPar + lexMaxScore COMPOSE (round 18 — the former loud
+    // rejection retired): the lexical leg routes through
+    // bm25ShardedQueryMaxScoreGrouped, and grouping + pruning + the
+    // shard split must all be invisible through the fusion arithmetic
+    // at once (the t48 contract)
+    val msComposed = rows(Fusion.hybridShardedQuery(spark, Seq(s0, s1), q,
+      "qid", "qtext", "qvec", 4, kPerLeg = 4,
+      vecShards = Some(Seq(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0))),
+      planPar = 2, lexMaxScore = Some(forced)))
+    assert(msComposed === exact,
+      "composed planPar+lexMaxScore fusion diverged from the " +
+        "whole-corpus exact")
   }
 
   test("hybridShardedQuery: argument validation fails loudly") {

@@ -160,7 +160,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "doc_id", "text", s0, buckets = 2)
     Retrieval.bm25Build(c.filter(col("doc_id") % 2 =!= 0),
       "doc_id", "text", s1, buckets = 2)
-    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+    // one safe query per parity: w3 docs are all ODD ids, w4 all EVEN
+    // (i % 30 congruences), so each shard group's materialized
+    // candidate literal is non-empty — a group with NO candidates
+    // constant-folds its gated leg away entirely (also correct, and
+    // asserted separately below via the single-parity query)
+    val q = Seq((1L, "aaa bbb w3"), (2L, "aaa bbb w4")).toDF("qid", "qtext")
     val probe = new java.util.concurrent.ConcurrentLinkedQueue[
       (Seq[Int], String)]()
     Retrieval.groupPlanProbe.set(probe)
@@ -191,6 +196,33 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(mine.forall(_.contains(shard)),
         s"group $g's plans do not scan its shard $shard")
     }
+    // and the empty-candidate fold: a single-parity query (w3 = odd
+    // docs only) leaves the even shard's group with an EMPTY
+    // materialized candidate literal — its pass-2 gated leg must fold
+    // away at plan time (no scan of that shard at all), which is the
+    // S² fix paying a second dividend: a shard with no candidates
+    // costs zero, not a semi-join against nothing
+    val probe2 = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Seq[Int], String)]()
+    Retrieval.groupPlanProbe.set(probe2)
+    try {
+      Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, Seq(s0, s1),
+        Seq((1L, "aaa bbb w3")).toDF("qid", "qtext"),
+        "qid", "qtext", 3, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0, parallelism = 2)
+    } finally Retrieval.groupPlanProbe.set(null)
+    val plans2 = probe2.asScala.toSeq
+    val evenP2 = plans2.filter(_._1 == Seq(0)).map(_._2)
+    // pass 1 (essential terms, ungated) scans the shard as it must;
+    // pass 2's gated leg must FOLD (no LeftSemi, no second scan)
+    assert(evenP2.size == 2 && evenP2.count(_.contains(s0)) == 1 &&
+      !evenP2.exists(_.contains("LeftSemi")),
+      "the candidate-less even shard's pass-2 leg did not fold away " +
+        s"(scans=${evenP2.count(_.contains(s0))}, " +
+        s"semis=${evenP2.count(_.contains("LeftSemi"))})")
+    val oddP2 = plans2.filter(_._1 == Seq(1)).map(_._2)
+    assert(oddP2.count(_.contains("LeftSemi")) == 1,
+      "the odd shard (all candidates) lost its gated pass")
   }
 
   test("Fusion lexMaxScore: the candidate gate reaches the fused plan " +
