@@ -272,6 +272,43 @@ object Bench {
     val calibKernel: () => DataFrame = () => Q.sim1_knn(spark, sfDir)
     val calibAfter = Set("bench_maxscore", "bench_hybrid")
     val calibReads = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // SETTLE GUARD (round 19, VERDICT r18 #7): close benches taken
+    // minutes after multi-GB dev-probe JVMs read their FIRST kernel at
+    // 2-3x with one run in band — host page-cache/reclaim state, not
+    // code (the round-18 close read bench_sort [3.32, 1.41, 4.56]
+    // while the driver's own artifact read 1.17x). Before the suite
+    // counts, the calibrator must read <= 1.2x its pinned gate
+    // (bench_ann = 0.422 s at sf0.1, BASELINE rounds 13-18); an
+    // unsettled read waits 30 s and re-reads, up to 5 tries, and the
+    // artifact records every read plus the final settled verdict — a
+    // still-unsettled suite is VISIBLY marked rather than silently
+    // scary. Only engages at the pinned sf0.1 profile (or an explicit
+    // SPARK_GRAFT_BENCH_SETTLE_SEC gate) on full-suite runs.
+    val settleGate = sys.env.get("SPARK_GRAFT_BENCH_SETTLE_SEC")
+      .map(_.toDouble)
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(0.422) else None)
+    val settleReads = scala.collection.mutable.ArrayBuffer[Double]()
+    var settled = true
+    for (gate <- settleGate if selected.size > 3) {
+      var tries = 0
+      settled = false
+      while (!settled && tries < 5) {
+        val r = timeKernel(calibKernel(),
+          warmups = if (tries == 0) 1 else 0).median
+        settleReads += r
+        settled = r <= 1.2 * gate
+        tries += 1
+        if (!settled && tries < 5) {
+          System.err.println(f"[bench] settle: calibrator $r%.3fs > " +
+            f"1.2x gate ($gate%.3fs) — host not settled, waiting 30s " +
+            s"($tries/5)")
+          Thread.sleep(30000)
+        }
+      }
+      if (!settled)
+        System.err.println("[bench] settle: calibrator never settled " +
+          "in 5 tries — artifact records settled:false")
+    }
     val suiteT0 = System.nanoTime()
     val detail = scala.collection.mutable.ArrayBuffer[(String, Timing, Double)]()
     val results = selected.map { case (name, mk) =>
@@ -314,8 +351,10 @@ object Bench {
     val calibJson = calibReads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val heapGib = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val settleJson = "{\"reads\":[" + settleReads.map(fmt).mkString(",") +
+      s"],\"settled\":$settled}"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsJson,"calibrators":$calibJson,"heap_max_gib":${fmt(heapGib)},"gc_total_sec":${fmt(gcSeconds())}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsJson,"calibrators":$calibJson,"settle":$settleJson,"heap_max_gib":${fmt(heapGib)},"gc_total_sec":${fmt(gcSeconds())}}"""
     // stdout for humans, a file for the driver (sbt log noise makes the
     // stdout line hard to machine-parse)
     println(json)

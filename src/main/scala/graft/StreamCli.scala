@@ -40,8 +40,14 @@ import graft.sources.Io
   *  - `-output` writes text parts and FAILS if the directory exists
   *    (FileAlreadyExistsException semantics); `-cmdenv k=v` exports
   *    into the subprocess; `-D`/`-jobconf` set job parameters;
-  *    `-file`/`-files` are accepted and ignored with a loud warning
-  *    (a shared-filesystem cluster ships nothing);
+  *  - `-file`/`-files` SHIP local payloads to every executor
+  *    (`SparkContext.addFile`; reference `stream:StreamJob.java:287-296`
+  *    packages them via DistributedCache into the task dir) — command
+  *    tokens naming a shipped file resolve task-side to the executor's
+  *    `SparkFiles` copy, so `-mapper mapper.py -file /local/mapper.py`
+  *    runs on executors that have never seen the submitting host's
+  *    filesystem; `-cacheFile`/`-cacheArchive` (cluster-FS cache URIs)
+  *    warn-ignore as before;
   *  - unsupported surface (custom partitioner classes, Java
   *    mapper/reducer CLASS names, `-outputformat` beyond Text) fails
   *    LOUDLY — a silent approximation would corrupt a migrated
@@ -59,10 +65,38 @@ object StreamCli {
                        reducer: Option[Seq[String]],
                        inputFormat: String, inputReader: Option[String],
                        numReduceTasks: Int, typedBytes: Boolean,
-                       conf: Map[String, String], cmdEnv: Map[String, String])
+                       conf: Map[String, String], cmdEnv: Map[String, String],
+                       ship: Seq[String] = Nil)
 
-  private def tokenize(cmd: String): Seq[String] =
-    cmd.trim.split("\\s+").toSeq
+  /** Quote-aware command splitting — the reference's
+    * `stream:StreamUtil.splitArgs` semantics: whitespace separates
+    * tokens OUTSIDE quotes; `"` and `'` open a run appended to the
+    * current token verbatim (no escape processing inside, per the
+    * reference), so `-mapper "awk '{print $1}'"` keeps the awk program
+    * as one argument. An unterminated quote fails loudly — this file's
+    * contract is to refuse rather than approximate.
+    */
+  private[graft] def tokenize(cmd: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inTok = false
+    var i = 0
+    while (i < cmd.length) {
+      val c = cmd.charAt(i)
+      if (c == '"' || c == '\'') {
+        val close = cmd.indexOf(c, i + 1)
+        require(close >= 0, s"unterminated $c quote in command: $cmd")
+        cur.append(cmd.substring(i + 1, close))
+        inTok = true
+        i = close + 1
+      } else if (Character.isWhitespace(c)) {
+        if (inTok) { out += cur.result(); cur.clear(); inTok = false }
+        i += 1
+      } else { cur.append(c); inTok = true; i += 1 }
+    }
+    if (inTok) out += cur.result()
+    out.toSeq
+  }
 
   /** Parse the StreamJob option surface. Fails loudly on anything the
     * engine does not faithfully implement. */
@@ -78,6 +112,7 @@ object StreamCli {
     var typedBytes = false
     var conf = Map.empty[String, String]
     var env = Map.empty[String, String]
+    var ship = Vector.empty[String]
     def kv(s: String, flag: String): (String, String) = {
       val i = s.indexOf('=')
       require(i > 0, s"$flag expects key=value, got '$s'")
@@ -123,11 +158,15 @@ object StreamCli {
           typedBytes = true
         case "-D" | "-jobconf" => conf += kv(value(), "-D")
         case "-cmdenv" => env += kv(value(), "-cmdenv")
-        case "-file" | "-files" | "-cacheFile" | "-cacheArchive" =>
+        case "-file" => ship :+= value()
+        case "-files" => ship ++= value().split(",").map(_.trim)
+          .filter(_.nonEmpty)
+        case "-cacheFile" | "-cacheArchive" =>
           val v = value()
           System.err.println(s"[streamcli] WARN: ${args(i - 1)} $v " +
             "ignored — a shared-filesystem deployment ships nothing; " +
-            "ensure the command is resolvable on every executor")
+            "ensure the command is resolvable on every executor " +
+            "(local payloads ship via -file/-files)")
         case "-partitioner" =>
           val v = value()
           require(v.split('.').last == "KeyFieldBasedPartitioner" ||
@@ -148,7 +187,7 @@ object StreamCli {
     val red = reducer.filterNot(_ == "NONE")
     Job(inputs, output.get, mapper.map(tokenize),
       combiner.map(tokenize), red.map(tokenize), inputFormat,
-      inputReader, nr, typedBytes, conf, env)
+      inputReader, nr, typedBytes, conf, env, ship)
   }
 
   /** The input paths as a line Dataset under the job's format dials. */
@@ -212,6 +251,16 @@ object StreamCli {
     val sep = job.conf.getOrElse("stream.map.output.field.separator", "\t")
     val keyFields = job.conf.getOrElse(
       "stream.num.map.output.key.fields", "1").toInt
+    // -file/-files payloads ship to every executor via addFile; command
+    // tokens matching a shipped bare name resolve task-side to the
+    // executor's SparkFiles copy (reference StreamJob packageJobJar —
+    // the payload lands where the command can name it)
+    val shipped: Set[String] = job.ship.map { p =>
+      val f = new java.io.File(p)
+      require(f.isFile, s"-file $p does not exist on the submitting host")
+      spark.sparkContext.addFile(f.getAbsolutePath)
+      f.getName
+    }.toSet
     val lines = readLines(spark, job)
 
     val result: Dataset[String] =
@@ -224,7 +273,8 @@ object StreamCli {
             if (i < 0) (l, "") else (l.take(i), l.drop(i + 1))
           }
         val mapped = job.mapper.fold(toKv(lines))(cmd =>
-          Pipe.pipeTypedBytes(toKv(lines), withEnv(cmd, job.cmdEnv)))
+          Pipe.pipeTypedBytes(toKv(lines), withEnv(cmd, job.cmdEnv),
+            shipped))
         val reduced = job.reducer match {
           case Some(cmd) if job.numReduceTasks != 0 =>
             val parts = if (job.numReduceTasks > 0) job.numReduceTasks
@@ -233,29 +283,30 @@ object StreamCli {
               .repartition(parts, col("key"))
               .sortWithinPartitions("key", "value")
               .as[(String, String)]
-            Pipe.pipeTypedBytes(shuffled, withEnv(cmd, job.cmdEnv))
+            Pipe.pipeTypedBytes(shuffled, withEnv(cmd, job.cmdEnv),
+              shipped)
           case _ => mapped
         }
         reduced.map { case (k, v) => if (v.isEmpty) k else s"$k\t$v" }
       } else {
         val mapped = job.mapper.fold(lines)(cmd =>
-          Pipe.pipeMap(lines, withEnv(cmd, job.cmdEnv)))
+          Pipe.pipeMap(lines, withEnv(cmd, job.cmdEnv), shipped))
         val combined = job.combiner.fold(mapped) { cmd =>
           // spill-combiner contract: key-contiguous WITHIN each map
           // partition (sort locally, no exchange), then pipe
           val q = java.util.regex.Pattern.quote(sep)
-          mapped.toDF("line")
+          val sorted = mapped.toDF("line")
             .withColumn("k", concat_ws(sep,
               slice(split(col("line"), q), 1, keyFields)))
             .sortWithinPartitions("k", "line")
             .select("line").as[String]
-            .rdd.pipe(withEnv(cmd, job.cmdEnv)).toDS()
+          Pipe.pipeMap(sorted, withEnv(cmd, job.cmdEnv), shipped)
         }
         job.reducer match {
           case Some(cmd) if job.numReduceTasks != 0 =>
             Pipe.pipeReduce(combined.toDF("line"), "line",
               withEnv(cmd, job.cmdEnv), sep, keyFields,
-              math.max(job.numReduceTasks, 0))
+              math.max(job.numReduceTasks, 0), shipped)
           case _ => combined
         }
       }

@@ -58,14 +58,19 @@ object BucketedJoin {
   }
 
   /** Persist `df` as a bucketed, per-bucket-sorted table, replacing any
-    * prior table and its files (see [[dropWithLocation]]).
+    * prior table and its files (see [[dropWithLocation]]). `sortCols`
+    * appends SECONDARY sort columns after the bucket key — the layout
+    * dial behind e.g. the BM25 block-max index (sorted `(term, blk,
+    * doc_id)` files make pushed doc/block predicates page-skippable);
+    * [[appendBucketed]] and [[rewriteBucketed]] read the sort spec back
+    * from the catalog, so the layout survives appends and compactions.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     dropWithLocation(spark, table)
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(key, sortCols: _*)
       .format("parquet")
       .saveAsTable(table)
   }
@@ -89,13 +94,17 @@ object BucketedJoin {
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     if (!cat.tableExists(ident)) writeBucketed(df, table, key, defaultBuckets)
     else {
-      val n = cat.getTableMetadata(ident).bucketSpec
-        .map(_.numBuckets).getOrElse(defaultBuckets)
+      val spec = cat.getTableMetadata(ident).bucketSpec
+      val n = spec.map(_.numBuckets).getOrElse(defaultBuckets)
+      // the table's OWN sort spec (key + any secondary layout columns),
+      // so appends preserve e.g. a block-max (term, blk, doc_id) layout
+      val sortCols = spec.map(_.sortColumnNames).filter(_.nonEmpty)
+        .getOrElse(Seq(key))
       // pre-partition on the bucket hash so each task owns exactly one
       // bucket → exactly n new files per append, not tasks×n
       df.repartition(n, org.apache.spark.sql.functions.col(key))
         .write.mode("append")
-        .bucketBy(n, key).sortBy(key)
+        .bucketBy(n, key).sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet")
         .saveAsTable(table)
     }
@@ -150,11 +159,17 @@ object BucketedJoin {
     recoverCompacted(spark, table)
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    val n = cat.getTableMetadata(ident).bucketSpec
-      .map(_.numBuckets).getOrElse(8)
+    val spec = cat.getTableMetadata(ident).bucketSpec
+    val n = spec.map(_.numBuckets).getOrElse(8)
+    // preserve secondary sort layout columns across the rewrite — but
+    // only those the transform's output still carries (a derived-table
+    // rewrite may emit a different schema with its own plain layout)
+    val outCols = transform(spark.table(table)).columns.toSet
+    val sortTail = spec.map(_.sortColumnNames.drop(1)).getOrElse(Nil)
+      .filter(outCols)
     val tmp = s"${table}_compacting"
     val old = s"${table}_old"
-    writeBucketed(transform(spark.table(table)), tmp, key, n)
+    writeBucketed(transform(spark.table(table)), tmp, key, n, sortTail)
     boundary(0)
     // clear stale debris (a forgotten catalog entry or orphaned dir
     // would make the rename-aside collide)

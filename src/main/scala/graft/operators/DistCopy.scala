@@ -141,6 +141,53 @@ object DistCopy {
     } finally a.close()
   }
 
+  /** Per-TASK byte throttle — the reference's `-bandwidth` map-side
+    * limiter (`tools:hadoop-distcp ThrottledInputStream`): each copy
+    * task independently caps its observed rate at `bytesPerSec` by
+    * sleeping off any surplus, so a J-task job is bounded by
+    * J·bandwidth aggregate exactly as J maps were. Instantiated INSIDE
+    * the partition (wall-clock origin = task start).
+    */
+  private final class Throttle(bytesPerSec: Double) {
+    private val t0 = System.nanoTime()
+    private var sent = 0L
+    def acquire(n: Int): Unit = {
+      sent += n
+      val surplus = sent / bytesPerSec - (System.nanoTime() - t0) / 1e9
+      if (surplus > 0) Thread.sleep((surplus * 1000).toLong)
+    }
+  }
+
+  /** One file's payload copy, throttled and attribute-preserving as
+    * dialed. `preserve` copies the POSIX permission bits and the
+    * modification time after the payload lands (the reference's
+    * `-p[up...]` attribute set, scoped to what every Hadoop FS client
+    * exposes portably).
+    */
+  private def copyFile(sfs: FileSystem, from: Path, dfs: FileSystem,
+                       to: Path, throttle: Option[Throttle],
+                       preserve: Boolean): Unit = {
+    dfs.mkdirs(to.getParent)
+    val in = sfs.open(from)
+    try {
+      val outS = dfs.create(to, true)
+      try {
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n > 0) {
+          throttle.foreach(_.acquire(n))
+          outS.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally outS.close()
+    } finally in.close()
+    if (preserve) {
+      val st = sfs.getFileStatus(from)
+      dfs.setPermission(to, st.getPermission)
+      dfs.setTimes(to, st.getModificationTime, -1)
+    }
+  }
+
   /** Copy `srcDir` → `dstDir`. `update = true` skips files already
     * present at the destination with the same size AND equal contents
     * (native-checksum compare when the filesystems expose one, streamed
@@ -149,10 +196,54 @@ object DistCopy {
     * update. The manifest is a Dataset end to end ([[listingDs]]), so
     * neither the listing nor the copy job materializes the tree at the
     * driver.
+    *
+    * Operational dials (reference `DistCpOptionSwitch`):
+    *  - `bandwidthMB` > 0 throttles every copy task at that many
+    *    MB/s ([[Throttle]] — the `-bandwidth` per-map semantics);
+    *  - `atomic = true` is the `-atomic` commit: the whole tree copies
+    *    into a hidden staging sibling of the target and ONE
+    *    `FileSystem.rename` publishes it — a reader never observes a
+    *    partial target, and a mid-copy kill leaves only staging debris
+    *    (cleared by the next atomic attempt). Requires a fresh target;
+    *    rejected with `update` (re-copying everything into staging
+    *    would silently defeat update's purpose — the reference rejects
+    *    the pair too);
+    *  - `preserve = true` copies permission bits + mtime per file.
     */
   def copy(spark: SparkSession, srcDir: String, dstDir: String,
            update: Boolean = false,
-           excludeRegex: Option[String] = None): CopyStats = {
+           excludeRegex: Option[String] = None,
+           bandwidthMB: Double = 0.0,
+           atomic: Boolean = false,
+           preserve: Boolean = false): CopyStats = {
+    require(bandwidthMB >= 0.0, s"bandwidthMB must be >= 0, got $bandwidthMB")
+    if (!atomic)
+      copyInto(spark, srcDir, dstDir, update, excludeRegex, bandwidthMB,
+        preserve)
+    else {
+      require(!update, "atomic + update are mutually exclusive " +
+        "(the staging copy is always full — the reference rejects the " +
+        "pair as well)")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new Path(dstDir)
+      val fs = dst.getFileSystem(conf)
+      require(!fs.exists(dst), s"atomic copy: target $dstDir exists")
+      val parent = Option(dst.getParent).getOrElse(
+        sys.error(s"atomic copy: target $dstDir has no parent directory"))
+      val staging = new Path(parent, s".${dst.getName}._distcp_staging")
+      fs.delete(staging, true) // debris from a killed prior attempt
+      val st = copyInto(spark, srcDir, staging.toString, update = false,
+        excludeRegex, bandwidthMB, preserve)
+      fs.mkdirs(parent)
+      require(fs.rename(staging, dst),
+        s"atomic commit rename $staging -> $dst failed")
+      st
+    }
+  }
+
+  private def copyInto(spark: SparkSession, srcDir: String, dstDir: String,
+                       update: Boolean, excludeRegex: Option[String],
+                       bandwidthMB: Double, preserve: Boolean): CopyStats = {
     val sc = spark.sparkContext
     val copied = sc.longAccumulator("distcp_copied")
     val skipped = sc.longAccumulator("distcp_skipped")
@@ -163,6 +254,8 @@ object DistCopy {
       .repartition(64)
       .foreachPartition { it: Iterator[Entry] =>
       val conf = confBc.value.value
+      val throttle = if (bandwidthMB > 0.0)
+        Some(new Throttle(bandwidthMB * 1e6)) else None
       it.foreach { e =>
         val from = new Path(s"$srcDir/${e.rel}")
         val to = new Path(s"$dstDir/${e.rel}")
@@ -173,13 +266,7 @@ object DistCopy {
             contentsEqual(sfs, from, dfs, to)) {
           skipped.add(1)
         } else {
-          dfs.mkdirs(to.getParent)
-          val in = sfs.open(from)
-          try {
-            val outS = dfs.create(to, true)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, outS, 65536, false)
-            finally outS.close()
-          } finally in.close()
+          copyFile(sfs, from, dfs, to, throttle, preserve)
           copied.add(1)
           bytes.add(e.size)
         }
@@ -295,7 +382,6 @@ object DistCopy {
           .join(ranked(van.filter($"size" >= 0)).as("v"),
             Seq("size", "crc", "k"))
           .select($"a.rel".as("newRel"), $"v.rel".as("oldRel"))
-          .persist()
         val renamed = sc.longAccumulator("diff_renamed")
         val deleted = sc.longAccumulator("diff_deleted")
         val copied = sc.longAccumulator("diff_copied")
@@ -305,24 +391,41 @@ object DistCopy {
         // 1) RENAMES first (they consume vanished targets the delete
         // pass would otherwise remove); verify content, else fall
         // through to the copy set via the unmatched logic below — the
-        // conservative demotion is copy+delete, never a wrong rename
-        val confirmed = pairs.as[(String, String)].mapPartitions { it =>
-          val conf = confBc.value.value
-          it.flatMap { case (newRel, oldRel) =>
-            val from = new Path(s"$srcDir/$newRel")
-            val at = new Path(s"$dstDir/$oldRel")
-            val sfs = from.getFileSystem(conf)
-            val dfs = at.getFileSystem(conf)
-            if (dfs.exists(at) && contentsEqual(sfs, from, dfs, at)) {
+        // conservative demotion is copy+delete, never a wrong rename.
+        // The pairs gather at the driver (bounded O(delta) — the one
+        // driver-side set this sync keeps, per the method scaladoc) and
+        // the renames run in ONE collect-backed action whose task
+        // closure is IDEMPOTENT: a retried task that finds the source
+        // gone but the destination already carrying the right content
+        // reports success instead of aborting, and the confirmed set
+        // downstream deletes/copies read is the action's RESULT — a
+        // literal, never a recomputable plan that could re-run the
+        // renames (or recompute empty) under cache eviction.
+        val pairRows = pairs.as[(String, String)].collect().toSeq
+        val confirmedRows: Seq[(String, String)] =
+          spark.createDataset(pairRows).mapPartitions { it =>
+            val conf = confBc.value.value
+            it.flatMap { case (newRel, oldRel) =>
+              val from = new Path(s"$srcDir/$newRel")
+              val at = new Path(s"$dstDir/$oldRel")
               val to = new Path(s"$dstDir/$newRel")
-              dfs.mkdirs(to.getParent)
-              require(dfs.rename(at, to),
-                s"copyDiff: rename $at -> $to failed")
-              Some((newRel, oldRel))
-            } else None
-          }
-        }.toDF("newRel", "oldRel").persist()
-        renamed.add(confirmed.count())
+              val sfs = from.getFileSystem(conf)
+              val dfs = at.getFileSystem(conf)
+              def doneAlready =
+                dfs.exists(to) && contentsEqual(sfs, from, dfs, to)
+              if (dfs.exists(at) && contentsEqual(sfs, from, dfs, at)) {
+                dfs.mkdirs(to.getParent)
+                if (dfs.rename(at, to) || doneAlready) Some((newRel, oldRel))
+                else None // rename refused, target wrong — demote to copy
+              } else if (!dfs.exists(at) && doneAlready) {
+                // a prior attempt of THIS task already moved it
+                Some((newRel, oldRel))
+              } else None
+            }
+          }.collect().toSeq
+        val confirmed = spark.createDataset(confirmedRows)
+          .toDF("newRel", "oldRel")
+        renamed.add(confirmedRows.size)
         // 2) DELETES: vanished rels not consumed by a confirmed rename
         van.select($"rel").except(
             confirmed.select($"oldRel".as("rel")))
@@ -365,8 +468,6 @@ object DistCopy {
             }
           }
         }
-        confirmed.unpersist()
-        pairs.unpersist()
         DiffStats(renamed.value, deleted.value, copied.value,
           skipped.value, bytes.value)
       } finally { app.unpersist(); van.unpersist() }

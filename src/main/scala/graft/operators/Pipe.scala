@@ -19,15 +19,98 @@ import org.apache.spark.sql.functions._
   */
 object Pipe {
 
-  /** Map-side pipe: each partition's lines through `cmd` stdin/stdout. */
-  def pipeMap(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+  /** Map-side pipe: each partition's lines through `cmd` stdin/stdout.
+    *
+    * `shipped` names files distributed via `SparkContext.addFile` (the
+    * streaming `-file` payloads, reference `stream:StreamJob.java:287-296`
+    * where they land in the task working directory): command tokens
+    * matching a shipped file's bare name resolve to that executor's
+    * `SparkFiles.get` copy INSIDE the task — the landing path differs
+    * per executor, so a driver-side rewrite cannot work. Empty set =
+    * the classic `RDD.pipe` path, untouched.
+    */
+  def pipeMap(lines: Dataset[String], cmd: Seq[String],
+              shipped: Set[String] = Set.empty): Dataset[String] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.rdd.pipe(cmd).toDS()
+    if (shipped.isEmpty) lines.rdd.pipe(cmd).toDS()
+    else lines.mapPartitions(it => pipeLines(resolveShipped(cmd, shipped), it))
   }
 
   def pipeMap(lines: Dataset[String], cmd: String): Dataset[String] =
     pipeMap(lines, cmd.split("\\s+").toSeq)
+
+  /** Task-side resolution of shipped-file tokens (see [[pipeMap]]): a
+    * token equal to a shipped name (optionally `./`-prefixed) rewrites
+    * to the executor-local `SparkFiles.get` path, marked executable
+    * (DistributedCache preserved the bit; `addFile`'s fetch does not
+    * guarantee it).
+    */
+  private def resolveShipped(cmd: Seq[String],
+                             shipped: Set[String]): Seq[String] =
+    cmd.map { tok =>
+      val base = if (tok.startsWith("./")) tok.drop(2) else tok
+      if (!shipped(base)) tok
+      else {
+        val p = org.apache.spark.SparkFiles.get(base)
+        val f = new java.io.File(p)
+        if (f.isFile) f.setExecutable(true)
+        p
+      }
+    }
+
+  /** The line-protocol subprocess core for the shipped-file path: the
+    * [[pipeTypedBytes]] thread discipline (daemon stderr drain +
+    * feeder, exit-code check at EOF) over newline-framed text. Used
+    * only when task-side command resolution is needed — the no-ship
+    * path stays on Spark's own `PipedRDD`.
+    */
+  private def pipeLines(cmd: Seq[String],
+                        it: Iterator[String]): Iterator[String] = {
+    val proc = new ProcessBuilder(cmd: _*).start()
+    val errDrain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream))
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          System.err.println(s"[pipe-err] $line"); line = r.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+      finally r.close()
+    }, "pipe-lines-stderr-drain")
+    errDrain.setDaemon(true)
+    errDrain.start()
+    val feeder = new Thread(() => {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(proc.getOutputStream))
+      try {
+        it.foreach { l => w.write(l); w.newLine() }
+        w.close()
+      } catch { case _: java.io.IOException => /* child closed early */ }
+    }, "pipe-lines-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    new Iterator[String] {
+      private var nextLine: String = _
+      private var done = false
+      private def advance(): Unit = if (nextLine == null && !done) {
+        nextLine = in.readLine()
+        if (nextLine == null) {
+          done = true
+          feeder.join()
+          val rc = proc.waitFor()
+          if (rc != 0) throw new RuntimeException(s"pipe exited with $rc")
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextLine != null }
+      override def next(): String = {
+        advance(); val l = nextLine; nextLine = null; l
+      }
+    }
+  }
 
   /** Reduce-side pipe: repartition by the first `numKeyFields`
     * separator-delimited fields, sort each partition by the full line
@@ -36,7 +119,8 @@ object Pipe {
     */
   def pipeReduce(df: DataFrame, lineCol: String, cmd: Seq[String],
                  sep: String = "\t", numKeyFields: Int = 1,
-                 numPartitions: Int = 0): Dataset[String] = {
+                 numPartitions: Int = 0,
+                 shipped: Set[String] = Set.empty): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     val q = java.util.regex.Pattern.quote(sep)
@@ -45,11 +129,13 @@ object Pipe {
       col(lineCol).as("line"))
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    keyed
+    val sorted = keyed
       .repartition(parts, col("k"))
       .sortWithinPartitions(col("k"), col("line"))
       .select("line").as[String]
-      .rdd.pipe(cmd).toDS()
+    if (shipped.isEmpty) sorted.rdd.pipe(cmd).toDS()
+    else sorted.mapPartitions(it =>
+      pipeLines(resolveShipped(cmd, shipped), it))
   }
 
   /** Binary typedbytes pipe (`-io typedbytes` mode,
@@ -61,11 +147,14 @@ object Pipe {
     * side buffers the partition.
     */
   def pipeTypedBytes(kv: Dataset[(String, String)],
-                     cmd: Seq[String]): Dataset[(String, String)] = {
+                     cmd: Seq[String],
+                     shipped: Set[String] = Set.empty)
+      : Dataset[(String, String)] = {
     val spark = kv.sparkSession
     import spark.implicits._
     kv.mapPartitions { it =>
-      val proc = new ProcessBuilder(cmd: _*).start()
+      val proc = new ProcessBuilder(
+        resolveShipped(cmd, shipped): _*).start()
       // Drain the child's stderr on a daemon thread (forwarded to the task
       // log): a child writing >64KB of stderr would otherwise block on the
       // full OS pipe while the task thread blocks reading stdout —

@@ -679,12 +679,21 @@ object ProductQuant {
           .getField("codes").as("codes"),
         col("nrm"))
     import spark.implicits._
+    // `_meta` is the build's COMMIT RECORD: dropped before the first
+    // destructive write, rewritten only after every other table has
+    // landed. Every query/append reads (m, ksub) from `_meta` first, so
+    // ANY torn in-place rebuild — including the round-18-flagged
+    // new-or-dropped `_rot` paired with the previous build's code
+    // tables, the silent ADC-recall collapse — fails loudly on the
+    // missing `_meta` instead of serving mismatched rotation. (A fresh
+    // build drops nothing; [[ivfPqRetrain]] already clears the derived
+    // tables up front and stashes its resume facts separately.)
+    BucketedJoin.dropWithLocation(spark, s"${table}_meta")
     // `_rot` lands BEFORE the core tables: rotationOf detects OPQ by
     // `_rot` presence, so a crash after the code lists but before the
     // rotation would otherwise leave a fully serveable index whose
-    // codes are rotated but whose queries/appends are not — a silent
-    // ADC-recall collapse. Written first, a torn build fails loudly on
-    // the missing `_meta`/code table instead.
+    // codes are rotated but whose queries/appends are not. With the
+    // `_meta` bracket above, every such window now fails loudly.
     rotOpt match {
       case Some((dim, rot)) =>
         BucketedJoin.writeBucketed(
@@ -700,9 +709,6 @@ object ProductQuant {
     BucketedJoin.writeBucketed(cents, s"${table}_cents", "cid", 1)
     BucketedJoin.writeBucketed(cbook, s"${table}_pq", "sub", 1)
     BucketedJoin.writeBucketed(c, s"${table}_vecs", "nid", buckets)
-    BucketedJoin.writeBucketed(
-      Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
-      s"${table}_meta", "m", 1)
     // Build-time coarse-assignment quality — [[ivfPqAppend]]'s drift
     // reference, as in [[Similarity.ivfBuild]]. The code lists carry no
     // vectors, so the WRITTEN (cid, nid) keys rejoin the id-bucketed raw
@@ -717,6 +723,10 @@ object ProductQuant {
     BucketedJoin.writeBucketed(
       Seq((n, buildMean)).toDF("built_n", "mean_top1_cos"),
       s"${table}_stats", "built_n", 1)
+    // the commit record, LAST (see the `_meta` bracket note above)
+    BucketedJoin.writeBucketed(
+      Seq((m, ks, n, true)).toDF("m", "ksub", "built_n", "resid"),
+      s"${table}_meta", "m", 1)
     // fresh index: drop any tombstone set left by a prior index under
     // this name (stale ids would vanish from the new corpus) — cleared
     // AFTER the tables land, so an aborted build can never un-delete

@@ -115,28 +115,148 @@ object Retrieval {
     * table (term-bucketed like the postings), enabling
     * [[bm25PhraseQuery]]; [[bm25Append]] and [[bm25FoldTombstones]]
     * maintain it automatically once present.
+    *
+    * `blockMax = true` builds the BLOCK-MAX layout (Ding & Suel,
+    * "Faster top-k document retrieval using block-max indexes", WSDM
+    * 2011 — the doc-aligned block form, adapted set-at-a-time): doc ids
+    * must be integral; every posting gains `blk = doc_id div
+    * blockWidth`, the files sort `(term, blk, doc_id)` within buckets,
+    * and two side tables land —
+    *  - `<table>_blkmax` `(term, blk, max_tf, min_dl)` delta rows
+    *    (term-bucketed, append-folded like `_terms`): per-block score
+    *    UPPER BOUNDS, because BM25's per-doc weight is monotone ↑ in tf
+    *    and ↓ in dl, so w(max_tf, min_dl) ≥ w(tf, dl) for every posting
+    *    in the block under ANY (N, avgdl, df) constants — the bounds
+    *    survive appends (new deltas) and tombstones (deletes only
+    *    shrink true scores) without rewrite;
+    *  - `<table>_blkmeta` one `(block_w)` row — the layout marker and
+    *    the query-side doc→blk derivation.
+    * The layout is COST-ONLY: every query entry point returns
+    * bit-identical results on either layout. What it buys
+    * ([[bm25QueryMaxScore]] pass 2): the verified candidate set pushes
+    * into the head terms' postings SCAN as per-value `doc_id IN` (or
+    * `blk IN` past the per-value cap) — page-skippable against the
+    * sorted files — instead of only gating post-scan via semi-join, and
+    * `_blkmax` refines candidates per block before anything scans.
     */
   def bm25Build(docs: DataFrame, idCol: String, textCol: String,
                 table: String, buckets: Int = 8,
-                positions: Boolean = false): Unit = {
-    GraftFunctions.ensureRegistered(docs.sparkSession)
+                positions: Boolean = false,
+                blockMax: Boolean = false,
+                blockWidth: Long = 4096L): Unit = {
+    val spark = docs.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    require(blockWidth >= 1, s"blockWidth must be >= 1, got $blockWidth")
     val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
-    BucketedJoin.writeBucketed(postings, table, "term", buckets)
+    if (blockMax) {
+      val idType = postings.schema("doc_id").dataType
+      require(idType == org.apache.spark.sql.types.LongType ||
+          idType == org.apache.spark.sql.types.IntegerType,
+        s"bm25Build(blockMax = true) needs integral doc ids, got $idType")
+      // the marker drops FIRST and rewrites LAST: any crash inside the
+      // rebuild leaves an index with NO layout marker (queries serve
+      // exactly, push disengaged) — never a marker whose block width
+      // disagrees with the stored blk values (a wrong-width pushed
+      // filter would skip postings it must not)
+      if (tableExists(spark, s"${table}_blkmeta"))
+        BucketedJoin.dropWithLocation(spark, s"${table}_blkmeta")
+      val withBlk = postings.withColumn("blk",
+        expr(s"CAST(doc_id AS BIGINT) div $blockWidth"))
+      BucketedJoin.writeBucketed(withBlk, table, "term", buckets,
+        sortCols = Seq("blk", "doc_id"))
+      BucketedJoin.writeBucketed(
+        withBlk.groupBy("term", "blk")
+          .agg(max("tf").as("max_tf"), min("dl").as("min_dl")),
+        s"${table}_blkmax", "term", buckets)
+      import spark.implicits._
+      BucketedJoin.writeBucketed(Seq(blockWidth).toDF("block_w"),
+        s"${table}_blkmeta", "block_w", 1)
+    } else {
+      // a rebuild WITHOUT blockMax drops the prior layout's side tables
+      // FIRST: a crash between the drop and the postings overwrite
+      // leaves a blk-sorted table without its marker (queries simply
+      // don't engage the push — exact), never a marker claiming a
+      // layout the new files don't have
+      for (s <- Seq("_blkmeta", "_blkmax"); t = s"$table$s";
+           if tableExists(spark, t))
+        BucketedJoin.dropWithLocation(spark, t)
+      BucketedJoin.writeBucketed(postings, table, "term", buckets)
+    }
     BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
     BucketedJoin.writeBucketed(statsDelta, s"${table}_stats", "n_docs", 1)
     if (positions)
       BucketedJoin.writeBucketed(posRows(docs, idCol, textCol),
         s"${table}_pos", "term", buckets)
-    else if (tableExists(docs.sparkSession, s"${table}_pos"))
+    else if (tableExists(spark, s"${table}_pos"))
       // a rebuild WITHOUT positions must not leave the prior index's
       // positional table answering for the new corpus
-      BucketedJoin.dropWithLocation(docs.sparkSession, s"${table}_pos")
-    Tombstones.clear(docs.sparkSession, table)
+      BucketedJoin.dropWithLocation(spark, s"${table}_pos")
+    Tombstones.clear(spark, table)
   }
 
   private def tableExists(spark: SparkSession, t: String): Boolean =
     spark.sessionState.catalog.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
+
+  /** The block-max layout marker: the block width when `<table>_blkmeta`
+    * exists (one-row control read), None for the plain layout. */
+  private[operators] def blockMeta(spark: SparkSession,
+                                   table: String): Option[Long] =
+    if (!tableExists(spark, s"${table}_blkmeta")) None
+    else Some(spark.table(s"${table}_blkmeta").head().getLong(0))
+
+  /** [[blockMeta]] for a shard family, batched: ONE job reads every
+    * present `_blkmeta` row (the per-call control-read discipline of
+    * [[shardControlRows]] — S separate head() reads would pay S job
+    * launches per query batch). Zero jobs when no shard has the
+    * layout. */
+  private def blockMetas(spark: SparkSession,
+                         tables: Seq[String]): Seq[Option[Long]] = {
+    val have = tables.map(t => tableExists(spark, s"${t}_blkmeta"))
+    if (!have.exists(identity)) return tables.map(_ => None)
+    val rows = tables.zipWithIndex.collect { case (t, i) if have(i) =>
+      spark.table(s"${t}_blkmeta")
+        .select(lit(i).as("i"), col("block_w")) }
+      .reduce(_.unionByName(_)).collect()
+    val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    tables.indices.map(m.get(_))
+  }
+
+  /** Driver-side doc→block derivation — MUST match the build-side
+    * `doc_id div blockWidth` (Spark's integral `div` truncates toward
+    * zero, as Scala's `/` does). */
+  private def blkOf(docId: Any, w: Long): Long = docId match {
+    case l: java.lang.Long => l.longValue() / w
+    case i: java.lang.Integer => i.longValue() / w
+    case other => sys.error(s"blockMax index with non-integral doc id " +
+      s"$other — the build requires integral ids")
+  }
+
+  /** Materialize a bounded one-column id plan as (local frame, values),
+    * collecting PRIMITIVES for the common id types instead of generic
+    * Row objects (a 4M-candidate collect at the maxCandBroadcast dial
+    * is a 32 MB long array, not hundreds of MB of boxed Rows). */
+  private def materializeIds(spark: SparkSession,
+                             plan: DataFrame): (DataFrame, Seq[Any]) = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val f = plan.schema.head
+    val vals: Seq[Any] = f.dataType match {
+      case LongType => plan.as[Long].collect().toIndexedSeq
+      case IntegerType => plan.as[Int].collect().toIndexedSeq
+      case StringType => plan.as[String].collect().toIndexedSeq
+      case _ => plan.collect().toIndexedSeq.map(_.get(0))
+    }
+    (idFrame(spark, vals, f), vals)
+  }
+
+  /** A local one-column frame from already-collected id values. */
+  private def idFrame(spark: SparkSession, vals: Seq[Any],
+                      f: org.apache.spark.sql.types.StructField): DataFrame = {
+    val rows = vals.map(v => org.apache.spark.sql.Row(v))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(f)))
+  }
 
   /** Absorb a batch of NEW documents at O(batch) cost: postings and
     * dictionary deltas re-bucket into the standing layout
@@ -161,14 +281,34 @@ object Retrieval {
   def bm25Append(spark: SparkSession, table: String, docs: DataFrame,
                  idCol: String, textCol: String,
                  repair: Boolean = false): Unit = {
-    val (postings, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
+    val (postings0, dfDelta, statsDelta) = indexRows(docs, idCol, textCol)
+    // block-max twin: appended postings carry their blk, and the
+    // `_blkmax` delta lands BEFORE the postings — a crash between the
+    // two leaves bounds covering postings that never landed (slack,
+    // never a wrong prune); the reverse order could leave postings in
+    // blocks the refinement believes empty
+    val blkW = blockMeta(spark, table)
+    val postings = blkW.map(w => postings0.withColumn("blk",
+      expr(s"CAST(doc_id AS BIGINT) div $w"))).getOrElse(postings0)
+    def blkDelta(p: DataFrame): DataFrame = p.groupBy("term", "blk")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
     if (repair && tableExists(spark, table)) {
       val missing = postings.join(
         spark.table(table).select("term", "doc_id"),
         Seq("term", "doc_id"), "left_anti")
+      if (blkW.isDefined)
+        // deltas are not row-level repairable (same argument as the
+        // dictionary below) — recompute the bounds from the one
+        // authoritative table; exact, O(index), crash-recovery only
+        BucketedJoin.rewriteBucketed(spark, s"${table}_blkmax", "term") {
+          _ => blkDelta(spark.table(table).unionByName(missing))
+        }
       BucketedJoin.appendBucketed(missing, table, "term")
       rebuildDerived(spark, table)
     } else {
+      if (blkW.isDefined)
+        BucketedJoin.appendBucketed(blkDelta(postings),
+          s"${table}_blkmax", "term")
       BucketedJoin.appendBucketed(postings, table, "term")
       BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
       BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
@@ -465,12 +605,44 @@ object Retrieval {
     val capDf = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
       else Long.MaxValue
     val rows = qdfRows.filter(_.getLong(2) <= capDf).toSeq
+    // block-max layout facts (zero cost on plain tables — a catalog
+    // existence check; one tiny control read when the layout exists);
+    // the fetch is the bounded (term, blk) → (max_tf, min_dl) slice
+    // the refinement consumes
+    val bw = blockMeta(spark, table)
     maxScoreRank(spark, rows, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
-      partials = (qtF, dictF, terms, docFilter, bcast) =>
+      partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
         partialsWith(spark, table, qtF, k1, b, nDocs, avgdl, dictF,
-          terms, docFilter, bcast),
-      exact = () => exact())
+          terms, docFilter, bcast, docVals, bw),
+      exact = () => exact(),
+      b = b, avgdl = avgdl,
+      blkInfo = bw.map(w => (w, blkBoundsFetch(spark, Seq(table), _, _))))
+  }
+
+  /** The bounded `(term, blk) → (max_tf, min_dl)` control slice behind
+    * the block-UB refinement ([[maxScoreRank]]): the `_blkmax` deltas
+    * of `tables`, pruned to the head terms and candidate blocks, folded
+    * max/min — across shards the fold is still a valid upper bound (a
+    * doc lives in ONE shard, and max-over-shards ≥ its own shard's
+    * max). None when the slice exceeds [[maxControlRows]] (the
+    * refinement then keeps every candidate — cost, never correctness).
+    */
+  private def blkBoundsFetch(spark: SparkSession, tables: Seq[String],
+                             terms: Seq[String], blks: Seq[Long])
+      : Option[Map[(String, Long), (Long, Long)]] = {
+    if (terms.isEmpty || blks.isEmpty)
+      return Some(Map.empty)
+    val slice = tables.map(t =>
+        pruneToTerms(spark.table(s"${t}_blkmax"), Some(terms)))
+      .reduce(_.unionByName(_))
+      .filter(col("blk").isin(blks: _*))
+      .groupBy("term", "blk")
+      .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+    val rows = slice.limit(maxControlRows + 1).collect()
+    if (rows.length > maxControlRows) None
+    else Some(rows.iterator.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap)
   }
 
   /** The shared two-pass MaxScore core behind [[bm25QueryMaxScore]] and
@@ -533,8 +705,14 @@ object Retrieval {
       essentialDfFrac: Double, maxCandBroadcast: Long,
       gateMinHeadMass: Long, gateCandFrac: Double,
       partials: (DataFrame, DataFrame, Option[Seq[String]],
-        Option[DataFrame], Boolean) => DataFrame,
-      exact: () => DataFrame): DataFrame = {
+        Option[DataFrame], Boolean, Option[Seq[Any]]) => DataFrame,
+      exact: () => DataFrame,
+      b: Double = 0.75, avgdl: Double = 0.0,
+      blkInfo: Option[(Long, (Seq[String], Seq[Long]) =>
+        Option[Map[(String, Long), (Long, Long)]])] = None): DataFrame = {
+    require(blkInfo.isEmpty || avgdl > 0.0,
+      "maxScoreRank: blkInfo needs the caller's avgdl (the refinement " +
+        "bound is computed with the same constants scoring uses)")
     if (rows.isEmpty) return exact() // every term over the dial
     val plans = maxScorePlans(rows, nDocs, k1, essentialDfFrac)
     def engages(p: MsPlan): Boolean =
@@ -557,7 +735,7 @@ object Retrieval {
       pruneQids(r.get(0)) && plans(r.get(0)).ess(r.getString(1)))
     val essTerms = essRows.map(_.getString(1)).distinct
     def p1sums() = partials(litFrame(essRows).select("qid", "term"),
-        dictOf(essRows), Some(essTerms), None, false)
+        dictOf(essRows), Some(essTerms), None, false, None)
       .groupBy("qid", "nid")
       .agg(sum("partial").cast("double").as("cos"))
     // ---- bounded control read #2: each query's k-th best pass-1 sum
@@ -573,10 +751,32 @@ object Retrieval {
     val safeRows = rows.filter(r => safeQids(r.get(0)))
     val otherRows = rows.filterNot(r => safeQids(r.get(0)))
     val safeTerms = safeRows.map(_.getString(1)).distinct
-    val candDocsPlan = p1sums()
-      .join(litFrame(safeRows).select("qid").distinct(),
-        Seq("qid"), "left_semi")
-      .select(col("nid").as("doc_id")).distinct()
+    // pass-2 candidate TIGHTENING (round 19): the per-doc MaxScore
+    // test. A verified query's final k-th best score is >= its pass-1
+    // threshold L (at least k docs already reach L on essential terms
+    // alone), and a candidate's full score is bounded by essSum +
+    // neSum — so a pass-1 doc with essSum < L − neSum sits STRICTLY
+    // below the final k-th best and cannot place under any tie-break.
+    // The k docs that set L survive by construction (essSum >= L >=
+    // L − neSum), so every verified query keeps >= k candidates.
+    // Everything downstream — the semi-join, the doc/blk scan push,
+    // the block-UB refinement — operates on this smaller, still-exact
+    // set; before round 19 EVERY pass-1 doc (bounded only by Σ
+    // essential df) flowed into pass 2.
+    val threshRows = safeQids.iterator.map { q =>
+      org.apache.spark.sql.Row(q,
+        java.lang.Long.valueOf(l1(q) - plans(q).neSum))
+    }.toSeq
+    val threshF = spark.createDataFrame(
+      java.util.Arrays.asList(threshRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(qdfSchema.head,
+        org.apache.spark.sql.types.StructField("thresh",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // the inner join against the tiny thresh frame both restricts to
+    // the safe qids (the old left_semi) and attaches each query's bar
+    def candEss() = p1sums().join(threshF, Seq("qid"))
+      .filter(col("cos") >= col("thresh").cast("double"))
+    val candDocsPlan = candEss().select(col("nid").as("doc_id")).distinct()
     val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
     val bcastCand = candBound <= maxCandBroadcast
     // On the broadcast path, MATERIALIZE the candidate set once (it is
@@ -587,21 +787,70 @@ object Retrieval {
     // an S² plan/execution blowup, invisible at the S=2 gates and
     // measured as a multi-minute single-core planning hang at S=32
     // (BASELINE.md round-18, DevShardGrowth `ms`). The literal keeps
-    // pass 2's legs O(S) total. Over-cap batches keep the lazy plan
-    // (they route to shuffle semi-joins, where the join input is
-    // computed once per leg by necessity).
-    val candDocs = if (bcastCand) {
-      val rows2 = candDocsPlan.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows2.toIndexedSeq: _*),
-        candDocsPlan.schema)
-    } else candDocsPlan
+    // pass 2's legs O(S) total; ids collect as PRIMITIVES
+    // ([[materializeIds]]), not boxed Rows. Over-cap batches keep the
+    // lazy plan (they route to shuffle semi-joins, where the join
+    // input is computed once per leg by necessity).
+    val (candDocs, candVals) = if (!bcastCand) (candDocsPlan, None) else {
+      // BLOCK-UB REFINEMENT (blkInfo, block-max layout only): with the
+      // per-(query, candidate) essential sums in hand (a bounded
+      // collect at this size), each candidate's bound sharpens from
+      // essSum + Σ_head ub(t) to essSum + Σ_head bub(t, blk(d)) — the
+      // block the doc actually lives in, whose (max_tf, min_dl) caps
+      // the head contribution below the global ub. Drop d when even
+      // that bound misses EVERY safe query's bar; exact by the same
+      // monotonicity argument as the layout doc on [[bm25Build]].
+      val refined: Option[Seq[Any]] = blkInfo.flatMap { case (bw, fetch) =>
+        val essRows2 = candEss().select("qid", "nid", "cos")
+          .limit(maxControlRows + 1).collect()
+        if (essRows2.length > maxControlRows) None
+        else {
+          val headDf: Map[Any, Seq[(String, Long)]] =
+            rows.filter(r => safeQids(r.get(0)) &&
+                !plans(r.get(0)).ess(r.getString(1)))
+              .groupBy(_.get(0))
+              .map { case (q, rs) =>
+                q -> rs.map(r => (r.getString(1), r.getLong(2))) }
+          val headTerms = headDf.valuesIterator.flatMap(_.map(_._1))
+            .toSeq.distinct
+          val blks = essRows2.map(r => blkOf(r.get(1), bw)).distinct.toSeq
+          fetch(headTerms, blks).map { bounds =>
+            def ubMicro(df: Long, maxTf: Long, minDl: Long): Long = {
+              val idf = math.log((nDocs.toDouble - df + 0.5)
+                / (df + 0.5) + 1.0)
+              val w = maxTf * (k1 + 1.0) /
+                (maxTf + k1 * (1.0 - b + b * minDl / avgdl))
+              math.ceil(idf * w * 1000000.0).toLong
+            }
+            essRows2.iterator.filter { r =>
+              val (q, d, ess) = (r.get(0), r.get(1), r.getDouble(2).toLong)
+              val blk = blkOf(d, bw)
+              val headBound = headDf.getOrElse(q, Nil).iterator.map {
+                case (t, df) => bounds.get((t, blk))
+                  .map { case (mt, md) => ubMicro(df, mt, md) }
+                  .getOrElse(0L) // no block row — no posting, 0
+              }.sum
+              ess + headBound >= l1(q) // keep unless strictly below
+            }.map(_.get(1)).toSeq.distinct
+          }
+        }
+      }
+      refined match {
+        case Some(kept) =>
+          (idFrame(spark, kept, candDocsPlan.schema.head), Some(kept))
+        case None =>
+          val (f0, vals0) = materializeIds(spark, candDocsPlan)
+          (f0, Some(vals0))
+      }
+    }
     val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
-      dictOf(safeRows), Some(safeTerms), Some(candDocs), bcastCand)
+      dictOf(safeRows), Some(safeTerms), Some(candDocs), bcastCand,
+      candVals)
     val scored = if (otherRows.isEmpty) scoredSafe else {
       val otherTerms = otherRows.map(_.getString(1)).distinct
       scoredSafe.unionByName(partials(
         litFrame(otherRows).select("qid", "term"), dictOf(otherRows),
-        Some(otherTerms), None, false))
+        Some(otherTerms), None, false, None))
     }
     Similarity.rankTopK(
         scored.groupBy("qid", "nid")
@@ -670,14 +919,24 @@ object Retrieval {
     // the exact leg and 1.79× the grouped one; the scaled gate routes
     // that batch to the exact plan. At production shard sizes (per-leg
     // head mass over the knee) the gate engages exactly as before.
+    // per-shard block-max facts (one batched control job, zero on
+    // plain layouts); the UB refinement needs ONE family-wide block
+    // width — mixed or absent widths disable it (the per-leg scan push
+    // still engages wherever a shard carries the layout)
+    val bws = blockMetas(spark, tables)
+    val uniW = if (bws.forall(_.isDefined) && bws.flatten.distinct.size == 1)
+      bws.head else None
     maxScoreRank(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast,
       gateMinHeadMass * tables.size, gateCandFrac,
-      partials = (qtF, dictF, terms, docFilter, bcast) =>
-        tables.map(t => partialsWith(spark, t, qtF, k1, b, nDocs,
-            avgdl, dictF, terms, docFilter, bcast))
+      partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
+        tables.zip(bws).map { case (t, w) =>
+          partialsWith(spark, t, qtF, k1, b, nDocs,
+            avgdl, dictF, terms, docFilter, bcast, docVals, w) }
           .reduce(_.unionByName(_)),
-      exact = () => exact())
+      exact = () => exact(),
+      b = b, avgdl = avgdl,
+      blkInfo = uniW.map(w => (w, blkBoundsFetch(spark, tables, _, _))))
   }
 
   /** [[bm25ShardedQueryMaxScore]] × [[bm25ShardedQueryGrouped]] — the
@@ -750,14 +1009,16 @@ object Retrieval {
       .select(col("qid"), col("term"), col("df"))
     val qdfRows = qdf.limit(maxControlRows + 1).collect()
     if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exactG()
-    // per-leg head-mass knee, as in [[bm25ShardedQueryMaxScore]]
+    // per-leg head-mass knee, as in [[bm25ShardedQueryMaxScore]];
+    // per-shard block-max widths feed each leg's scan push
+    val bws = blockMetas(spark, tables)
     maxScoreRankGrouped(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast,
       gateMinHeadMass * tables.size, gateCandFrac,
       shardGroups(tables.size, parallelism),
-      partialsFor = (i, qtF, dictF, terms, docFilter, bcast) =>
+      partialsFor = (i, qtF, dictF, terms, docFilter, bcast, docVals) =>
         partialsWith(spark, tables(i), qtF, k1, b, nDocs, avgdl, dictF,
-          terms, docFilter, bcast),
+          terms, docFilter, bcast, docVals, bws(i)),
       exact = () => exactG())
   }
 
@@ -777,7 +1038,7 @@ object Retrieval {
       gateMinHeadMass: Long, gateCandFrac: Double,
       groups: Seq[Seq[Int]],
       partialsFor: (Int, DataFrame, DataFrame, Option[Seq[String]],
-        Option[DataFrame], Boolean) => DataFrame,
+        Option[DataFrame], Boolean, Option[Seq[Any]]) => DataFrame,
       exact: () => DataFrame): DataFrame = {
     if (rows.isEmpty) return exact()
     val plans = maxScorePlans(rows, nDocs, k1, essentialDfFrac)
@@ -795,7 +1056,7 @@ object Retrieval {
     val essTerms = essRows.map(_.getString(1)).distinct
     def p1group(g: Seq[Int]): DataFrame =
       g.map(i => partialsFor(i, litFrame(essRows).select("qid", "term"),
-          dictOf(essRows), Some(essTerms), None, false))
+          dictOf(essRows), Some(essTerms), None, false, None))
         .reduce(_.unionByName(_))
         .groupBy("qid", "nid")
         .agg(sum("partial").cast("double").as("cos"))
@@ -816,6 +1077,19 @@ object Retrieval {
     val otherRows = rows.filterNot(r => safeQids(r.get(0)))
     val safeTerms = safeRows.map(_.getString(1)).distinct
     val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
+    // the round-19 per-doc tightening, grouped form (see
+    // [[maxScoreRank]]): L is the GLOBAL k-th best (merged above), so
+    // the same essSum >= L − neSum bar applies within each group —
+    // a group doc below it is below the global bar a fortiori
+    val threshRows = safeQids.iterator.map { q =>
+      org.apache.spark.sql.Row(q,
+        java.lang.Long.valueOf(l1(q) - plans(q).neSum))
+    }.toSeq
+    val threshF = spark.createDataFrame(
+      java.util.Arrays.asList(threshRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(qdfSchema.head,
+        org.apache.spark.sql.types.StructField("thresh",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     // ---- pass 2 (grouped): a group's head postings gate to its OWN
     // pass-1 candidates — by doc-disjointness exactly the global
     // candidate set restricted to the group's docs; unverified
@@ -823,27 +1097,26 @@ object Retrieval {
     val bcastCand = candBound <= maxCandBroadcast
     def p2group(g: Seq[Int]): DataFrame = {
       val candDocsGPlan = p1group(g)
-        .join(litFrame(safeRows).select("qid").distinct(),
-          Seq("qid"), "left_semi")
+        .join(threshF, Seq("qid"))
+        .filter(col("cos") >= col("thresh").cast("double"))
         .select(col("nid").as("doc_id")).distinct()
       // materialized per group on the broadcast path — the same S²
       // plan-blowup guard as [[maxScoreRank]]'s pass 2 (each group leg
-      // would otherwise embed the group's whole pass-1 union)
-      val candDocsG = if (bcastCand) {
-        val rows2 = candDocsGPlan.collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows2.toIndexedSeq: _*),
-          candDocsGPlan.schema)
-      } else candDocsGPlan
+      // would otherwise embed the group's whole pass-1 union); ids
+      // collect as primitives and feed the per-leg scan push
+      val (candDocsG, candValsG) = if (bcastCand) {
+        val (f0, vals0) = materializeIds(spark, candDocsGPlan)
+        (f0, Some(vals0))
+      } else (candDocsGPlan, None)
       val scoredSafe = g.map(i => partialsFor(i,
           litFrame(safeRows).select("qid", "term"), dictOf(safeRows),
-          Some(safeTerms), Some(candDocsG), bcastCand))
+          Some(safeTerms), Some(candDocsG), bcastCand, candValsG))
         .reduce(_.unionByName(_))
       val scored = if (otherRows.isEmpty) scoredSafe else {
         val otherTerms = otherRows.map(_.getString(1)).distinct
         scoredSafe.unionByName(g.map(i => partialsFor(i,
             litFrame(otherRows).select("qid", "term"), dictOf(otherRows),
-            Some(otherTerms), None, false))
+            Some(otherTerms), None, false, None))
           .reduce(_.unionByName(_)))
       }
       scored.groupBy("qid", "nid")
@@ -1532,13 +1805,30 @@ object Retrieval {
   /** The scoring tail with the corpus constants INJECTED — what lets
     * [[bm25ShardedQuery]]'s shards score against GLOBAL (N, avgdl, df)
     * while each shard scans only its own postings. Single-index callers
-    * pass their own table's stats ([[bm25Partials]]). */
+    * pass their own table's stats ([[bm25Partials]]).
+    *
+    * `docVals` + `blockW` engage the BLOCK-MAX SCAN SKIP (layout doc on
+    * [[bm25Build]]): when the caller has the candidate ids driver-side
+    * (`docVals` MUST be exactly `docFilter`'s id set) and the table
+    * carries the blk-sorted layout, the candidate set reaches the
+    * postings SCAN as a pushed predicate —
+    *  - ≤ [[maxInPushValues]] ids: per-value `doc_id IN`, which
+    *    REPLACES the semi-join outright (same set, page-skippable
+    *    against the doc-sorted files);
+    *  - else, candidate BLOCKS ≤ the cap: per-value `blk IN` (a strict
+    *    superset of the candidates — coarser pages skip) UNDER the
+    *    unchanged semi-join, which keeps exactness;
+    *  - else: today's semi-join alone.
+    * Every branch returns bit-identical rows; the dial is pure scan
+    * cost. */
   private def partialsWith(spark: SparkSession, table: String,
                            qt: DataFrame, k1: Double, b: Double,
                            nDocs: Long, avgdl: Double, dict: DataFrame,
                            qterms: Option[Seq[String]],
                            docFilter: Option[DataFrame],
-                           broadcastDocs: Boolean): DataFrame = {
+                           broadcastDocs: Boolean,
+                           docVals: Option[Seq[Any]] = None,
+                           blockW: Option[Long] = None): DataFrame = {
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val dlD = col("dl").cast("double")
@@ -1550,8 +1840,24 @@ object Retrieval {
       pruneToTerms(spark.table(table), qterms), "doc_id")
     val postings = docFilter match {
       case Some(docIds) =>
-        val f = if (broadcastDocs) broadcast(docIds) else docIds
-        postings0.join(f, Seq("doc_id"), "left_semi")
+        def semi(base: DataFrame) = {
+          val f = if (broadcastDocs) broadcast(docIds) else docIds
+          base.join(f, Seq("doc_id"), "left_semi")
+        }
+        (docVals, blockW) match {
+          case (Some(vals), Some(_)) if vals.isEmpty =>
+            postings0.filter(lit(false)) // constant-folds away
+          case (Some(vals), Some(_)) if vals.size <= maxInPushValues =>
+            raiseInFilterThreshold(spark, maxInPushValues)
+            postings0.filter(col("doc_id").isin(vals: _*))
+          case (Some(vals), Some(bw)) =>
+            val blks = vals.map(blkOf(_, bw)).distinct
+            if (blks.size <= maxInPushValues) {
+              raiseInFilterThreshold(spark, maxInPushValues)
+              semi(postings0.filter(col("blk").isin(blks: _*)))
+            } else semi(postings0)
+          case _ => semi(postings0)
+        }
       case None => postings0
     }
     // exact for any realistic score (score·1e6 ≪ 2^53), so ranking on

@@ -1917,6 +1917,30 @@ object Queries {
       .orderBy("qid", "rnk")
   }
 
+  /** BLOCK-MAX layout gate (round 19,
+    * [[graft.operators.Retrieval.bm25Build]] `blockMax = true`): t44's
+    * forced-engagement protocol served from the blk-sorted index —
+    * half the corpus BUILT, half APPENDED (so the delta-maintained
+    * `_blkmax` bounds and the appended files' sort are both under the
+    * hash), the two-pass pruned plan answering with the candidate set
+    * PUSHED into the head postings scan (per-value doc/blk IN on the
+    * sorted files) and block-UB refinement applied. Same whole-corpus
+    * full-BM25 oracle as t44: the layout, the scan push, and the
+    * refinement must all be invisible in the rows.
+    */
+  val t49_blockmax: Q = (s, d) => {
+    val table = s"bm25bm_${d.hashCode & Int.MaxValue}"
+    val c = maxScoreDocs(s, d)
+    Retrieval.bm25Build(c.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", table, blockMax = true, blockWidth = 64L)
+    Retrieval.bm25Append(s, table,
+      c.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    Retrieval.bm25QueryMaxScore(s, table, maxScoreQueries(s, d), "qid",
+        "qtext", 5, essentialDfFrac = 0.9, gateMinHeadMass = 1L,
+        gateCandFrac = 1000000.0)
+      .orderBy("qid", "rnk")
+  }
+
   /** Every 50th document's first three (lowercased) tokens as the query
     * text — rejoined with single spaces so bm25Query's tokenizer
     * recovers the identical terms.
@@ -2725,6 +2749,7 @@ object Queries {
     "t46_hybridmaxscore" -> t46_hybridmaxscore,
     "t47_shardedhybridmaxscore" -> t47_shardedhybridmaxscore,
     "t48_groupedhybridmaxscore" -> t48_groupedhybridmaxscore,
+    "t49_blockmax" -> t49_blockmax,
     "sim1_knn" -> sim1_knn, "sim2_lsh" -> sim2_lsh, "sim3_ivf" -> sim3_ivf,
     "sim4_neardup" -> sim4_neardup, "sim5_ivfindex" -> sim5_ivfindex,
     "sim6_ivf2level" -> sim6_ivf2level, "sim7_ivfappend" -> sim7_ivfappend,
@@ -4131,6 +4156,11 @@ object Queries {
     "t48_groupedhybridmaxscore" -> hybridRrfOracleSqlWith(
       textExpr = "text || ' zzhead'",
       qtExtra = " UNION ALL SELECT qid, 'zzhead' AS term FROM qids"),
+    // Block-max layout (round 19): build+append through the blk-sorted
+    // index, the candidate set pushed into the scan, block-UB
+    // refinement on — the t44 full-BM25 oracle must hash verbatim.
+    "t49_blockmax" -> bm25OracleSql(textExpr = "text || ' zzhead'",
+      qtExtra = maxScoreQtExtra),
 
     "f4_split" ->
       """SELECT doc_id,

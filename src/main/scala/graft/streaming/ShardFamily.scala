@@ -278,9 +278,13 @@ final class ShardFamily private (val kind: ShardFamily.Kind,
     * (each merge creates the next level's sibling), which is exactly
     * the safe-boundary cadence the loop runs it at. Merged names come
     * from `nameFor(loTable, hiTable)` — the default is deterministic
-    * (`<lo>_mg<level>`), so a crashed-and-restarted loop re-queues the
-    * SAME merge and the marker protocol resumes it instead of
-    * orphaning a half-built table under a fresh name. No-op (0) when
+    * (`<lo>_mg`, the lo table's name suffixed once), so a crashed-and-
+    * restarted loop re-queues the SAME merge and the marker protocol
+    * resumes it instead of orphaning a half-built table under a fresh
+    * name. Uniqueness: every merge consumes its lo table (the slot is
+    * replaced), so no two merges — within one pass or across levels —
+    * ever share a lo name; repeated folding stacks suffixes
+    * (`x_mg`, `x_mg_mg`, …) rather than colliding. No-op (0) when
     * requests are already pending: enforcement on a stale projection
     * would double-queue the same siblings.
     */

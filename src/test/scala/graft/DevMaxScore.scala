@@ -62,6 +62,15 @@ object DevMaxScore {
     val t0 = System.nanoTime()
     Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 32)
     println(f"[maxscore] n=$n build=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    // the round-19 BLOCK-MAX twin: same corpus, blk-sorted layout —
+    // serving through it measures what the pushed doc/blk scan skip +
+    // block-UB refinement buy over the plain layout's semi-join
+    val tableBm = s"devmsbm_$n"
+    val t0b = System.nanoTime()
+    Retrieval.bm25Build(corpus, "doc_id", "text", tableBm, buckets = 32,
+      blockMax = true)
+    println(f"[maxscore] n=$n blockMax build=" +
+      f"${(System.nanoTime() - t0b) / 1e9}%.1fs")
 
     // corpus head terms (df desc) and the per-query-term df frame the
     // batch construction reads
@@ -106,16 +115,20 @@ object DevMaxScore {
       else {
         def exactRows() = Retrieval.bm25Query(spark, table, q,
           "qid", "qtext", 5).as[(Long, Long, Long, Int)].collect().toSet
-        def msRows(forced: Boolean) = (if (forced)
-            Retrieval.bm25QueryMaxScore(spark, table, q, "qid", "qtext",
+        def msRows(forced: Boolean, t: String = table) = (if (forced)
+            Retrieval.bm25QueryMaxScore(spark, t, q, "qid", "qtext",
               5, gateMinHeadMass = 1L, gateCandFrac = 1.0)
-          else Retrieval.bm25QueryMaxScore(spark, table, q,
+          else Retrieval.bm25QueryMaxScore(spark, t, q,
             "qid", "qtext", 5))
           .as[(Long, Long, Long, Int)].collect().toSet
         assert(exactRows() == msRows(forced = false),
           s"[maxscore] $tag: gated plan diverged from exact — BUG")
         assert(exactRows() == msRows(forced = true),
           s"[maxscore] $tag: forced plan diverged from exact — BUG")
+        assert(exactRows() == msRows(forced = false, t = tableBm),
+          s"[maxscore] $tag: blockMax gated plan diverged — BUG")
+        assert(exactRows() == msRows(forced = true, t = tableBm),
+          s"[maxscore] $tag: blockMax forced plan diverged — BUG")
         val (_, tEx) = timedMed {
           Retrieval.bm25Query(spark, table, q, "qid", "qtext", 5).count()
         }
@@ -129,10 +142,17 @@ object DevMaxScore {
           Retrieval.bm25QueryMaxScore(spark, table, q, "qid", "qtext",
             5, gateMinHeadMass = 1L, gateCandFrac = 1.0).count()
         }
+        // the blockMax layout under the NATURAL dials — the round-19
+        // serving claim is this column vs tMs on head-bearing batches
+        val (_, tBm) = timedMed {
+          Retrieval.bm25QueryMaxScore(spark, tableBm, q,
+            "qid", "qtext", 5).count()
+        }
         println(f"[maxscore] n=$n $tag nq=$nq exact=${tEx}%.2fs " +
           f"maxscore=${tMs}%.2fs ratio=${tMs / tEx}%.2fx " +
+          f"blockmax=${tBm}%.2fs (${tBm / tMs}%.2fx of maxscore) " +
           f"forced=${tMf}%.2fs (${tEx / nq * 1000}%.0f -> " +
-          f"${tMs / nq * 1000}%.0f ms/q)")
+          f"${tMs / nq * 1000}%.0f -> ${tBm / nq * 1000}%.0f ms/q)")
         System.out.flush()
       }
     }

@@ -56,6 +56,7 @@ object DevShardGrowth {
         if (args.length > 2) args(2).toLong else 1000000L)
       return
     }
+    if (mode == "lmcap") { lmCapMain(spark, timeMedian); return }
     if (mode == "plan") {
       // optional second arg: comma-separated shard counts (default the
       // round-17 {2,8,32}; "64,100" extends to the O(100) decade)
@@ -218,6 +219,78 @@ object DevShardGrowth {
     * wall-clock IS plan+exec; the lazy entries time plan+exec the same
     * way for comparability). Row equality asserted across all four
     * before timing. */
+  /** LM serving under the auto-merge shard cap (the round-18 policy's
+    * round-19 measurement ask): LM scoring is additive-count S-LINEAR —
+    * plan grouping cannot flatten it (every shard's counts contribute
+    * to every score), so the round-18 lever is FEWER shards
+    * ([[graft.streaming.ShardFamily.enforceMaxShards]] queues sibling
+    * merges until the family fits the cap). This pins what the policy
+    * buys: the sf0.1 corpus trained at S = 32, served as-is, then
+    * FOLDED to the cap (8) by the same sibling pairing the policy
+    * queues (lo i merges hi i + n/2 — for hash sharding the folded
+    * content equals the natively-trained coarser shard), served again,
+    * against a natively-trained S = 8 control. Claim: capped ≈
+    * native-8, both well under uncapped-32; scores bit-identical
+    * throughout (asserted).
+    */
+  private def lmCapMain(spark: SparkSession,
+                        timeMedian: (=> DataFrame) => Double): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, sfDir)
+    def train(tables: Seq[String], s: Int): Unit =
+      tables.zipWithIndex.foreach { case (t, i) =>
+        LangModel.train(docs.filter(Sharding.shardOf(col("doc_id"), s) === i),
+          "doc_id", "text", t)
+      }
+    def rowsOf(tables: Seq[String]) =
+      LangModel.scoreSharded(spark, tables, docs, "doc_id", "text")
+        .collect().map(_.toString).toSet
+    val t32 = (0 until 32).map(i => s"lmcap32_$i")
+    val tBuild = timed0 { train(t32, 32) }
+    println(f"[lmcap] sf=$sfDir S=32 train=${tBuild}%.1fs")
+    val u = timeMedian(
+      LangModel.scoreSharded(spark, t32, docs, "doc_id", "text"))
+    val uM = timeMedian(LangModel.scoreSharded(spark, t32, docs,
+      "doc_id", "text", statsTable = Some("lmcap32_st")))
+    val base = rowsOf(t32)
+    // fold 32 → 16 → 8 by sibling pairs (exactly the enforceMaxShards
+    // pairing: lo i absorbs hi i + n/2, deepest level first)
+    var cur: Seq[String] = t32
+    val tFold = timed0 {
+      while (cur.size > 8) {
+        val half = cur.size / 2
+        cur = (0 until half).map { i =>
+          val m = s"${cur(i)}_mg"
+          LangModel.mergeShards(spark, cur(i), cur(i + half), m)
+          m
+        }
+      }
+    }
+    assert(rowsOf(cur) == base, "[lmcap] capped family diverged — BUG")
+    val c = timeMedian(
+      LangModel.scoreSharded(spark, cur, docs, "doc_id", "text"))
+    val cM = timeMedian(LangModel.scoreSharded(spark, cur, docs,
+      "doc_id", "text", statsTable = Some("lmcapc_st")))
+    val t8 = (0 until 8).map(i => s"lmcap8_$i")
+    train(t8, 8)
+    assert(rowsOf(t8) == base, "[lmcap] native-8 control diverged — BUG")
+    val n8 = timeMedian(
+      LangModel.scoreSharded(spark, t8, docs, "doc_id", "text"))
+    val n8M = timeMedian(LangModel.scoreSharded(spark, t8, docs,
+      "doc_id", "text", statsTable = Some("lmcap8_st")))
+    println(f"[lmcap] S=32 lm=${u}%.3fs lmMemo=${uM}%.3fs | " +
+      f"capped->8 (fold=${tFold}%.1fs) lm=${c}%.3fs lmMemo=${cM}%.3fs | " +
+      f"native8 lm=${n8}%.3fs lmMemo=${n8M}%.3fs | " +
+      f"capped/native=${c / n8}%.2fx capped/uncapped=${c / u}%.2fx")
+    System.out.flush()
+    spark.stop()
+  }
+
+  private def timed0[T](body: => T): Double = {
+    val t0 = System.nanoTime(); body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def msMain(spark: SparkSession, s: Int, n: Long): Unit = {
     import spark.implicits._
     val dir = s"/tmp/graft-scale/zdocs$n"

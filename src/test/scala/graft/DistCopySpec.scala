@@ -281,4 +281,105 @@ class DistCopySpec extends AnyFunSuite {
     assert(DistCopy.archiveGet(spark, arc, "nuls.bin").get
       .sameElements(Array[Byte](0, 0, 0, -1, 0)))
   }
+
+  test("-bandwidth throttle: a throttled copy has a wall-clock floor " +
+       "the unthrottled copy is far under") {
+    val src = Files.createTempDirectory("graft-distcp-bw").toString
+    // ONE 300 KB file → one copy task → per-task throttle is the
+    // whole-job rate; at 0.1 MB/s the payload needs ~3 s
+    Files.write(Paths.get(s"$src/big.bin"), Array.fill(300 * 1024)(7.toByte))
+    def timedCopy(bw: Double): Double = {
+      val dst = Files.createTempDirectory("graft-distcp-bwd").toString + "/o"
+      val t0 = System.nanoTime()
+      val s = DistCopy.copy(spark, src, dst, bandwidthMB = bw)
+      assert(s.copied == 1 && s.bytes == 300 * 1024)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val fast = timedCopy(0.0)
+    val slow = timedCopy(0.1)
+    assert(slow >= 2.0, f"throttled copy finished in $slow%.2fs — the " +
+      "0.1 MB/s floor for 300 KB is ~3 s")
+    assert(fast < slow, f"unthrottled ($fast%.2fs) not under throttled " +
+      f"($slow%.2fs)")
+  }
+
+  test("-atomic commit: the target appears all-at-once (never partial); " +
+       "a failed attempt leaves NO target and the retry heals staging") {
+    val src = Files.createTempDirectory("graft-distcp-at").toString
+    Files.createDirectories(Paths.get(s"$src/d"))
+    Files.write(Paths.get(s"$src/d/big.bin"),
+      Array.fill(200 * 1024)(3.toByte))
+    Files.writeString(Paths.get(s"$src/small.txt"), "x")
+    val dstRoot = Files.createTempDirectory("graft-distcp-atd").toString
+    val dst = s"$dstRoot/out"
+    // poll WHILE a slow (throttled) atomic copy runs: the target path
+    // must never exist before the job returns — the tree builds in the
+    // hidden staging sibling and publishes with one rename
+    @volatile var sawPartial = false
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) {
+        if (Files.exists(Paths.get(dst))) sawPartial = true
+        Thread.sleep(20)
+      }
+    })
+    poller.start()
+    try DistCopy.copy(spark, src, dst, atomic = true, bandwidthMB = 0.2)
+    finally { stop = true; poller.join() }
+    assert(!sawPartial, "target was visible before the atomic commit")
+    assert(Files.readString(Paths.get(s"$dst/small.txt")) == "x")
+    assert(Files.size(Paths.get(s"$dst/d/big.bin")) == 200 * 1024)
+    // failure path: an aborted attempt (here: the listing throws — any
+    // failure before the final rename behaves identically, since the
+    // target path is ONLY ever created by that rename) leaves no target
+    val dst2 = s"$dstRoot/out2"
+    intercept[Exception] {
+      DistCopy.copy(spark, s"$dstRoot/no-such-source", dst2, atomic = true)
+    }
+    assert(!Files.exists(Paths.get(dst2)),
+      "failed atomic attempt published a target")
+    // staging debris from a killed prior attempt heals: plant a stale
+    // staging tree with junk — the retry clears it and commits clean
+    val staging = Paths.get(s"$dstRoot/.out2._distcp_staging")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("junk.txt"), "stale")
+    DistCopy.copy(spark, src, dst2, atomic = true)
+    assert(Files.readString(Paths.get(s"$dst2/small.txt")) == "x")
+    assert(!Files.exists(Paths.get(s"$dst2/junk.txt")),
+      "stale staging debris leaked into the committed target")
+    assert(!Files.exists(staging), "staging survived the commit")
+    // dial guards: fresh-target + no-update contracts are loud
+    intercept[IllegalArgumentException] {
+      DistCopy.copy(spark, src, dst2, atomic = true)
+    }
+    intercept[IllegalArgumentException] {
+      DistCopy.copy(spark, src, s"$dstRoot/out3", atomic = true,
+        update = true)
+    }
+  }
+
+  test("-p preserve: permission bits and mtime round-trip") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val src = Files.createTempDirectory("graft-distcp-p").toString
+    val f = Paths.get(s"$src/script.sh")
+    Files.writeString(f, "#!/bin/sh\necho hi\n")
+    Files.setPosixFilePermissions(f,
+      PosixFilePermissions.fromString("rwxr-x---"))
+    val mtime = java.nio.file.attribute.FileTime.fromMillis(
+      ((System.currentTimeMillis() - 86400000L) / 1000L) * 1000L)
+    Files.setLastModifiedTime(f, mtime)
+    val dst = Files.createTempDirectory("graft-distcp-pd").toString + "/o"
+    DistCopy.copy(spark, src, dst, preserve = true)
+    val g = Paths.get(s"$dst/script.sh")
+    assert(PosixFilePermissions.toString(Files.getPosixFilePermissions(g))
+      == "rwxr-x---", "permission bits did not survive the copy")
+    assert(Files.getLastModifiedTime(g).toMillis == mtime.toMillis,
+      "mtime did not survive the copy")
+    // and WITHOUT the dial the destination gets default bits (the
+    // preserve behavior is opt-in, not ambient)
+    val dst2 = Files.createTempDirectory("graft-distcp-pd2").toString + "/o"
+    DistCopy.copy(spark, src, dst2)
+    assert(Files.getLastModifiedTime(Paths.get(s"$dst2/script.sh"))
+      .toMillis != mtime.toMillis)
+  }
 }

@@ -225,6 +225,45 @@ class PlanShapeSpec extends AnyFunSuite {
       "the odd shard (all candidates) lost its gated pass")
   }
 
+  test("blockMax: the verified candidate set reaches the postings scan " +
+       "as pushed doc IN (replacing the semi-join); past the per-value " +
+       "cap as pushed blk IN under it") {
+    val stamp = System.nanoTime()
+    val t = s"plan_bm_$stamp"
+    Retrieval.bm25Build(msCorpus(), "doc_id", "text", t, buckets = 2,
+      blockMax = true, blockWidth = 8)
+    val q = Seq((1L, "aaa bbb w3")).toDF("qid", "qtext")
+    val pruned = planOf(Retrieval.bm25QueryMaxScore(spark, t, q,
+      "qid", "qtext", 3, essentialDfFrac = 0.05,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0))
+    // the SKIP MECHANISM: the candidate ids are a pushed per-value IN
+    // on the doc-sorted files — parquet page stats skip, not post-scan
+    // filtering — and the semi-join is GONE (the pushed set IS the
+    // exact candidate set, so the join would be a second, redundant
+    // application of the same gate)
+    assert(pruned.contains("In(doc_id"),
+      s"blockMax pruned path did not push the candidate doc IN:\n$pruned")
+    assert(!pruned.contains("LeftSemi"),
+      s"blockMax doc push should replace the semi-join, not stack on " +
+        s"it:\n$pruned")
+    // past the per-value cap: 300 identically-scored candidates keep
+    // the semi-join and push the coarser blk IN above it
+    val big = (0 until 600).map(i =>
+      (i.toLong, (if (i % 2 == 0) "www " else "") + "aaa bbb"))
+      .toDF("doc_id", "text")
+    val t2 = s"plan_bmblk_$stamp"
+    Retrieval.bm25Build(big, "doc_id", "text", t2, buckets = 2,
+      blockMax = true, blockWidth = 8)
+    val q2 = Seq((1L, "www aaa bbb")).toDF("qid", "qtext")
+    val blkPlan = planOf(Retrieval.bm25QueryMaxScore(spark, t2, q2,
+      "qid", "qtext", 5, essentialDfFrac = 0.6,
+      gateMinHeadMass = 1L, gateCandFrac = 1.0))
+    assert(blkPlan.contains("In(blk"),
+      s"over-cap candidates did not push the blk IN:\n$blkPlan")
+    assert(blkPlan.contains("LeftSemi"),
+      s"blk push must keep the exact semi-join under it:\n$blkPlan")
+  }
+
   test("Fusion lexMaxScore: the candidate gate reaches the fused plan " +
        "(the t46 mechanism, asserted not eyeballed)") {
     val t = s"plan_fms_${System.nanoTime()}"

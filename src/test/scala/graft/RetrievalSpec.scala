@@ -709,4 +709,120 @@ class RetrievalSpec extends AnyFunSuite {
         "qid", "qtext", 5, window = 8)),
       "grouped NEAR diverged from the lazy sharded plan")
   }
+
+  test("blockMax layout ≡ plain: bag + MaxScore bit-identical; " +
+       "append/delete/fold maintain the layout; plain rebuild retires it") {
+    val n = 120
+    val docsMS = (0 until n).map { i =>
+      (i.toLong, s"aaa bbb w${i % 30} x${i % 7}" +
+        (if (i == 0) " aaa aaa aaa" else ""))
+    }.toDF("doc_id", "text")
+    val stamp = System.nanoTime()
+    val (bm, pl) = (s"bm25_bm_$stamp", s"bm25_bmpl_$stamp")
+    // blockWidth 8 → ~15 blocks at toy scale (the layout really splits)
+    Retrieval.bm25Build(docsMS, "doc_id", "text", bm, buckets = 2,
+      blockMax = true, blockWidth = 8)
+    Retrieval.bm25Build(docsMS, "doc_id", "text", pl, buckets = 2)
+    assert(spark.table(bm).columns.contains("blk"))
+    assert(spark.table(s"${bm}_blkmax").count() > 0)
+    val q = Seq((1L, "aaa bbb w3"), (2L, "aaa x2 x3"), (3L, "aaa bbb"),
+      (4L, "w5"), (5L, "zzzz aaa")).toDF("qid", "qtext")
+    def run(t: String, k: Int = 3) =
+      Retrieval.bm25Query(spark, t, q, "qid", "qtext", k)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    def runMs(t: String, k: Int = 3) =
+      Retrieval.bm25QueryMaxScore(spark, t, q, "qid", "qtext", k,
+        essentialDfFrac = 0.05, gateMinHeadMass = 1L, gateCandFrac = 1.0)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(run(bm) == run(pl) && run(bm).nonEmpty)
+    // forced dials: the pruned path (scan push + block-UB refinement)
+    // answers, and must match the plain layout row for row
+    assert(runMs(bm) == runMs(pl) && runMs(bm).nonEmpty)
+    assert(runMs(bm, 10) == runMs(pl, 10)) // sub-k per-query fallback
+    // append + delete maintain the layout twins; fold keeps the sort
+    val more = (n until n + 40).map(i =>
+      (i.toLong, s"aaa bbb w${i % 30} x${i % 7}")).toDF("doc_id", "text")
+    Retrieval.bm25Append(spark, bm, more, "doc_id", "text")
+    Retrieval.bm25Append(spark, pl, more, "doc_id", "text")
+    assert(runMs(bm) == runMs(pl) && runMs(bm).nonEmpty)
+    Retrieval.bm25Delete(spark, bm,
+      docsMS.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    Retrieval.bm25Delete(spark, pl,
+      docsMS.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    assert(runMs(bm) == runMs(pl)) // stale _blkmax bounds stay valid
+    Retrieval.bm25FoldTombstones(spark, bm)
+    Retrieval.bm25FoldTombstones(spark, pl)
+    assert(runMs(bm) == runMs(pl) && runMs(bm).nonEmpty)
+    val sortCols = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(bm))
+      .bucketSpec.get.sortColumnNames
+    assert(sortCols == Seq("term", "blk", "doc_id"),
+      s"fold lost the block-max sort layout: $sortCols")
+    // sharded serving over blockMax shards ≡ whole plain index
+    val (s0, s1) = (s"bm25_bms0_$stamp", s"bm25_bms1_$stamp")
+    Retrieval.bm25Build(docsMS.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s0, buckets = 2, blockMax = true, blockWidth = 8)
+    Retrieval.bm25Build(docsMS.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1, buckets = 2, blockMax = true, blockWidth = 8)
+    val w = s"bm25_bmw_$stamp"
+    Retrieval.bm25Build(docsMS, "doc_id", "text", w, buckets = 2)
+    def whole(k: Int) = Retrieval.bm25Query(spark, w, q, "qid", "qtext",
+      k).as[(Long, Long, Long, Int)].collect().toSet
+    assert(Retrieval.bm25ShardedQueryMaxScore(spark, Seq(s0, s1), q,
+        "qid", "qtext", 3, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0)
+      .as[(Long, Long, Long, Int)].collect().toSet == whole(3))
+    assert(Retrieval.bm25ShardedQueryMaxScoreGrouped(spark, Seq(s0, s1),
+        q, "qid", "qtext", 3, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0, parallelism = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet == whole(3))
+    // MIXED layouts: refinement disables family-wide, per-leg push
+    // stays where available — rows still the whole-index answer
+    val s1pl = s"bm25_bms1pl_$stamp"
+    Retrieval.bm25Build(docsMS.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", s1pl, buckets = 2)
+    assert(Retrieval.bm25ShardedQueryMaxScore(spark, Seq(s0, s1pl), q,
+        "qid", "qtext", 3, essentialDfFrac = 0.05,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0)
+      .as[(Long, Long, Long, Int)].collect().toSet == whole(3))
+    // a plain rebuild over the blockMax index retires the layout
+    Retrieval.bm25Build(docsMS, "doc_id", "text", bm, buckets = 2)
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${bm}_blkmeta")))
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${bm}_blkmax")))
+    assert(run(bm).nonEmpty)
+  }
+
+  test("blockMax blk fallback: candidate sets past the per-value cap " +
+       "push block IN under the unchanged semi-join, rows identical") {
+    // 600 docs; every even doc carries the essential term www
+    // (df = 300 > maxInPushValues) with IDENTICAL essential sums, so
+    // tightening keeps all 300 candidates and the doc-value push is
+    // over cap — the blk fallback branch must serve, exactly
+    val docs = (0 until 600).map(i =>
+      (i.toLong, (if (i % 2 == 0) "www " else "") + "aaa bbb"))
+      .toDF("doc_id", "text")
+    val stamp = System.nanoTime()
+    val (bm, pl) = (s"bm25_blkf_$stamp", s"bm25_blkfpl_$stamp")
+    Retrieval.bm25Build(docs, "doc_id", "text", bm, buckets = 2,
+      blockMax = true, blockWidth = 8)
+    Retrieval.bm25Build(docs, "doc_id", "text", pl, buckets = 2)
+    val q = Seq((1L, "www aaa bbb")).toDF("qid", "qtext")
+    def runMs(t: String) =
+      Retrieval.bm25QueryMaxScore(spark, t, q, "qid", "qtext", 5,
+        essentialDfFrac = 0.6, gateMinHeadMass = 1L, gateCandFrac = 1.0)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(runMs(bm) == runMs(pl) && runMs(bm).nonEmpty)
+  }
+
+  test("bm25Build(blockMax) refuses non-integral doc ids loudly") {
+    val sdocs = Seq(("a", "cat sat"), ("b", "dog sat"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Build(sdocs, "doc_id", "text",
+        s"bm25_bmstr_${System.nanoTime()}", buckets = 2, blockMax = true)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -57,17 +57,76 @@ class StreamCliSpec extends AnyFunSuite {
     assert(total == 100, s"per-partition counts must sum to 100, got $total")
   }
 
-  test("-cmdenv exports into the subprocess; -file warns, not fails") {
+  test("-cmdenv exports into the subprocess; -cacheFile warns, not fails; " +
+       "a missing -file payload fails loudly at submit") {
     val in = mkInput(Seq("x"))
     val out = outDir()
     StreamCli.run(spark, StreamCli.parse(Seq(
       "-input", in, "-output", out,
       "-mapper", "printenv GRAFT_STREAM_TOKEN",
       "-cmdenv", "GRAFT_STREAM_TOKEN=tok42",
-      "-file", "/nonexistent/script.sh",
+      "-cacheFile", "hdfs:///cache/thing#link",
       "-reducer", "NONE")))
     assert(readOut(out).contains("tok42"),
       "the -cmdenv variable did not reach the subprocess")
+    // -file now SHIPS (it is not ignorable): a payload that does not
+    // exist on the submitting host is a submit-time error, exactly as
+    // the reference's jar packaging would make it
+    intercept[IllegalArgumentException] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", in, "-output", outDir(),
+        "-mapper", "cat", "-file", "/nonexistent/script.sh",
+        "-reducer", "NONE")))
+    }
+  }
+
+  test("-file ships the mapper script: executors run a payload that " +
+       "lives only in a submit-side temp dir, named by bare name") {
+    val in = mkInput(Seq("alpha", "beta", "gamma"))
+    val out = outDir()
+    // the script lives in a fresh temp dir that is on NO search path;
+    // the command names it by bare name — only the shipped copy
+    // (SparkFiles task-side resolution) can make this run
+    val scriptDir = Files.createTempDirectory("graft-ship")
+    val script = scriptDir.resolve("shout.sh")
+    Files.writeString(script,
+      "#!/bin/sh\nwhile read l; do echo \"$l!\"; done\n")
+    script.toFile.setExecutable(true)
+    StreamCli.run(spark, StreamCli.parse(Seq(
+      "-input", in, "-output", out,
+      "-mapper", "shout.sh", "-file", script.toString,
+      "-reducer", "NONE")))
+    assert(readOut(out).toSet == Set("alpha!", "beta!", "gamma!"),
+      "the shipped mapper did not transform the input")
+    // and through the reduce side too (the shipped reducer dedups)
+    val out2 = outDir()
+    val dedup = scriptDir.resolve("dedup.sh")
+    Files.writeString(dedup, "#!/bin/sh\nuniq\n")
+    dedup.toFile.setExecutable(true)
+    StreamCli.run(spark, StreamCli.parse(Seq(
+      "-input", mkInput(Seq("x", "x", "y")), "-output", out2,
+      "-reducer", "./dedup.sh", "-file", dedup.toString,
+      "-numReduceTasks", "2")))
+    assert(readOut(out2).sorted == Seq("x", "y"),
+      "the shipped reducer did not run over the shuffle-sort contract")
+  }
+
+  test("quote-aware command splitting: quoted arguments survive as one " +
+       "token (reference splitArgs semantics); unterminated quotes fail") {
+    val in = mkInput(Seq("keep me", "drop"))
+    val out = outDir()
+    // the awk program contains SPACES — bare-whitespace splitting
+    // would hand awk a truncated program and emit garbage
+    StreamCli.run(spark, StreamCli.parse(Seq(
+      "-input", in, "-output", out,
+      "-mapper", "awk '{print $1}'",
+      "-reducer", "NONE")))
+    assert(readOut(out).toSet == Set("keep", "drop"),
+      "quoted awk program was mis-split")
+    intercept[IllegalArgumentException] {
+      StreamCli.parse(Seq("-input", in, "-output", outDir(),
+        "-mapper", "awk '{print", "-reducer", "NONE"))
+    }
   }
 
   test("existing output fails the job (FileAlreadyExists semantics); " +
