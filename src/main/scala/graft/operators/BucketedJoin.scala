@@ -66,10 +66,12 @@ object BucketedJoin {
     * from the catalog, so the layout survives appends and compactions.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     dropWithLocation(spark, table)
     df.write.mode("overwrite")
+      .options(options)
       .bucketBy(buckets, key).sortBy(key, sortCols: _*)
       .format("parquet")
       .saveAsTable(table)
@@ -88,11 +90,13 @@ object BucketedJoin {
     * when the table doesn't exist yet.
     */
   def appendBucketed(df: DataFrame, table: String, key: String,
-                     defaultBuckets: Int = 8): Unit = {
+                     defaultBuckets: Int = 8,
+                     options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (!cat.tableExists(ident)) writeBucketed(df, table, key, defaultBuckets)
+    if (!cat.tableExists(ident))
+      writeBucketed(df, table, key, defaultBuckets, options = options)
     else {
       val spec = cat.getTableMetadata(ident).bucketSpec
       val n = spec.map(_.numBuckets).getOrElse(defaultBuckets)
@@ -104,6 +108,7 @@ object BucketedJoin {
       // bucket → exactly n new files per append, not tasks×n
       df.repartition(n, org.apache.spark.sql.functions.col(key))
         .write.mode("append")
+        .options(options)
         .bucketBy(n, key).sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet")
         .saveAsTable(table)

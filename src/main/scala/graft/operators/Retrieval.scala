@@ -163,7 +163,7 @@ object Retrieval {
       val withBlk = postings.withColumn("blk",
         expr(s"CAST(doc_id AS BIGINT) div $blockWidth"))
       BucketedJoin.writeBucketed(withBlk, table, "term", buckets,
-        sortCols = Seq("blk", "doc_id"))
+        sortCols = Seq("blk", "doc_id"), options = blockMaxWriteOptions)
       BucketedJoin.writeBucketed(
         withBlk.groupBy("term", "blk")
           .agg(max("tf").as("max_tf"), min("dl").as("min_dl")),
@@ -197,6 +197,21 @@ object Retrieval {
   private def tableExists(spark: SparkSession, t: String): Boolean =
     spark.sessionState.catalog.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
+
+  /** Parquet page geometry for the block-max postings files: the PAGE
+    * is the unit parquet's column-index can skip, so fine pages ARE
+    * the skippable blocks. At the default ~20k-row pages a 1e7-doc
+    * head term is only ~15 pages per bucket — a few-hundred-doc
+    * candidate push covers most of them and skips nothing; at 2048
+    * rows per page the same term is ~150 pages per bucket and a sparse
+    * candidate set skips the overwhelming majority. Page-header and
+    * column-index overhead is a few bytes per page — noise against a
+    * serving-optimized layout. Appends use the same geometry;
+    * a tombstone-fold compaction rewrites at the session default
+    * (coarser pages — a cost regression only, healed by rebuilding).
+    */
+  private val blockMaxWriteOptions =
+    Map("parquet.page.row.count.limit" -> "2048")
 
   /** The block-max layout marker: the block width when `<table>_blkmeta`
     * exists (one-row control read), None for the plain layout. */
@@ -309,7 +324,8 @@ object Retrieval {
       if (blkW.isDefined)
         BucketedJoin.appendBucketed(blkDelta(postings),
           s"${table}_blkmax", "term")
-      BucketedJoin.appendBucketed(postings, table, "term")
+      BucketedJoin.appendBucketed(postings, table, "term",
+        options = if (blkW.isDefined) blockMaxWriteOptions else Map.empty)
       BucketedJoin.appendBucketed(dfDelta, s"${table}_terms", "term")
       BucketedJoin.appendBucketed(statsDelta, s"${table}_stats", "n_docs")
     }
@@ -605,19 +621,22 @@ object Retrieval {
     val capDf = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
       else Long.MaxValue
     val rows = qdfRows.filter(_.getLong(2) <= capDf).toSeq
-    // block-max layout facts (zero cost on plain tables — a catalog
-    // existence check; one tiny control read when the layout exists);
-    // the fetch is the bounded (term, blk) → (max_tf, min_dl) slice
-    // the refinement consumes
-    val bw = blockMeta(spark, table)
+    // block-max layout facts, LAZY — forced only when pass 2 actually
+    // engages with a materialized candidate set (an exact-routed batch,
+    // plain or blockMax, pays zero control reads for the layout); the
+    // fetch is the bounded (term, blk) → (max_tf, min_dl) slice the
+    // refinement consumes
+    lazy val bw = blockMeta(spark, table)
     maxScoreRank(spark, rows, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
       partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
         partialsWith(spark, table, qtF, k1, b, nDocs, avgdl, dictF,
-          terms, docFilter, bcast, docVals, bw),
+          terms, docFilter, bcast, docVals,
+          if (docVals.isDefined) bw else None),
       exact = () => exact(),
       b = b, avgdl = avgdl,
-      blkInfo = bw.map(w => (w, blkBoundsFetch(spark, Seq(table), _, _))))
+      blkInfoFn = () =>
+        bw.map(w => (w, blkBoundsFetch(spark, Seq(table), _, _))))
   }
 
   /** The bounded `(term, blk) → (max_tf, min_dl)` control slice behind
@@ -708,11 +727,9 @@ object Retrieval {
         Option[DataFrame], Boolean, Option[Seq[Any]]) => DataFrame,
       exact: () => DataFrame,
       b: Double = 0.75, avgdl: Double = 0.0,
-      blkInfo: Option[(Long, (Seq[String], Seq[Long]) =>
-        Option[Map[(String, Long), (Long, Long)]])] = None): DataFrame = {
-    require(blkInfo.isEmpty || avgdl > 0.0,
-      "maxScoreRank: blkInfo needs the caller's avgdl (the refinement " +
-        "bound is computed with the same constants scoring uses)")
+      blkInfoFn: () => Option[(Long, (Seq[String], Seq[Long]) =>
+        Option[Map[(String, Long), (Long, Long)]])] = () => None)
+      : DataFrame = {
     if (rows.isEmpty) return exact() // every term over the dial
     val plans = maxScorePlans(rows, nDocs, k1, essentialDfFrac)
     def engages(p: MsPlan): Boolean =
@@ -792,6 +809,10 @@ object Retrieval {
     // lazy plan (they route to shuffle semi-joins, where the join
     // input is computed once per leg by necessity).
     val (candDocs, candVals) = if (!bcastCand) (candDocsPlan, None) else {
+      // ids first, primitives ([[materializeIds]]); the refinement
+      // below only RE-reads pass 1 when the tightened set is small
+      // enough that the extra control job is noise
+      val (f0, vals0) = materializeIds(spark, candDocsPlan)
       // BLOCK-UB REFINEMENT (blkInfo, block-max layout only): with the
       // per-(query, candidate) essential sums in hand (a bounded
       // collect at this size), each candidate's bound sharpens from
@@ -800,11 +821,12 @@ object Retrieval {
       // the head contribution below the global ub. Drop d when even
       // that bound misses EVERY safe query's bar; exact by the same
       // monotonicity argument as the layout doc on [[bm25Build]].
-      val refined: Option[Seq[Any]] = blkInfo.flatMap { case (bw, fetch) =>
-        val essRows2 = candEss().select("qid", "nid", "cos")
-          .limit(maxControlRows + 1).collect()
-        if (essRows2.length > maxControlRows) None
+      val refined: Option[Seq[Any]] = blkInfoFn().flatMap { case (bw, fetch) =>
+        require(avgdl > 0.0, "maxScoreRank: blkInfoFn needs the " +
+          "caller's avgdl (the refinement bound uses scoring's constants)")
+        if (vals0.size > maxControlRows) None
         else {
+          val essRows2 = candEss().select("qid", "nid", "cos").collect()
           val headDf: Map[Any, Seq[(String, Long)]] =
             rows.filter(r => safeQids(r.get(0)) &&
                 !plans(r.get(0)).ess(r.getString(1)))
@@ -836,11 +858,9 @@ object Retrieval {
         }
       }
       refined match {
-        case Some(kept) =>
+        case Some(kept) if kept.size < vals0.size =>
           (idFrame(spark, kept, candDocsPlan.schema.head), Some(kept))
-        case None =>
-          val (f0, vals0) = materializeIds(spark, candDocsPlan)
-          (f0, Some(vals0))
+        case _ => (f0, Some(vals0))
       }
     }
     val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
@@ -920,23 +940,26 @@ object Retrieval {
     // that batch to the exact plan. At production shard sizes (per-leg
     // head mass over the knee) the gate engages exactly as before.
     // per-shard block-max facts (one batched control job, zero on
-    // plain layouts); the UB refinement needs ONE family-wide block
-    // width — mixed or absent widths disable it (the per-leg scan push
-    // still engages wherever a shard carries the layout)
-    val bws = blockMetas(spark, tables)
-    val uniW = if (bws.forall(_.isDefined) && bws.flatten.distinct.size == 1)
+    // plain layouts, LAZY — forced only when pass 2 engages); the UB
+    // refinement needs ONE family-wide block width — mixed or absent
+    // widths disable it (the per-leg scan push still engages wherever
+    // a shard carries the layout)
+    lazy val bws = blockMetas(spark, tables)
+    def uniW = if (bws.forall(_.isDefined) && bws.flatten.distinct.size == 1)
       bws.head else None
     maxScoreRank(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast,
       gateMinHeadMass * tables.size, gateCandFrac,
       partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
-        tables.zip(bws).map { case (t, w) =>
+        tables.zipWithIndex.map { case (t, i) =>
           partialsWith(spark, t, qtF, k1, b, nDocs,
-            avgdl, dictF, terms, docFilter, bcast, docVals, w) }
+            avgdl, dictF, terms, docFilter, bcast, docVals,
+            if (docVals.isDefined) bws(i) else None) }
           .reduce(_.unionByName(_)),
       exact = () => exact(),
       b = b, avgdl = avgdl,
-      blkInfo = uniW.map(w => (w, blkBoundsFetch(spark, tables, _, _))))
+      blkInfoFn = () =>
+        uniW.map(w => (w, blkBoundsFetch(spark, tables, _, _))))
   }
 
   /** [[bm25ShardedQueryMaxScore]] × [[bm25ShardedQueryGrouped]] — the
@@ -1010,15 +1033,17 @@ object Retrieval {
     val qdfRows = qdf.limit(maxControlRows + 1).collect()
     if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exactG()
     // per-leg head-mass knee, as in [[bm25ShardedQueryMaxScore]];
-    // per-shard block-max widths feed each leg's scan push
-    val bws = blockMetas(spark, tables)
+    // per-shard block-max widths feed each leg's scan push (lazy —
+    // exact-routed batches never read them)
+    lazy val bws = blockMetas(spark, tables)
     maxScoreRankGrouped(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
       essentialDfFrac, maxCandBroadcast,
       gateMinHeadMass * tables.size, gateCandFrac,
       shardGroups(tables.size, parallelism),
       partialsFor = (i, qtF, dictF, terms, docFilter, bcast, docVals) =>
         partialsWith(spark, tables(i), qtF, k1, b, nDocs, avgdl, dictF,
-          terms, docFilter, bcast, docVals, bws(i)),
+          terms, docFilter, bcast, docVals,
+          if (docVals.isDefined) bws(i) else None),
       exact = () => exactG())
   }
 
@@ -1852,7 +1877,14 @@ object Retrieval {
             postings0.filter(col("doc_id").isin(vals: _*))
           case (Some(vals), Some(bw)) =>
             val blks = vals.map(blkOf(_, bw)).distinct
-            if (blks.size <= maxInPushValues) {
+            // push the coarser blk IN only when it can actually SKIP:
+            // candidate blocks covering most of the corpus's ~nDocs/bw
+            // blocks fail every page's stats check without excluding
+            // anything — pure predicate overhead (measured at 1e6,
+            // round 19: 29 queries' candidates covered all 244 blocks)
+            val totalBlks = math.max(1L, nDocs / math.max(1L, bw))
+            if (blks.size <= maxInPushValues &&
+                blks.size * 2 <= totalBlks) {
               raiseInFilterThreshold(spark, maxInPushValues)
               semi(postings0.filter(col("blk").isin(blks: _*)))
             } else semi(postings0)

@@ -121,13 +121,16 @@ object DevMaxScore {
           else Retrieval.bm25QueryMaxScore(spark, t, q,
             "qid", "qtext", 5))
           .as[(Long, Long, Long, Int)].collect().toSet
-        assert(exactRows() == msRows(forced = false),
+        // ONE exact collection per batch (at 1e7 each costs minutes) —
+        // the four serving arms all compare against it
+        val ex = exactRows()
+        assert(ex == msRows(forced = false),
           s"[maxscore] $tag: gated plan diverged from exact — BUG")
-        assert(exactRows() == msRows(forced = true),
+        assert(ex == msRows(forced = true),
           s"[maxscore] $tag: forced plan diverged from exact — BUG")
-        assert(exactRows() == msRows(forced = false, t = tableBm),
+        assert(ex == msRows(forced = false, t = tableBm),
           s"[maxscore] $tag: blockMax gated plan diverged — BUG")
-        assert(exactRows() == msRows(forced = true, t = tableBm),
+        assert(ex == msRows(forced = true, t = tableBm),
           s"[maxscore] $tag: blockMax forced plan diverged — BUG")
         val (_, tEx) = timedMed {
           Retrieval.bm25Query(spark, table, q, "qid", "qtext", 5).count()

@@ -246,10 +246,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pruned.contains("LeftSemi"),
       s"blockMax doc push should replace the semi-join, not stack on " +
         s"it:\n$pruned")
-    // past the per-value cap: 300 identically-scored candidates keep
-    // the semi-join and push the coarser blk IN above it
+    // past the per-value cap: 280 identically-scored candidates keep
+    // the semi-join and push the coarser blk IN above it — CLUSTERED
+    // in the first half of doc space, so the candidate blocks cover
+    // under half the corpus blocks (the push's engagement condition:
+    // a blk IN that covers most blocks skips nothing and is refused)
     val big = (0 until 600).map(i =>
-      (i.toLong, (if (i % 2 == 0) "www " else "") + "aaa bbb"))
+      (i.toLong, (if (i < 280) "www " else "") + "aaa bbb"))
       .toDF("doc_id", "text")
     val t2 = s"plan_bmblk_$stamp"
     Retrieval.bm25Build(big, "doc_id", "text", t2, buckets = 2,

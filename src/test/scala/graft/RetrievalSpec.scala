@@ -796,12 +796,13 @@ class RetrievalSpec extends AnyFunSuite {
 
   test("blockMax blk fallback: candidate sets past the per-value cap " +
        "push block IN under the unchanged semi-join, rows identical") {
-    // 600 docs; every even doc carries the essential term www
-    // (df = 300 > maxInPushValues) with IDENTICAL essential sums, so
+    // 600 docs; the first 280 carry the essential term www
+    // (df = 280 > maxInPushValues) with IDENTICAL essential sums, so
     // tightening keeps all 300 candidates and the doc-value push is
-    // over cap — the blk fallback branch must serve, exactly
+    // over cap — clustered in half the doc space, so the blk fallback
+    // branch (sparse-coverage gate) must serve, exactly
     val docs = (0 until 600).map(i =>
-      (i.toLong, (if (i % 2 == 0) "www " else "") + "aaa bbb"))
+      (i.toLong, (if (i < 280) "www " else "") + "aaa bbb"))
       .toDF("doc_id", "text")
     val stamp = System.nanoTime()
     val (bm, pl) = (s"bm25_blkf_$stamp", s"bm25_blkfpl_$stamp")
