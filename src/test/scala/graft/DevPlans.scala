@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths}
   */
 object DevPlans {
   /** The one place the doc's provenance label lives — bump per regen. */
-  private val round = 17
+  private val round = 19
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -52,7 +52,10 @@ object DevPlans {
       // r17 surface: MaxScore dynamic pruning (single + sharded), the
       // MaxScore-leg hybrid fusion, and the OPQ-rotated IVFPQ
       "t44_maxscore", "t45_shardedmaxscore", "t46_hybridmaxscore",
-      "t47_shardedhybridmaxscore", "sim17_opq")
+      "t47_shardedhybridmaxscore", "sim17_opq",
+      // r18/r19 surface: the grouped × MaxScore composed sharded
+      // serving entry and the block-max layout gate
+      "t48_groupedhybridmaxscore", "t49_blockmax")
     // Per-plan "why this is the 100× plan" note — the one property that
     // makes the plan survive a 100× scale-up, stated so a reviewer can
     // check it against the formatted plan below it.
@@ -115,7 +118,9 @@ object DevPlans {
       "t45_shardedmaxscore" -> "The t44 pruning under the t32 control plane: ONE global stats+df fold drives the threshold, each shard leg scores against injected global constants with the SAME broadcast candidate doc-gate — the saved head mass is per-shard, the control cost is O(1) jobs.",
       "t46_hybridmaxscore" -> "The MaxScore pruned plan as the hybrid's LEXICAL leg: the LeftSemi candidate gate sits under the fusion union, the vector leg is untouched, and the fused tail stays the bounded top-k aggregate — per-query fused mass is legs×kPerLeg rows no matter how big the head postings were.",
       "t47_shardedhybridmaxscore" -> "t46 with BOTH legs sharded: per-shard gated scoring legs union under one global threshold fold; only per-term df rows, k·|queries| candidates, and the fused merge cross shards.",
-      "sim17_opq" -> "OPQ-rotated IVFPQ serving: queries pay ONE mat_vec kernel each (plan-constant matrix, no broadcast), then the plan is sim9's verbatim — probes shuffle TO the cid-bucketed code lists, ADC tables ride the qid-keyed broadcast, refine joins the raw (UNROTATED) id-bucketed table at refineK rows/query.")
+      "sim17_opq" -> "OPQ-rotated IVFPQ serving: queries pay ONE mat_vec kernel each (plan-constant matrix, no broadcast), then the plan is sim9's verbatim — probes shuffle TO the cid-bucketed code lists, ADC tables ride the qid-keyed broadcast, refine joins the raw (UNROTATED) id-bucketed table at refineK rows/query.",
+      "t48_groupedhybridmaxscore" -> "The composed 100TB serving entry (grouped x MaxScore, EAGER): each shard GROUP plans its two MaxScore passes in its own driver thread — what prints here is the per-group pass plan shape (pass 2's head postings LeftSemi-gated to the group's own materialized candidate literal, the S^2 fix) plus the bounded fused merge; PlanShapeSpec:154 asserts both mechanisms on the executed plans.",
+      "t49_blockmax" -> "Block-max layout serving: the verified candidate set reaches the head postings SCAN as a pushed per-value doc/blk IN over (term, blk, doc_id)-sorted fine-paged files — parquet page stats skip, replacing (doc IN) or narrowing (blk IN) the semi-join; candidates are pre-tightened per query to essSum >= L - neSum and block-UB refined from _blkmax. Every pushed predicate is visible in PushedFilters below.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Regenerated round $round by `sbt \"Test/runMain graft.DevPlans\"` at sf0.01. ")
