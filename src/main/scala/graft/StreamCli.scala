@@ -46,8 +46,14 @@ import graft.sources.Io
   *    tokens naming a shipped file resolve task-side to the executor's
   *    `SparkFiles` copy, so `-mapper mapper.py -file /local/mapper.py`
   *    runs on executors that have never seen the submitting host's
-  *    filesystem; `-cacheFile`/`-cacheArchive` (cluster-FS cache URIs)
-  *    warn-ignore as before;
+  *    filesystem; `-cacheFile` without a `#link` warn-ignores (a
+  *    shared filesystem already serves the URI), WITH a link it fails
+  *    loudly, and `-cacheArchive` fails loudly (the reference unpacks
+  *    into task dirs — a layout this engine does not reproduce);
+  *  - `-reducer aggregate` (the LITERAL word) runs the reference's
+  *    aggregate framework over `<descriptor>:<key>\tvalue` map output
+  *    — native groupBy legs per descriptor, partial aggregation as the
+  *    framework combiner ([[aggregateReduce]]);
   *  - unsupported surface (custom partitioner classes, Java
   *    mapper/reducer CLASS names, `-outputformat` beyond Text) fails
   *    LOUDLY — a silent approximation would corrupt a migrated
@@ -161,12 +167,33 @@ object StreamCli {
         case "-file" => ship :+= value()
         case "-files" => ship ++= value().split(",").map(_.trim)
           .filter(_.nonEmpty)
-        case "-cacheFile" | "-cacheArchive" =>
+        case "-cacheFile" =>
           val v = value()
-          System.err.println(s"[streamcli] WARN: ${args(i - 1)} $v " +
+          // without a '#link' the cached file is simply expected at its
+          // URI — true on any shared filesystem, so the warn-ignore is
+          // honest; WITH a link the reference creates a task-local
+          // symlink the command will name, and a job exec'ing a missing
+          // path is a confusing runtime error, not this CLI's contract
+          require(!v.contains("#"),
+            s"-cacheFile $v: the '#<link>' task-local symlink is not " +
+              "reproduced — command tokens naming the link would exec a " +
+              "missing path; ship the payload with -file/-files instead")
+          System.err.println(s"[streamcli] WARN: -cacheFile $v " +
             "ignored — a shared-filesystem deployment ships nothing; " +
             "ensure the command is resolvable on every executor " +
             "(local payloads ship via -file/-files)")
+        case "-cacheArchive" =>
+          val v = value()
+          // the reference UNPACKS the archive into every task working
+          // directory (DistributedCache) — a layout change this engine
+          // does not reproduce; a warn-ignore here would leave the
+          // command referencing files that never appear (round-19
+          // verdict: the one remaining approximation in this CLI)
+          throw new IllegalArgumentException(
+            s"-cacheArchive $v is not supported: the reference unpacks " +
+              "the archive into each task's working directory — unpack " +
+              "it yourself and ship the needed files via -file/-files " +
+              "(refusing to approximate)")
         case "-partitioner" =>
           val v = value()
           require(v.split('.').last == "KeyFieldBasedPartitioner" ||
@@ -231,6 +258,85 @@ object StreamCli {
     job.inputs.map(one).reduce(_.unionByName(_)).as[String]
   }
 
+  /** The descriptors of the reference's aggregate framework
+    * (`mapreduce/lib/aggregate/ValueAggregatorBaseDescriptor.java:40-86`)
+    * that `-reducer aggregate` serves. */
+  private val aggregateTypes: Set[String] = Set("LongValueSum",
+    "LongValueMax", "LongValueMin", "DoubleValueSum", "StringValueMax",
+    "StringValueMin", "UniqValueCount", "ValueHistogram")
+
+  /** `-reducer aggregate` (reference `stream:StreamJob.java:858-861`):
+    * when the reducer command is the LITERAL `aggregate`, the job runs
+    * the aggregate framework's ValueAggregatorReducer — NOT an
+    * executable named "aggregate". Map output keys carry
+    * `<descriptor>:<key>`; each (descriptor, key) group folds its
+    * values per the descriptor and the reducer emits
+    * `key TAB report` (`ValueAggregatorReducer.java:40-65`).
+    *
+    * Spark-first: one native groupBy leg per descriptor PRESENT in the
+    * map output (a bounded driver read of the distinct descriptors) —
+    * map-side partial aggregation IS the reference's
+    * ValueAggregatorCombiner contract, so a user `-combiner` is
+    * superseded exactly as the reference supersedes it. The histogram
+    * leg reuses [[graft.functions.Aggregators.valueHistogram]] (the a3
+    * report shape, which matches `ValueHistogram.java:109-163`).
+    * Unknown descriptors and junk numerics fail LOUDLY in the task
+    * (reference `Long.parseLong` semantics — a SQL cast would silently
+    * null), per this file's refuse-to-approximate contract.
+    */
+  private def aggregateReduce(lines: Dataset[String],
+                              sep: String): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val known = aggregateTypes
+    val parsed = lines.map { line =>
+      val ti = line.indexOf(sep)
+      val key = if (ti < 0) line else line.substring(0, ti)
+      val v = if (ti < 0) "" else line.substring(ti + sep.length)
+      val ci = key.indexOf(':')
+      if (ci <= 0) throw new IllegalArgumentException(
+        s"aggregate reducer: map output key '$key' carries no " +
+          "<aggregator>:<key> prefix (ValueAggregatorReducer contract)")
+      val atype = key.substring(0, ci)
+      if (!known(atype)) throw new IllegalArgumentException(
+        s"aggregate reducer: unknown aggregator descriptor '$atype' — " +
+          s"supported: ${known.toSeq.sorted.mkString(", ")}")
+      val lv = atype match {
+        case "LongValueSum" | "LongValueMax" | "LongValueMin" =>
+          java.lang.Long.parseLong(v.trim)
+        case _ => 0L
+      }
+      val dv = if (atype == "DoubleValueSum") v.trim.toDouble else 0.0
+      (atype, key.substring(ci + 1), v, lv, dv)
+    }.toDF("atype", "key", "value", "lv", "dv")
+    val present = parsed.select("atype").distinct().as[String]
+      .collect().toSeq.sorted
+    val legs: Seq[DataFrame] = present.map { t =>
+      val g = parsed.filter(col("atype") === t).groupBy("key")
+      t match {
+        case "LongValueSum" => g.agg(sum("lv").cast("string").as("report"))
+        case "LongValueMax" => g.agg(max("lv").cast("string").as("report"))
+        case "LongValueMin" => g.agg(min("lv").cast("string").as("report"))
+        case "DoubleValueSum" =>
+          g.agg(sum("dv").cast("string").as("report"))
+        case "StringValueMax" => g.agg(max("value").as("report"))
+        case "StringValueMin" => g.agg(min("value").as("report"))
+        case "UniqValueCount" =>
+          g.agg(countDistinct("value").cast("string").as("report"))
+        case "ValueHistogram" =>
+          g.agg(graft.functions.Aggregators.valueHistogram(col("value"))
+              .as("h"))
+            .select(col("key"), concat_ws("\t",
+              col("h.n_distinct"), col("h.min_cnt"), col("h.med_cnt"),
+              col("h.max_cnt"), col("h.avg_cnt"), col("h.std_cnt"))
+              .as("report"))
+      }
+    }
+    legs.reduce(_.unionByName(_))
+      .select(concat_ws("\t", col("key"), col("report")).as("line"))
+      .as[String]
+  }
+
   private def withEnv(cmd: Seq[String], env: Map[String, String]): Seq[String] =
     if (env.isEmpty) cmd
     // rdd.pipe has an env overload, but threading it through Pipe's
@@ -242,6 +348,21 @@ object StreamCli {
   /** Run a parsed job; returns the output path. */
   def run(spark: SparkSession, job: Job): String = {
     import spark.implicits._
+    val isAggregate = job.reducer.contains(Seq("aggregate"))
+    // `-mapper aggregate` is the reference's ValueAggregatorMapper —
+    // driven by aggregator-descriptor CLASSES loaded from job conf
+    // (`aggregator.descriptor.num`), a plugin surface this engine does
+    // not host; exec'ing a program named "aggregate" would be the
+    // confusing wrong thing, so refuse loudly with the working recipe
+    require(!job.mapper.contains(Seq("aggregate")),
+      "-mapper aggregate (ValueAggregatorMapper with conf-loaded " +
+        "descriptor classes) is not supported — emit " +
+        "'<descriptor>:<key>\\tvalue' lines from your own mapper and " +
+        "use -reducer aggregate")
+    require(!(isAggregate && job.typedBytes),
+      "-reducer aggregate with -io typedbytes is not supported (the " +
+        "aggregate framework is line-oriented here) — drop -io or use " +
+        "an executable reducer")
     val outPath = new org.apache.hadoop.fs.Path(job.output)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath))
@@ -291,7 +412,18 @@ object StreamCli {
       } else {
         val mapped = job.mapper.fold(lines)(cmd =>
           Pipe.pipeMap(lines, withEnv(cmd, job.cmdEnv), shipped))
-        val combined = job.combiner.fold(mapped) { cmd =>
+        val combined =
+          if (isAggregate) {
+            // the reference OVERRIDES any user combiner with
+            // ValueAggregatorCombiner when the reducer is `aggregate`
+            // (StreamJob.java:858-861) — here Spark's map-side partial
+            // aggregation inside aggregateReduce plays that role
+            job.combiner.foreach(c => System.err.println(
+              s"[streamcli] note: -combiner ${c.mkString(" ")} " +
+                "superseded by -reducer aggregate's framework combiner " +
+                "(partial aggregation), as in the reference"))
+            mapped
+          } else job.combiner.fold(mapped) { cmd =>
           // spill-combiner contract: key-contiguous WITHIN each map
           // partition (sort locally, no exchange), then pipe
           val q = java.util.regex.Pattern.quote(sep)
@@ -303,6 +435,8 @@ object StreamCli {
           Pipe.pipeMap(sorted, withEnv(cmd, job.cmdEnv), shipped)
         }
         job.reducer match {
+          case Some(_) if isAggregate && job.numReduceTasks != 0 =>
+            aggregateReduce(combined, sep)
           case Some(cmd) if job.numReduceTasks != 0 =>
             Pipe.pipeReduce(combined.toDF("line"), "line",
               withEnv(cmd, job.cmdEnv), sep, keyFields,

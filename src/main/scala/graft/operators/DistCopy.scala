@@ -415,7 +415,16 @@ object DistCopy {
                 dfs.exists(to) && contentsEqual(sfs, from, dfs, to)
               if (dfs.exists(at) && contentsEqual(sfs, from, dfs, at)) {
                 dfs.mkdirs(to.getParent)
-                if (dfs.rename(at, to) || doneAlready) Some((newRel, oldRel))
+                if (dfs.rename(at, to)) Some((newRel, oldRel))
+                else if (doneAlready) {
+                  // rename refused because `to` already carries the
+                  // right content (a prior attempt landed it) while
+                  // `at` still stands — confirming the pair excludes
+                  // oldRel from the delete pass, so reap the stale
+                  // duplicate HERE or it survives the sync
+                  dfs.delete(at, false)
+                  Some((newRel, oldRel))
+                }
                 else None // rename refused, target wrong — demote to copy
               } else if (!dfs.exists(at) && doneAlready) {
                 // a prior attempt of THIS task already moved it

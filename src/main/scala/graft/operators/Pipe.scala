@@ -59,6 +59,26 @@ object Pipe {
       }
     }
 
+  /** Subprocess leak guard: a task that stops consuming the pipe
+    * iterator early (limit/take) or is killed never reaches the
+    * EOF-side `waitFor`, leaving the child and its daemon drain/feeder
+    * threads alive for the executor's lifetime. Register a
+    * task-completion destroy unless the iterator already drained and
+    * reaped the child — the cleanup Spark's own PipedRDD performs for
+    * exactly this case. Returns the drained flag the reader sets after
+    * its normal `waitFor`. No-op outside a task (direct unit-test
+    * invocations of the pipe cores).
+    */
+  private def registerProcCleanup(proc: Process)
+      : java.util.concurrent.atomic.AtomicBoolean = {
+    val reaped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        if (!reaped.get()) proc.destroyForcibly()
+      })
+    reaped
+  }
+
   /** The line-protocol subprocess core for the shipped-file path: the
     * [[pipeTypedBytes]] thread discipline (daemon stderr drain +
     * feeder, exit-code check at EOF) over newline-framed text. Used
@@ -68,6 +88,7 @@ object Pipe {
   private def pipeLines(cmd: Seq[String],
                         it: Iterator[String]): Iterator[String] = {
     val proc = new ProcessBuilder(cmd: _*).start()
+    val reaped = registerProcCleanup(proc)
     val errDrain = new Thread(() => {
       val r = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getErrorStream))
@@ -102,6 +123,7 @@ object Pipe {
           done = true
           feeder.join()
           val rc = proc.waitFor()
+          reaped.set(true)
           if (rc != 0) throw new RuntimeException(s"pipe exited with $rc")
         }
       }
@@ -155,6 +177,7 @@ object Pipe {
     kv.mapPartitions { it =>
       val proc = new ProcessBuilder(
         resolveShipped(cmd, shipped): _*).start()
+      val reaped = registerProcCleanup(proc)
       // Drain the child's stderr on a daemon thread (forwarded to the task
       // log): a child writing >64KB of stderr would otherwise block on the
       // full OS pipe while the task thread blocks reading stdout —
@@ -194,6 +217,7 @@ object Pipe {
             case None => done = true
               feeder.join()
               val rc = proc.waitFor()
+              reaped.set(true)
               if (rc != 0) throw new RuntimeException(s"pipe exited with $rc")
             case Some(k) =>
               val v = TypedBytes.read(in).getOrElse(

@@ -552,10 +552,19 @@ object Retrieval {
     * Control plane: one bounded (qid, term, df) collect against the
     * tombstone-CORRECTED dictionary (corrections raise idf, so the
     * bound must use the corrected df — the same value scoring uses),
-    * one bounded (qid, k-th score) collect from pass 1; both under the
-    * [[maxControlRows]] cap, overflow → [[bm25Query]] fallback. The
-    * collected dictionary slice is re-injected as a literal frame, so
-    * neither pass re-plans the dictionary fold.
+    * then ONE pass-1 execution. When the pass-1 output is provably
+    * control-plane sized (Σ_engaged candBound ≤ `maxCandBroadcast`),
+    * its (qid, nid, cos) rows collect ONCE and the k-th-best
+    * threshold, the tightened candidate set, and the block-UB
+    * refinement all derive locally — the round-20 fusion of what were
+    * three separate pass-1 re-executions (BASELINE.md round-19: at the
+    * 1e7 decade the engaged path was bound by per-batch driver control
+    * latency, a third of it recomputation of this same aggregate).
+    * Past that bound, a distributed top-k takes the k-th score and
+    * pass 2 gates via shuffle semi-joins. Both control reads sit under
+    * the [[maxControlRows]] cap, overflow → [[bm25Query]] fallback.
+    * The collected dictionary slice is re-injected as a literal frame,
+    * so neither pass re-plans the dictionary fold.
     *
     * Dials: `essentialDfFrac` positions the essential/head split — it
     * is a COST dial only (any split is exact; too low starves pass 1 of
@@ -751,14 +760,42 @@ object Retrieval {
     val essRows = rows.filter(r =>
       pruneQids(r.get(0)) && plans(r.get(0)).ess(r.getString(1)))
     val essTerms = essRows.map(_.getString(1)).distinct
-    def p1sums() = partials(litFrame(essRows).select("qid", "term"),
+    val p1F = partials(litFrame(essRows).select("qid", "term"),
         dictOf(essRows), Some(essTerms), None, false, None)
       .groupBy("qid", "nid")
       .agg(sum("partial").cast("double").as("cos"))
-    // ---- bounded control read #2: each query's k-th best pass-1 sum
-    val l1 = Similarity.rankTopK(p1sums(), k)
-      .filter(col("rank") === k).select("qid", "cos")
-      .collect().map(r => r.get(0) -> r.getDouble(1).toLong).toMap
+    // ---- FUSED CONTROL PLANE (round 20): the engaged path's dominant
+    // serving cost at the 1e7 decade is per-batch DRIVER CONTROL
+    // LATENCY, not scan mass (BASELINE.md round-19 adjudication) — and
+    // pass 1 was re-planned and re-EXECUTED up to three times per
+    // batch: the k-th-score collect, the candidate materialization,
+    // and the block-UB refinement's re-collect. Every one of those
+    // facts is a function of the same (qid, nid, cos) set, so when
+    // that set is PROVABLY control-plane sized (Σ_engaged candBound ≤
+    // maxCandBroadcast — the dial under which the candidate ids were
+    // going to be collected and broadcast anyway, so the triples cost
+    // at most 3× the bytes the old path already pulled), collect pass
+    // 1 ONCE and derive the threshold, the tightened candidate set,
+    // and the refinement rows locally. One Spark job replaces three.
+    // Batches past the bound keep the lazy plan-side flow below (they
+    // route toward shuffle semi-joins, where per-consumer re-execution
+    // is the price of staying distributed).
+    val p1Bound = pruneQids.iterator.map(q => plans(q).candBound).sum
+    val p1Local: Option[Array[org.apache.spark.sql.Row]] =
+      if (p1Bound <= maxCandBroadcast) Some(p1F.collect()) else None
+    // each query's k-th best pass-1 sum: local top-k over the fused
+    // collect, or the bounded control read #2 of the lazy flow (the
+    // k-th VALUE is order-insensitive under ties, so both forms read
+    // the same L)
+    val l1: Map[Any, Long] = p1Local match {
+      case Some(rs) => rs.groupBy(_.get(0)).flatMap { case (q, qr) =>
+        val top = qr.map(_.getDouble(2)).sorted(Ordering[Double].reverse)
+        if (top.length >= k) Some(q -> top(k - 1).toLong) else None
+      }
+      case None => Similarity.rankTopK(p1F, k)
+        .filter(col("rank") === k).select("qid", "cos")
+        .collect().map(r => r.get(0) -> r.getDouble(1).toLong).toMap
+    }
     val safeQids: Set[Any] = pruneQids.filter(q =>
       l1.get(q).exists(_ > plans(q).neSum)).toSet
     if (safeQids.isEmpty) return exact() // no query verified — one pass
@@ -780,53 +817,26 @@ object Retrieval {
     // the block-UB refinement — operates on this smaller, still-exact
     // set; before round 19 EVERY pass-1 doc (bounded only by Σ
     // essential df) flowed into pass 2.
-    val threshRows = safeQids.iterator.map { q =>
-      org.apache.spark.sql.Row(q,
-        java.lang.Long.valueOf(l1(q) - plans(q).neSum))
-    }.toSeq
-    val threshF = spark.createDataFrame(
-      java.util.Arrays.asList(threshRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(qdfSchema.head,
-        org.apache.spark.sql.types.StructField("thresh",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    // the inner join against the tiny thresh frame both restricts to
-    // the safe qids (the old left_semi) and attaches each query's bar
-    def candEss() = p1sums().join(threshF, Seq("qid"))
-      .filter(col("cos") >= col("thresh").cast("double"))
-    val candDocsPlan = candEss().select(col("nid").as("doc_id")).distinct()
-    val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
-    val bcastCand = candBound <= maxCandBroadcast
-    // On the broadcast path, MATERIALIZE the candidate set once (it is
-    // ≤ candBound ≤ maxCandBroadcast rows of one long by construction)
-    // instead of handing the plan to the partials callback: a sharded
-    // caller embeds the docFilter into EVERY shard leg, so the
-    // plan-side form carries S copies of the S-leg pass-1 union —
-    // an S² plan/execution blowup, invisible at the S=2 gates and
-    // measured as a multi-minute single-core planning hang at S=32
-    // (BASELINE.md round-18, DevShardGrowth `ms`). The literal keeps
-    // pass 2's legs O(S) total; ids collect as PRIMITIVES
-    // ([[materializeIds]]), not boxed Rows. Over-cap batches keep the
-    // lazy plan (they route to shuffle semi-joins, where the join
-    // input is computed once per leg by necessity).
-    val (candDocs, candVals) = if (!bcastCand) (candDocsPlan, None) else {
-      // ids first, primitives ([[materializeIds]]); the refinement
-      // below only RE-reads pass 1 when the tightened set is small
-      // enough that the extra control job is noise
-      val (f0, vals0) = materializeIds(spark, candDocsPlan)
-      // BLOCK-UB REFINEMENT (blkInfo, block-max layout only): with the
-      // per-(query, candidate) essential sums in hand (a bounded
-      // collect at this size), each candidate's bound sharpens from
-      // essSum + Σ_head ub(t) to essSum + Σ_head bub(t, blk(d)) — the
-      // block the doc actually lives in, whose (max_tf, min_dl) caps
-      // the head contribution below the global ub. Drop d when even
-      // that bound misses EVERY safe query's bar; exact by the same
-      // monotonicity argument as the layout doc on [[bm25Build]].
-      val refined: Option[Seq[Any]] = blkInfoFn().flatMap { case (bw, fetch) =>
+    def thresh(q: Any): Long = l1(q) - plans(q).neSum
+    // BLOCK-UB REFINEMENT (blkInfo, block-max layout only), shared by
+    // both candidate flows below: with the per-(query, candidate)
+    // essential sums in hand, each candidate's bound sharpens from
+    // essSum + Σ_head ub(t) to essSum + Σ_head bub(t, blk(d)) — the
+    // block the doc actually lives in, whose (max_tf, min_dl) caps
+    // the head contribution below the global ub. Drop d when even
+    // that bound misses EVERY safe query's bar; exact by the same
+    // monotonicity argument as the layout doc on [[bm25Build]]. The
+    // one remaining control job here is the bounded `_blkmax` slice
+    // fetch — the (qid, nid, cos) rows themselves arrive from the
+    // caller (free on the fused path; one bounded collect on the lazy
+    // one).
+    def refineByBlocks(essRows2Opt: => Option[Array[org.apache.spark.sql.Row]],
+                       nCand: Int): Option[Seq[Any]] =
+      blkInfoFn().flatMap { case (bw, fetch) =>
         require(avgdl > 0.0, "maxScoreRank: blkInfoFn needs the " +
           "caller's avgdl (the refinement bound uses scoring's constants)")
-        if (vals0.size > maxControlRows) None
-        else {
-          val essRows2 = candEss().select("qid", "nid", "cos").collect()
+        if (nCand > maxControlRows) None
+        else essRows2Opt.flatMap { essRows2 =>
           val headDf: Map[Any, Seq[(String, Long)]] =
             rows.filter(r => safeQids(r.get(0)) &&
                 !plans(r.get(0)).ess(r.getString(1)))
@@ -857,11 +867,71 @@ object Retrieval {
           }
         }
       }
-      refined match {
-        case Some(kept) if kept.size < vals0.size =>
-          (idFrame(spark, kept, candDocsPlan.schema.head), Some(kept))
-        case _ => (f0, Some(vals0))
-      }
+    val candBound = safeQids.iterator.map(q => plans(q).candBound).sum
+    val bcastCand = p1Local.isDefined || candBound <= maxCandBroadcast
+    // On the broadcast path, MATERIALIZE the candidate set once (it is
+    // ≤ candBound ≤ maxCandBroadcast rows of one long by construction)
+    // instead of handing the plan to the partials callback: a sharded
+    // caller embeds the docFilter into EVERY shard leg, so the
+    // plan-side form carries S copies of the S-leg pass-1 union —
+    // an S² plan/execution blowup, invisible at the S=2 gates and
+    // measured as a multi-minute single-core planning hang at S=32
+    // (BASELINE.md round-18, DevShardGrowth `ms`). The literal keeps
+    // pass 2's legs O(S) total. Over-cap batches keep the lazy plan
+    // (they route to shuffle semi-joins, where the join input is
+    // computed once per leg by necessity).
+    val (candDocs, candVals) = p1Local match {
+      case Some(rs) =>
+        // fused flow — zero additional pass-1 work: the round-19
+        // per-doc tightening (cos ≥ L − neSum, the same bar the lazy
+        // flow's thresh-join applies) and the refinement both run on
+        // the already-collected rows
+        val candRows = rs.filter(r => safeQids(r.get(0)) &&
+          r.getDouble(2) >= thresh(r.get(0)).toDouble)
+        val vals0: Seq[Any] = candRows.map(_.get(1)).toSeq.distinct
+        val docF = org.apache.spark.sql.types.StructField("doc_id",
+          p1F.schema("nid").dataType, p1F.schema("nid").nullable)
+        refineByBlocks(Some(candRows), vals0.size) match {
+          case Some(kept) if kept.size < vals0.size =>
+            (idFrame(spark, kept, docF), Some(kept))
+          case _ => (idFrame(spark, vals0, docF), Some(vals0))
+        }
+      case None =>
+        val threshRows = safeQids.iterator.map { q =>
+          org.apache.spark.sql.Row(q, java.lang.Long.valueOf(thresh(q)))
+        }.toSeq
+        val threshF = spark.createDataFrame(
+          java.util.Arrays.asList(threshRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(qdfSchema.head,
+            org.apache.spark.sql.types.StructField("thresh",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        // the inner join against the tiny thresh frame both restricts
+        // to the safe qids (the old left_semi) and attaches each
+        // query's bar
+        def candEss() = p1F.join(threshF, Seq("qid"))
+          .filter(col("cos") >= col("thresh").cast("double"))
+        val candDocsPlan = candEss().select(col("nid").as("doc_id"))
+          .distinct()
+        if (!bcastCand) (candDocsPlan, None) else {
+          // ids first, primitives ([[materializeIds]]); the refinement
+          // only RE-reads pass 1 when the tightened set is small
+          // enough that the extra control job is noise — and the
+          // collect itself is hard-bounded (the rows scale as
+          // Σ_q candidates(q), which safeQids × a large batch can push
+          // past what the per-doc gate alone implies)
+          val (f0, vals0) = materializeIds(spark, candDocsPlan)
+          val refined: Option[Seq[Any]] = refineByBlocks({
+            val cap = maxControlRows * 8
+            val essRows2 = candEss().select("qid", "nid", "cos")
+              .limit(cap + 1).collect()
+            if (essRows2.length > cap) None else Some(essRows2)
+          }, vals0.size)
+          refined match {
+            case Some(kept) if kept.size < vals0.size =>
+              (idFrame(spark, kept, candDocsPlan.schema.head), Some(kept))
+            case _ => (f0, Some(vals0))
+          }
+        }
     }
     val scoredSafe = partials(litFrame(safeRows).select("qid", "term"),
       dictOf(safeRows), Some(safeTerms), Some(candDocs), bcastCand,
@@ -1085,11 +1155,30 @@ object Retrieval {
         .reduce(_.unionByName(_))
         .groupBy("qid", "nid")
         .agg(sum("partial").cast("double").as("cos"))
+    // ---- FUSED CONTROL PLANE, grouped form (round 20 — see
+    // [[maxScoreRank]]): when the pass-1 output is provably
+    // control-plane sized, each group collects its FULL bounded
+    // (qid, nid, cos) rows ONCE — the merged rows give the global
+    // k-th best (by doc-disjointness, same value the per-group top-k
+    // merge read), and each group's pass-2 candidate set derives
+    // locally from its own rows instead of re-planning and
+    // re-executing the group's pass-1 union inside p2group. One
+    // pass-1 execution per group instead of two.
+    val p1Bound = pruneQids.iterator.map(q => plans(q).candBound).sum
+    val p1ByGroup: Option[(org.apache.spark.sql.types.StructType,
+        Map[Seq[Int], Array[org.apache.spark.sql.Row]])] =
+      if (p1Bound <= maxCandBroadcast)
+        Some(groupedCollectRows(groups)(g =>
+          p1group(g).select(col("qid"), col("nid"), col("cos"))))
+      else None
     // ---- pass 1 (grouped): each group's exact local top-k of the
     // essential-only sums; the merged per-query k-th best is the
     // GLOBAL k-th best (each global top-k member survives its own
     // group's top-k), the only fact the threshold verification reads
-    val (_, p1rows) = groupedTopKRows(k, groups)(p1group)
+    val p1rows: Seq[org.apache.spark.sql.Row] = p1ByGroup match {
+      case Some((_, m)) => m.valuesIterator.flatten.toSeq
+      case None => groupedTopKRows(k, groups)(p1group)._2
+    }
     val l1: Map[Any, Long] = p1rows.groupBy(_.get(0)).flatMap {
       case (q, rs) =>
         val top = rs.map(_.getDouble(2)).sorted(Ordering[Double].reverse)
@@ -1119,20 +1208,34 @@ object Retrieval {
     // pass-1 candidates — by doc-disjointness exactly the global
     // candidate set restricted to the group's docs; unverified
     // queries run their exact ungated legs in the same group job
-    val bcastCand = candBound <= maxCandBroadcast
+    val bcastCand = p1ByGroup.isDefined || candBound <= maxCandBroadcast
     def p2group(g: Seq[Int]): DataFrame = {
-      val candDocsGPlan = p1group(g)
-        .join(threshF, Seq("qid"))
-        .filter(col("cos") >= col("thresh").cast("double"))
-        .select(col("nid").as("doc_id")).distinct()
       // materialized per group on the broadcast path — the same S²
       // plan-blowup guard as [[maxScoreRank]]'s pass 2 (each group leg
-      // would otherwise embed the group's whole pass-1 union); ids
-      // collect as primitives and feed the per-leg scan push
-      val (candDocsG, candValsG) = if (bcastCand) {
-        val (f0, vals0) = materializeIds(spark, candDocsGPlan)
-        (f0, Some(vals0))
-      } else (candDocsGPlan, None)
+      // would otherwise embed the group's whole pass-1 union). On the
+      // fused path the group's candidates derive locally from its
+      // already-collected pass-1 rows (zero additional pass-1 work);
+      // otherwise ids collect as primitives. Either way the literal
+      // feeds the per-leg scan push.
+      val (candDocsG, candValsG) = p1ByGroup match {
+        case Some((schema1, m)) =>
+          val candRows = m(g).filter(r => safeQids(r.get(0)) &&
+            r.getDouble(2) >= (l1(r.get(0)) - plans(r.get(0)).neSum)
+              .toDouble)
+          val vals: Seq[Any] = candRows.map(_.get(1)).toSeq.distinct
+          val docF = org.apache.spark.sql.types.StructField("doc_id",
+            schema1("nid").dataType, schema1("nid").nullable)
+          (idFrame(spark, vals, docF), Some(vals))
+        case None =>
+          val candDocsGPlan = p1group(g)
+            .join(threshF, Seq("qid"))
+            .filter(col("cos") >= col("thresh").cast("double"))
+            .select(col("nid").as("doc_id")).distinct()
+          if (bcastCand) {
+            val (f0, vals0) = materializeIds(spark, candDocsGPlan)
+            (f0, Some(vals0))
+          } else (candDocsGPlan, None)
+      }
       val scoredSafe = g.map(i => partialsFor(i,
           litFrame(safeRows).select("qid", "term"), dictOf(safeRows),
           Some(safeTerms), Some(candDocsG), bcastCand, candValsG))
@@ -1516,6 +1619,39 @@ object Retrieval {
       val rows = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
         scala.concurrent.duration.Duration.Inf).flatten
+      (proto.get, rows)
+    } finally pool.shutdown()
+  }
+
+  /** One plan-parallel grouped COLLECT stage: each group's frame plans
+    * and collects IN FULL in its own driver thread (no top-k — the
+    * fused MaxScore control plane wants every bounded pass-1 row, from
+    * which the threshold, candidates, and refinement all derive
+    * locally). Callers gate on a proven row bound before invoking;
+    * returns the common schema plus the per-group row arrays. */
+  private def groupedCollectRows(groups: Seq[Seq[Int]])
+                                (frame: Seq[Int] => DataFrame)
+      : (org.apache.spark.sql.types.StructType,
+         Map[Seq[Int], Array[org.apache.spark.sql.Row]]) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(groups.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val proto = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.types.StructType]()
+      val futs = groups.map { g =>
+        scala.concurrent.Future {
+          val df = frame(g)
+          proto.compareAndSet(null, df.schema)
+          val probe = groupPlanProbe.get()
+          if (probe != null)
+            probe.add((g, df.queryExecution.executedPlan.toString))
+          g -> df.collect()
+        }
+      }
+      val rows = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toMap
       (proto.get, rows)
     } finally pool.shutdown()
   }

@@ -51,6 +51,26 @@ object DevMaxScore {
       (r0, ts(1))
     }
 
+    // Spark JOB counter — the round-20 fused-control-plane claim is a
+    // reduced per-batch job count on the engaged path (each driver job
+    // carries ~0.3-0.5 s of fixed control latency at 1e7, the measured
+    // dominant serving cost), so count jobs directly via listener
+    // rather than inferring from wall clock.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    def countJobs(body: => Unit): Int = {
+      val b = jobCounter.get(); body
+      // listener bus is async — wait until the count stops moving
+      var last = -1; var cur = jobCounter.get()
+      while (cur != last) { Thread.sleep(300); last = cur; cur = jobCounter.get() }
+      cur - b
+    }
+
     val dir = s"/tmp/graft-scale/zdocs$n"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       sources.Generators.zipfText(spark, n, seed = 11L, partitions = 32)
@@ -156,6 +176,22 @@ object DevMaxScore {
           f"blockmax=${tBm}%.2fs (${tBm / tMs}%.2fx of maxscore) " +
           f"forced=${tMf}%.2fs (${tEx / nq * 1000}%.0f -> " +
           f"${tMs / nq * 1000}%.0f -> ${tBm / nq * 1000}%.0f ms/q)")
+        // per-batch Spark JOB counts, one serving call each (the fused
+        // control plane's direct claim): forced engagement on the
+        // plain and block-max layouts vs the exact single-pass plan
+        val jEx = countJobs {
+          Retrieval.bm25Query(spark, table, q, "qid", "qtext", 5).count()
+        }
+        val jMf = countJobs {
+          Retrieval.bm25QueryMaxScore(spark, table, q, "qid", "qtext",
+            5, gateMinHeadMass = 1L, gateCandFrac = 1.0).count()
+        }
+        val jBm = countJobs {
+          Retrieval.bm25QueryMaxScore(spark, tableBm, q, "qid", "qtext",
+            5, gateMinHeadMass = 1L, gateCandFrac = 1.0).count()
+        }
+        println(s"[maxscore] n=$n $tag jobs/batch: exact=$jEx " +
+          s"forced=$jMf forcedBlockmax=$jBm")
         System.out.flush()
       }
     }

@@ -318,8 +318,17 @@ class DistCopySpec extends AnyFunSuite {
     @volatile var sawPartial = false
     @volatile var stop = false
     val poller = new Thread(() => {
+      val stagingDir = Paths.get(s"$dstRoot/.out._distcp_staging")
       while (!stop) {
-        if (Files.exists(Paths.get(dst))) sawPartial = true
+        // the legitimate publish IS Files.exists(dst) flipping true just
+        // before copy() returns, so bare existence would race the stop
+        // flag and flag a correct run (flaky). A PARTIAL publish is the
+        // target being visible while the staging sibling still stands —
+        // the commit rename atomically consumes staging, so checking dst
+        // FIRST makes a true (dst, staging) coexistence impossible in a
+        // correct run, while a direct-to-target writer trips it at once.
+        if (Files.exists(Paths.get(dst)) && Files.exists(stagingDir))
+          sawPartial = true
         Thread.sleep(20)
       }
     })

@@ -65,10 +65,24 @@ class StreamCliSpec extends AnyFunSuite {
       "-input", in, "-output", out,
       "-mapper", "printenv GRAFT_STREAM_TOKEN",
       "-cmdenv", "GRAFT_STREAM_TOKEN=tok42",
-      "-cacheFile", "hdfs:///cache/thing#link",
+      "-cacheFile", "hdfs:///cache/thing",
       "-reducer", "NONE")))
     assert(readOut(out).contains("tok42"),
       "the -cmdenv variable did not reach the subprocess")
+    // a -cacheFile WITH a '#link' names a task-local symlink the engine
+    // does not create — loud refusal, not a confusing exec error later
+    intercept[IllegalArgumentException] {
+      StreamCli.parse(Seq("-input", in, "-output", outDir(),
+        "-mapper", "cat", "-cacheFile", "hdfs:///cache/thing#link",
+        "-reducer", "NONE"))
+    }
+    // -cacheArchive changes the task-visible filesystem layout (the
+    // reference unpacks it) — always a loud refusal
+    intercept[IllegalArgumentException] {
+      StreamCli.parse(Seq("-input", in, "-output", outDir(),
+        "-mapper", "cat", "-cacheArchive", "hdfs:///cache/tool.zip",
+        "-reducer", "NONE"))
+    }
     // -file now SHIPS (it is not ignorable): a payload that does not
     // exist on the submitting host is a submit-time error, exactly as
     // the reference's jar packaging would make it
@@ -166,5 +180,89 @@ class StreamCliSpec extends AnyFunSuite {
       .map { case Array(n, kv) => (kv.replace('\t', '|'), n.toInt) }.toMap
     assert(counts == Map("a|1" -> 2, "a|2" -> 1, "b|1" -> 1),
       s"wrong composite-key counts: $counts")
+  }
+
+  test("-reducer aggregate: a LongValueSum wordcount over the u1-shaped " +
+       "fixture matches exact counts (the framework reducer, not an " +
+       "executable named 'aggregate')") {
+    val words = Seq("apple", "banana", "apple", "cherry", "banana", "apple")
+    val in = mkInput(words)
+    val out = outDir()
+    // the classic aggregate wordcount mapper: emit
+    // 'LongValueSum:<word> TAB 1' per token (reference
+    // ValueAggregatorBaseDescriptor.generateEntry shape)
+    StreamCli.run(spark, StreamCli.parse(Seq(
+      "-input", in, "-output", out,
+      "-mapper", "awk '{printf \"LongValueSum:%s\\t1\\n\", $1}'",
+      "-reducer", "aggregate", "-numReduceTasks", "2")))
+    val counts = readOut(out).map(_.split("\t", 2))
+      .map { case Array(w, n) => (w, n.toInt) }.toMap
+    assert(counts == Map("apple" -> 3, "banana" -> 2, "cherry" -> 1),
+      s"wrong aggregate wordcount: $counts")
+  }
+
+  test("-reducer aggregate: every descriptor folds per type with the " +
+       "reference's report shapes; a user -combiner is superseded") {
+    val in = mkInput(Seq(
+      "LongValueMax:m\t5", "LongValueMax:m\t9",
+      "LongValueMin:n\t5", "LongValueMin:n\t9",
+      "DoubleValueSum:d\t1.5", "DoubleValueSum:d\t2.25",
+      "StringValueMax:s\tb", "StringValueMax:s\ta",
+      "UniqValueCount:u\tx", "UniqValueCount:u\tx", "UniqValueCount:u\ty",
+      "ValueHistogram:h\ta", "ValueHistogram:h\ta", "ValueHistogram:h\tb"))
+    val out = outDir()
+    // no mapper: the fixture lines ARE the map output; the -combiner is
+    // superseded by the framework combiner (reference
+    // StreamJob.java:858-861 overrides it the same way)
+    StreamCli.run(spark, StreamCli.parse(Seq(
+      "-input", in, "-output", out,
+      "-combiner", "cat", "-reducer", "aggregate")))
+    val got = readOut(out).map(_.split("\t", 2))
+      .map { case Array(k, r) => (k, r) }.toMap
+    assert(got("m") == "9" && got("n") == "5" && got("s") == "b" &&
+      got("u") == "2" && got("d") == "3.75",
+      s"wrong scalar reports: $got")
+    // histogram report: distinct, min/upper-median/max count, mean,
+    // population stddev of the value frequencies {a: 2, b: 1}
+    assert(got("h") == "2\t1\t2\t2\t1.5\t0.5",
+      s"wrong histogram report: ${got("h")}")
+  }
+
+  test("-reducer aggregate failure modes are LOUD: unknown descriptor, " +
+       "missing prefix, junk numerics, -mapper aggregate, typedbytes") {
+    val in = mkInput(Seq("Nope:k\t1"))
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    val e1 = intercept[Exception] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", in, "-output", outDir(), "-reducer", "aggregate")))
+    }
+    assert(causes(e1).exists(_.contains("unknown aggregator descriptor")),
+      s"unknown descriptor did not fail loudly: ${causes(e1)}")
+    val e2 = intercept[Exception] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", mkInput(Seq("noprefix\t1")), "-output", outDir(),
+        "-reducer", "aggregate")))
+    }
+    assert(causes(e2).exists(_.contains("no <aggregator>:<key> prefix")),
+      s"missing prefix did not fail loudly: ${causes(e2)}")
+    val e3 = intercept[Exception] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", mkInput(Seq("LongValueSum:k\tjunk")), "-output", outDir(),
+        "-reducer", "aggregate")))
+    }
+    assert(causes(e3).exists(_.contains("junk")),
+      s"junk numeric did not fail loudly: ${causes(e3)}")
+    intercept[IllegalArgumentException] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", in, "-output", outDir(), "-mapper", "aggregate",
+        "-reducer", "NONE")))
+    }
+    intercept[IllegalArgumentException] {
+      StreamCli.run(spark, StreamCli.parse(Seq(
+        "-input", in, "-output", outDir(), "-io", "typedbytes",
+        "-reducer", "aggregate")))
+    }
   }
 }
