@@ -489,12 +489,86 @@ object Retrieval {
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    val qterms = pushableTerms(spark, qt)
+    // ---- FUSED control read (round 20, guide §2.4/§5): the pushable
+    // term list and the corrected (N, Σdl) stats ride in ONE bounded
+    // driver job — the pre-fusion form paid two (the pushableTerms
+    // collect, then bm25Partials' stats read), each a fixed-latency
+    // Spark job on the serving path. Same values, same fallbacks: an
+    // over-cap term list still yields qterms = None (unpruned scans),
+    // and an empty term list leaves the stats to the scoring path's
+    // own read (degenerate batch, empty result either way).
+    val (qterms, preStats) = ctrlTermsStats(spark, table, qt)
+    bm25QueryPre(spark, table, qt, k, k1, b, maxDfFrac, qterms, preStats)
+  }
+
+  /** [[bm25Query]] after the control reads are in hand — the entry the
+    * MaxScore fallbacks route through so an exact-routed batch never
+    * re-pays the term-list and stats jobs its caller already ran
+    * (round-20 control-plane fusion). Semantics identical to
+    * [[bm25Query]] with the same (qt, qterms, stats) facts. */
+  private def bm25QueryPre(spark: SparkSession, table: String,
+                           qt: DataFrame, k: Int, k1: Double, b: Double,
+                           maxDfFrac: Double, qterms: Option[Seq[String]],
+                           preStats: Option[(Long, Long)]): DataFrame =
     Similarity.rankTopK(
-        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms), k)
+        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms,
+          preStats = preStats), k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),
         col("rank").as("rnk"))
+
+  /** ONE bounded control job for the bag-of-words entry points: the
+    * distinct query terms (capped like [[pushableTerms]]) crossJoined
+    * with the one-row corrected stats frame, so both control facts
+    * arrive in a single driver action. Empty term set → stats stay
+    * unread (None), preserving the pre-fusion degenerate-path
+    * behavior. */
+  private def ctrlTermsStats(spark: SparkSession, table: String,
+                             qt: DataFrame, maxPushTerms: Int = 1 << 12)
+      : (Option[Seq[String]], Option[(Long, Long)]) = {
+    val rows = qt.select("term").distinct().limit(maxPushTerms + 1)
+      .crossJoin(correctedStatsFrame(spark, table))
+      .collect()
+    if (rows.isEmpty) (Some(Nil), None)
+    else {
+      val terms = rows.map(_.getString(0)).toSeq
+      val stats = Some((rows.head.getLong(1), rows.head.getLong(2)))
+      (if (terms.size > maxPushTerms) None else Some(terms), stats)
+    }
+  }
+
+  /** The sharded form of [[ctrlTermsStats]]: pushed terms + the global
+    * corrected stats fold in ONE bounded driver job, returning the
+    * (N, avgdl, capped dict) triple [[shardedScored]] consumes. A
+    * degenerate batch (no query terms) returns preFold = None and the
+    * caller's [[foldShardStats]] fallback preserves the pre-fusion
+    * behavior (including its empty-shards require). */
+  private def ctrlTermsStatsSharded(spark: SparkSession,
+                                    tables: Seq[String], qt: DataFrame,
+                                    maxDfFrac: Double,
+                                    maxPushTerms: Int = 1 << 12)
+      : (Option[Seq[String]], Option[(Long, Double, DataFrame)]) = {
+    GraftFunctions.unionGuard(spark)
+    val statsF = tables.map(correctedStatsFrame(spark, _))
+      .reduce(_.unionByName(_))
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("s"), lit(0L)).as("s"))
+    val rows = qt.select("term").distinct().limit(maxPushTerms + 1)
+      .crossJoin(statsF).collect()
+    if (rows.isEmpty) (Some(Nil), None)
+    else {
+      val terms = rows.map(_.getString(0)).toSeq
+      val qterms =
+        if (terms.size > maxPushTerms) None else Some(terms)
+      val nDocs = rows.head.getLong(1)
+      require(nDocs > 0, s"sharded query: every shard of $tables is empty")
+      val avgdl = rows.head.getLong(2).toDouble / nDocs.toDouble
+      val dict1 = foldShardDict(spark, tables, qterms)
+      val dict = if (maxDfFrac < 1.0)
+        dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
+      else dict1
+      (qterms, Some((nDocs, avgdl, dict)))
+    }
   }
 
   /** The MaxScore dial bundle — the four cost dials of
@@ -610,20 +684,32 @@ object Retrieval {
       s"gateCandFrac must be positive, got $gateCandFrac")
     GraftFunctions.ensureRegistered(spark)
     healFold(spark, table)
-    def exact() = bm25Query(spark, table, queries, qidCol, textCol, k,
-      k1, b, maxDfFrac)
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qterms = pushableTerms(spark, qt)
-    if (qterms.isEmpty) return exact() // term list over the push cap
-    // ---- bounded control read #1: per-(qid, term) CORRECTED df
+    if (qterms.isEmpty) // term list over the push cap — unpruned exact
+      return bm25QueryPre(spark, table, qt, k, k1, b, maxDfFrac,
+        qterms, None)
+    // ---- FUSED control read #1 (round 20, guide §2.4/§5): the
+    // per-(qid, term) CORRECTED df rows AND the one-row corrected
+    // stats in ONE bounded driver job (the stats frame crossJoins the
+    // limited control frame — pre-fusion this was a separate action).
+    // The fallback leg reuses qt/qterms/stats too, so an exact-routed
+    // batch no longer re-pays the control jobs inside bm25Query.
     val qdf = qt.join(correctedDict(spark, table, qterms), Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val qdfRows = qdf.limit(maxControlRows + 1).collect()
-    if (qdfRows.length > maxControlRows) return exact()
-    if (qdfRows.isEmpty) return exact() // no indexed term anywhere
-    val (nDocs, dlSum) = correctedStats(spark, table)
+    val ctrlRows = qdf.limit(maxControlRows + 1)
+      .crossJoin(correctedStatsFrame(spark, table)).collect()
+    val preStats = ctrlRows.headOption.map(r =>
+      (r.getLong(3), r.getLong(4)))
+    def exact() = bm25QueryPre(spark, table, qt, k, k1, b, maxDfFrac,
+      qterms, preStats)
+    if (ctrlRows.length > maxControlRows) return exact()
+    if (ctrlRows.isEmpty) return exact() // no indexed term anywhere
+    val qdfRows = ctrlRows.map(r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+    val (nDocs, dlSum) = preStats.get
     require(nDocs > 0, s"bm25QueryMaxScore: index $table is empty")
     val avgdl = dlSum.toDouble / nDocs.toDouble
     // the stop-term dial, applied exactly where bm25Query applies it
@@ -984,22 +1070,39 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     GraftFunctions.ensureRegistered(spark)
     tables.foreach(healFold(spark, _))
-    def exact() = bm25ShardedQuery(spark, tables, queries, qidCol,
-      textCol, k, k1, b, maxDfFrac)
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qterms = pushableTerms(spark, qt)
-    if (qterms.isEmpty) return exact()
+    def exactPre(preFold: Option[(Long, Double, DataFrame)]) =
+      bm25ShardedQueryPre(spark, tables, qt, k, k1, b, maxDfFrac,
+        qterms, preFold)
+    if (qterms.isEmpty) return exactPre(None)
     // the t32 global fold: (N, avgdl) across shard stats, per-term df
-    // across shard dictionaries, stop-term dial applied to the FOLDED
-    // df — the collected control rows below need no further filtering
-    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
-      maxDfFrac)
+    // across shard dictionaries — FUSED (round 20): the one-row stats
+    // frame crossJoins the bounded qdf control frame so both control
+    // facts arrive in ONE driver job (pre-fusion: a separate stats
+    // action). The stop-term dial applies locally post-collect — the
+    // single-index pattern, row-identical to the dict-side filter.
+    val (statsF, dict) = foldShardStatsFrame(spark, tables, qterms)
     val qdf = qt.join(dict, Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val qdfRows = qdf.limit(maxControlRows + 1).collect()
-    if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exact()
+    val ctrlRows = qdf.limit(maxControlRows + 1).crossJoin(statsF)
+      .collect()
+    if (ctrlRows.length > maxControlRows || ctrlRows.isEmpty)
+      return exactPre(None)
+    val nDocs = ctrlRows.head.getLong(3)
+    require(nDocs > 0, s"sharded query: every shard of $tables is empty")
+    val avgdl = ctrlRows.head.getLong(4).toDouble / nDocs.toDouble
+    val capDfS = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
+      else Long.MaxValue
+    val qdfRows = ctrlRows.iterator
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+      .filter(_.getLong(2) <= capDfS).toArray
+    // fallback legs reuse the fold (capped dict where the dial is on)
+    def exact() = exactPre(Some((nDocs, avgdl,
+      if (maxDfFrac < 1.0) dict.filter(col("df") <= lit(capDfS))
+      else dict)))
     // the head-mass knee is PER SHARD LEG: each leg prunes only its own
     // 1/S share of a head term's postings while paying its own
     // two-pass overhead, so the GLOBAL engagement threshold scales
@@ -1096,12 +1199,24 @@ object Retrieval {
       .distinct()
     val qterms = pushableTerms(spark, qt)
     if (qterms.isEmpty) return exactG()
-    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
-      maxDfFrac)
+    // FUSED control read (round 20): stats frame crossJoined onto the
+    // bounded qdf collect — one driver job for both control facts,
+    // the bm25ShardedQueryMaxScore pattern (dial cap applied locally)
+    val (statsF, dict) = foldShardStatsFrame(spark, tables, qterms)
     val qdf = qt.join(dict, Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val qdfRows = qdf.limit(maxControlRows + 1).collect()
-    if (qdfRows.length > maxControlRows || qdfRows.isEmpty) return exactG()
+    val ctrlRows = qdf.limit(maxControlRows + 1).crossJoin(statsF)
+      .collect()
+    if (ctrlRows.length > maxControlRows || ctrlRows.isEmpty)
+      return exactG()
+    val nDocs = ctrlRows.head.getLong(3)
+    require(nDocs > 0, s"sharded query: every shard of $tables is empty")
+    val avgdl = ctrlRows.head.getLong(4).toDouble / nDocs.toDouble
+    val capDfS = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
+      else Long.MaxValue
+    val qdfRows = ctrlRows.iterator
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+      .filter(_.getLong(2) <= capDfS).toArray
     // per-leg head-mass knee, as in [[bm25ShardedQueryMaxScore]];
     // per-shard block-max widths feed each leg's scan push (lazy —
     // exact-routed batches never read them)
@@ -1294,9 +1409,33 @@ object Retrieval {
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    val qterms = pushableTerms(spark, qt)
+    // FUSED control read (round 20): pushed terms + the global stats
+    // fold in ONE driver job; the dict fold stays plan-side
+    val (qterms, preFold) = ctrlTermsStatsSharded(spark, tables, qt,
+      maxDfFrac)
     val scored = shardedScored(spark, tables, qt, k1, b, maxDfFrac, qterms,
-      docFilters = tables.map(_ => None), bcasts = tables.map(_ => false))
+      docFilters = tables.map(_ => None), bcasts = tables.map(_ => false),
+      preFold = preFold)
+    Similarity.rankTopK(scored, k)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("cos").cast("long").as("score_micro"),
+        col("rank").as("rnk"))
+  }
+
+  /** [[bm25ShardedQuery]] after the control reads are in hand — the
+    * sharded-MaxScore fallback route (round-20 control-plane fusion):
+    * an exact-routed batch reuses the caller's qt / pushed terms /
+    * (N, avgdl, dict) fold instead of re-paying their driver jobs. */
+  private def bm25ShardedQueryPre(spark: SparkSession,
+                                  tables: Seq[String], qt: DataFrame,
+                                  k: Int, k1: Double, b: Double,
+                                  maxDfFrac: Double,
+                                  qterms: Option[Seq[String]],
+                                  preFold: Option[(Long, Double, DataFrame)])
+      : DataFrame = {
+    val scored = shardedScored(spark, tables, qt, k1, b, maxDfFrac, qterms,
+      docFilters = tables.map(_ => None), bcasts = tables.map(_ => false),
+      preFold = preFold)
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),
@@ -1324,7 +1463,7 @@ object Retrieval {
       .distinct()
     val ctl = shardControlRows(spark, tables, qt0)
     val legs = tables.zipWithIndex.map { case (t, i) =>
-      val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
+      val (qoff, aligned, candFilter, bcast, qterms, _) = phraseAligned(spark,
         t, queries, qidCol, textCol, 1.0, maxCandBroadcast, gateMinPosMass,
         preQdfRows = Some(ctl(i)))
       (qoff, aligned.select(col("qid"), col("doc_id").as("nid")).distinct(),
@@ -1376,7 +1515,7 @@ object Retrieval {
     val ctl = shardControlRows(spark, tables, qt0)
     val stats = shardStatRows(spark, tables)
     val legs = tables.zipWithIndex.map { case (t, i) =>
-      val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
+      val (anchorsInput, candFilter, bcast, qterms, _) = posGatedProbe(spark,
         t, qt0, s"bm25ShardedProximityQuery(shard=$t)", 1.0,
         maxCandBroadcast, gateMinPosMass, window = window,
         maxPosMass = shardPosMass, preQdfRows = Some(ctl(i)),
@@ -1433,9 +1572,13 @@ object Retrieval {
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    val qterms = pushableTerms(spark, qt)
-    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
+    // FUSED control read (round 20): pushed terms + global stats fold
+    // in ONE driver job (foldShardStats fallback on degenerate
+    // batches); the dict fold stays plan-side
+    val (qterms, preFold) = ctrlTermsStatsSharded(spark, tables, qt,
       maxDfFrac)
+    val (nDocs, avgdl, dict) = preFold.getOrElse(
+      foldShardStats(spark, tables, qterms, maxDfFrac))
     groupedRankMerge(spark, tables.size, parallelism, k) { g =>
       g.map(i => partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl,
           dict, qterms, docFilter = None, broadcastDocs = false))
@@ -1471,7 +1614,7 @@ object Retrieval {
     val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms, 1.0)
     groupedRankMerge(spark, tables.size, parallelism, k) { g =>
       val legs = g.map { i =>
-        val (_, aligned, candFilter, bcast, _) = phraseAligned(spark,
+        val (_, aligned, candFilter, bcast, _, _) = phraseAligned(spark,
           tables(i), queries, qidCol, textCol, 1.0, maxCandBroadcast,
           gateMinPosMass, preQdfRows = Some(ctl(i)))
         (aligned.select(col("qid"), col("doc_id").as("nid")).distinct(),
@@ -1515,7 +1658,7 @@ object Retrieval {
     val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms, 1.0)
     groupedRankMerge(spark, tables.size, parallelism, k) { g =>
       val legs = g.map { i =>
-        val (anchorsInput, candFilter, bcast, _) = posGatedProbe(spark,
+        val (anchorsInput, candFilter, bcast, _, _) = posGatedProbe(spark,
           tables(i), qt0,
           s"bm25ShardedProximityQueryGrouped(shard=${tables(i)})", 1.0,
           maxCandBroadcast, gateMinPosMass, window = window,
@@ -1682,9 +1825,15 @@ object Retrieval {
                             qt: DataFrame, k1: Double, b: Double,
                             maxDfFrac: Double, qterms: Option[Seq[String]],
                             docFilters: Seq[Option[DataFrame]],
-                            bcasts: Seq[Boolean]): DataFrame = {
-    val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
-      maxDfFrac)
+                            bcasts: Seq[Boolean],
+                            preFold: Option[(Long, Double, DataFrame)] =
+                              None): DataFrame = {
+    // `preFold`: a caller that already folded (N, avgdl, capped dict)
+    // in its own fused control job passes the triple here — the
+    // MaxScore fallback path's dedup (round 20); values identical to
+    // the fold below by construction
+    val (nDocs, avgdl, dict) = preFold.getOrElse(
+      foldShardStats(spark, tables, qterms, maxDfFrac))
     tables.indices.map { i =>
       partialsWith(spark, tables(i), qt, k1, b, nDocs, avgdl, dict,
         qterms, docFilters(i), bcasts(i))
@@ -1737,13 +1886,40 @@ object Retrieval {
     val nDocs = statRows.getLong(0)
     require(nDocs > 0, s"sharded query: every shard of $tables is empty")
     val avgdl = statRows.getLong(1).toDouble / nDocs.toDouble
-    val dict1 = tables.map(correctedDict(spark, _, qterms))
-      .reduce(_.unionByName(_))
-      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+    val dict1 = foldShardDict(spark, tables, qterms)
     val dict = if (maxDfFrac < 1.0)
       dict1.filter(col("df") <= lit((maxDfFrac * nDocs).toLong))
     else dict1
     (nDocs, avgdl, dict)
+  }
+
+  /** The shard dictionaries' term-pruned, tombstone-corrected global
+    * df fold as a FRAME (no driver action) — shared by
+    * [[foldShardStats]] and the fused sharded-MaxScore control plane.
+    */
+  private def foldShardDict(spark: SparkSession, tables: Seq[String],
+                            qterms: Option[Seq[String]]): DataFrame =
+    tables.map(correctedDict(spark, _, qterms))
+      .reduce(_.unionByName(_))
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+
+  /** [[foldShardStats]] with the stats as a ONE-ROW FRAME instead of a
+    * driver action (round-20 control-plane fusion): the sharded
+    * MaxScore entries crossJoin it onto the bounded qdf control frame
+    * they collect anyway, saving one fixed-latency Spark job per
+    * batch. The returned dict is UNCAPPED — callers apply the
+    * `maxDfFrac` cap locally post-collect (the single-index pattern),
+    * which is row-identical. */
+  private def foldShardStatsFrame(spark: SparkSession,
+                                  tables: Seq[String],
+                                  qterms: Option[Seq[String]])
+      : (DataFrame, DataFrame) = {
+    GraftFunctions.unionGuard(spark)
+    val statsF = tables.map(correctedStatsFrame(spark, _))
+      .reduce(_.unionByName(_))
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("s"), lit(0L)).as("s"))
+    (statsF, foldShardDict(spark, tables, qterms))
   }
 
   /** Heal a crashed tombstone fold before serving (see
@@ -1881,9 +2057,10 @@ object Retrieval {
                          k1: Double, b: Double, maxDfFrac: Double,
                          qterms: Option[Seq[String]],
                          docFilter: Option[DataFrame] = None,
-                         broadcastDocs: Boolean = false): DataFrame =
+                         broadcastDocs: Boolean = false,
+                         preStats: Option[(Long, Long)] = None): DataFrame =
     bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms, docFilter,
-        broadcastDocs)
+        broadcastDocs, preStats)
       .groupBy("qid", "nid")
       .agg(sum("partial").cast("double").as("cos"))
 
@@ -1896,8 +2073,13 @@ object Retrieval {
                            k1: Double, b: Double, maxDfFrac: Double,
                            qterms: Option[Seq[String]],
                            docFilter: Option[DataFrame] = None,
-                           broadcastDocs: Boolean = false): DataFrame = {
-    val (nDocs, dlSum) = correctedStats(spark, table)
+                           broadcastDocs: Boolean = false,
+                           preStats: Option[(Long, Long)] = None): DataFrame = {
+    // `preStats`: callers that already read the corrected (N, Σdl) in
+    // their own fused control job pass it here, eliminating this
+    // path's separate one-row driver action (round-20 control-plane
+    // fusion; the values are the SAME corrected pair either way)
+    val (nDocs, dlSum) = preStats.getOrElse(correctedStats(spark, table))
     require(nDocs > 0, s"bm25Query: index $table is empty")
     // exact long sum over exact long sum — both engines divide the
     // same two numbers, so avgdl is bit-identical cross-engine
@@ -1928,19 +2110,43 @@ object Retrieval {
       spark.table(table).join(broadcast(ts),
         col("doc_id") === col("id")).drop("id"))
 
+  /** The index's tombstone-corrected corpus stats (N docs, Σ dl) as a
+    * ONE-ROW FRAME — the control-plane fusion unit (round 20, guide
+    * §2.4/§5: every separate bounded driver read is a full Spark job of
+    * ~0.3-0.5 s fixed latency at the 1e7 decade, the measured dominant
+    * serving cost). Callers `crossJoin` this frame onto whatever
+    * bounded control frame they were collecting anyway, so the stats
+    * ride along in the SAME job. The tombstone correction folds in as
+    * a sign-tagged union (the [[foldShardStats]] discipline) instead
+    * of a second driver action.
+    */
+  private def correctedStatsFrame(spark: SparkSession,
+                                  table: String): DataFrame = {
+    val base = spark.table(s"${table}_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("dl_sum"), lit(0L)).as("s"))
+      .select(lit(1L).as("_sign"), col("n"), col("s"))
+    val signed = deletedRows(spark, table) match {
+      case Some(del) => base.unionByName(
+        del.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("dl"), lit(0L)).as("s"))
+          .select(lit(-1L).as("_sign"), col("n"), col("s")))
+      case None => base
+    }
+    signed.select((col("_sign") * col("n")).as("n"),
+        (col("_sign") * col("s")).as("s"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("s"), lit(0L)).as("s"))
+  }
+
   /** The index's tombstone-corrected corpus stats: (N docs, Σ dl) —
-    * one-row driver reads (bounded control values). */
+    * ONE one-row driver read (the pre-round-20 form paid a second
+    * action for the tombstone-correction aggregate). */
   private def correctedStats(spark: SparkSession,
                              table: String): (Long, Long) = {
-    val st = spark.table(s"${table}_stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
-        coalesce(sum("dl_sum"), lit(0L)).as("s")).head()
-    val corr = deletedRows(spark, table)
-      .map(_.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
-        .head())
-      .getOrElse(org.apache.spark.sql.Row(0L, 0L))
-    (st.getLong(0) - corr.getLong(0), st.getLong(1) - corr.getLong(1))
+    val r = correctedStatsFrame(spark, table).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The index's tombstone-corrected document frequencies, narrowed to
@@ -2115,13 +2321,14 @@ object Retrieval {
                       maxDfFrac: Double = 1.0,
                       maxCandBroadcast: Long = 4L << 20,
                       gateMinPosMass: Long = 1L << 22): DataFrame = {
-    val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
-      table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
-      gateMinPosMass)
+    val (qoff, aligned, candFilter, bcast, qterms, scoreStats) =
+      phraseAligned(spark,
+        table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
+        gateMinPosMass)
     val matched = aligned.select(col("qid"), col("doc_id").as("nid"))
       .distinct()
     posScoreRank(spark, table, qoff, matched, candFilter, bcast, qterms,
-      k, k1, b)
+      k, k1, b, scoreStats)
   }
 
   /** The phrase match set WITH its start offsets: (qid, doc_id, start,
@@ -2134,14 +2341,16 @@ object Retrieval {
                             textCol: String, maxDfFrac: Double,
                             maxCandBroadcast: Long, gateMinPosMass: Long,
                             preQdfRows: Option[Array[org.apache.spark.sql.Row]] = None)
-      : (DataFrame, DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
+      : (DataFrame, DataFrame, Option[DataFrame], Boolean,
+         Option[Seq[String]], Option[(Long, Long)]) = {
     val qoff = queries
       .select(col(qidCol).as("qid"), posexplode(toks(col(textCol))))
       .select(col("qid"), col("pos").as("off"), col("col").as("term"))
     val qlen = qoff.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val (startsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
-      table, qoff, "bm25PhraseQuery", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass, preQdfRows = preQdfRows)
+    val (startsInput, candFilter, bcast, qterms, scoreStats) =
+      posGatedProbe(spark,
+        table, qoff, "bm25PhraseQuery", maxDfFrac, maxCandBroadcast,
+        gateMinPosMass, preQdfRows = preQdfRows)
     val starts = startsInput
       .select(col("qid"), col("doc_id"), col("off"),
         explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
@@ -2152,7 +2361,7 @@ object Retrieval {
     val aligned = starts.join(broadcast(qlen), Seq("qid"))
       .filter(col("nhit") === col("qlen"))
       .select(col("qid"), col("doc_id"), col("start"), col("qlen"))
-    (qoff, aligned, candFilter, bcast, qterms)
+    (qoff, aligned, candFilter, bcast, qterms, scoreStats)
   }
 
   /** [[bm25PhraseQuery]] + passage extraction: the top-k ranked matches
@@ -2179,13 +2388,14 @@ object Retrieval {
                          maxCandBroadcast: Long = 4L << 20,
                          gateMinPosMass: Long = 1L << 22): DataFrame = {
     require(context >= 0, s"context must be non-negative, got $context")
-    val (qoff, aligned, candFilter, bcast, qterms) = phraseAligned(spark,
-      table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
-      gateMinPosMass)
+    val (qoff, aligned, candFilter, bcast, qterms, scoreStats) =
+      phraseAligned(spark,
+        table, queries, qidCol, textCol, maxDfFrac, maxCandBroadcast,
+        gateMinPosMass)
     val matched = aligned.select(col("qid"), col("doc_id").as("nid"))
       .distinct()
     val ranked = posScoreRank(spark, table, qoff, matched, candFilter,
-      bcast, qterms, k, k1, b)
+      bcast, qterms, k, k1, b, scoreStats)
     val firstStart = aligned.groupBy("qid", "doc_id")
       .agg(min("start").as("start"), first("qlen").as("qlen"))
     val corpusToks = docs.select(col(docIdCol).as("doc_id"),
@@ -2267,12 +2477,13 @@ object Retrieval {
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
-      table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass, window = window, maxPosMass = maxPosMass)
+    val (anchorsInput, candFilter, bcast, qterms, scoreStats) =
+      posGatedProbe(spark,
+        table, qt0, "bm25ProximityQuery", maxDfFrac, maxCandBroadcast,
+        gateMinPosMass, window = window, maxPosMass = maxPosMass)
     val matched = proximityMatched(anchorsInput, qlenD, window)
     posScoreRank(spark, table, qt0, matched, candFilter, bcast, qterms,
-      k, k1, b)
+      k, k1, b, scoreStats)
   }
 
   /** The NEAR match predicate, evaluated set-at-a-time on the STORED
@@ -2350,12 +2561,13 @@ object Retrieval {
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qlenD = qt0.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val (anchorsInput, candFilter, bcast, qterms) = posGatedProbe(spark,
-      table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
-      gateMinPosMass, window = window, maxPosMass = maxPosMass)
+    val (anchorsInput, candFilter, bcast, qterms, scoreStats) =
+      posGatedProbe(spark,
+        table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
+        gateMinPosMass, window = window, maxPosMass = maxPosMass)
     val matched = proximityMatched(anchorsInput, qlenD, window)
     val ranked = posScoreRank(spark, table, qt0, matched, candFilter,
-      bcast, qterms, k, k1, b)
+      bcast, qterms, k, k1, b, scoreStats)
     // leftmost cover, derived occurrence-anchored over ONLY the ranked
     // docs: every ranked doc has one (see the scaladoc equivalence), so
     // the inner joins below drop nothing
@@ -2425,14 +2637,19 @@ object Retrieval {
     val qt = queries
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
-    val qterms = pushableTerms(spark, qt)
+    // FUSED control read (round 20): one job for the pushed terms +
+    // corrected stats, shared by BOTH scoring passes (ranking and the
+    // snippet argmax) — pre-fusion this entry paid three driver
+    // actions (pushableTerms + two bm25Partials stats reads)
+    val (qterms, preStats) = ctrlTermsStats(spark, table, qt)
     val ranked = Similarity.rankTopK(
-        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms), k)
+        bm25Scored(spark, table, qt, k1, b, maxDfFrac, qterms,
+          preStats = preStats), k)
       .select(col("qid"), col("nid").as("doc_id"),
         col("cos").cast("long").as("score_micro"),
         col("rank").as("rnk"))
     attachBestTermSnippets(spark, table, qt, ranked, docs, docIdCol,
-      docTextCol, context, k1, b, maxDfFrac, qterms)
+      docTextCol, context, k1, b, maxDfFrac, qterms, preStats)
   }
 
   /** The best-term passage pass behind [[bm25Snippets]] — and, via
@@ -2456,13 +2673,15 @@ object Retrieval {
       spark: SparkSession, table: String, qt: DataFrame, ranked: DataFrame,
       docs: DataFrame, docIdCol: String, docTextCol: String,
       context: Int, k1: Double, b: Double, maxDfFrac: Double,
-      qterms: Option[Seq[String]]): DataFrame = {
+      qterms: Option[Seq[String]],
+      preStats: Option[(Long, Long)] = None): DataFrame = {
     require(tableExists(spark, s"${table}_pos"),
       s"snippet extraction: $table has no positional table — " +
         "build the index with positions = true")
     val rankedDocs = ranked.select("doc_id").distinct()
     val partials = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
-      docFilter = Some(rankedDocs), broadcastDocs = true)
+      docFilter = Some(rankedDocs), broadcastDocs = true,
+      preStats = preStats)
     val pos = Tombstones.filterOut(spark, table,
       pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
     snippetsFromPartials(partials, pos, ranked, docs, docIdCol,
@@ -2546,7 +2765,9 @@ object Retrieval {
                            probe: DataFrame, matched: DataFrame,
                            candFilter: Option[DataFrame], bcast: Boolean,
                            qterms: Option[Seq[String]], k: Int,
-                           k1: Double, b: Double): DataFrame = {
+                           k1: Double, b: Double,
+                           preStats: Option[(Long, Long)] = None)
+      : DataFrame = {
     val qt = probe.select("qid", "term").distinct()
     // Round-18 note (measured, then REVERTED): gating the scoring
     // stage's postings to the collected MATCHED set — the MaxScore
@@ -2561,7 +2782,8 @@ object Retrieval {
     // a different index layout (impact-ordered/quantized posting
     // blocks), not a tighter doc gate on this one.
     val scored = bm25Scored(spark, table, qt, k1, b, maxDfFrac = 1.0,
-        qterms, docFilter = candFilter, broadcastDocs = bcast)
+        qterms, docFilter = candFilter, broadcastDocs = bcast,
+        preStats = preStats)
       .join(matched, Seq("qid", "nid"), "left_semi")
     Similarity.rankTopK(scored, k)
       .select(col("qid"), col("nid").as("doc_id"),
@@ -2641,7 +2863,8 @@ object Retrieval {
                             maxPosMass: Long = Long.MaxValue,
                             preQdfRows: Option[Array[org.apache.spark.sql.Row]] = None,
                             preStats: Option[(Long, Long)] = None)
-      : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]]) = {
+      : (DataFrame, Option[DataFrame], Boolean, Option[Seq[String]],
+         Option[(Long, Long)]) = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     GraftFunctions.ensureRegistered(spark)
@@ -2668,7 +2891,21 @@ object Retrieval {
       .join(spark.table(s"${table}_terms")
         .groupBy("term").agg(sum("df").as("df")), Seq("term"), "left")
       .select(col("qid"), col("term"), coalesce(col("df"), lit(0L)).as("df"))
-    val qdfRows = preQdfRows.getOrElse(qdf.limit(maxControlRows + 1).collect())
+    // round-20 control-plane fusion: on the single-index path the
+    // CORRECTED one-row stats frame crossJoins the bounded collect, so
+    // the scoring stage downstream ([[posScoreRank]] → bm25Scored)
+    // reuses them instead of paying its own driver action; the sharded
+    // (preQdfRows) path keeps its batched form and scoring fold.
+    val (qdfRows, scoreStats): (Array[org.apache.spark.sql.Row],
+        Option[(Long, Long)]) = preQdfRows match {
+      case Some(rs) => (rs, None)
+      case None =>
+        val cr = qdf.limit(maxControlRows + 1)
+          .crossJoin(correctedStatsFrame(spark, table)).collect()
+        (cr.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1),
+          r.get(2))),
+         cr.headOption.map(r => (r.getLong(3), r.getLong(4))))
+    }
     val collected = qdfRows.length <= maxControlRows
     val maxPushTerms = 1 << 12
     val qterms: Option[Seq[String]] = if (collected) {
@@ -2679,14 +2916,19 @@ object Retrieval {
     } else None
     // truncation cap in documents (Long.MaxValue = exact; stats are
     // read only when a dial needs corpus facts — the maxDfFrac cap and
-    // the NEAR anchor budget both do)
-    lazy val (nDocsStat, avgdlCeil) = preStats.getOrElse {
-      val st = spark.table(s"${table}_stats")
-        .agg(coalesce(sum("n_docs"), lit(0L)),
-          coalesce(sum("dl_sum"), lit(0L))).head()
-      val n = st.getLong(0)
-      (n, math.max(1L, if (n > 0) (st.getLong(1) + n - 1) / n else 1L))
-    }
+    // the NEAR anchor budget both do). Dial facts come from the fused
+    // corrected stats when available (cost-only dials; the corrected
+    // values are if anything tighter), else the pre-round-20 lazy read.
+    lazy val (nDocsStat, avgdlCeil) = preStats
+      .orElse(scoreStats.map { case (n, s) =>
+        (n, math.max(1L, if (n > 0) (s + n - 1) / n else 1L)) })
+      .getOrElse {
+        val st = spark.table(s"${table}_stats")
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("dl_sum"), lit(0L))).head()
+        val n = st.getLong(0)
+        (n, math.max(1L, if (n > 0) (st.getLong(1) + n - 1) / n else 1L))
+      }
     val capDocs0: Long = if (maxDfFrac < 1.0)
       math.max(1L, (maxDfFrac * nDocsStat).toLong)
     else Long.MaxValue
@@ -2758,8 +3000,19 @@ object Retrieval {
       if (useGate) {
         // rarest-term candidates: df from the folded dictionary (raw df
         // is fine — candidates only need to be a SUPERSET of matches,
-        // and the tombstone filter on `pos` keeps deleted docs out)
-        val rarest = qdf.withColumn("rn",
+        // and the tombstone filter on `pos` keeps deleted docs out).
+        // When the control rows are in hand, the rarest row per query
+        // is DERIVED LOCALLY and re-injected as a literal frame
+        // (round 20) — the plan-side form re-read the dictionary
+        // aggregate and paid a window sort inside the candidate
+        // subplan for rows the driver already holds; same rows by the
+        // same (df, term) order.
+        val rarest = if (collected)
+          spark.createDataFrame(java.util.Arrays.asList(
+            perQid.valuesIterator.map(rs =>
+              rs.minBy(r => (r.getLong(2), r.getString(1)))).toSeq: _*),
+            org.apache.spark.sql.types.StructType(qdf.schema))
+        else qdf.withColumn("rn",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy("qid").orderBy(col("df"), col("term"))))
           .filter(col("rn") === 1).select("qid", "term", "df")
@@ -2794,7 +3047,7 @@ object Retrieval {
             Seq("qid", "doc_id"), "left_semi"),
           Some(candDocs))
       } else (probe.join(pos, Seq("term")), None)
-    (startsInput, candFilter, bcast, qterms)
+    (startsInput, candFilter, bcast, qterms, scoreStats)
   }
 
   /** Grow one BM25 shard into two: rehash the parent's index rows into

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Per-batch Spark JOB COUNT probe for the MaxScore serving control
+  * plane (round 20) — the fused-control-plane claim is a reduced
+  * engaged-path job count (each driver job carries ~0.3-0.5 s of fixed
+  * control latency at the 1e7 decade, the round-19-adjudicated
+  * dominant serving cost), so count jobs directly via listener on ONE
+  * serving call per arm, without DevMaxScore's full timed/assert
+  * protocol (the asserts re-collect the exact plan four times — ~20
+  * min at 1e6 nq=100 — irrelevant to the job count). Run on two
+  * checkouts for a before/after table.
+  *
+  * Arms: exact bm25Query; forced-engagement MaxScore on the plain and
+  * block-max layouts; natural-dial MaxScore; phrase and NEAR over the
+  * positional twin (their control plane was fused in the same round).
+  * `sbt "Test/runMain graft.DevMsJobs [nDocs] [nq]"` — reuses
+  * /tmp/graft-scale fixtures; builds indexes if absent.
+  */
+object DevMsJobs {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nqTarget = if (args.length > 1) args(1).toLong else 100L
+    val spark = SparkSession.builder()
+      .master("local[32,4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    def countJobs(tag: String)(body: => Unit): Unit = {
+      val b = jobCounter.get(); body
+      var last = -1; var cur = jobCounter.get()
+      while (cur != last) { Thread.sleep(300); last = cur; cur = jobCounter.get() }
+      println(s"[msjobs] n=$n $tag jobs/batch=${cur - b}")
+      System.out.flush()
+    }
+
+    val dir = s"/tmp/graft-scale/zdocs$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      sources.Generators.zipfText(spark, n, seed = 11L, partitions = 32)
+        .select(col("id").as("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val corpus = spark.read.parquet(dir)
+    def haveTable(t: String) = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val table = s"devms_$n"
+    if (!haveTable(table))
+      Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 32)
+    val tableBm = s"devmsbm_$n"
+    if (!haveTable(tableBm))
+      Retrieval.bm25Build(corpus, "doc_id", "text", tableBm, buckets = 32,
+        blockMax = true)
+    val tablePos = s"devmspos_$n"
+    if (!haveTable(tablePos))
+      Retrieval.bm25Build(corpus, "doc_id", "text", tablePos, buckets = 32,
+        positions = true)
+
+    val dict = spark.table(s"${table}_terms")
+      .groupBy("term").agg(sum("df").as("df"))
+    val topHead = dict.orderBy(col("df").desc).limit(1)
+      .as[(String, Long)].collect().head._1
+    val natural = corpus.filter(col("doc_id") % (n / nqTarget) === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+      .localCheckpoint()
+    val qdf = natural.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .join(dict, Seq("term"), "left").na.fill(0L, Seq("df"))
+      .groupBy("qid").agg(min("df").as("mindf"))
+    val mixed = natural.join(
+        qdf.filter(col("mindf") <= n / 1000).select("qid"), "qid")
+      .select(col("qid"), concat_ws(" ", col("qtext"), lit(topHead))
+        .as("qtext"))
+      .localCheckpoint()
+    println(s"[msjobs] n=$n mixed nq=${mixed.count()} " +
+      s"natural nq=${natural.count()}")
+
+    // one warm pass per arm (codegen/broadcast caches), then the
+    // counted pass and a median-of-3 timed read — the job count is the
+    // structural claim, the wall is what the fused control plane
+    // actually buys (AQE schedules one listener-visible job per
+    // materialized stage, so a fused driver ACTION does not subtract
+    // a full unit from the listener count; the eliminated cost is the
+    // action's fixed planning+submit latency, visible in the wall)
+    def arm(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.count()
+      countJobs(tag) { mk.count() }
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); mk.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[msjobs] n=$n $tag wall=${ts(1)}%.2fs " +
+        f"(runs ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      System.out.flush()
+    }
+    arm("exact") {
+      Retrieval.bm25Query(spark, table, mixed, "qid", "qtext", 5) }
+    arm("forced") {
+      Retrieval.bm25QueryMaxScore(spark, table, mixed, "qid", "qtext", 5,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0) }
+    arm("forcedBlockmax") {
+      Retrieval.bm25QueryMaxScore(spark, tableBm, mixed, "qid", "qtext", 5,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0) }
+    arm("maxscoreNatDials") {
+      Retrieval.bm25QueryMaxScore(spark, table, mixed, "qid", "qtext", 5) }
+    arm("phrase") {
+      Retrieval.bm25PhraseQuery(spark, tablePos, natural, "qid", "qtext", 5) }
+    arm("near8") {
+      Retrieval.bm25ProximityQuery(spark, tablePos, natural, "qid",
+        "qtext", 5, window = 8) }
+    spark.stop()
+  }
+}
