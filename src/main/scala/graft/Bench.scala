@@ -383,8 +383,13 @@ object Bench {
     val calibJson = calibReads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val heapGib = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // baseline_used: the settle bar this run actually compared against
+    // (env override, per-host recorded baseline, or the pinned sf0.1
+    // gate) — the recorded-baseline file persists across runs, so the
+    // artifact must be self-describing (round 21, VERDICT r20 ask #8)
     val settleJson = "{\"reads\":[" + settleReads.map(fmt).mkString(",") +
-      s"],\"settled\":$settled}"
+      s"],\"settled\":$settled" +
+      settleGate.fold("")(g => s""","baseline_used":${fmt(g)}""") + "}"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsJson,"calibrators":$calibJson,"settle":$settleJson,"heap_max_gib":${fmt(heapGib)},"gc_total_sec":${fmt(gcSeconds())}}"""
     // stdout for humans, a file for the driver (sbt log noise makes the

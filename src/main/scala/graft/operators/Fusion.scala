@@ -95,7 +95,15 @@ object Fusion {
         floor(lit(w * 1e6) / (lit(rrfK).cast("double") + col("rank").cast("double"))
           + lit(0.5)).cast("long").as("c"))
     }.reduce(_.unionByName(_))
-    val fused = contribs.groupBy("qid", "id").agg(sum("c").as("fused"))
+    // round 21 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): partition the tiny union by qid ONCE — qid clustering
+    // satisfies both the (qid, id) fused sum AND the downstream
+    // rankTopK's per-qid aggregate, so the fusion tail pays one
+    // exchange instead of two (the union is ≤ legs·kPerLeg rows/query;
+    // map-side partial aggregation loses nothing because each (leg,
+    // qid, id) contribution is already a single row).
+    val fused = contribs.repartition(col("qid"))
+      .groupBy("qid", "id").agg(sum("c").as("fused"))
     // fused_micro < 2^53 for any sane legs/weights, so the double round
     // trip through the shared bounded top-k aggregate is exact
     Similarity.rankTopK(
@@ -141,7 +149,10 @@ object Fusion {
                          (col("_mx") - col("_mn")))
             + lit(0.5)).cast("long").as("c"))
     }.reduce(_.unionByName(_))
-    val fused = contribs.groupBy("qid", "id").agg(sum("c").as("fused"))
+    // one qid-keyed exchange serves both tail aggregates (round 21 —
+    // the rrf form's note)
+    val fused = contribs.repartition(col("qid"))
+      .groupBy("qid", "id").agg(sum("c").as("fused"))
     Similarity.rankTopK(
         fused.select(col("qid"), col("id").as("nid"),
           col("fused").cast("double").as("cos")), k)

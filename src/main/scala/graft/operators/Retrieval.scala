@@ -185,8 +185,18 @@ object Retrieval {
     BucketedJoin.writeBucketed(dfDelta, s"${table}_terms", "term", buckets)
     BucketedJoin.writeBucketed(statsDelta, s"${table}_stats", "n_docs", 1)
     if (positions)
+      // round 21 (guide §6 "partitioning and sort order on write"):
+      // positional lists sort (term, doc_id) within buckets at the
+      // block-max fine-page geometry, so a candidate doc push from
+      // [[posGatedProbe]]'s fused candidate plane can PAGE-SKIP the
+      // head terms' position lists the way the t49 layout skips
+      // postings (pages inside a long term run carry tight doc_id
+      // min/max ranges). Layout is COST-ONLY: results are
+      // bit-identical on either layout; appends preserve the sort spec
+      // from the catalog ([[BucketedJoin.appendBucketed]]).
       BucketedJoin.writeBucketed(posRows(docs, idCol, textCol),
-        s"${table}_pos", "term", buckets)
+        s"${table}_pos", "term", buckets,
+        sortCols = Seq("doc_id"), options = blockMaxWriteOptions)
     else if (tableExists(spark, s"${table}_pos"))
       // a rebuild WITHOUT positions must not leave the prior index's
       // positional table answering for the new corpus
@@ -338,7 +348,10 @@ object Retrieval {
         pr.join(spark.table(s"${table}_pos").select("term", "doc_id"),
           Seq("term", "doc_id"), "left_anti")
       else pr
-      BucketedJoin.appendBucketed(rows, s"${table}_pos", "term")
+      // fine pages on the append files too (the sort spec itself is
+      // preserved from the catalog by appendBucketed)
+      BucketedJoin.appendBucketed(rows, s"${table}_pos", "term",
+        options = blockMaxWriteOptions)
     }
   }
 
@@ -688,9 +701,12 @@ object Retrieval {
       .select(col(qidCol).as("qid"), explode(toks(col(textCol))).as("term"))
       .distinct()
     val qterms = pushableTerms(spark, qt)
-    if (qterms.isEmpty) // term list over the push cap — unpruned exact
-      return bm25QueryPre(spark, table, qt, k, k1, b, maxDfFrac,
-        qterms, None)
+    // (round 21, the exact-cliff fix) an over-push-cap term list no
+    // longer routes straight to the unpruned exact plan: the control
+    // read below runs against the unpruned dictionary fold (the
+    // term-bucketed `_terms` aggregate — vocabulary-bounded, one job)
+    // and the batch chunks per qid below, each chunk re-deriving its
+    // own pushed term list from the rows in hand.
     // ---- FUSED control read #1 (round 20, guide §2.4/§5): the
     // per-(qid, term) CORRECTED df rows AND the one-row corrected
     // stats in ONE bounded driver job (the stats frame crossJoins the
@@ -699,13 +715,24 @@ object Retrieval {
     // batch no longer re-pays the control jobs inside bm25Query.
     val qdf = qt.join(correctedDict(spark, table, qterms), Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val ctrlRows = qdf.limit(maxControlRows + 1)
-      .crossJoin(correctedStatsFrame(spark, table)).collect()
+    // capped rows consume the control budget when the dial is on (round
+    // 21, the sharded-form ADVICE fix applied here symmetrically): the
+    // in-plan filter reads N from the same one-row stats frame — still
+    // one driver job, and a batch whose CAPPED rows fit no longer
+    // routes to the exact plan because its pruned head overflowed.
+    val softCap = maxControlRows * msOverflowFactor
+    val ctrlRows = (if (maxDfFrac < 1.0)
+        qdf.crossJoin(correctedStatsFrame(spark, table))
+          .filter(col("df") <= (lit(maxDfFrac) * col("n")).cast("long"))
+          .limit(softCap + 1)
+      else qdf.limit(softCap + 1)
+        .crossJoin(correctedStatsFrame(spark, table)))
+      .collect()
     val preStats = ctrlRows.headOption.map(r =>
       (r.getLong(3), r.getLong(4)))
     def exact() = bm25QueryPre(spark, table, qt, k, k1, b, maxDfFrac,
       qterms, preStats)
-    if (ctrlRows.length > maxControlRows) return exact()
+    if (ctrlRows.length > softCap) return exact()
     if (ctrlRows.isEmpty) return exact() // no indexed term anywhere
     val qdfRows = ctrlRows.map(r =>
       org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
@@ -722,16 +749,44 @@ object Retrieval {
     // fetch is the bounded (term, blk) → (max_tf, min_dl) slice the
     // refinement consumes
     lazy val bw = blockMeta(spark, table)
-    maxScoreRank(spark, rows, qdf.schema, k, k1, nDocs,
-      essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
-      partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
-        partialsWith(spark, table, qtF, k1, b, nDocs, avgdl, dictF,
-          terms, docFilter, bcast, docVals,
-          if (docVals.isDefined) bw else None),
-      exact = () => exact(),
-      b = b, avgdl = avgdl,
-      blkInfoFn = () =>
-        bw.map(w => (w, blkBoundsFetch(spark, Seq(table), _, _))))
+    def rank(chunkRows: Seq[org.apache.spark.sql.Row],
+             chunkExact: () => DataFrame): DataFrame =
+      maxScoreRank(spark, chunkRows, qdf.schema, k, k1, nDocs,
+        essentialDfFrac, maxCandBroadcast, gateMinHeadMass, gateCandFrac,
+        partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
+          partialsWith(spark, table, qtF, k1, b, nDocs, avgdl, dictF,
+            terms, docFilter, bcast, docVals,
+            if (docVals.isDefined) bw else None),
+        exact = chunkExact,
+        b = b, avgdl = avgdl,
+        blkInfoFn = () =>
+          bw.map(w => (w, blkBoundsFetch(spark, Seq(table), _, _))))
+    if (rows.length <= maxControlRows) rank(rows, () => exact())
+    else {
+      // ---- CHUNKED over-cap serving (round 21, the exact-cliff fix):
+      // the batch packs into ≤ maxControlRows-row chunks per qid; each
+      // chunk runs the verbatim two-pass machinery with its own pushed
+      // term list and a chunk-local exact fallback (the chunk's
+      // (qid, term) pairs re-injected as a literal frame — unindexed
+      // terms contribute nothing either way, so the chunk plan's rows
+      // equal the one-shot plan's for those qids).
+      val (chunks, exactRows) = chunkRowsByQid(rows, maxControlRows)
+      def chunkExact(rs: Seq[org.apache.spark.sql.Row]): DataFrame = {
+        val qtLit = spark.createDataFrame(java.util.Arrays.asList(
+          rs.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+            .distinct: _*),
+          org.apache.spark.sql.types.StructType(qdf.schema.take(2)))
+        bm25QueryPre(spark, table, qtLit, k, k1, b, maxDfFrac,
+          Some(rs.map(_.getString(1)).distinct), preStats)
+      }
+      if (chunks.isEmpty) chunkExact(exactRows)
+      else {
+        val engaged = unionChunked(chunks,
+          c => rank(c, () => chunkExact(c)))
+        if (exactRows.isEmpty) engaged
+        else engaged.unionByName(chunkExact(exactRows))
+      }
+    }
   }
 
   /** The bounded `(term, blk) → (max_tf, min_dl)` control slice behind
@@ -1077,7 +1132,9 @@ object Retrieval {
     def exactPre(preFold: Option[(Long, Double, DataFrame)]) =
       bm25ShardedQueryPre(spark, tables, qt, k, k1, b, maxDfFrac,
         qterms, preFold)
-    if (qterms.isEmpty) return exactPre(None)
+    // (round 21, the exact-cliff fix) over-push-cap term lists proceed
+    // to the control read (unpruned dict fold, vocabulary-bounded) and
+    // chunk per qid below instead of routing straight to exact.
     // the t32 global fold: (N, avgdl) across shard stats, per-term df
     // across shard dictionaries — FUSED (round 20): the one-row stats
     // frame crossJoins the bounded qdf control frame so both control
@@ -1087,22 +1144,36 @@ object Retrieval {
     val (statsF, dict) = foldShardStatsFrame(spark, tables, qterms)
     val qdf = qt.join(dict, Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val ctrlRows = qdf.limit(maxControlRows + 1).crossJoin(statsF)
+    // The maxControlRows limit applies to the CAPPED rows when the
+    // stop-term dial is on (round 21, ADVICE): the dial's pruned head
+    // terms must not consume the control budget and silently route a
+    // servable batch to the exact plan — the in-plan filter reads N
+    // from the same one-row stats frame, so it is still ONE driver job
+    // and row-identical to the pre-fusion capped-dict join.
+    val softCapS = maxControlRows * msOverflowFactor
+    val ctrlRows = (if (maxDfFrac < 1.0)
+        qdf.crossJoin(statsF)
+          .filter(col("df") <= (lit(maxDfFrac) * col("n")).cast("long"))
+          .limit(softCapS + 1)
+      else qdf.limit(softCapS + 1).crossJoin(statsF))
       .collect()
-    if (ctrlRows.length > maxControlRows || ctrlRows.isEmpty)
-      return exactPre(None)
+    if (ctrlRows.isEmpty) return exactPre(None)
     val nDocs = ctrlRows.head.getLong(3)
     require(nDocs > 0, s"sharded query: every shard of $tables is empty")
     val avgdl = ctrlRows.head.getLong(4).toDouble / nDocs.toDouble
     val capDfS = if (maxDfFrac < 1.0) (maxDfFrac * nDocs).toLong
       else Long.MaxValue
+    val cappedDict = if (maxDfFrac < 1.0)
+      dict.filter(col("df") <= lit(capDfS)) else dict
+    // fallback legs reuse the fold (capped dict where the dial is on) —
+    // including the OVER-CAP route (round 21, ADVICE): the global
+    // (N, Σdl) already sits in ctrlRows.head, so the exact fallback
+    // must not re-pay the foldShardStats driver job the fused read ran.
+    def exact() = exactPre(Some((nDocs, avgdl, cappedDict)))
+    if (ctrlRows.length > softCapS) return exact()
     val qdfRows = ctrlRows.iterator
       .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
       .filter(_.getLong(2) <= capDfS).toArray
-    // fallback legs reuse the fold (capped dict where the dial is on)
-    def exact() = exactPre(Some((nDocs, avgdl,
-      if (maxDfFrac < 1.0) dict.filter(col("df") <= lit(capDfS))
-      else dict)))
     // the head-mass knee is PER SHARD LEG: each leg prunes only its own
     // 1/S share of a head term's postings while paying its own
     // two-pass overhead, so the GLOBAL engagement threshold scales
@@ -1120,19 +1191,44 @@ object Retrieval {
     lazy val bws = blockMetas(spark, tables)
     def uniW = if (bws.forall(_.isDefined) && bws.flatten.distinct.size == 1)
       bws.head else None
-    maxScoreRank(spark, qdfRows.toSeq, qdf.schema, k, k1, nDocs,
-      essentialDfFrac, maxCandBroadcast,
-      gateMinHeadMass * tables.size, gateCandFrac,
-      partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
-        tables.zipWithIndex.map { case (t, i) =>
-          partialsWith(spark, t, qtF, k1, b, nDocs,
-            avgdl, dictF, terms, docFilter, bcast, docVals,
-            if (docVals.isDefined) bws(i) else None) }
-          .reduce(_.unionByName(_)),
-      exact = () => exact(),
-      b = b, avgdl = avgdl,
-      blkInfoFn = () =>
-        uniW.map(w => (w, blkBoundsFetch(spark, tables, _, _))))
+    def rank(chunkRows: Seq[org.apache.spark.sql.Row],
+             chunkExact: () => DataFrame): DataFrame =
+      maxScoreRank(spark, chunkRows, qdf.schema, k, k1, nDocs,
+        essentialDfFrac, maxCandBroadcast,
+        gateMinHeadMass * tables.size, gateCandFrac,
+        partials = (qtF, dictF, terms, docFilter, bcast, docVals) =>
+          tables.zipWithIndex.map { case (t, i) =>
+            partialsWith(spark, t, qtF, k1, b, nDocs,
+              avgdl, dictF, terms, docFilter, bcast, docVals,
+              if (docVals.isDefined) bws(i) else None) }
+            .reduce(_.unionByName(_)),
+        exact = chunkExact,
+        b = b, avgdl = avgdl,
+        blkInfoFn = () =>
+          uniW.map(w => (w, blkBoundsFetch(spark, tables, _, _))))
+    if (qdfRows.length <= maxControlRows) rank(qdfRows.toSeq, () => exact())
+    else {
+      // CHUNKED over-cap serving — the single-index form's round-21
+      // exact-cliff fix applied to the sharded entry: per-qid chunks,
+      // each with a chunk-local exact fallback reusing the fused fold.
+      val (chunks, exactRows) = chunkRowsByQid(qdfRows.toSeq, maxControlRows)
+      def chunkExact(rs: Seq[org.apache.spark.sql.Row]): DataFrame = {
+        val qtLit = spark.createDataFrame(java.util.Arrays.asList(
+          rs.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+            .distinct: _*),
+          org.apache.spark.sql.types.StructType(qdf.schema.take(2)))
+        bm25ShardedQueryPre(spark, tables, qtLit, k, k1, b, maxDfFrac,
+          Some(rs.map(_.getString(1)).distinct),
+          Some((nDocs, avgdl, cappedDict)))
+      }
+      if (chunks.isEmpty) chunkExact(exactRows)
+      else {
+        val engaged = unionChunked(chunks,
+          c => rank(c, () => chunkExact(c)))
+        if (exactRows.isEmpty) engaged
+        else engaged.unionByName(chunkExact(exactRows))
+      }
+    }
   }
 
   /** [[bm25ShardedQueryMaxScore]] × [[bm25ShardedQueryGrouped]] — the
@@ -1205,7 +1301,13 @@ object Retrieval {
     val (statsF, dict) = foldShardStatsFrame(spark, tables, qterms)
     val qdf = qt.join(dict, Seq("term"))
       .select(col("qid"), col("term"), col("df"))
-    val ctrlRows = qdf.limit(maxControlRows + 1).crossJoin(statsF)
+    // capped rows consume the control budget when the dial is on — the
+    // bm25ShardedQueryMaxScore fix (round 21, ADVICE), same one job
+    val ctrlRows = (if (maxDfFrac < 1.0)
+        qdf.crossJoin(statsF)
+          .filter(col("df") <= (lit(maxDfFrac) * col("n")).cast("long"))
+          .limit(maxControlRows + 1)
+      else qdf.limit(maxControlRows + 1).crossJoin(statsF))
       .collect()
     if (ctrlRows.length > maxControlRows || ctrlRows.isEmpty)
       return exactG()
@@ -1993,8 +2095,85 @@ object Retrieval {
   /** Bounded control-read cap shared by [[posGatedProbe]]'s per-call
     * collect and [[shardControlRows]]'s batched form: a positional
     * control plane reads at most this many (qid, term, df) rows per
-    * index; batches past it fall back to frame-only plans. */
-  private val maxControlRows = 1 << 13
+    * index; batches past it fall back to frame-only plans. The
+    * `graft.maxControlRows` system property exists for TESTS and dev
+    * probes only (forcing the overflow routes at toy batch sizes); the
+    * production default is the measured 2^13. */
+  private def maxControlRows: Int = sys.props.get("graft.maxControlRows")
+    .map(_.toInt).getOrElse(1 << 13)
+
+  /** How far past [[maxControlRows]] the MaxScore entries still serve
+    * ENGAGED by chunking the batch per qid (round 21, VERDICT r20 ask
+    * #2 — the exact-fallback cliff): an over-cap batch's control rows
+    * collect up to factor × maxControlRows (≤ 64k tiny (qid, term, df)
+    * rows, a few MB of driver memory — control-plane sized), then the
+    * qids greedily pack into ≤ maxControlRows-row chunks and each
+    * chunk runs the verbatim two-pass machinery. Per-query results are
+    * independent of batching (each query's ranking reads only its own
+    * terms and the index), so the chunked union is bit-identical to
+    * the one-shot plan — only the cost model changes: measured at 1e6
+    * (DevMsJobs overcap arm), the pre-round-21 routing paid the ~22×
+    * exact cliff the moment control rows crossed 2^13. */
+  private val msOverflowFactor = 8
+
+  /** Greedy per-qid packing of collected control rows into chunks of
+    * ≤ `cap` rows, first-appearance qid order (queries never split).
+    * Returns (chunks, exact-routed rows) — a single qid whose own row
+    * count exceeds `cap` routes to the exact leg, the same contract
+    * its un-chunked overflow had. */
+  private def chunkRowsByQid(rows: Seq[org.apache.spark.sql.Row], cap: Int)
+      : (Seq[Seq[org.apache.spark.sql.Row]],
+         Seq[org.apache.spark.sql.Row]) = {
+    val order = new java.util.LinkedHashMap[Any,
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]()
+    rows.foreach { r =>
+      var b = order.get(r.get(0))
+      if (b == null) {
+        b = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        order.put(r.get(0), b)
+      }
+      b += r
+    }
+    val chunks =
+      scala.collection.mutable.ArrayBuffer[Seq[org.apache.spark.sql.Row]]()
+    val cur =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val exactRows =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    order.values.forEach { qrs =>
+      if (qrs.length > cap) exactRows ++= qrs
+      else {
+        if (cur.length + qrs.length > cap) {
+          chunks += cur.toSeq; cur.clear()
+        }
+        cur ++= qrs
+      }
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    (chunks.toSeq, exactRows.toSeq)
+  }
+
+  /** Run one DataFrame-building body per chunk in a bounded thread
+    * pool (guide §2.6 — each chunk's control plane does its own eager
+    * bounded collects; overlapping them back-fills the executor tail)
+    * and union the results. Chunk order is deterministic; per-query
+    * rows are chunk-independent, so the union equals the one-shot
+    * plan's rows. */
+  private def unionChunked(chunks: Seq[Seq[org.apache.spark.sql.Row]],
+                           serve: Seq[org.apache.spark.sql.Row] => DataFrame)
+      : DataFrame = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, chunks.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futs = chunks.map(c => scala.concurrent.Future(serve(c)))
+      scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_.unionByName(_))
+    } finally pool.shutdown()
+  }
 
   /** Exact value-pruned scan at ANY list size — the stack-safe form of
     * the per-value parquet pushdown, two regimes:
@@ -2034,6 +2213,111 @@ object Retrieval {
   private def pruneToTerms(df: DataFrame,
                            terms: Option[Seq[String]]): DataFrame =
     terms.map(ts => prunedByValues(df, "term", ts)).getOrElse(df)
+
+  /** Bounded ranked-frame literal re-injection (round 21, guide
+    * §1.2/§2.4): a top-k frame is ≤ k·|queries| rows by construction,
+    * yet as a LAZY plan every consumer (the output spine, the
+    * ranked-docs broadcast gating a span pass) re-executes the entire
+    * ranking subtree — the t28 plan carried the full t21 ranking
+    * TWICE. Collect it once (hard-bounded; an over-cap frame keeps the
+    * lazy plan) and every consumer reads a local relation instead.
+    * Row-identical: the ranking output is deterministic, and under the
+    * cap the limit collects the complete row set. */
+  private def literalizeBounded(spark: SparkSession, df: DataFrame)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
+    val cap = maxControlRows * msOverflowFactor
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) (df, None)
+    else (spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*),
+      df.schema), Some(rows))
+  }
+
+  /** Candidate-doc pushdown for the (term, doc_id)-sorted positional
+    * layout (round 21, guide §6): given the MATERIALIZED candidate ids,
+    * narrow the positional scan so parquet's column index can skip
+    * pages that contain no candidate — the t49 page-skip idea applied
+    * to position lists. Three regimes, all COST-ONLY (the caller's
+    * candidate semi-join downstream enforces exact membership, so any
+    * SUPERSET filter here is correct):
+    *  - ≤ [[maxInPushValues]] ids: a pushed per-value `doc_id IN`
+    *    (exact, page-skippable);
+    *  - above, integral ids: the sorted ids gap-merge (gap ≤ the
+    *    block-max width 4096) into closed ranges; when the merged
+    *    ranges are few (≤ 128 — half the measured pushed-predicate
+    *    depth cap) AND genuinely selective (covered width ≤ half the
+    *    candidate id span — the [[partialsWith]] blk-push sparsity
+    *    gate's analog; a near-corpus cover would fail every page's
+    *    stats check while taxing every row), push the OR-of-ranges.
+    *    Scattered candidate sets fail the gates and skip the push —
+    *    the round-15 lesson that an unselective range-OR is pure
+    *    overhead;
+    *  - otherwise: unchanged scan (semi-join gating only).
+    */
+  private def prunedByDocs(df: DataFrame, vals: Seq[Any]): DataFrame = {
+    if (vals.isEmpty) return df.filter(lit(false))
+    if (vals.size <= maxInPushValues) {
+      raiseInFilterThreshold(df.sparkSession, maxInPushValues)
+      return df.filter(col("doc_id").isin(vals: _*))
+    }
+    val longs = vals.flatMap {
+      case l: java.lang.Long => Some(l.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case _ => None
+    }
+    if (longs.size != vals.size) return df // non-integral ids: no push
+    val sorted = longs.sorted
+    val maxRanges = 128
+    val gap = 4096L
+    val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var lo = sorted.head; var hi = sorted.head
+    var i = 1
+    while (i < sorted.length) {
+      val v = sorted(i)
+      if (v - hi <= gap) hi = v
+      else {
+        ranges += ((lo, hi)); lo = v; hi = v
+        // one more (final) range is still coming — bail as soon as the
+        // budget cannot hold it: a PARTIAL range cover would silently
+        // DROP candidates, so the push is all-ranges-or-nothing
+        if (ranges.length >= maxRanges) return df
+      }
+      i += 1
+    }
+    ranges += ((lo, hi))
+    val span = math.max(1L, sorted.last - sorted.head + 1)
+    val width = ranges.iterator.map(r => r._2 - r._1 + 1).sum
+    if (width * 2 <= span)
+      df.filter(ranges.iterator.map { case (l, h) =>
+        col("doc_id") >= lit(l) && col("doc_id") <= lit(h)
+      }.reduce(_ || _))
+    else df
+  }
+
+  /** Spark's string ordering (UTF8String: unsigned UTF-8 byte
+    * lexicographic) replicated driver-side, so locally-derived
+    * tie-breaks match what an `orderBy(col(...))` plan picks — Scala's
+    * String ordering compares UTF-16 code units, which diverges for
+    * supplementary-plane characters (round 21, ADVICE). */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      ab.length - bb.length
+    }
+  }
+
+  /** (df, term) ordering for local rarest-term derivation — the term
+    * tie-break is [[utf8Ordering]] to match the uncollected fallback's
+    * `orderBy(col("df"), col("term"))`. */
+  private val dfTermOrdering: Ordering[(Long, String)] =
+    Ordering.Tuple2(Ordering.Long, utf8Ordering)
 
   /** The shared scoring pipeline behind [[bm25Query]] and
     * [[bm25PhraseQuery]]: `qt` is the distinct (qid, term) frame;
@@ -2566,16 +2850,32 @@ object Retrieval {
         table, qt0, "bm25ProximitySnippets", maxDfFrac, maxCandBroadcast,
         gateMinPosMass, window = window, maxPosMass = maxPosMass)
     val matched = proximityMatched(anchorsInput, qlenD, window)
-    val ranked = posScoreRank(spark, table, qt0, matched, candFilter,
-      bcast, qterms, k, k1, b, scoreStats)
+    // round 21 (VERDICT r20 ask #4): the ranked frame is ≤ k·|queries|
+    // rows, but as a lazy plan the FULL t21 ranking subtree executed
+    // twice — once on the output spine and once inside the
+    // broadcast(rankedDocs) build gating the cover pass (the measured
+    // 96-Exchange t28 plan). Literal re-injection shares ONE scored
+    // frame across both consumers, and the collected ids push into the
+    // cover pass's positional scan ([[prunedByDocs]] — page-skip on
+    // the (term, doc_id)-sorted round-21 layout).
+    val (ranked, rankedRows) = literalizeBounded(spark,
+      posScoreRank(spark, table, qt0, matched, candFilter,
+        bcast, qterms, k, k1, b, scoreStats))
     // leftmost cover, derived occurrence-anchored over ONLY the ranked
     // docs: every ranked doc has one (see the scaladoc equivalence), so
     // the inner joins below drop nothing
     val rankedDocs = ranked.select("qid", "doc_id").distinct()
+    val posSpan = rankedRows.fold(
+        Tombstones.filterOut(spark, table,
+          pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")) {
+      rs =>
+        Tombstones.filterOut(spark, table,
+          prunedByDocs(
+            pruneToTerms(spark.table(s"${table}_pos"), qterms),
+            rs.map(_.get(1)).toSeq.distinct), "doc_id")
+    }
     val occ = qt0
-      .join(Tombstones.filterOut(spark, table,
-        pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id"),
-        Seq("term"))
+      .join(posSpan, Seq("term"))
       .join(broadcast(rankedDocs), Seq("qid", "doc_id"), "left_semi")
       .select(col("qid"), col("doc_id"), col("term"),
         explode(GraftFunctions.deltaDec(col("positions"))).as("p"))
@@ -2678,13 +2978,24 @@ object Retrieval {
     require(tableExists(spark, s"${table}_pos"),
       s"snippet extraction: $table has no positional table — " +
         "build the index with positions = true")
-    val rankedDocs = ranked.select("doc_id").distinct()
+    // round 21 (VERDICT r20 ask #4): one scored frame, many consumers —
+    // the ranked plan fed the output spine AND the rankedDocs broadcast
+    // gating the partials recompute, re-executing the whole ranking per
+    // consumer. Literal re-injection shares it, and the collected ids
+    // push into the span pass's positional scan (page-skip on the
+    // (term, doc_id)-sorted layout).
+    val (rankedL, rankedRows) = literalizeBounded(spark, ranked)
+    val rankedDocs = rankedL.select("doc_id").distinct()
     val partials = bm25Partials(spark, table, qt, k1, b, maxDfFrac, qterms,
       docFilter = Some(rankedDocs), broadcastDocs = true,
       preStats = preStats)
+    val docIdx = ranked.schema.fieldIndex("doc_id")
     val pos = Tombstones.filterOut(spark, table,
-      pruneToTerms(spark.table(s"${table}_pos"), qterms), "doc_id")
-    snippetsFromPartials(partials, pos, ranked, docs, docIdCol,
+      rankedRows.fold(pruneToTerms(spark.table(s"${table}_pos"), qterms))(
+        rs => prunedByDocs(
+          pruneToTerms(spark.table(s"${table}_pos"), qterms),
+          rs.map(_.get(docIdx)).toSeq.distinct)), "doc_id")
+    snippetsFromPartials(partials, pos, rankedL, docs, docIdCol,
       docTextCol, context)
   }
 
@@ -2707,16 +3018,25 @@ object Retrieval {
     tables.foreach(t => require(tableExists(spark, s"${t}_pos"),
       s"snippet extraction: $t has no positional table — " +
         "build the index with positions = true"))
-    val rankedDocs = ranked.select("doc_id").distinct()
+    // same literal-sharing as the single-index form (round 21) — here
+    // the lazy ranked plan was re-executed per SHARD leg (S partials
+    // legs each embedding the rankedDocs broadcast), so the literal
+    // keeps the span pass O(S) total instead of O(S × ranking)
+    val (rankedL, rankedRows) = literalizeBounded(spark, ranked)
+    val rankedDocs = rankedL.select("doc_id").distinct()
     val (nDocs, avgdl, dict) = foldShardStats(spark, tables, qterms,
       maxDfFrac)
     val partials = tables.map(partialsWith(spark, _, qt, k1, b, nDocs,
         avgdl, dict, qterms, Some(rankedDocs), true))
       .reduce(_.unionByName(_))
+    val docIdx = ranked.schema.fieldIndex("doc_id")
     val pos = tables.map(t => Tombstones.filterOut(spark, t,
-        pruneToTerms(spark.table(s"${t}_pos"), qterms), "doc_id"))
+        rankedRows.fold(pruneToTerms(spark.table(s"${t}_pos"), qterms))(
+          rs => prunedByDocs(
+            pruneToTerms(spark.table(s"${t}_pos"), qterms),
+            rs.map(_.get(docIdx)).toSeq.distinct)), "doc_id"))
       .reduce(_.unionByName(_))
-    snippetsFromPartials(partials, pos, ranked, docs, docIdCol,
+    snippetsFromPartials(partials, pos, rankedL, docs, docIdCol,
       docTextCol, context)
   }
 
@@ -2830,21 +3150,41 @@ object Retrieval {
         .map(r => org.apache.spark.sql.Row(r.get(1), r.get(2), r.get(3))))
   }
 
-  /** Every shard's raw (n_docs, avgdl-ceiling) stats in ONE job — the
+  /** Every shard's (n_docs, avgdl-ceiling) stats in ONE job — the
     * dial facts [[posGatedProbe]]'s NEAR budget reads per shard,
-    * batched like [[shardControlRows]]. */
+    * batched like [[shardControlRows]]. Tombstone-CORRECTED (round 21,
+    * the dial-fact unification): each shard's deletion-correction
+    * aggregate rides the same union sign-tagged (the
+    * [[correctedStatsFrame]] discipline), so truncation caps are
+    * path-independent — the single-index path's fused read has been
+    * corrected since round 20, and a raw sharded read would route the
+    * same tombstone-bearing batch differently. Corrected values only
+    * tighten cost dials; exactness never depends on them. */
   private def shardStatRows(spark: SparkSession, tables: Seq[String])
       : Seq[(Long, Long)] = {
     GraftFunctions.unionGuard(spark)
     val rows = tables.zipWithIndex.map { case (t, i) =>
-      spark.table(s"${t}_stats")
+      val base = spark.table(s"${t}_stats")
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
           coalesce(sum("dl_sum"), lit(0L)).as("s"))
-        .select(lit(i).as("_sh"), col("n"), col("s"))
-    }.reduce(_.unionByName(_)).collect()
+        .select(lit(i).as("_sh"), lit(1L).as("_sign"), col("n"), col("s"))
+      deletedRows(spark, t) match {
+        case Some(del) => base.unionByName(
+          del.select("doc_id", "dl").distinct()
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum("dl"), lit(0L)).as("s"))
+            .select(lit(i).as("_sh"), lit(-1L).as("_sign"),
+              col("n"), col("s")))
+        case None => base
+      }
+    }.reduce(_.unionByName(_))
+      .groupBy("_sh")
+      .agg(coalesce(sum(col("_sign") * col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("_sign") * col("s")), lit(0L)).as("s"))
+      .collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     tables.indices.map { i =>
-      val (n, s) = rows(i)
+      val (n, s) = rows.getOrElse(i, (0L, 0L))
       (n, math.max(1L, if (n > 0) (s + n - 1) / n else 1L))
     }
   }
@@ -2916,18 +3256,19 @@ object Retrieval {
     } else None
     // truncation cap in documents (Long.MaxValue = exact; stats are
     // read only when a dial needs corpus facts — the maxDfFrac cap and
-    // the NEAR anchor budget both do). Dial facts come from the fused
-    // corrected stats when available (cost-only dials; the corrected
-    // values are if anything tighter), else the pre-round-20 lazy read.
+    // the NEAR anchor budget both do). Dial facts are tombstone-
+    // CORRECTED on EVERY path (round 21 unification): the fused fast
+    // path has carried corrected stats since round 20, the sharded
+    // preStats are corrected in [[shardStatRows]], and the lazy
+    // fallback below reads [[correctedStats]] — so truncation routing
+    // is path-independent on tombstone-bearing indexes. Cost-only
+    // dials; corrected values are if anything tighter.
     lazy val (nDocsStat, avgdlCeil) = preStats
       .orElse(scoreStats.map { case (n, s) =>
         (n, math.max(1L, if (n > 0) (s + n - 1) / n else 1L)) })
       .getOrElse {
-        val st = spark.table(s"${table}_stats")
-          .agg(coalesce(sum("n_docs"), lit(0L)),
-            coalesce(sum("dl_sum"), lit(0L))).head()
-        val n = st.getLong(0)
-        (n, math.max(1L, if (n > 0) (st.getLong(1) + n - 1) / n else 1L))
+        val (n, s) = correctedStats(spark, table)
+        (n, math.max(1L, if (n > 0) (s + n - 1) / n else 1L))
       }
     val capDocs0: Long = if (maxDfFrac < 1.0)
       math.max(1L, (maxDfFrac * nDocsStat).toLong)
@@ -3010,7 +3351,8 @@ object Retrieval {
         val rarest = if (collected)
           spark.createDataFrame(java.util.Arrays.asList(
             perQid.valuesIterator.map(rs =>
-              rs.minBy(r => (r.getLong(2), r.getString(1)))).toSeq: _*),
+              rs.minBy(r => (r.getLong(2), r.getString(1)))(dfTermOrdering))
+              .toSeq: _*),
             org.apache.spark.sql.types.StructType(qdf.schema))
         else qdf.withColumn("rn",
             row_number().over(org.apache.spark.sql.expressions.Window
@@ -3022,7 +3364,8 @@ object Retrieval {
         // just to derive the candidates it exists to bound
         val rarestTerms: Option[Seq[String]] =
           if (collected) Some(perQid.valuesIterator.map(rs =>
-            rs.minBy(r => (r.getLong(2), r.getString(1))).getString(1))
+            rs.minBy(r => (r.getLong(2), r.getString(1)))(dfTermOrdering)
+              .getString(1))
             .toSeq.distinct)
           else None
         val posRarest = Tombstones.filterOut(spark, table,
@@ -3039,13 +3382,45 @@ object Retrieval {
             pmod(xxhash64(col("doc_id")), lit(sampleDen)).cast("double") <
               lit((sampleDen * capDocs).toDouble) / col("df").cast("double")))
           .select("qid", "doc_id")
-        val candDocs = cand.select("doc_id").distinct()
-        val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
-          Seq("doc_id"), "left_semi")
-        (probe.join(posCand, Seq("term"))
-          .join(if (bcast) broadcast(cand) else cand,
-            Seq("qid", "doc_id"), "left_semi"),
-          Some(candDocs))
+        if (bcast && collected) {
+          // ---- FUSED CANDIDATE PLANE (round 21, guide §1.2/§2.4/§5 —
+          // the MaxScore pass-1 fusion applied to the positional
+          // family): under the broadcast bound the (qid, doc_id)
+          // candidate rows were going to be pulled to the driver
+          // anyway, TWICE, as broadcast builds (the doc-level and the
+          // per-qid semi-join), and a THIRD time for the scoring
+          // stage's docFilter — each a separate execution of the
+          // rarest-term subplan. Materialize them ONCE (≤ candBound ≤
+          // maxCandBroadcast rows — the bytes the old path already
+          // pulled per broadcast) and re-inject as literal frames:
+          // every consumer broadcasts a local relation instead of
+          // re-running the scan, and the distinct ids PUSH into the
+          // (term, doc_id)-sorted positional scan ([[prunedByDocs]] —
+          // per-value or gap-merged ranges, page-skip on the round-21
+          // layout). Row-identical: the sample filter is a
+          // deterministic xxhash test, so collected rows == plan rows.
+          val candRows = cand.collect()
+          val docF = org.apache.spark.sql.types.StructField("doc_id",
+            cand.schema("doc_id").dataType, cand.schema("doc_id").nullable)
+          val candVals: Seq[Any] = candRows.map(_.get(1)).toSeq.distinct
+          val candDocsF = idFrame(spark, candVals, docF)
+          val candF = spark.createDataFrame(
+            java.util.Arrays.asList(candRows.toSeq: _*),
+            org.apache.spark.sql.types.StructType(cand.schema))
+          val posCand = prunedByDocs(pos, candVals)
+            .join(broadcast(candDocsF), Seq("doc_id"), "left_semi")
+          (probe.join(posCand, Seq("term"))
+            .join(broadcast(candF), Seq("qid", "doc_id"), "left_semi"),
+            Some(candDocsF))
+        } else {
+          val candDocs = cand.select("doc_id").distinct()
+          val posCand = pos.join(if (bcast) broadcast(candDocs) else candDocs,
+            Seq("doc_id"), "left_semi")
+          (probe.join(posCand, Seq("term"))
+            .join(if (bcast) broadcast(cand) else cand,
+              Seq("qid", "doc_id"), "left_semi"),
+            Some(candDocs))
+        }
       } else (probe.join(pos, Seq("term")), None)
     (startsInput, candFilter, bcast, qterms, scoreStats)
   }

@@ -17,13 +17,38 @@ import graft.operators.Retrieval
   * Arms: exact bm25Query; forced-engagement MaxScore on the plain and
   * block-max layouts; natural-dial MaxScore; phrase and NEAR over the
   * positional twin (their control plane was fused in the same round).
-  * `sbt "Test/runMain graft.DevMsJobs [nDocs] [nq]"` — reuses
-  * /tmp/graft-scale fixtures; builds indexes if absent.
+  *
+  * Round-21 additions:
+  *  - an optional third arg selects arms by name (comma-separated;
+  *    default = the round-20 six, so prior tables reproduce verbatim);
+  *  - `overcap` / `overcapExact` arms: the NATURAL batch at an nq
+  *    large enough that the control rows overflow `maxControlRows`
+  *    naturally (nq ≥ ~2731 at 3 terms/query) — `overcap` serves via
+  *    [[Retrieval.bm25QueryMaxScore]] (the round-21 CHUNKED over-cap
+  *    path), `overcapExact` via [[Retrieval.bm25Query]] (what every
+  *    over-cap batch paid before round 21). The exact arm runs ONE
+  *    timed pass after the counted one (no median — it is the ~22×
+  *    cliff being measured, minutes per pass at 1e6);
+  *  - per-job PLAN TRACES (VERDICT r20 ask #5): every counted arm
+  *    writes `plans/r21/msjobs_<tag>_jobs.txt` — one line per job
+  *    fired during the counted serving call, carrying the job id, its
+  *    SQL execution id, and the HEAD LINE of that execution's physical
+  *    plan (from SparkListenerSQLExecutionStart) — so a control-plane
+  *    fusion produces a diffable artifact whose line count matches the
+  *    printed jobs/batch. Set SPARK_GRAFT_MSJOBS_DUMP to override the
+  *    directory; empty disables.
+  *
+  * `sbt "Test/runMain graft.DevMsJobs [nDocs] [nq] [arms-csv]"` —
+  * reuses /tmp/graft-scale fixtures; builds indexes if absent.
   */
 object DevMsJobs {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val nqTarget = if (args.length > 1) args(1).toLong else 100L
+    val armFilter: Set[String] = if (args.length > 2)
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Set("exact", "forced", "forcedBlockmax", "maxscoreNatDials",
+      "phrase", "near8")
     val spark = SparkSession.builder()
       .master("local[32,4]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,17 +60,57 @@ object DevMsJobs {
     import spark.implicits._
 
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    // execution id -> physical plan head line (the first node of the
+    // formatted description), kept bounded; job trace rows accumulate
+    // only between trace(start)/trace(stop)
+    val planHeads = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val traceRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var tracing = false
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCounter.incrementAndGet()
+          if (tracing) {
+            val eid = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            val head = eid.flatMap(e =>
+              Option(planHeads.get(e.toLong))).getOrElse("(no SQL execution)")
+            traceRows.add(s"job=${js.jobId} execId=${eid.getOrElse("-")} " +
+              s"plan: $head")
+          }
+        }
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            // head line = the first plan-node line of the formatted
+            // description (skip the "== Physical Plan ==" banner)
+            val head = s.physicalPlanDescription.linesIterator
+              .dropWhile(l => l.isEmpty || l.startsWith("=="))
+              .take(1).mkString.trim
+            planHeads.put(s.executionId, head)
+          case _ => ()
+        }
       })
     def countJobs(tag: String)(body: => Unit): Unit = {
-      val b = jobCounter.get(); body
+      val b = jobCounter.get(); tracing = true; body
       var last = -1; var cur = jobCounter.get()
       while (cur != last) { Thread.sleep(300); last = cur; cur = jobCounter.get() }
+      tracing = false
       println(s"[msjobs] n=$n $tag jobs/batch=${cur - b}")
+      val dumpDir = sys.env.getOrElse("SPARK_GRAFT_MSJOBS_DUMP", "plans/r21")
+      if (dumpDir.nonEmpty) {
+        val p = java.nio.file.Paths.get(dumpDir)
+        java.nio.file.Files.createDirectories(p)
+        val sb = new StringBuilder
+        sb.append(s"# DevMsJobs per-job plan trace: n=$n arm=$tag " +
+          s"jobs/batch=${cur - b}\n")
+        traceRows.forEach(r => { sb.append(r).append('\n'); () })
+        java.nio.file.Files.writeString(
+          p.resolve(s"msjobs_${tag}_jobs.txt"), sb.toString)
+      }
+      traceRows.clear()
       System.out.flush()
     }
 
@@ -61,12 +126,13 @@ object DevMsJobs {
     val table = s"devms_$n"
     if (!haveTable(table))
       Retrieval.bm25Build(corpus, "doc_id", "text", table, buckets = 32)
+    def needArm(as: String*) = as.exists(armFilter)
     val tableBm = s"devmsbm_$n"
-    if (!haveTable(tableBm))
+    if (needArm("forcedBlockmax") && !haveTable(tableBm))
       Retrieval.bm25Build(corpus, "doc_id", "text", tableBm, buckets = 32,
         blockMax = true)
     val tablePos = s"devmspos_$n"
-    if (!haveTable(tablePos))
+    if (needArm("phrase", "near8") && !haveTable(tablePos))
       Retrieval.bm25Build(corpus, "doc_id", "text", tablePos, buckets = 32,
         positions = true)
 
@@ -97,15 +163,19 @@ object DevMsJobs {
     // materialized stage, so a fused driver ACTION does not subtract
     // a full unit from the listener count; the eliminated cost is the
     // action's fixed planning+submit latency, visible in the wall)
-    def arm(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      mk.count()
+    def arm(tag: String, timedRuns: Int = 3, warm: Boolean = true)
+           (mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!armFilter(tag)) return
+      if (warm) mk.count()
       countJobs(tag) { mk.count() }
-      val ts = (0 until 3).map { _ =>
-        val t0 = System.nanoTime(); mk.count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[msjobs] n=$n $tag wall=${ts(1)}%.2fs " +
-        f"(runs ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      if (timedRuns > 0) {
+        val ts = (0 until timedRuns).map { _ =>
+          val t0 = System.nanoTime(); mk.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[msjobs] n=$n $tag wall=${ts(timedRuns / 2)}%.2fs " +
+          f"(runs ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      }
       System.out.flush()
     }
     arm("exact") {
@@ -118,6 +188,16 @@ object DevMsJobs {
         gateMinHeadMass = 1L, gateCandFrac = 1.0) }
     arm("maxscoreNatDials") {
       Retrieval.bm25QueryMaxScore(spark, table, mixed, "qid", "qtext", 5) }
+    // ---- round-21 over-cap pair: the NATURAL batch (tail + head mix
+    // as zipf text serves it) at whatever nq the caller passed — at
+    // nq ≥ ~2731 the (qid, term, df) control rows overflow the 2^13
+    // cap naturally and `overcap` exercises the CHUNKED serving path;
+    // `overcapExact` is the pre-round-21 routing of the same batch.
+    // The exact arm takes ONE timed pass (it is the cliff itself).
+    arm("overcap") {
+      Retrieval.bm25QueryMaxScore(spark, table, natural, "qid", "qtext", 5) }
+    arm("overcapExact", timedRuns = 1, warm = false) {
+      Retrieval.bm25Query(spark, table, natural, "qid", "qtext", 5) }
     arm("phrase") {
       Retrieval.bm25PhraseQuery(spark, tablePos, natural, "qid", "qtext", 5) }
     arm("near8") {
