@@ -3382,23 +3382,29 @@ object Retrieval {
             pmod(xxhash64(col("doc_id")), lit(sampleDen)).cast("double") <
               lit((sampleDen * capDocs).toDouble) / col("df").cast("double")))
           .select("qid", "doc_id")
-        if (bcast && collected) {
+        if (bcast && collected &&
+            candBound <= maxControlRows.toLong * msOverflowFactor) {
           // ---- FUSED CANDIDATE PLANE (round 21, guide §1.2/§2.4/§5 —
           // the MaxScore pass-1 fusion applied to the positional
-          // family): under the broadcast bound the (qid, doc_id)
-          // candidate rows were going to be pulled to the driver
-          // anyway, TWICE, as broadcast builds (the doc-level and the
-          // per-qid semi-join), and a THIRD time for the scoring
-          // stage's docFilter — each a separate execution of the
-          // rarest-term subplan. Materialize them ONCE (≤ candBound ≤
-          // maxCandBroadcast rows — the bytes the old path already
-          // pulled per broadcast) and re-inject as literal frames:
-          // every consumer broadcasts a local relation instead of
-          // re-running the scan, and the distinct ids PUSH into the
+          // family): under the CONTROL-PLANE bound (≤ 64k rows — a
+          // literal relation is re-serialized into every consumer's
+          // plan, so unlike a distributed broadcast it must stay
+          // Catalyst-sized; the first unbounded cut of this change
+          // OOMed the 1e6 natural batch, whose all-head queries carry
+          // ~1e6-row candidate sets) the (qid, doc_id) candidate rows
+          // were going to be pulled to the driver anyway, TWICE, as
+          // broadcast builds (the doc-level and the per-qid
+          // semi-join), and a THIRD time for the scoring stage's
+          // docFilter — each a separate execution of the rarest-term
+          // subplan. Materialize them ONCE and re-inject as literal
+          // frames: every consumer broadcasts a local relation instead
+          // of re-running the scan, and the distinct ids PUSH into the
           // (term, doc_id)-sorted positional scan ([[prunedByDocs]] —
           // per-value or gap-merged ranges, page-skip on the round-21
-          // layout). Row-identical: the sample filter is a
-          // deterministic xxhash test, so collected rows == plan rows.
+          // layout). Batches past the bound keep the lazy broadcast
+          // flow below, unchanged from round 20. Row-identical: the
+          // sample filter is a deterministic xxhash test, so collected
+          // rows == plan rows.
           val candRows = cand.collect()
           val docF = org.apache.spark.sql.types.StructField("doc_id",
             cand.schema("doc_id").dataType, cand.schema("doc_id").nullable)

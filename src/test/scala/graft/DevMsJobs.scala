@@ -188,14 +188,38 @@ object DevMsJobs {
         gateMinHeadMass = 1L, gateCandFrac = 1.0) }
     arm("maxscoreNatDials") {
       Retrieval.bm25QueryMaxScore(spark, table, mixed, "qid", "qtext", 5) }
-    // ---- round-21 over-cap pair: the NATURAL batch (tail + head mix
-    // as zipf text serves it) at whatever nq the caller passed — at
-    // nq ≥ ~2731 the (qid, term, df) control rows overflow the 2^13
-    // cap naturally and `overcap` exercises the CHUNKED serving path;
-    // `overcapExact` is the pre-round-21 routing of the same batch.
-    // The exact arm takes ONE timed pass (it is the cliff itself).
-    arm("overcap") {
+    // ---- round-21 over-cap arms. A NATURALLY over-cap batch needs
+    // nq ≥ ~2731 (3 terms/query × 2^13), and a 1e6-corpus natural
+    // batch that size OOM-spills an 8 GiB local box on ANY plan (its
+    // all-head queries alone carry ~1e9 aggregate rows) — so the
+    // chunked-vs-exact contrast is measured at the ROUTING level
+    // instead: the natural nq batch with `graft.maxControlRows`
+    // (the documented test dial) forced to 128, which makes the SAME
+    // batch overflow the cap exactly as a 40× larger batch would at
+    // the production 2^13.
+    //  - `naturalMs`: the batch at production cap (in-cap engaged
+    //    baseline — what chunking aspires to);
+    //  - `overcap`: cap=128 → ~⌈nq/44⌉ chunks through the round-21
+    //    CHUNKED path;
+    //  - `overcapExact`: cap=128 on the PRE-round-21 routing, i.e.
+    //    the exact plan the over-cap batch used to fall to
+    //    (bm25Query — byte-identical to what bm25QueryMaxScore
+    //    returned past the cap before this round); ONE timed pass.
+    def withCap[A](cap: Int)(body: => A): A = {
+      sys.props("graft.maxControlRows") = cap.toString
+      try body finally sys.props -= "graft.maxControlRows"
+    }
+    arm("naturalMs") {
       Retrieval.bm25QueryMaxScore(spark, table, natural, "qid", "qtext", 5) }
+    arm("overcap") { withCap(128) {
+      Retrieval.bm25QueryMaxScore(spark, table, natural, "qid", "qtext", 5) } }
+    // the MIXED batch (every query carries the df≈N head term — the
+    // 22× cliff's shape) forced over-cap: pre-round-21 this routed to
+    // the exact arm above (~140 s measured this session); chunked it
+    // serves engaged per chunk
+    arm("overcapMixed") { withCap(128) {
+      Retrieval.bm25QueryMaxScore(spark, table, mixed, "qid", "qtext", 5,
+        gateMinHeadMass = 1L, gateCandFrac = 1.0) } }
     arm("overcapExact", timedRuns = 1, warm = false) {
       Retrieval.bm25Query(spark, table, natural, "qid", "qtext", 5) }
     arm("phrase") {
