@@ -2245,15 +2245,20 @@ object Retrieval {
     *    block-max width 4096) into closed ranges; when the merged
     *    ranges are few (≤ 128 — half the measured pushed-predicate
     *    depth cap) AND genuinely selective (covered width ≤ half the
-    *    candidate id span — the [[partialsWith]] blk-push sparsity
-    *    gate's analog; a near-corpus cover would fail every page's
-    *    stats check while taxing every row), push the OR-of-ranges.
-    *    Scattered candidate sets fail the gates and skip the push —
-    *    the round-15 lesson that an unselective range-OR is pure
-    *    overhead;
+    *    CORPUS doc count `corpusN` — the [[partialsWith]] blk-push
+    *    sparsity gate's analog; a near-corpus cover would fail every
+    *    page's stats check while taxing every row), push the
+    *    OR-of-ranges. The clustered-candidate case this exists for is
+    *    a query batch over a recent APPEND (fresh-docs RAG): its
+    *    candidates sit in one contiguous id run at the corpus tail,
+    *    one pushed range skips every base page. Scattered candidate
+    *    sets fail the gates and skip the push — the round-15 lesson
+    *    that an unselective range-OR is pure overhead. `corpusN ≤ 0`
+    *    = unknown corpus size: per-value only;
     *  - otherwise: unchanged scan (semi-join gating only).
     */
-  private def prunedByDocs(df: DataFrame, vals: Seq[Any]): DataFrame = {
+  private def prunedByDocs(df: DataFrame, vals: Seq[Any],
+                           corpusN: Long): DataFrame = {
     if (vals.isEmpty) return df.filter(lit(false))
     if (vals.size <= maxInPushValues) {
       raiseInFilterThreshold(df.sparkSession, maxInPushValues)
@@ -2284,9 +2289,9 @@ object Retrieval {
       i += 1
     }
     ranges += ((lo, hi))
-    val span = math.max(1L, sorted.last - sorted.head + 1)
+    if (corpusN <= 0) return df
     val width = ranges.iterator.map(r => r._2 - r._1 + 1).sum
-    if (width * 2 <= span)
+    if (width * 2 <= corpusN)
       df.filter(ranges.iterator.map { case (l, h) =>
         col("doc_id") >= lit(l) && col("doc_id") <= lit(h)
       }.reduce(_ || _))
@@ -2872,7 +2877,8 @@ object Retrieval {
         Tombstones.filterOut(spark, table,
           prunedByDocs(
             pruneToTerms(spark.table(s"${table}_pos"), qterms),
-            rs.map(_.get(1)).toSeq.distinct), "doc_id")
+            rs.map(_.get(1)).toSeq.distinct,
+            scoreStats.map(_._1).getOrElse(0L)), "doc_id")
     }
     val occ = qt0
       .join(posSpan, Seq("term"))
@@ -2994,7 +3000,8 @@ object Retrieval {
       rankedRows.fold(pruneToTerms(spark.table(s"${table}_pos"), qterms))(
         rs => prunedByDocs(
           pruneToTerms(spark.table(s"${table}_pos"), qterms),
-          rs.map(_.get(docIdx)).toSeq.distinct)), "doc_id")
+          rs.map(_.get(docIdx)).toSeq.distinct,
+          preStats.map(_._1).getOrElse(0L))), "doc_id")
     snippetsFromPartials(partials, pos, rankedL, docs, docIdCol,
       docTextCol, context)
   }
@@ -3034,7 +3041,7 @@ object Retrieval {
         rankedRows.fold(pruneToTerms(spark.table(s"${t}_pos"), qterms))(
           rs => prunedByDocs(
             pruneToTerms(spark.table(s"${t}_pos"), qterms),
-            rs.map(_.get(docIdx)).toSeq.distinct)), "doc_id"))
+            rs.map(_.get(docIdx)).toSeq.distinct, nDocs)), "doc_id"))
       .reduce(_.unionByName(_))
     snippetsFromPartials(partials, pos, rankedL, docs, docIdCol,
       docTextCol, context)
@@ -3413,7 +3420,7 @@ object Retrieval {
           val candF = spark.createDataFrame(
             java.util.Arrays.asList(candRows.toSeq: _*),
             org.apache.spark.sql.types.StructType(cand.schema))
-          val posCand = prunedByDocs(pos, candVals)
+          val posCand = prunedByDocs(pos, candVals, nDocsStat)
             .join(broadcast(candDocsF), Seq("doc_id"), "left_semi")
           (probe.join(posCand, Seq("term"))
             .join(broadcast(candF), Seq("qid", "doc_id"), "left_semi"),

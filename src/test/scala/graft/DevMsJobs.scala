@@ -84,11 +84,16 @@ object DevMsJobs {
             e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
           case s: org.apache.spark.sql.execution.ui
               .SparkListenerSQLExecutionStart =>
-            // head line = the first plan-node line of the formatted
-            // description (skip the "== Physical Plan ==" banner)
+            // head = the first distinctive plan-node lines of the
+            // description (skip banners and the bare AQE wrapper — a
+            // trace of identical "AdaptiveSparkPlan" lines diffs
+            // nothing)
             val head = s.physicalPlanDescription.linesIterator
-              .dropWhile(l => l.isEmpty || l.startsWith("=="))
-              .take(1).mkString.trim
+              .map(_.trim)
+              .filterNot(l => l.isEmpty || l.startsWith("==") ||
+                l.startsWith("AdaptiveSparkPlan") ||
+                l.startsWith("+- == "))
+              .take(2).mkString(" | ")
             planHeads.put(s.executionId, head)
           case _ => ()
         }
